@@ -1,0 +1,23 @@
+"""PySpark-native analytics engine with the query & data-processing
+capabilities of YassineEng/SQL-ETL-data-warehouse-Inside-Airbnb.
+
+The reference is a pandas + T-SQL star-schema ETL over Inside-Airbnb
+dumps (see SURVEY.md). This package re-expresses every operator it
+executes as idiomatic Spark DataFrame / Spark SQL plans:
+
+- ``sources``    — scans & sinks (gzip CSV, pipe-delimited CSV, parquet,
+                   quarantine split)           [SURVEY §2.1 S1–S12]
+- ``functions``  — scalar function surface (clean/cast/date/bool/text)
+                   [SURVEY §2.8 F1–F16, §2.10 U1–U5]
+- ``operators``  — relational + pipeline operators (joins, aggs, windows,
+                   merge-upsert, dedup, similarity) [SURVEY §2.2–§2.7]
+- ``plans``      — the star-schema pipeline (dims, facts, views) and the
+                   declared-query registry       [SURVEY §3, §7]
+- ``streaming``  — Structured Streaming surface over the events table
+                   (capability extension, SURVEY §2.9/§7.5)
+"""
+
+from sql_etl_data_warehouse_inside_airbnb_spark.session import get_spark
+
+__all__ = ["get_spark"]
+__version__ = "0.1.0"

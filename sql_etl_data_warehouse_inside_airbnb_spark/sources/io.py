@@ -1,0 +1,80 @@
+"""Scans and sinks.
+
+Maps the reference's file plumbing (SURVEY §2.1) onto Spark readers:
+
+- S1/S2: gzip CSV scan, schema-on-read with **no inference** — all
+  columns land as strings (modules/data_analyzer.py:136-139; the
+  load-bearing design decision per modules/data_loader.py:1-16), typed
+  later via ``try_cast`` projections.
+- S3/S7: pipe-delimited CSV (cleaned layer / BULK INSERT equivalent,
+  modules/data_loader.py:133,425; sql/data/04_load_calendar.sql:12-18).
+- S8: the client-side batched INSERT with reject-file capture becomes a
+  declarative quarantine split: rows whose key fails ``try_cast`` go to
+  a quarantine DataFrame instead of ``logs/listings_skipped_rows.csv``
+  (modules/data_loader.py:225-227).
+- S9: pipe-delimited gzip CSV sink (modules/data_cleaner.py:146); the
+  internal typed layer is Parquet.
+- S12 (gunzip-to-temp-file) is unnecessary: Spark reads gzip natively.
+
+Scale note: gzip CSV is not splittable — one file = one task. At 100 TB
+the raw layer should be many files (Inside-Airbnb ships per-city files,
+which parallelizes naturally); the first job is the Parquet conversion
+and everything downstream scans splittable columnar files with pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+
+def _all_string_schema(columns: list[str]) -> StructType:
+    return StructType([StructField(c, StringType(), True) for c in columns])
+
+
+def read_csv_raw(spark: SparkSession, path: str,
+                 columns: list[str] | None = None, sep: str = ",") -> DataFrame:
+    """Schema-on-read CSV scan: header row, NO type inference — every
+    column is a string (S1/S2). gzip is auto-detected by extension."""
+    reader = (spark.read.option("header", True)
+              .option("sep", sep)
+              .option("multiLine", True)
+              .option("escape", '"'))
+    if columns is not None:
+        return reader.schema(_all_string_schema(columns)).csv(path)
+    return reader.option("inferSchema", False).csv(path)
+
+
+def read_pipe_csv(spark: SparkSession, path: str,
+                  columns: list[str] | None = None) -> DataFrame:
+    """Cleaned-layer scan: pipe-delimited gzip CSV (S3/S7)."""
+    return read_csv_raw(spark, path, columns=columns, sep="|")
+
+
+def write_pipe_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Cleaned-layer sink: pipe-delimited gzip CSV (S9)."""
+    (df.write.mode(mode)
+     .option("header", True)
+     .option("sep", "|")
+     .option("compression", "gzip")
+     .csv(path))
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table (TESTDATA.md)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def split_quarantine(df: DataFrame, key: str,
+                     target_type: str = "bigint") -> tuple[DataFrame, DataFrame]:
+    """Declarative reject-row capture (S8): returns ``(good, quarantine)``
+    where ``good`` rows have a castable non-null ``key`` and
+    ``quarantine`` preserves the raw rows verbatim (replaces the
+    reference's per-row fallback + reject csv, data_loader.py:203-228).
+
+    Single-pass friendly: both branches share the scan; Catalyst pushes
+    the complementary predicates down to it.
+    """
+    castable = F.col(key).try_cast(target_type).isNotNull()
+    return df.filter(castable), df.filter(~castable | F.col(key).isNull())
