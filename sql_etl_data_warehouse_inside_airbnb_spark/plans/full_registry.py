@@ -1,0 +1,21 @@
+"""Combined declared-query registry: relational core + extensions.
+
+Importing this module populates ``REGISTRY`` with every query the
+engine declares to the driver (``__spark_entry__.queries()``).
+"""
+
+from __future__ import annotations
+
+# each import registers its queries into plans.registry.REGISTRY
+import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry  # noqa: F401
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
+    REGISTRY,
+    Query,
+)
+
+try:  # extension registries (added incrementally)
+    import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_ext  # noqa: F401
+except ImportError:
+    pass
+
+__all__ = ["REGISTRY", "Query"]

@@ -62,8 +62,20 @@ def write_pipe_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver-generated parquet table (TESTDATA.md)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one driver-generated parquet table (TESTDATA.md).
+
+    ``events.parquet`` carries INT64 TIMESTAMP(NANOS) which Spark's
+    parquet reader rejects by default; read nanos as long (runtime conf,
+    works on any session) and convert to a microsecond timestamp — the
+    same truncation DuckDB applies.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for f_ in df.schema.fields:
+        if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(
+                (F.col("ts") / F.lit(1000)).cast("long")))
+    return df
 
 
 def split_quarantine(df: DataFrame, key: str,
