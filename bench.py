@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with the noop sink (full execution, no
+driver collect). A small warmup action first so JVM/codegen startup
+isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
+    REGISTRY,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.session import get_spark
+
+HEADLINE = [
+    "a1_pricing_summary",      # multi-key hash agg over lineitem
+    "a7_weekly_rollup",        # the flagship fact_calendar rollup
+    "a3_count_distinct",       # grouped count-distinct
+    "j1_fact_dim_join",        # broadcast fact→dim chain
+    "j7_agg_join",             # join against derived aggregate
+    "j8_merge_upsert",         # MERGE join-rewrite
+    "w1_latest_per_key",       # window dedup
+    "o2_topk",                 # TakeOrderedAndProject
+    "ext_dedup_exact",         # fingerprint groupBy
+    "ext_lang_id",             # text analysis, column exprs
+    "ext_ann_brute_topk",      # vector top-k
+    "stream_tumbling",         # windowed event agg
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + codegen + parquet footer caches
+    materialize(REGISTRY["s1_scan_project"].build(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = REGISTRY[name].build(spark, sf_dir)
+        t0 = time.perf_counter()
+        materialize(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_query_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,158 @@
+"""Text analysis for training-data pipelines (SURVEY §7.5 extensions;
+generalizes the reference's langdetect UDF, scripts/app/
+language_detection.py, and comment profiling, scripts/debug/
+analyze_comment_length.py).
+
+Everything has two implementations where it matters:
+
+- a pure Column expression (JVM, whole-stage codegen) — the hot path;
+- an Arrow-batched pandas UDF with IDENTICAL semantics — the surface
+  demo for pluggable Python models (the reference's langdetect is the
+  only genuinely-Python op it has; U4).
+
+The language-ID heuristic is deliberately SQL-expressible (marker-token
+counting) so the DuckDB oracle can verify BOTH implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+# marker tokens per language, priority order breaks score ties.
+# Counting is substring-occurrence (split-based), identical in Spark
+# split / python str.count / DuckDB string_split.
+LANG_MARKERS: list[tuple[str, tuple[str, ...]]] = [
+    ("en", (" the ", " a ")),
+    ("es", (" la ", " el ")),
+    ("de", (" der ", " und ")),
+    ("fr", (" le ", " les ")),
+]
+
+
+def _pad(col: Column) -> Column:
+    return F.concat(F.lit(" "), F.trim(col), F.lit(" "))
+
+
+def _count_occurrences(col: Column, marker: str) -> Column:
+    # split() with a no-metachar pattern == literal split; -1 keeps
+    # trailing empties so counts match python/DuckDB exactly
+    return F.size(F.split(col, marker, -1)) - F.lit(1)
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (BIGINT)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.when(F.trim(c) == "", F.lit(0))
+             .otherwise(F.size(F.split(F.trim(c), r"\s+", -1)))
+             .cast("bigint"))
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    c = _pad(F.col(col) if isinstance(col, str) else col)
+    out = {}
+    for lang, markers in LANG_MARKERS:
+        score = None
+        for m in markers:
+            cnt = _count_occurrences(c, m)
+            score = cnt if score is None else score + cnt
+        out[lang] = score
+    return out
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax over marker scores, ties broken by LANG_MARKERS order,
+    all-zero → 'und'. Column-expression implementation."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values()) if len(scores) > 1 else next(
+        iter(scores.values()))
+    expr = F.lit("und")
+    for lang, _ in reversed(LANG_MARKERS):
+        expr = F.when((scores[lang] == best) & (best > 0),
+                      F.lit(lang)).otherwise(expr)
+    return expr
+
+
+@F.pandas_udf(StringType())
+def lang_id_udf(texts):
+    """Arrow-batched pandas UDF with semantics identical to lang_id()
+    — the pluggable-Python-model surface (U4). A real model (langdetect,
+    fasttext, …) drops in here without touching the plan."""
+    import pandas as pd
+
+    def detect(s):
+        if s is None:
+            return "und"
+        padded = " " + s.strip() + " "
+        best_lang, best_score = "und", 0
+        for lang, markers in LANG_MARKERS:
+            score = sum(padded.count(m) for m in markers)
+            if score > best_score:       # strict > == first-wins tie order
+                best_lang, best_score = lang, score
+        return best_lang
+
+    return pd.Series([detect(s) for s in texts])
+
+
+def quality_features(col: Column | str) -> list[Column]:
+    """Doc-quality features: token count, char count, mean token length,
+    stopword ratio — the length/punct/stopword profile family."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    n_chars = F.length(F.trim(c)).cast("bigint")
+    n_nospace = F.length(F.regexp_replace(F.trim(c), r"\s+", "")).cast("bigint")
+    stop_hits = _count_occurrences(_pad(c), " the ") + _count_occurrences(
+        _pad(c), " a ")
+    return [
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(n_nospace / F.greatest(n_tok, F.lit(1)), 6)
+         .alias("mean_token_len"),
+        F.round(stop_hits / F.greatest(n_tok, F.lit(1)), 6)
+         .alias("stopword_ratio"),
+    ]
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality milli-score in [0,1000]: rewards length up to
+    100 tokens (500 pts) and moderate mean token length (200 pts),
+    penalizes stopword stuffing (300 pts).
+
+    Deliberately integer-valued: a float score rounded to N decimals is
+    a cross-engine trap — ratios of small integers land exactly on
+    rounding half-boundaries, where Spark (exact BigDecimal HALF_UP)
+    and DuckDB (scale-multiply) can disagree by 1 ulp. Integer floors
+    of small-rational terms are bit-deterministic everywhere."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    tok_safe = F.greatest(n_tok, F.lit(1))
+    n_nospace = F.length(F.regexp_replace(F.trim(c), r"\s+", "")).cast("bigint")
+    stop = (_count_occurrences(_pad(c), " the ")
+            + _count_occurrences(_pad(c), " a ")).cast("bigint")
+    term_len = 5 * F.least(n_tok, F.lit(100))
+    term_stop = F.lit(300) - F.least(F.floor(300 * stop / tok_safe),
+                                     F.lit(300).cast("bigint"))
+    term_mean = F.least(F.floor(25 * n_nospace / tok_safe),
+                        F.lit(200).cast("bigint"))
+    return (term_len + term_stop + term_mean).cast("bigint")
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-collapsed, lowercased text — the exact-dedup key."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-gram word shingles as an array column (MinHash /
+    Jaccard input). Empty array when fewer than n tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(c), r"\s+", -1)
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]))
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")) \
+            .otherwise(F.array_distinct(gram))

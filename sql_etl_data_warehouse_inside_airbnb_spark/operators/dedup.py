@@ -1,0 +1,142 @@
+"""Deduplication operators for training-data pipelines (SURVEY §7.5).
+
+Generalizes the reference's dedup family (W1 latest-per-key, W2
+arbitrary-winner, J4 anti-join idempotency) to content-based dedup:
+
+- exact: hash-groupBy on a normalized fingerprint — one shuffle on the
+  fingerprint, no driver-side state; at 100 TB the fingerprint groupBy
+  is the canonical map-side-combinable aggregation.
+- n-gram Jaccard: blocked self-join (block key caps the pair explosion)
+  + set-similarity on distinct shingles.
+- MinHash + LSH: pyspark.ml MinHashLSH (banded hashing → bucket join)
+  — the scale path: candidate generation is a join on hash buckets, not
+  an O(n²) cross product.
+- SimHash: 64-bit fingerprint via per-token xxhash64 bit votes; banded
+  16-bit bucket join → Hamming-distance filter. Pure column
+  expressions, no UDF.
+- embedding cosine: blocked pairwise cosine over array<float> columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+    fingerprint,
+    shingles,
+)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                key_col: str = "doc_id") -> DataFrame:
+    """One row per distinct normalized text: canonical = min key,
+    n_copies = group size."""
+    return (df.select(fingerprint(text_col).alias("fingerprint"),
+                      F.col(key_col))
+            .groupBy("fingerprint")
+            .agg(F.min(key_col).alias("canonical_" + key_col),
+                 F.count("*").alias("n_copies")))
+
+
+def jaccard_similarity(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        inter / union.cast("double"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, key_col: str, text_col: str,
+                        block_col: str, n: int = 3,
+                        threshold: float = 0.0) -> DataFrame:
+    """Near-dup candidate pairs by n-gram Jaccard within blocks.
+
+    The block column bounds the join fan-out (at 100 TB: block on a
+    cheap surrogate — language, length bucket, LSH band — never
+    all-pairs). Output: (key_a, key_b, jaccard)."""
+    base = df.select(F.col(key_col), F.col(block_col),
+                     shingles(text_col, n).alias("sh"))
+    a = base.alias("a")
+    b = base.alias("b")
+    sim = jaccard_similarity(F.col("a.sh"), F.col("b.sh"))
+    return (a.join(b, on=[F.col(f"a.{block_col}") == F.col(f"b.{block_col}"),
+                          F.col(f"a.{key_col}") < F.col(f"b.{key_col}")])
+            .select(F.col(f"a.{key_col}").alias("key_a"),
+                    F.col(f"b.{key_col}").alias("key_b"),
+                    F.round(sim, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def minhash_candidate_pairs(df: DataFrame, key_col: str, text_col: str,
+                            num_hashes: int = 16,
+                            jaccard_threshold: float = 0.5,
+                            num_features: int = 1 << 18) -> DataFrame:
+    """MinHash+LSH near-dup candidates via pyspark.ml: shingle →
+    HashingTF (sparse binary) → MinHashLSH approxSimilarityJoin.
+
+    Scale path: LSH banding turns all-pairs into a bucket equi-join;
+    distance computation happens only within buckets. Deterministic
+    given the fixed seed. Returns (key_a, key_b, jaccard_distance)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = (df.select(F.col(key_col), shingles(text_col).alias("sh"))
+          .filter(F.size("sh") > 0))
+    tf = HashingTF(inputCol="sh", outputCol="features", binary=True,
+                   numFeatures=num_features)
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=num_hashes, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 1.0 - jaccard_threshold,
+                                       distCol="jaccard_distance")
+    return (pairs
+            .filter(F.col(f"datasetA.{key_col}") < F.col(f"datasetB.{key_col}"))
+            .select(F.col(f"datasetA.{key_col}").alias("key_a"),
+                    F.col(f"datasetB.{key_col}").alias("key_b"),
+                    F.round("jaccard_distance", 6).alias("jaccard_distance")))
+
+
+def simhash64(text_col: Column | str) -> Column:
+    """64-bit SimHash: xxhash64 each distinct token, per-bit majority
+    vote, reassemble. Pure column expressions — the per-bit votes are
+    a fold over the token-hash array, no explode, no shuffle."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.array_distinct(F.split(F.trim(c), r"\s+", -1))
+    hashes = F.transform(toks, lambda tk: F.xxhash64(tk))
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        vote = F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h: acc + F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1)).otherwise(F.lit(-1)))
+        sim = sim + F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), i)
+                           ).otherwise(F.lit(0).cast("long"))
+    return sim
+
+
+def simhash_near_pairs(df: DataFrame, key_col: str, text_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash banding: 4 bands × 16 bits — any pair
+    within Hamming distance 3 of each other shares ≥1 exact band
+    (pigeonhole), so the candidate join is an equi-join on (band_id,
+    band_value), never O(n²). Returns (key_a, key_b, hamming)."""
+    sh = df.select(F.col(key_col), simhash64(text_col).alias("simhash"))
+    bands = sh.select(
+        key_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"),
+                     F.shiftright("simhash", 16 * b)
+                      .bitwiseAND(F.lit(0xFFFF)).alias("band_val"))
+            for b in range(4)])).alias("band")
+    ).select(key_col, "simhash", "band.band_id", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (a.join(b, on=[F.col("a.band_id") == F.col("b.band_id"),
+                          F.col("a.band_val") == F.col("b.band_val"),
+                          F.col(f"a.{key_col}") < F.col(f"b.{key_col}")])
+            .select(F.col(f"a.{key_col}").alias("key_a"),
+                    F.col(f"b.{key_col}").alias("key_b"),
+                    ham.alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming))

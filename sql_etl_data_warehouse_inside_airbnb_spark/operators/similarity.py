@@ -1,0 +1,111 @@
+"""Vector similarity search over embedding columns (SURVEY §7.5).
+
+Embeddings are ``array<float>`` columns; all math is done JVM-side with
+higher-order functions (zip_with/aggregate) in double precision — no
+Python in the hot path. Two search strategies:
+
+- brute-force top-k: exact, one pass, TakeOrderedAndProject — the
+  baseline and the oracle-checkable path;
+- LSH-bucketed (random hyperplanes): sign-bit bucket join — the scale
+  path (candidates share the query's bucket, cost ∝ bucket size, not N).
+
+At 100 TB the embedding table is range-partitioned by bucket so a probe
+touches only matching files; brute force stays useful as the re-rank
+step over LSH/IVF candidates.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — deterministic order, so
+    results are bit-identical across engines that fold left."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(df: DataFrame, query: DataFrame, k: int = 10,
+                     key_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine against a single query row (broadcast).
+    Deterministic: ties broken by key. Plans as broadcast nested loop +
+    TakeOrderedAndProject — no shuffle of the big side."""
+    q = F.broadcast(query.select(
+        as_double(F.col(vec_col)).alias("__qvec")))
+    sim = F.round(cosine(as_double(F.col(vec_col)), F.col("__qvec")), 6)
+    return (df.crossJoin(q)
+            .select(F.col(key_col), sim.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(key_col))
+            .limit(k))
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)]
+            for _ in range(n_planes)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane bucket id: sign bit per plane."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bucket = bucket + F.when(
+            dot(as_double(vec), plane) > 0,
+            F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(df: DataFrame, query: DataFrame, k: int = 10,
+             key_col: str = "vec_id", vec_col: str = "embedding",
+             n_planes: int = 4, dim: int = 64) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH bucket equi-join, then
+    exact cosine re-rank inside the query's bucket. Deterministic
+    (fixed-seed planes). Recall < 1.0 by construction — the bucket join
+    is the candidate generator, brute force is the re-ranker."""
+    planes = _hyperplanes(dim, n_planes)
+    data = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+    q = F.broadcast(query.select(
+        as_double(F.col(vec_col)).alias("__qvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("__bucket")))
+    sim = F.round(cosine(as_double(F.col(vec_col)), F.col("__qvec")), 6)
+    return (data.join(q, "__bucket")
+            .select(F.col(key_col), sim.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(key_col))
+            .limit(k))
+
+
+def pairwise_cosine_dups(df: DataFrame, key_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         block_col: str = "label",
+                         threshold: float = 0.2) -> DataFrame:
+    """Embedding near-dup pairs: blocked pairwise cosine (same blocking
+    contract as ngram_jaccard_pairs — never all-pairs)."""
+    base = df.select(F.col(key_col), F.col(block_col),
+                     as_double(F.col(vec_col)).alias("v"))
+    a, b = base.alias("a"), base.alias("b")
+    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    return (a.join(b, on=[F.col(f"a.{block_col}") == F.col(f"b.{block_col}"),
+                          F.col(f"a.{key_col}") < F.col(f"b.{key_col}")])
+            .select(F.col(f"a.{key_col}").alias("key_a"),
+                    F.col(f"b.{key_col}").alias("key_b"),
+                    sim.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

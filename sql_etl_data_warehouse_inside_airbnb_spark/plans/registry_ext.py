@@ -1,0 +1,381 @@
+"""Extension queries: text analysis, dedup, similarity search, streaming
+windows (SURVEY §7.5 — the training-data-pipeline surface).
+
+Oracle notes:
+- the language-ID heuristic is marker-token counting, deliberately
+  SQL-expressible so BOTH the column-expression and pandas-UDF
+  implementations are verified against the same DuckDB SQL;
+- MinHash-LSH / SimHash / hyperplane-LSH use engine-specific hashes →
+  no oracle (driver records rows-only), but each has an exact
+  oracle-checked counterpart (ngram-jaccard / exact dedup / brute-force
+  top-k) validating the semantics they approximate;
+- DuckDB ``time_bucket`` and Spark ``window()`` share the same epoch
+  grid for day/hour/minute sizes, so streaming aggregates are fully
+  oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    lang_id_udf,
+    quality_features,
+    quality_score,
+    token_count,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.operators.dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    pairwise_cosine_dups,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import register, t
+from sql_etl_data_warehouse_inside_airbnb_spark.streaming.windows import (
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+# ------------------------------------------------------------- text
+
+_LANGID_SQL_SCORES = {
+    "en": "(len(string_split(' ' || trim(text) || ' ', ' the ')) - 1) + "
+          "(len(string_split(' ' || trim(text) || ' ', ' a ')) - 1)",
+    "es": "(len(string_split(' ' || trim(text) || ' ', ' la ')) - 1) + "
+          "(len(string_split(' ' || trim(text) || ' ', ' el ')) - 1)",
+    "de": "(len(string_split(' ' || trim(text) || ' ', ' der ')) - 1) + "
+          "(len(string_split(' ' || trim(text) || ' ', ' und ')) - 1)",
+    "fr": "(len(string_split(' ' || trim(text) || ' ', ' le ')) - 1) + "
+          "(len(string_split(' ' || trim(text) || ' ', ' les ')) - 1)",
+}
+
+_LANGID_SQL = f"""
+    SELECT doc_id,
+           CASE
+             WHEN greatest({_LANGID_SQL_SCORES['en']}, {_LANGID_SQL_SCORES['es']},
+                           {_LANGID_SQL_SCORES['de']}, {_LANGID_SQL_SCORES['fr']}) = 0
+               THEN 'und'
+             WHEN {_LANGID_SQL_SCORES['en']} >= {_LANGID_SQL_SCORES['es']}
+              AND {_LANGID_SQL_SCORES['en']} >= {_LANGID_SQL_SCORES['de']}
+              AND {_LANGID_SQL_SCORES['en']} >= {_LANGID_SQL_SCORES['fr']}
+               THEN 'en'
+             WHEN {_LANGID_SQL_SCORES['es']} >= {_LANGID_SQL_SCORES['de']}
+              AND {_LANGID_SQL_SCORES['es']} >= {_LANGID_SQL_SCORES['fr']}
+               THEN 'es'
+             WHEN {_LANGID_SQL_SCORES['de']} >= {_LANGID_SQL_SCORES['fr']}
+               THEN 'de'
+             ELSE 'fr'
+           END AS detected_lang
+    FROM documents"""
+
+
+@register(
+    "ext_token_count",
+    """SELECT doc_id,
+              CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+')) END
+                  ::BIGINT AS n_tokens
+       FROM documents""",
+    survey="§7.5 text", note="whitespace token counting")
+def ext_token_count(spark, sf_dir):
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id", token_count("text").alias("n_tokens")))
+
+
+@register(
+    "ext_text_quality",
+    """SELECT doc_id,
+              CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+')) END
+                  ::BIGINT AS n_tokens,
+              len(trim(text))::BIGINT AS n_chars,
+              round(len(regexp_replace(trim(text), '\\s+', '', 'g'))
+                    / greatest(CASE WHEN trim(text) = '' THEN 0
+                               ELSE len(string_split_regex(trim(text), '\\s+'))
+                               END, 1), 6) AS mean_token_len,
+              round(((len(string_split(' ' || trim(text) || ' ', ' the ')) - 1)
+                     + (len(string_split(' ' || trim(text) || ' ', ' a ')) - 1))
+                    / greatest(CASE WHEN trim(text) = '' THEN 0
+                               ELSE len(string_split_regex(trim(text), '\\s+'))
+                               END, 1), 6) AS stopword_ratio
+       FROM documents""",
+    survey="§7.5 text/A14", note="doc quality features: length, token stats, "
+                                 "stopword ratio")
+def ext_text_quality(spark, sf_dir):
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id", *quality_features("text")))
+
+
+@register(
+    "ext_quality_score",
+    """WITH f AS (
+         SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                END::BIGINT AS n_tok,
+                len(regexp_replace(trim(text), '\\s+', '', 'g'))::BIGINT
+                    AS n_nospace,
+                ((len(string_split(' ' || trim(text) || ' ', ' the ')) - 1)
+                 + (len(string_split(' ' || trim(text) || ' ', ' a ')) - 1)
+                )::BIGINT AS stop_hits
+         FROM documents)
+       SELECT doc_id,
+              (5 * least(n_tok, 100)
+               + 300 - least(floor(300 * stop_hits / greatest(n_tok, 1)), 300)
+               + least(floor(25 * n_nospace / greatest(n_tok, 1)), 200)
+              )::BIGINT AS quality_score
+       FROM f""",
+    survey="§7.5 text",
+    note="composite quality milli-score [0,1000] — integer-valued by "
+         "design (float scores round-boundary-diverge across engines)")
+def ext_quality_score(spark, sf_dir):
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id", quality_score("text").alias("quality_score")))
+
+
+@register(
+    "ext_lang_id", _LANGID_SQL,
+    survey="§7.5 text/U4",
+    note="language-ID via marker-token counting — column-expression "
+         "implementation (JVM hot path)")
+def ext_lang_id(spark, sf_dir):
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id", lang_id("text").alias("detected_lang")))
+
+
+@register(
+    "ext_lang_id_udf", _LANGID_SQL,
+    survey="U4",
+    note="SAME semantics through an Arrow-batched pandas UDF — the "
+         "pluggable-Python-model surface, checked against the same oracle")
+def ext_lang_id_udf(spark, sf_dir):
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id", lang_id_udf("text").alias("detected_lang")))
+
+
+@register(
+    "ext_fingerprint",
+    """SELECT doc_id,
+              md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                  AS fingerprint
+       FROM documents""",
+    survey="§7.5 text", note="normalized md5 document fingerprint")
+def ext_fingerprint(spark, sf_dir):
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id", fingerprint("text").alias("fingerprint")))
+
+
+# ------------------------------------------------------------- dedup
+
+@register(
+    "ext_dedup_exact",
+    """SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                  AS fingerprint,
+              min(doc_id) AS canonical_doc_id,
+              count(*) AS n_copies
+       FROM documents
+       GROUP BY 1""",
+    survey="§7.5 dedup/W2/A9", note="exact dedup via fingerprint groupBy")
+def ext_dedup_exact(spark, sf_dir):
+    return exact_dedup(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ext_dedup_ngram_jaccard",
+    """WITH d AS (
+         SELECT doc_id, lang,
+                CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 3
+                     THEN []::VARCHAR[]
+                     ELSE list_distinct(list_transform(
+                       generate_series(1,
+                         len(string_split_regex(trim(text), '\\s+')) - 2),
+                       i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                            string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                            string_split_regex(trim(text), '\\s+')[i+2]))
+                END AS sh
+         FROM documents WHERE doc_id % 10 = 0)
+       SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+              round(CASE WHEN len(a.sh) + len(b.sh) -
+                         len(list_filter(a.sh, x -> list_contains(b.sh, x))) = 0
+                         THEN 0.0
+                         ELSE len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+                              / (len(a.sh) + len(b.sh)
+                                 - len(list_filter(a.sh,
+                                       x -> list_contains(b.sh, x))))::DOUBLE
+                    END, 6) AS jaccard
+       FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id""",
+    survey="§7.5 dedup",
+    note="n-gram Jaccard near-dup pairs, blocked by language (exact "
+         "counterpart of the MinHash path)")
+def ext_dedup_ngram_jaccard(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return ngram_jaccard_pairs(docs, "doc_id", "text", "lang")
+
+
+@register(
+    "ext_dedup_minhash", None,
+    survey="§7.5 dedup",
+    note="MinHash+LSH candidate pairs (pyspark.ml, banded bucket join); "
+         "engine-specific hashes → rows-only check; semantics validated "
+         "by ext_dedup_ngram_jaccard")
+def ext_dedup_minhash(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return minhash_candidate_pairs(docs, "doc_id", "text",
+                                   jaccard_threshold=0.3)
+
+
+@register(
+    "ext_dedup_simhash", None,
+    survey="§7.5 dedup",
+    note="SimHash-64 banded near-dup pairs (4×16-bit bands, Hamming ≤ 3); "
+         "xxhash64 is engine-specific → rows-only check")
+def ext_dedup_simhash(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return simhash_near_pairs(docs, "doc_id", "text")
+
+
+@register(
+    "ext_dedup_embedding",
+    """SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+              round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                    / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                             a.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]))), 6)
+                  AS cosine
+       FROM embeddings a JOIN embeddings b
+         ON a.label = b.label AND a.vec_id < b.vec_id
+       WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
+         AND round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                            a.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                              b.embedding::DOUBLE[]))), 6) >= 0.2""",
+    survey="§7.5 dedup/similarity",
+    note="embedding cosine near-dup pairs, blocked by label")
+def ext_dedup_embedding(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    return pairwise_cosine_dups(emb, threshold=0.2)
+
+
+# -------------------------------------------------------- similarity
+
+@register(
+    "ext_ann_brute_topk",
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                  WHERE vec_id = 0)
+       SELECT e.vec_id,
+              round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                    / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                             e.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+       FROM embeddings e, q
+       WHERE e.vec_id <> 0
+       ORDER BY cosine DESC, e.vec_id LIMIT 10""",
+    survey="§7.5 similarity",
+    note="exact brute-force cosine top-k (broadcast query + "
+         "TakeOrderedAndProject — the re-rank primitive)")
+def ext_ann_brute_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return brute_force_topk(emb.filter(F.col("vec_id") != 0), query, k=10)
+
+
+@register(
+    "ext_ann_lsh_topk", None,
+    survey="§7.5 similarity",
+    note="hyperplane-LSH bucketed top-k (fixed-seed planes, bucket "
+         "equi-join + exact re-rank); recall<1 by design → rows-only")
+def ext_ann_lsh_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return lsh_topk(emb.filter(F.col("vec_id") != 0), query, k=10)
+
+
+# --------------------------------------------------------- streaming
+
+@register(
+    "stream_tumbling",
+    """SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+              time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day'
+                  AS window_end,
+              event_type,
+              count(*) AS n_events,
+              round(sum(value), 4) AS sum_value
+       FROM events GROUP BY 1, 2, 3""",
+    survey="§2.9/§7.5 streaming",
+    note="tumbling window agg — unified API: same plan batch & stream")
+def stream_tumbling(spark, sf_dir):
+    return tumbling_agg(t(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_sliding",
+    """WITH offs AS (SELECT unnest([INTERVAL '0 hours', INTERVAL '12 hours'])
+                         AS off)
+       SELECT time_bucket(INTERVAL '12 hours', ts) - off AS window_start,
+              time_bucket(INTERVAL '12 hours', ts) - off + INTERVAL '1 day'
+                  AS window_end,
+              count(*) AS n_events,
+              round(sum(value), 4) AS sum_value
+       FROM events, offs GROUP BY 1, 2""",
+    survey="§2.9/§7.5 streaming",
+    note="sliding windows (1 day / 12 h): every event in 2 windows")
+def stream_sliding(spark, sf_dir):
+    return sliding_agg(t(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_session",
+    """WITH marked AS (
+         SELECT user_id, ts, value,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL '2 hours'
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                     THEN 1 ELSE 0 END AS is_new
+         FROM events),
+       sess AS (
+         SELECT user_id, ts, value,
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+         FROM marked)
+       SELECT user_id,
+              min(ts) AS session_start,
+              max(ts) + INTERVAL '2 hours' AS session_end,
+              count(*) AS n_events,
+              round(sum(value), 4) AS sum_value
+       FROM sess GROUP BY user_id, session_no""",
+    survey="§2.9/§7.5 streaming",
+    note="session windows (2 h gap) per user; oracle is the "
+         "gaps-and-islands rewrite")
+def stream_session(spark, sf_dir):
+    return session_agg(t(spark, sf_dir, "events"))
+
+
+# -------------------------------------------------------- multimodal
+
+@register(
+    "ext_multimodal_meta",
+    """SELECT doc_id,
+              octet_length(encode(text)) AS payload_bytes,
+              sha256(text) AS payload_sha256
+       FROM documents""",
+    survey="§7.5 multimodal",
+    note="opaque-binary column plumbing: byte length + content hash of "
+         "the payload (decode itself is a stubbed Pandas-UDF path, see "
+         "operators/multimodal.py)")
+def ext_multimodal_meta(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return d.select("doc_id",
+                    F.octet_length(payload).cast("bigint")
+                     .alias("payload_bytes"),
+                    F.sha2(payload, 256).alias("payload_sha256"))

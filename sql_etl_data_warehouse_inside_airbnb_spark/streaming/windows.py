@@ -1,0 +1,95 @@
+"""Windowed aggregations over event streams.
+
+Unified-API builders: each takes any events DataFrame (batch read or
+``readStream``) and returns the windowed aggregate plan. In streaming
+mode add ``with_watermark`` so state for closed windows is dropped —
+unbounded state is the streaming equivalent of the unpartitioned-scan
+mistake at 100 TB.
+
+Window grids align with DuckDB ``time_bucket``/``date_trunc`` (both
+epoch-aligned for day/hour/minute granularities), which makes tumbling
+and sliding aggregates oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(events: DataFrame, size: str = "1 day",
+                 ts_col: str = "ts") -> DataFrame:
+    """Tumbling windows: count + value sum per (window, event_type)."""
+    w = F.window(ts_col, size)
+    return (events.groupBy(w.alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n_events", "sum_value"))
+
+
+def sliding_agg(events: DataFrame, size: str = "1 day",
+                slide: str = "12 hours", ts_col: str = "ts") -> DataFrame:
+    """Sliding windows (each event lands in size/slide windows)."""
+    w = F.window(ts_col, size, slide)
+    return (events.groupBy(w.alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "n_events", "sum_value"))
+
+
+def session_agg(events: DataFrame, gap: str = "2 hours",
+                ts_col: str = "ts") -> DataFrame:
+    """Session windows per user: a session extends while consecutive
+    events arrive within ``gap`` of the previous one; ``session_end``
+    is last event + gap (Spark session_window semantics)."""
+    w = F.session_window(ts_col, gap)
+    return (events.groupBy(w.alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "sum_value"))
+
+
+def with_watermark(events: DataFrame, ts_col: str = "ts",
+                   delay: str = "1 hour") -> DataFrame:
+    """Late-data bound: windows older than max(event time) - delay are
+    finalized and their state dropped; later events are discarded."""
+    return events.withWatermark(ts_col, delay)
+
+
+def stream_events(spark: SparkSession, sf_dir: str,
+                  max_files_per_trigger: int = 1) -> DataFrame:
+    """The events table as a file stream: same schema as the batch read,
+    so every builder above runs unchanged on it."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # FileStreamSource monitors a directory; select just the events
+    # table out of it with a glob filter
+    stream = (spark.readStream
+              .schema(raw_schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    for f_ in stream.schema.fields:
+        if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
+            stream = stream.withColumn("ts", F.timestamp_micros(
+                (F.col("ts") / F.lit(1000)).cast("long")))
+    return stream
+
+
+def run_stream_to_memory(stream_df: DataFrame, query_name: str,
+                         timeout_sec: int = 120) -> None:
+    """Drive a streaming plan to completion into an in-memory sink
+    (test/demo harness; production sinks are kafka/delta/parquet)."""
+    q = (stream_df.writeStream.format("memory")
+         .queryName(query_name)
+         .outputMode("complete")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(timeout_sec)

@@ -1,0 +1,120 @@
+"""Extension operators: dedup, similarity, text, multimodal, streaming."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_etl_data_warehouse_inside_airbnb_spark.operators.dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.operators.multimodal import (
+    attach_payload,
+    decode_image_stub,
+    extract_features,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import read_table
+
+
+def _docs_with_dups(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),   # exact dup
+        (3, "THE  quick   brown fox jumps over the lazy dog", "en"),  # ws/case dup
+        (4, "the quick brown fox jumps over the sleepy dog", "en"),  # near dup
+        (5, "completely different text about data engines here", "en"),
+        (6, "der schnelle braune fuchs und so weiter und weiter", "de"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_exact_dedup_normalized(spark):
+    d = exact_dedup(_docs_with_dups(spark))
+    groups = {r.canonical_doc_id: r.n_copies for r in d.collect()}
+    assert groups[1] == 3          # 1, 2 and whitespace/case-normalized 3
+    assert groups[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = {(r.key_a, r.key_b): r.jaccard
+             for r in ngram_jaccard_pairs(
+                 _docs_with_dups(spark), "doc_id", "text", "lang").collect()}
+    assert pairs[(1, 2)] == 1.0                     # identical
+    assert 0.4 < pairs[(1, 4)] < 1.0                # one-word change
+    assert pairs[(1, 5)] == 0.0                     # unrelated
+    assert (1, 6) not in pairs                      # cross-lang blocked
+
+
+def test_minhash_and_simhash_agree_on_dups(spark):
+    docs = _docs_with_dups(spark)
+    mh = {(r.key_a, r.key_b)
+          for r in minhash_candidate_pairs(docs, "doc_id", "text",
+                                           jaccard_threshold=0.4).collect()}
+    assert (1, 2) in mh and (1, 4) in mh and (1, 5) not in mh
+    sh = {(r.key_a, r.key_b)
+          for r in simhash_near_pairs(docs, "doc_id", "text",
+                                      max_hamming=10).collect()}
+    assert (1, 2) in sh                             # identical text: hamming 0
+
+
+def test_brute_force_topk_exact(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    top = brute_force_topk(emb.filter(F.col("vec_id") != 0), query, k=5)
+    rows = top.collect()
+    assert len(rows) == 5
+    sims = [r.cosine for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_lsh_topk_subset_of_brute(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    cand = emb.filter(F.col("vec_id") != 0)
+    brute = {r.vec_id: r.cosine
+             for r in brute_force_topk(cand, query, k=500).collect()}
+    approx = lsh_topk(cand, query, k=10).collect()
+    # every LSH result carries the EXACT cosine (re-rank is exact)
+    for r in approx:
+        assert r.cosine == brute[r.vec_id]
+
+
+def test_multimodal_stub_and_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark engine")], ["doc_id", "text"])
+    media = attach_payload(docs, "doc_id", "text")
+    feats = extract_features(media, fake=True).collect()
+    by_id = {r.media_id: r for r in feats}
+    assert by_id[1].n_bytes == len(b"hello world")
+    assert len(by_id[1].features) == 8
+    assert abs(sum(by_id[1].features) - 1.0) < 1e-3
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"xx", fake=False)
+
+
+def test_structured_streaming_matches_batch(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.streaming.windows import (
+        run_stream_to_memory,
+        stream_events,
+        tumbling_agg,
+        with_watermark,
+    )
+
+    stream = with_watermark(stream_events(spark, sf_dir), delay="1 day")
+    run_stream_to_memory(tumbling_agg(stream), "t_stream")
+    got = {(str(r.window_start), r.event_type): (r.n_events,
+                                                 round(r.sum_value, 4))
+           for r in spark.sql("SELECT * FROM t_stream").collect()}
+    batch = tumbling_agg(read_table(spark, sf_dir, "events"))
+    want = {(str(r.window_start), r.event_type): (r.n_events,
+                                                  round(r.sum_value, 4))
+            for r in batch.collect()}
+    assert got == want and len(want) > 0
