@@ -18,6 +18,35 @@ executes as idiomatic Spark DataFrame / Spark SQL plans:
 """
 
 from sql_etl_data_warehouse_inside_airbnb_spark.session import get_spark
+from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+    read_csv_raw,
+    read_pipe_csv,
+    read_table,
+    split_quarantine,
+    write_pipe_csv,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.operators.merge import (
+    MergeResult,
+    merge_upsert,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.pipeline import (
+    build_dim_dates,
+    build_dim_hosts,
+    build_dim_listings,
+    build_fact_calendar,
+    build_fact_reviews,
+    clean_listings,
+    register_views,
+    type_listings,
+)
 
-__all__ = ["get_spark"]
+__all__ = [
+    "get_spark",
+    "read_csv_raw", "read_pipe_csv", "read_table", "split_quarantine",
+    "write_pipe_csv",
+    "MergeResult", "merge_upsert",
+    "build_dim_dates", "build_dim_hosts", "build_dim_listings",
+    "build_fact_calendar", "build_fact_reviews", "clean_listings",
+    "register_views", "type_listings",
+]
 __version__ = "0.1.0"

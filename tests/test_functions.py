@@ -1,0 +1,111 @@
+"""Unit tests for the scalar-function surface (SURVEY §7.3 hard parts)."""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from sql_etl_data_warehouse_inside_airbnb_spark.functions.cleaning import (
+    TRUTHY_SQL,
+    clean_money,
+    norm_bool,
+    parse_host_location,
+    sanitize_numstr,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.functions.dates import (
+    tsql_week_end,
+    tsql_week_start,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+    lang_id,
+    lang_id_udf,
+    token_count,
+)
+
+
+def _one_col(spark, values, fn):
+    df = spark.createDataFrame([(v,) for v in values], ["x"])
+    return [r.y for r in df.select(fn("x").alias("y")).collect()]
+
+
+def test_clean_money(spark):
+    got = _one_col(spark, ["$1,234.00", "$85.00\r", " 99.5 ", "", "junk",
+                           None, "1,000,000.99"], clean_money)
+    assert got == [Decimal("1234.00"), Decimal("85.00"), Decimal("99.50"),
+                   None, None, None, Decimal("1000000.99")]
+
+
+def test_sanitize_numstr(spark):
+    got = _one_col(spark, ["123.0", " 42 ", "7.000", "", "x.0"],
+                   sanitize_numstr)
+    assert got == ["123", "42", "7", None, "x"]
+
+
+def test_norm_bool_ladders(spark):
+    vals = ["t", "TRUE", "1", "y", "yes", "f", "no", "junk", " t ", None]
+    loader = _one_col(spark, vals, lambda c: norm_bool(c))
+    assert loader == [True, True, True, True, True,
+                      False, False, False, True, False]
+    sql_set = _one_col(spark, vals,
+                       lambda c: norm_bool(c, TRUTHY_SQL, null_as=None))
+    assert sql_set == [True, True, True, False, False,
+                       False, False, False, True, None]
+
+
+def test_parse_host_location_shapes(spark):
+    df = spark.createDataFrame(
+        [("Paris, France",), ("Lyon, Rhone, France",), ("France",),
+         ("",), (None,), ("  Madrid ,  Spain ",)], ["x"])
+    city, country = parse_host_location("x")
+    got = [(r.host_city, r.host_country)
+           for r in df.select(city, country).collect()]
+    assert got == [("Paris", "France"), ("Lyon, Rhone", "France"),
+                   ("Unknown", "France"), ("Unknown", "Unknown"),
+                   ("Unknown", "Unknown"), ("Madrid", "Spain")]
+
+
+def test_week_bucketing_all_days(spark):
+    """T-SQL DATEADD/DATEDIFF week semantics across a full Sun..Sat
+    sweep + year boundary: Sunday belongs to the NEXT Monday's week."""
+    days = [datetime.date(2025, 6, d) for d in range(8, 15)]  # Sun..Sat
+    days += [datetime.date(2024, 12, 29),   # Sunday before new year
+             datetime.date(2024, 12, 30),   # Monday
+             datetime.date(2025, 1, 1)]
+    df = spark.createDataFrame([(d,) for d in days], ["x"])
+    rows = df.select(
+        "x", tsql_week_start("x").alias("ws"), tsql_week_end("x").alias("we")
+    ).collect()
+    for r in rows:
+        assert r.ws.weekday() == 0                    # always a Monday
+        assert (r.we - r.ws).days == 6
+        if r.x.weekday() == 6:                        # Sunday
+            assert r.ws == r.x + datetime.timedelta(days=1)
+        else:
+            assert r.ws <= r.x <= r.we
+    by_day = {r.x: r.ws for r in rows}
+    assert by_day[datetime.date(2025, 6, 8)] == datetime.date(2025, 6, 9)
+    assert by_day[datetime.date(2024, 12, 29)] == datetime.date(2024, 12, 30)
+
+
+def test_lang_id_expr_and_udf_agree(spark):
+    texts = ["the cat sat on a mat",
+             "la casa y el perro",
+             "der hund und der baum",
+             "le chat et les oiseaux",
+             "xyzzy plugh",
+             "",
+             None]
+    df = spark.createDataFrame([(s,) for s in texts], ["x"])
+    expr_out = [r.y for r in df.select(lang_id("x").alias("y")).collect()]
+    udf_out = [r.y for r in df.select(lang_id_udf("x").alias("y")).collect()]
+    assert expr_out[:5] == ["en", "es", "de", "fr", "und"]
+    # NULL text: expr propagates NULL, udf maps to 'und' before hitting
+    # Spark — both acceptable downstream, equality enforced on non-null
+    assert expr_out[:6] == udf_out[:6]
+
+
+def test_token_count_edges(spark):
+    got = _one_col(spark, ["a b  c", "  ", "", "one", None], token_count)
+    assert got == [3, 0, 0, 1, None]
