@@ -1,0 +1,181 @@
+"""Third coverage batch — the SURVEY §2 rows without a dedicated
+registry entry so far: column drop (P3), NOT-IN anti join (J5),
+broadcast membership semi join (J11), the second analytical-view shape
+(A2), per-key denormalization counts (A8), scalar count ladder (A11),
+string→date conversion with null-on-failure (F7), CASE-conditional
+country normalization (F12), and pandas-Int64-style numeric coercion
+(F14).
+
+Reference citations are in each query's note; the shapes come from
+modules/data_cleaner.py, sql/data/02_load_hosts.sql,
+scripts/maintenance/pretreatment.py, and sql/schema/03_create_views.sql
+in /root/reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sql_etl_data_warehouse_inside_airbnb_spark.functions.cleaning import (
+    sanitize_numstr,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import register, t
+
+
+@register(
+    "p3_column_drop",
+    """SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer""",
+    survey="P3",
+    note="column drop after derivation (drop host_location / "
+         "neighbourhood_cleansed shape, data_cleaner.py:120-128)")
+def p3_column_drop(spark, sf_dir):
+    return t(spark, sf_dir, "customer").drop("c_acctbal")
+
+
+@register(
+    "j5_not_in_anti",
+    """SELECT o_orderkey, o_custkey FROM orders
+       WHERE o_custkey NOT IN
+             (SELECT c_custkey FROM customer
+              WHERE c_mktsegment = 'BUILDING')""",
+    survey="J5",
+    note="NOT-IN subquery as left_anti (non-null key side, so 3-valued "
+         "NOT IN == anti join; run_move_steps.py:28 shape)")
+def j5_not_in_anti(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    building = (t(spark, sf_dir, "customer")
+                .filter(F.col("c_mktsegment") == "BUILDING")
+                .select(F.col("c_custkey").alias("o_custkey")))
+    return (o.join(building, "o_custkey", "left_anti")
+            .select("o_orderkey", "o_custkey"))
+
+
+@register(
+    "j11_broadcast_semi",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+       WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)""",
+    survey="J11/J6",
+    note="broadcast membership semi join (the pandas set-membership "
+         "loop in check_calendar_joinability.py:25-47 as a hinted "
+         "broadcast left_semi — dim side is small by construction)")
+def j11_broadcast_semi(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    big_parts = (t(spark, sf_dir, "part")
+                 .filter(F.col("p_size") > 40)
+                 .select(F.col("p_partkey").alias("l_partkey")))
+    return (li.join(F.broadcast(big_parts), "l_partkey", "left_semi")
+            .select("l_orderkey", "l_linenumber", "l_extendedprice"))
+
+
+@register(
+    "a2_region_segment_view",
+    """SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+              CAST(COUNT(*) AS BIGINT) AS customer_count,
+              ROUND(AVG(c.c_acctbal), 4) AS avg_acctbal
+       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+       GROUP BY n.n_name, c.c_mktsegment""",
+    survey="A2",
+    note="vw_neighborhood_performance shape: GROUP BY geo+category -> "
+         "count/avg ladder (03_create_views.sql:30-42)")
+def a2_region_segment_view(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (c.join(F.broadcast(n),
+                   c.c_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.col("c_mktsegment").alias("segment"))
+            .agg(F.count("*").alias("customer_count"),
+                 F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal")))
+
+
+@register(
+    "a8_per_key_count",
+    """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS total_orders
+       FROM orders GROUP BY o_custkey""",
+    survey="A8",
+    note="per-key count for a denormalized attribute "
+         "(total_listings per host, 02_load_hosts.sql:25-32)")
+def a8_per_key_count(spark, sf_dir):
+    return (t(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias("total_orders")))
+
+
+@register(
+    "a11_count_scalars",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(COUNT(value) AS BIGINT) AS n_value,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM events""",
+    survey="A11/A4",
+    note="scalar COUNT(*) / null-skipping COUNT(col) / COUNT(DISTINCT) "
+         "ladder (data_loader.py:233-240,313-316)")
+def a11_count_scalars(spark, sf_dir):
+    return (t(spark, sf_dir, "events")
+            .agg(F.count("*").alias("n_rows"),
+                 F.count("value").alias("n_value"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+@register(
+    "f7_date_conversion",
+    """SELECT o_orderkey,
+              TRY_CAST(substring(CAST(o_orderdate AS VARCHAR), 1, 10)
+                       AS DATE) AS order_day,
+              TRY_CAST(o_orderpriority AS DATE) AS bad_date
+       FROM orders""",
+    survey="F7",
+    note="string->date with null-on-failure both for a well-formed and "
+         "a garbage input (TRY_CONVERT(DATE, r.date), "
+         "05_load_reviews.sql:42)")
+def f7_date_conversion(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_date(F.substring(F.col("o_orderdate").cast("string"), 1, 10))
+         .alias("order_day"),
+        F.expr("try_cast(o_orderpriority as date)").alias("bad_date"))
+
+
+@register(
+    "f12_case_conditional",
+    """SELECT n_nationkey,
+              CASE WHEN n_name IN ('UNITED STATES', 'CANADA', 'BRAZIL',
+                                   'ARGENTINA', 'PERU')
+                   THEN 'AMERICAS' ELSE n_name END AS normalized_name,
+              CASE WHEN n_regionkey = 1 THEN 1 ELSE 0 END AS is_region_one
+       FROM nation""",
+    survey="F12/P7",
+    note="CASE-conditional normalization (US-state->country rewrite + "
+         "is_local_host flag, pretreatment.py:57-80)")
+def f12_case_conditional(spark, sf_dir):
+    amers = ["UNITED STATES", "CANADA", "BRAZIL", "ARGENTINA", "PERU"]
+    n = t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.when(F.col("n_name").isin(amers), "AMERICAS")
+         .otherwise(F.col("n_name")).alias("normalized_name"),
+        F.when(F.col("n_regionkey") == 1, 1).otherwise(0)
+         .cast("int").alias("is_region_one"))
+
+
+@register(
+    "f14_numeric_coercion",
+    """SELECT o_orderkey,
+              TRY_CAST(regexp_replace(trim(o_orderkey || '.0'),
+                                      '\\.0+$', '', 'g') AS BIGINT)
+                  AS coerced_id,
+              TRY_CAST(o_orderpriority AS BIGINT) AS bad_id
+       FROM orders""",
+    survey="F14/F2",
+    note="pandas to_numeric(errors='coerce').astype('Int64') as "
+         "try_cast over a '.0'-suffix-sanitized string "
+         "(data_loader.py:433)")
+def f14_numeric_coercion(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        sanitize_numstr(F.concat(F.col("o_orderkey").cast("string"),
+                                 F.lit(".0")))
+        .try_cast("bigint").alias("coerced_id"),
+        F.expr("try_cast(o_orderpriority as bigint)").alias("bad_id"))
