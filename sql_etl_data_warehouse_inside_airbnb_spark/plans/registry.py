@@ -416,14 +416,17 @@ def a6_money_clean_agg(spark, sf_dir):
     note="fact_calendar weekly rollup with exact T-SQL week bucketing "
          "(Sunday → next Monday's week)")
 def a7_weekly_rollup(spark, sf_dir):
+    # week_end is functionally dependent on week_start: derive it after
+    # the aggregate so the shuffle key stays (suppkey, week_start) and
+    # the per-row date math runs once, not twice.
     return (t(spark, sf_dir, "lineitem")
             .groupBy("l_suppkey",
-                     tsql_week_start("l_shipdate").alias("week_start"),
-                     tsql_week_end("l_shipdate").alias("week_end"))
+                     tsql_week_start("l_shipdate").alias("week_start"))
             .agg(F.round(F.avg("l_extendedprice"), 4).alias("avg_price_per_week"),
                  F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
                   .alias("returned_per_week"),
-                 F.count("*").alias("items_per_week")))
+                 F.count("*").alias("items_per_week"))
+            .withColumn("week_end", F.date_add("week_start", 6)))
 
 
 @register(

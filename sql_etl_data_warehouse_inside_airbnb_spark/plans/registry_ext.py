@@ -227,9 +227,18 @@ def ext_dedup_ngram_jaccard(spark, sf_dir):
          "engine-specific hashes → rows-only check; semantics validated "
          "by ext_dedup_ngram_jaccard")
 def ext_dedup_minhash(spark, sf_dir):
+    # The synthetic corpus has no true near-dups (max pairwise Jaccard
+    # ≈ 0.02 in this sample), so recall would be trivially vacuous;
+    # plant known near-duplicates (one-token-appended copies, key
+    # offset +10_000_000) and require LSH to surface each planted pair.
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    return minhash_candidate_pairs(docs, "doc_id", "text",
-                                   jaccard_threshold=0.3)
+    mutated = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" mutation")).alias("text"))
+    corpus = docs.select("doc_id", "text").unionByName(mutated)
+    pairs = minhash_candidate_pairs(corpus, "doc_id", "text",
+                                    jaccard_threshold=0.3)
+    return pairs.filter(F.col("key_b") == F.col("key_a") + 10_000_000)
 
 
 @register(

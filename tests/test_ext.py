@@ -118,3 +118,18 @@ def test_structured_streaming_matches_batch(spark, sf_dir):
                                                   round(r.sum_value, 4))
             for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_minhash_registry_recalls_planted_pairs(spark, sf_dir):
+    """The registry's minhash query plants one-token-mutated copies of
+    the sampled docs; LSH at threshold 0.3 must recall every planted
+    pair (high-Jaccard pairs survive banding with 16 hash tables)."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
+        REGISTRY,
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    n_sampled = docs.filter((F.col("doc_id") % 10 == 0)
+                            & (F.length(F.trim("text")) > 0)).count()
+    pairs = REGISTRY["ext_dedup_minhash"].build(spark, sf_dir).collect()
+    assert len(pairs) == n_sampled
+    assert all(r.key_b == r.key_a + 10_000_000 for r in pairs)
