@@ -25,6 +25,7 @@ from dataclasses import dataclass, field
 from glob import glob
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sql_etl_data_warehouse_inside_airbnb_spark.plans.pipeline import (
     build_dim_dates,
@@ -111,10 +112,27 @@ def run_pipeline(spark: SparkSession, data_dir: str,
     tables = WarehouseTables(dim_listings, id_map, dim_hosts, dim_dates,
                              fact_calendar, fact_reviews)
     if output_dir:
+        # Facts partition by a time bucket so date-range queries prune
+        # files instead of scanning the table; at 100 TB this is the
+        # difference between reading one month and reading everything.
+        # Partition on a derived month (not the raw date) to keep
+        # partition counts bounded (~12/year, not 365/year).
+        part_col = {
+            "fact_calendar": ("week_start_date", "month"),
+            "fact_reviews": ("review_date", "month") if
+            "review_date" in fact_reviews.columns else None,
+        }
         for name in ("dim_listings", "dim_listing_id_map", "dim_hosts",
                      "dim_dates", "fact_calendar", "fact_reviews"):
             df = getattr(tables, name)
-            df.write.mode("overwrite").parquet(os.path.join(output_dir, name))
+            writer = df.write.mode("overwrite")
+            spec = part_col.get(name)
+            if spec is not None and spec[0] in df.columns:
+                src, _ = spec
+                df = df.withColumn("part_month",
+                                   F.date_format(F.col(src), "yyyy-MM"))
+                writer = df.write.mode("overwrite").partitionBy("part_month")
+            writer.parquet(os.path.join(output_dir, name))
             tables.stats[name] = spark.read.parquet(
                 os.path.join(output_dir, name)).count()
     return tables

@@ -179,3 +179,25 @@ def f14_numeric_coercion(spark, sf_dir):
                                  F.lit(".0")))
         .try_cast("bigint").alias("coerced_id"),
         F.expr("try_cast(o_orderpriority as bigint)").alias("bad_id"))
+
+
+@register(
+    "f17_json_extract",
+    """SELECT event_type,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                  AS sum_k
+       FROM events
+       WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
+       GROUP BY event_type""",
+    survey="§2.8 ext (JSON)",
+    note="semi-structured surface: get_json_object extract + filter + "
+         "agg (no JSON in the reference — free via Spark; SURVEY §2.8 "
+         "closing note)")
+def f17_json_extract(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (ev.filter(k > 50)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(k).alias("sum_k")))
