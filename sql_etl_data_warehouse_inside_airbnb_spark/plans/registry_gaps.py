@@ -201,3 +201,62 @@ def f17_json_extract(spark, sf_dir):
             .groupBy("event_type")
             .agg(F.count("*").alias("n_events"),
                  F.sum(k).alias("sum_k")))
+
+
+@register(
+    "j12_salted_skew_join",
+    """SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+              o.o_orderstatus, o.o_orderpriority
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
+    survey="§7.5 skew (J1 under skew)",
+    note="salted join rewrite: big side salted deterministically, "
+         "small side replicated 8x, join on (key, salt) — "
+         "oracle-checked identical to the plain equi-join")
+def j12_salted_skew_join(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.skew import (
+        salted_join,
+    )
+    li = (t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice"))
+    o = (t(spark, sf_dir, "orders")
+         .select(F.col("o_orderkey").alias("l_orderkey"),
+                 "o_orderstatus", "o_orderpriority"))
+    return salted_join(li, o, "l_orderkey", n_salts=8)
+
+
+@register(
+    "a15_two_stage_salted_agg",
+    """SELECT l_returnflag,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              ROUND(SUM(l_quantity), 2) AS sum_l_quantity
+       FROM lineitem GROUP BY l_returnflag""",
+    survey="§7.5 skew (A1 under skew)",
+    note="two-stage salted aggregate (partial on (key,salt), final on "
+         "key) for a dominant grouping key; oracle-checked identical "
+         "to the direct groupBy")
+def a15_two_stage_salted_agg(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.skew import (
+        two_stage_agg,
+    )
+    out = two_stage_agg(t(spark, sf_dir, "lineitem"), ["l_returnflag"],
+                        ["l_quantity"], n_salts=8)
+    return out.withColumn("sum_l_quantity",
+                          F.round("sum_l_quantity", 2))
+
+
+@register(
+    "stream_stateful_totals",
+    """SELECT user_id,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              ROUND(SUM(value), 4) AS sum_value,
+              MAX(ts) AS last_seen
+       FROM events GROUP BY user_id""",
+    survey="§7.5 streaming (applyInPandasWithState)",
+    note="batch meaning of the custom stateful running-totals operator "
+         "(streaming/stateful.py, applyInPandasWithState with "
+         "event-time timeout); stream==batch asserted in tests")
+def stream_stateful_totals(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.streaming.stateful import (
+        user_totals_batch,
+    )
+    return user_totals_batch(t(spark, sf_dir, "events"))
