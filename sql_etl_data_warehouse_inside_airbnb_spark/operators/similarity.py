@@ -109,3 +109,50 @@ def pairwise_cosine_dups(df: DataFrame, key_col: str = "vec_id",
                     F.col(f"b.{key_col}").alias("key_b"),
                     sim.alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+def ivf_topk(df: DataFrame, query: DataFrame, k: int = 10,
+             key_col: str = "vec_id", vec_col: str = "embedding",
+             n_clusters: int = 16, n_probe: int = 4,
+             seed: int = 42) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    assigns every vector to its nearest centroid; a probe scans only the
+    ``n_probe`` clusters nearest the query, then exact-cosine re-ranks.
+
+    The scale path beyond LSH: at 100 TB the table is written
+    partitioned by ``__cluster`` so a probe reads n_probe/n_clusters of
+    the files; the quantizer is fit once offline (distributed KMeans)
+    and reused. ``n_probe == n_clusters`` degrades to exact brute force
+    (recall 1.0) — the tested equivalence. Deterministic: fixed seed,
+    key tiebreaks.
+    """
+    import math
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = (df.select(F.col(key_col),
+                      as_double(F.col(vec_col)).alias("__v"))
+            .withColumn("__fv", array_to_vector("__v")))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="__fv",
+                   predictionCol="__cluster").fit(base)
+    assigned = model.transform(base).select(key_col, "__v", "__cluster")
+
+    # single-row query + tiny centroid list -> driver-side probe choice
+    qv = query.select(as_double(F.col(vec_col)).alias("q")).first()["q"]
+    qn = math.sqrt(sum(x * x for x in qv)) or 1.0
+
+    def _cos(center) -> float:
+        cn = math.sqrt(sum(x * x for x in center)) or 1.0
+        return sum(a * b for a, b in zip(qv, center)) / (qn * cn)
+
+    ranked = sorted(enumerate(model.clusterCenters()),
+                    key=lambda ic: -_cos(ic[1]))
+    probes = [i for i, _ in ranked[:n_probe]]
+
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    sim = F.round(cosine(F.col("__v"), qcol), 6)
+    return (assigned.filter(F.col("__cluster").isin(probes))
+            .select(F.col(key_col), sim.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(key_col))
+            .limit(k))

@@ -260,3 +260,20 @@ def stream_stateful_totals(spark, sf_dir):
         user_totals_batch,
     )
     return user_totals_batch(t(spark, sf_dir, "events"))
+
+
+@register(
+    "ext_ann_ivf_topk", None,
+    survey="§7.5 similarity (IVF scale path)",
+    note="IVF approximate top-k: KMeans coarse quantizer, probe the "
+         "n_probe nearest clusters, exact cosine re-rank "
+         "(operators/similarity.py:ivf_topk); KMeans init is "
+         "engine-specific -> rows-only; full-probe==brute equivalence "
+         "asserted in tests")
+def ext_ann_ivf_topk(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
+        ivf_topk,
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return ivf_topk(emb, q, k=10, n_clusters=16, n_probe=4)

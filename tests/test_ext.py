@@ -133,3 +133,21 @@ def test_minhash_registry_recalls_planted_pairs(spark, sf_dir):
     pairs = REGISTRY["ext_dedup_minhash"].build(spark, sf_dir).collect()
     assert len(pairs) == n_sampled
     assert all(r.key_b == r.key_a + 10_000_000 for r in pairs)
+
+
+def test_ivf_full_probe_equals_brute(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
+        ivf_topk,
+    )
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    brute = [(r.vec_id, r.cosine) for r in
+             brute_force_topk(emb, q, k=10).collect()]
+    full_probe = [(r.vec_id, r.cosine) for r in
+                  ivf_topk(emb, q, k=10, n_clusters=8, n_probe=8).collect()]
+    assert full_probe == brute
+    # partial probe returns k candidates drawn from the brute ordering
+    part = [(r.vec_id, r.cosine) for r in
+            ivf_topk(emb, q, k=10, n_clusters=8, n_probe=2).collect()]
+    assert len(part) == 10
+    assert part[0][1] <= brute[0][1] + 1e-9
