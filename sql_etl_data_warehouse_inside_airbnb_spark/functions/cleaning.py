@@ -21,8 +21,14 @@ loop:
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType, StructField, StructType
 
 # truthy sets observed in the reference (SURVEY §7.3 "boolean ladder")
 TRUTHY_SQL = ("t", "true", "1")                      # 04_load_calendar.sql:38
@@ -98,3 +104,22 @@ def geography_from_filename(path_col: Column | str) -> tuple[Column, Column]:
         F.when(city == "", "Unknown").otherwise(city).alias("property_city"),
         F.when(country == "", "Unknown").otherwise(country).alias("property_country"),
     )
+
+
+@pandas_udf(StructType([StructField("city", StringType()),
+                        StructField("country", StringType())]))
+def parse_host_location_udf(loc: pd.Series) -> pd.DataFrame:
+    """Arrow-batched pandas-UDF variant of ``parse_host_location`` —
+    the UDF-surface demo SURVEY §2.10 U1 calls for. Semantics match the
+    column-expression version exactly (parity-tested); prefer the
+    column version in hot paths (JVM-side, codegen-able)."""
+    def _parse(s):
+        if s is None or not str(s).strip():
+            return ("Unknown", "Unknown")
+        parts = [p.strip() for p in re.split(r"\s*,\s*", str(s).strip())]
+        if len(parts) <= 1:
+            return ("Unknown", parts[-1])
+        return (", ".join(parts[:-1]), parts[-1])
+    parsed = loc.map(_parse)
+    return pd.DataFrame({"city": parsed.map(lambda t: t[0]),
+                         "country": parsed.map(lambda t: t[1])})

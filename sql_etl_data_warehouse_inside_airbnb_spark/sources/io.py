@@ -90,3 +90,21 @@ def split_quarantine(df: DataFrame, key: str,
     """
     castable = F.col(key).try_cast(target_type).isNotNull()
     return df.filter(castable), df.filter(~castable | F.col(key).isNull())
+
+
+def write_bucketed(df, table_name: str, keys: list[str],
+                   n_buckets: int = 32,
+                   sort_cols: list[str] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Persist as a bucketed (+optionally sorted) catalog table.
+
+    Co-location contract: two tables bucketed by the same keys into the
+    same bucket count join WITHOUT a shuffle — at 100 TB that turns the
+    recurring fact⋈fact join from the dominant exchange into a local
+    zip of pre-sorted buckets. Buckets only apply via saveAsTable (the
+    bucket metadata lives in the catalog, not the parquet files).
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *keys)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)

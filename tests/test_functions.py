@@ -109,3 +109,21 @@ def test_lang_id_expr_and_udf_agree(spark):
 def test_token_count_edges(spark):
     got = _one_col(spark, ["a b  c", "  ", "", "one", None], token_count)
     assert got == [3, 0, 0, 1, None]
+
+
+def test_host_location_udf_matches_column_expr(spark):
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.cleaning import (
+        parse_host_location,
+        parse_host_location_udf,
+    )
+    rows = [("Paris, France",), ("Austin, Texas, United States",),
+            ("TX",), ("",), ("  ",), (None,), (" a , b ",)]
+    df = spark.createDataFrame(rows, ["loc"])
+    city, country = parse_host_location("loc")
+    expr_out = [(r.host_city, r.host_country)
+                for r in df.select(city, country).collect()]
+    u = parse_host_location_udf("loc")
+    udf_out = [(r.city, r.country) for r in
+               df.select(u.getField("city").alias("city"),
+                         u.getField("country").alias("country")).collect()]
+    assert udf_out == expr_out
