@@ -11,7 +11,7 @@ with a scale-ready configuration:
   engines (the DuckDB oracle reads parquet timestamps as naive/UTC).
 
 On a real cluster the same builder is used; only ``master`` and the
-memory/shuffle sizing change (see ``tune_for_cluster`` notes).
+memory/shuffle sizing change (see ``cluster_conf``).
 """
 
 from __future__ import annotations
@@ -41,6 +41,26 @@ LOCAL_DEFAULTS: dict[str, str] = {
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
 }
+
+
+def cluster_conf(total_cores: int, executor_mem_gb: int = 16) -> dict[str, str]:
+    """Recommended conf deltas for a real cluster (spark-submit sets
+    master/executors; this sizes the SQL layer). Shuffle partitions at
+    ~2.5x total cores gives AQE room to coalesce; broadcast threshold
+    stays — dims are MBs while facts are TBs at the 100 TB target."""
+    return {
+        "spark.sql.shuffle.partitions": str(max(64, int(total_cores * 2.5))),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        # keep scan partitions near the parquet row-group size so a
+        # task's input fits comfortably in executor memory
+        "spark.sql.files.maxPartitionBytes": "134217728",
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+    }
 
 
 def get_spark(app_name: str = "sql-etl-dw-inside-airbnb-spark",

@@ -127,3 +127,33 @@ def test_host_location_udf_matches_column_expr(spark):
                df.select(u.getField("city").alias("city"),
                          u.getField("country").alias("country")).collect()]
     assert udf_out == expr_out
+
+
+def test_week_bucket_invariants_full_sweep(spark):
+    """Exhaustive 8-year sweep of the T-SQL week bucketing: week_start
+    is always a Monday ON or AFTER (Sun) / BEFORE-or-on (Mon..Sat) the
+    date such that Sun..Sat map to the Monday following that Sunday;
+    span is always 6 days; bucketing is idempotent."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.dates import (
+        tsql_week_end,
+        tsql_week_start,
+    )
+    days = spark.sql(
+        "SELECT explode(sequence(DATE'1997-01-01', DATE'2004-12-31')) AS d")
+    checked = days.select(
+        "d",
+        tsql_week_start("d").alias("ws"),
+        tsql_week_end("d").alias("we"),
+        F.dayofweek("d").alias("dow"))  # 1=Sun .. 7=Sat
+    bad = checked.filter(
+        # week_start must be a Monday
+        (F.dayofweek("ws") != 2)
+        # span is exactly 6 days
+        | (F.datediff("we", "ws") != 6)
+        # Sunday -> NEXT Monday (ws = d+1); Mon..Sat -> ws <= d, d-ws <= 5
+        | ((F.col("dow") == 1) & (F.datediff("ws", "d") != 1))
+        | ((F.col("dow") != 1) & ((F.datediff("d", "ws") < 0)
+                                  | (F.datediff("d", "ws") > 5)))
+        # idempotent: bucketing the bucket start is a no-op
+        | (tsql_week_start("ws") != F.col("ws")))
+    assert bad.count() == 0
