@@ -277,3 +277,29 @@ def ext_ann_ivf_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0)
     return ivf_topk(emb, q, k=10, n_clusters=16, n_probe=4)
+
+
+@register(
+    "f6_filename_geography",
+    """SELECT n_nationkey,
+              replace(n_name, '_', '-') || '_Capital-City_listings_'
+                  || '2025-06-01.csv.gz' AS fname,
+              replace(n_name, '_', '-') AS country,
+              'Capital-City' AS city
+       FROM nation""",
+    survey="F6/U2",
+    note="filename -> geography parse: build a "
+         "{Country}_{City}_listings_{date}.csv.gz name per nation, then "
+         "recover (country, city) with the engine's "
+         "geography_from_filename regexes (data_cleaner.py:24-46)")
+def f6_filename_geography(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.cleaning import (
+        geography_from_filename,
+    )
+    n = t(spark, sf_dir, "nation")
+    fname = F.concat(F.regexp_replace("n_name", "_", "-"),
+                     F.lit("_Capital-City_listings_2025-06-01.csv.gz"))
+    named = n.select("n_nationkey", fname.alias("fname"))
+    city, country = geography_from_filename("fname")
+    return named.select("n_nationkey", "fname",
+                        country.alias("country"), city.alias("city"))
