@@ -111,6 +111,10 @@ def run_pipeline(spark: SparkSession, data_dir: str,
 
     tables = WarehouseTables(dim_listings, id_map, dim_hosts, dim_dates,
                              fact_calendar, fact_reviews)
+    # the whole star schema is the SQL surface, not just the views
+    for name in ("dim_listings", "dim_listing_id_map", "dim_hosts",
+                 "dim_dates", "fact_calendar", "fact_reviews"):
+        getattr(tables, name).createOrReplaceTempView(name)
     if output_dir:
         # Facts partition by a time bucket so date-range queries prune
         # files instead of scanning the table; at 100 TB this is the
