@@ -66,14 +66,46 @@ def discover_files(data_dir: str) -> dict[str, list[tuple[str, str, str]]]:
     return out
 
 
+CORE_TABLES = ("dim_listings", "dim_listing_id_map", "dim_hosts",
+               "dim_dates", "fact_calendar", "fact_reviews")
+
+
+def _load_existing(spark: SparkSession,
+                   output_dir: str) -> dict[str, DataFrame] | None:
+    """Prior warehouse state from a previous run's output, or None."""
+    prior: dict[str, DataFrame] = {}
+    for name in CORE_TABLES:
+        path = os.path.join(output_dir, name)
+        if not os.path.exists(path):
+            return None
+        df = spark.read.parquet(path)
+        if "part_month" in df.columns:
+            df = df.drop("part_month")
+        prior[name] = df
+    return prior
+
+
 def run_pipeline(spark: SparkSession, data_dir: str,
-                 output_dir: str | None = None) -> WarehouseTables:
+                 output_dir: str | None = None,
+                 incremental: bool = False) -> WarehouseTables:
     """Full ETL. With ``output_dir``, each warehouse table is persisted
-    as Parquet (the typed layer); otherwise everything stays lazy."""
+    as Parquet (the typed layer); otherwise everything stays lazy.
+
+    ``incremental=True`` loads the prior warehouse from ``output_dir``
+    (if present) and applies the reference's re-load semantics instead
+    of rebuilding: listings MERGE-upsert into the existing dim (J8,
+    source wins), id-map rows append, reviews append-if-absent (J4),
+    calendar weeks insert-if-absent on the (listing_id, week_start)
+    PK, dim_dates extends gap-free with STABLE date_ids (existing ids
+    never renumber — IDENTITY semantics), dim_hosts rebuilds from the
+    merged dim (the reference's TRUNCATE + reload)."""
     files = discover_files(data_dir)
     if not files["listings"]:
         raise FileNotFoundError(
             f"no '*_listings_*.csv.gz' files under {data_dir}")
+
+    prior = (_load_existing(spark, output_dir)
+             if incremental and output_dir else None)
 
     cleaned = None
     for path, city, country in files["listings"]:
@@ -81,8 +113,11 @@ def run_pipeline(spark: SparkSession, data_dir: str,
                            property_city=city, property_country=country)
         cleaned = c if cleaned is None else cleaned.unionByName(c)
 
-    merge_res, id_map = build_dim_listings(cleaned)
+    merge_res, id_map = build_dim_listings(
+        cleaned, existing=prior["dim_listings"] if prior else None)
     dim_listings = merge_res.df
+    if prior:
+        id_map = prior["dim_listing_id_map"].unionByName(id_map)
     dim_hosts = build_dim_hosts(dim_listings)
 
     def _union(kind: str) -> DataFrame | None:
@@ -98,14 +133,50 @@ def run_pipeline(spark: SparkSession, data_dir: str,
     date_sources = [d for d in (calendar_raw, reviews_raw) if d is not None]
     dim_dates = (build_dim_dates(*date_sources) if date_sources
                  else spark.createDataFrame([], "date_id int, full_date date"))
+    if prior and date_sources:
+        # IDENTITY semantics: existing date_ids are frozen; only dates
+        # the prior dimension lacks get new ids, numbered past its max
+        from pyspark.sql import Window
+
+        prior_dates = prior["dim_dates"]
+        fresh = (dim_dates.drop("date_id")
+                 .join(prior_dates.select("full_date"), "full_date",
+                       "left_anti"))
+        max_id = F.broadcast(
+            prior_dates.agg(F.max("date_id").alias("__max_id")))
+        fresh = (fresh.crossJoin(max_id)
+                 .withColumn("date_id",
+                             (F.row_number().over(
+                                 Window.orderBy("full_date"))
+                              + F.coalesce("__max_id", F.lit(0)))
+                             .cast("int"))
+                 .drop("__max_id"))
+        dim_dates = prior_dates.unionByName(
+            fresh.select(*prior_dates.columns))
 
     fact_calendar = (build_fact_calendar(calendar_raw, dim_listings)
                      if calendar_raw is not None
                      else spark.createDataFrame(
                          [], "listing_id long, week_start_date date"))
-    fact_reviews = (build_fact_reviews(reviews_raw, dim_listings, dim_dates)
+    fact_reviews = (build_fact_reviews(
+                        reviews_raw, dim_listings, dim_dates,
+                        existing=prior["fact_reviews"] if prior else None)
                     if reviews_raw is not None
                     else spark.createDataFrame([], "review_id long"))
+    if prior:
+        if calendar_raw is not None:
+            # insert-if-absent on the (listing_id, week_start_date) PK —
+            # T-SQL MERGE-free re-load: existing weeks keep their rows
+            fact_calendar = prior["fact_calendar"].unionByName(
+                fact_calendar.join(
+                    prior["fact_calendar"]
+                    .select("listing_id", "week_start_date"),
+                    ["listing_id", "week_start_date"], "left_anti"))
+        else:
+            fact_calendar = prior["fact_calendar"]
+        fact_reviews = (prior["fact_reviews"].unionByName(fact_reviews)
+                        if reviews_raw is not None
+                        else prior["fact_reviews"])
 
     register_views(spark, dim_listings)
 
@@ -126,17 +197,40 @@ def run_pipeline(spark: SparkSession, data_dir: str,
             "fact_reviews": ("review_date", "month") if
             "review_date" in fact_reviews.columns else None,
         }
-        for name in ("dim_listings", "dim_listing_id_map", "dim_hosts",
-                     "dim_dates", "fact_calendar", "fact_reviews"):
+        # Incremental plans READ the prior parquet they are about to
+        # replace (and later tables' plans read EARLIER tables' prior
+        # files through the merge lineage) — so materialize every table
+        # to a temp dir first, and only then swap them all in.
+        import shutil
+
+        suffix = ".__tmp" if prior is not None else ""
+        for name in CORE_TABLES:
             df = getattr(tables, name)
-            writer = df.write.mode("overwrite")
             spec = part_col.get(name)
             if spec is not None and spec[0] in df.columns:
                 src, _ = spec
                 df = df.withColumn("part_month",
                                    F.date_format(F.col(src), "yyyy-MM"))
                 writer = df.write.mode("overwrite").partitionBy("part_month")
-            writer.parquet(os.path.join(output_dir, name))
-            tables.stats[name] = spark.read.parquet(
-                os.path.join(output_dir, name)).count()
+            else:
+                writer = df.write.mode("overwrite")
+            tmp_path = os.path.join(output_dir, name) + suffix
+            if suffix:
+                shutil.rmtree(tmp_path, ignore_errors=True)
+            writer.parquet(tmp_path)
+        for name in CORE_TABLES:
+            final_path = os.path.join(output_dir, name)
+            if suffix:
+                shutil.rmtree(final_path, ignore_errors=True)
+                os.replace(final_path + suffix, final_path)
+            # rebind to the persisted layer: the in-flight lineage may
+            # reference pre-swap files (incremental), and re-reading
+            # parquet beats recomputing the whole plan downstream
+            persisted = spark.read.parquet(final_path)
+            if "part_month" in persisted.columns:
+                persisted = persisted.drop("part_month")
+            setattr(tables, name, persisted)
+            persisted.createOrReplaceTempView(name)
+            tables.stats[name] = persisted.count()
+        register_views(spark, tables.dim_listings)
     return tables
