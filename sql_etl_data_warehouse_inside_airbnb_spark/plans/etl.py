@@ -36,6 +36,11 @@ from sql_etl_data_warehouse_inside_airbnb_spark.plans.pipeline import (
     clean_listings,
     register_views,
 )
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.enrich import (
+    add_review_lang,
+    pretreat_hosts,
+    pretreat_listings,
+)
 from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import read_csv_raw
 
 FILENAME_RE = re.compile(
@@ -79,8 +84,10 @@ def _load_existing(spark: SparkSession,
         if not os.path.exists(path):
             return None
         df = spark.read.parquet(path)
-        if "part_month" in df.columns:
-            df = df.drop("part_month")
+        # enrichment columns re-derive each run (pure projections) —
+        # strip them so merge schemas align with freshly-typed sources
+        drop = ["part_month", "host_country_corrected", "review_lang"]
+        df = df.drop(*[c for c in drop if c in df.columns])
         prior[name] = df
     return prior
 
@@ -115,10 +122,12 @@ def run_pipeline(spark: SparkSession, data_dir: str,
 
     merge_res, id_map = build_dim_listings(
         cleaned, existing=prior["dim_listings"] if prior else None)
-    dim_listings = merge_res.df
+    # post-load enrichment (the reference's pretreatment UPDATEs):
+    # US-state -> country fix + is_local_host, recomputed every run
+    dim_listings = pretreat_listings(merge_res.df)
     if prior:
         id_map = prior["dim_listing_id_map"].unionByName(id_map)
-    dim_hosts = build_dim_hosts(dim_listings)
+    dim_hosts = pretreat_hosts(build_dim_hosts(dim_listings))
 
     def _union(kind: str) -> DataFrame | None:
         df = None
@@ -177,6 +186,9 @@ def run_pipeline(spark: SparkSession, data_dir: str,
         fact_reviews = (prior["fact_reviews"].unionByName(fact_reviews)
                         if reviews_raw is not None
                         else prior["fact_reviews"])
+    if "comments" in fact_reviews.columns:
+        # language detection re-derives over the full fact each run
+        fact_reviews = add_review_lang(fact_reviews)
 
     register_views(spark, dim_listings)
 
@@ -206,8 +218,14 @@ def run_pipeline(spark: SparkSession, data_dir: str,
         suffix = ".__tmp" if prior is not None else ""
         for name in CORE_TABLES:
             df = getattr(tables, name)
+            is_empty = not df.take(1)
+            if is_empty:
+                # zero-partition (or dynamic-partitioned) empty writes
+                # emit no parquet footer; one empty task + no
+                # partitionBy keeps the schema readable on round-trip
+                df = df.repartition(1)
             spec = part_col.get(name)
-            if spec is not None and spec[0] in df.columns:
+            if not is_empty and spec is not None and spec[0] in df.columns:
                 src, _ = spec
                 df = df.withColumn("part_month",
                                    F.date_format(F.col(src), "yyyy-MM"))

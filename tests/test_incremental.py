@@ -98,3 +98,37 @@ def test_day2_incremental_load(spark, tmp_path):
         assert d2_dates[fd] == did
     new_ids = [v for k, v in d2_dates.items() if k not in d1_dates]
     assert new_ids and min(new_ids) > max(d1_dates.values())
+
+
+def test_enrichment_columns(spark, tmp_path):
+    """pretreatment + language-detection enrichment: state-abbrev host
+    country -> United States, is_local_host from corrected country,
+    review_lang present on fact_reviews."""
+    day1 = tmp_path / "in"
+    day1.mkdir()
+    _wgz(day1, "France_Paris_listings_2025-06-01.csv.gz", LISTING_COLS, [
+        [201, 8001, "Ana", "Paris, France", "Marais", "48.85", "2.35",
+         "$100.00", "1", "4.0", "1"],          # local: France == France
+        [202, 8002, "Tex", "TX", "Opera", "48.87", "2.33",
+         "$90.00", "2", "4.1", "1"],           # TX -> United States
+    ])
+    _wgz(day1, "France_Paris_reviews_2025-06-01.csv.gz", REVIEW_COLS, [
+        [201, 11, "2025-05-01", 71, "Zoe",
+         "the quick brown fox and the lazy dog were here with this"],
+        [202, 12, "2025-05-02", 72, "Yan", ""],
+    ])
+    t = run_pipeline(spark, str(day1), str(tmp_path / "wh2"))
+
+    rows = {r.listing_id: r for r in t.dim_listings.collect()}
+    assert rows[201].host_country_corrected == "France"
+    assert rows[201].is_local_host is True
+    assert rows[202].host_country == "TX"
+    assert rows[202].host_country_corrected == "United States"
+    assert rows[202].is_local_host is False
+    hosts = {r.host_id: r.host_country_corrected
+             for r in t.dim_hosts.collect()}
+    assert hosts[8002] == "United States"
+
+    langs = {r.review_id: r.review_lang for r in t.fact_reviews.collect()}
+    assert langs[11] == "en"
+    assert langs[12] == "und"
