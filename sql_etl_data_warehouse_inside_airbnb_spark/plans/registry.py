@@ -5,8 +5,12 @@ with the equivalent ANSI SQL for the DuckDB oracle. Conventions that
 make the driver's order-insensitive value-hash comparison stable:
 
 - every computed column is aliased IDENTICALLY on both sides;
-- double-typed aggregates are ``round(x, N)`` on both sides (FP sums
-  are order-dependent; rounding absorbs the last-bit wobble);
+- compared aggregates over doubles are EXACT decimal sums (FP sums
+  are order-dependent) and contain NO division: a quotient landing
+  on a rounding tie rounds differently across engines at any scale
+  (Spark decimal HALF_UP vs double-intermediate rounding) — emit
+  sum+count and derive the mean outside the compared columns;
+  min/max compare as raw doubles (selection, not arithmetic);
 - integer widths are aligned (counts/date-parts cast to BIGINT —
   DuckDB's natural width);
 - no nondeterministic output: every top-k has a total-order tiebreak,
@@ -61,6 +65,17 @@ def register(name: str, oracle: str | None, survey: str = "", note: str = "",
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
+
+
+def exact_sum(col: str, digits: int):
+    """Order-independent SUM over a double column: sum exactly in
+    decimal, cast back to double, round. FP addition is not
+    associative, so round(sum(double)) can straddle a half-ulp between
+    engines/partitionings; the decimal sum can't.
+    SQL twin: round(CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE), d)."""
+    return F.round(F.sum(F.col(col).cast("decimal(18,6)"))
+                   .cast("double"), digits)
+
 
 
 # ---------------------------------------------------------------- scans
@@ -242,7 +257,7 @@ def j6_left_semi(spark, sf_dir):
     """SELECT c.c_custkey, c.c_name, a.order_count, a.total_spend
        FROM customer c
        JOIN (SELECT o_custkey, count(*) AS order_count,
-                    round(sum(o_totalprice), 2) AS total_spend
+                    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_spend
              FROM orders GROUP BY o_custkey) a
          ON c.c_custkey = a.o_custkey""",
     survey="J7/A8", note="join against a derived aggregate")
@@ -250,7 +265,7 @@ def j7_agg_join(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
     agg = (t(spark, sf_dir, "orders").groupBy("o_custkey")
            .agg(F.count("*").alias("order_count"),
-                F.round(F.sum("o_totalprice"), 2).alias("total_spend")))
+                exact_sum("o_totalprice", 2).alias("total_spend")))
     return (c.join(agg, c.c_custkey == agg.o_custkey)
             .select("c_custkey", "c_name", "order_count", "total_spend"))
 
@@ -313,10 +328,9 @@ def j9_update_from_join(spark, sf_dir):
     "a1_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
               count(*) AS n_rows,
-              round(sum(l_quantity), 2) AS sum_qty,
-              round(sum(l_extendedprice), 2) AS sum_price,
-              round(avg(l_quantity), 4) AS avg_qty,
-              round(avg(l_discount), 6) AS avg_disc
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_price,
+              round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc
        FROM lineitem
        WHERE CAST(l_shipdate AS DATE) <= DATE '1998-12-01'
        GROUP BY l_returnflag, l_linestatus""",
@@ -326,10 +340,9 @@ def a1_pricing_summary(spark, sf_dir):
             .filter(F.to_date("l_shipdate") <= F.lit("1998-12-01"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.count("*").alias("n_rows"),
-                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                 F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-                 F.round(F.avg("l_discount"), 6).alias("avg_disc")))
+                 exact_sum("l_quantity", 2).alias("sum_qty"),
+                 exact_sum("l_extendedprice", 2).alias("sum_price"),
+                 exact_sum("l_discount", 2).alias("sum_disc")))
 
 
 @register(
@@ -337,7 +350,7 @@ def a1_pricing_summary(spark, sf_dir):
     """SELECT o_orderpriority,
               count(DISTINCT o_custkey) AS unique_customers,
               count(*) AS n_orders,
-              round(avg(o_totalprice), 4) AS avg_price
+              round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_price
        FROM orders GROUP BY o_orderpriority""",
     survey="A3", note="grouped COUNT DISTINCT (vw_host_activity shape)")
 def a3_count_distinct(spark, sf_dir):
@@ -345,7 +358,7 @@ def a3_count_distinct(spark, sf_dir):
             .groupBy("o_orderpriority")
             .agg(F.countDistinct("o_custkey").alias("unique_customers"),
                  F.count("*").alias("n_orders"),
-                 F.round(F.avg("o_totalprice"), 4).alias("avg_price")))
+                 exact_sum("o_totalprice", 2).alias("sum_price")))
 
 
 @register(
@@ -379,12 +392,12 @@ def a5_conditional_agg(spark, sf_dir):
                   regexp_replace(
                       '$' || CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR),
                       '[$,]', '', 'g')
-                  AS DECIMAL(12,2))) AS DOUBLE)
-                / count(TRY_CAST(
+                  AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_clean_price,
+              CAST(count(TRY_CAST(
                   regexp_replace(
                       '$' || CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR),
                       '[$,]', '', 'g')
-                  AS DECIMAL(12,2))), 4) AS avg_clean_price
+                  AS DECIMAL(12,2))) AS BIGINT) AS n_clean
        FROM lineitem GROUP BY l_returnflag""",
     survey="A6/F2/F15",
     note="reference money-cleaning aggregate: strip $/, then TRY_CAST "
@@ -397,8 +410,9 @@ def a6_money_clean_agg(spark, sf_dir):
     cleaned = F.regexp_replace(money, r"[$,]", "").try_cast("decimal(12,2)")
     return (t(spark, sf_dir, "lineitem")
             .groupBy("l_returnflag")
-            .agg(F.round(F.sum(cleaned).cast("double") / F.count(cleaned), 4)
-                  .alias("avg_clean_price")))
+            .agg(F.round(F.sum(cleaned).cast("double"), 2)
+                  .alias("sum_clean_price"),
+                 F.count(cleaned).alias("n_clean")))
 
 
 @register(
@@ -408,13 +422,19 @@ def a6_money_clean_agg(spark, sf_dir):
                    AS DATE) AS week_start,
               CAST(date_trunc('week', CAST(l_shipdate AS DATE) + INTERVAL 1 DAY)
                    AS DATE) + 6 AS week_end,
-              round(avg(l_extendedprice), 4) AS avg_price_per_week,
+              sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS price_sum_per_week,
               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_per_week,
               count(*) AS items_per_week
        FROM lineitem GROUP BY 1, 2, 3""",
     survey="A7/F8/A5/A6",
     note="fact_calendar weekly rollup with exact T-SQL week bucketing "
-         "(Sunday → next Monday's week)")
+         "(Sunday → next Monday's week). Compared aggregate is the "
+         "exact decimal SUM: an AVG over doubles divides, and "
+         "division quotients landing on a rounding tie (count=8 "
+         "groups here) round differently across engines at ANY "
+         "scale — the ETL's real fact_calendar averages "
+         "DECIMAL(10,2) prices, which stays exact")
 def a7_weekly_rollup(spark, sf_dir):
     # week_end is functionally dependent on week_start: derive it after
     # the aggregate so the shuffle key stays (suppkey, week_start) and
@@ -422,7 +442,8 @@ def a7_weekly_rollup(spark, sf_dir):
     return (t(spark, sf_dir, "lineitem")
             .groupBy("l_suppkey",
                      tsql_week_start("l_shipdate").alias("week_start"))
-            .agg(F.round(F.avg("l_extendedprice"), 4).alias("avg_price_per_week"),
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                  .alias("price_sum_per_week"),
                  F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
                   .alias("returned_per_week"),
                  F.count("*").alias("items_per_week"))
@@ -472,9 +493,9 @@ def a12_distinct_count(spark, sf_dir):
     """SELECT count(*) AS n_rows,
               count(o_custkey) AS n_custkey_nonnull,
               count(DISTINCT o_orderstatus) AS n_status,
-              round(avg(o_totalprice), 4) AS mean_price,
-              round(min(o_totalprice), 2) AS min_price,
-              round(max(o_totalprice), 2) AS max_price
+              round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_price,
+              min(o_totalprice) AS min_price,
+              max(o_totalprice) AS max_price
        FROM orders""",
     survey="A14", note="EDA profiling aggregates (null counts, describe)")
 def a14_profile(spark, sf_dir):
@@ -482,9 +503,9 @@ def a14_profile(spark, sf_dir):
             .agg(F.count("*").alias("n_rows"),
                  F.count("o_custkey").alias("n_custkey_nonnull"),
                  F.countDistinct("o_orderstatus").alias("n_status"),
-                 F.round(F.avg("o_totalprice"), 4).alias("mean_price"),
-                 F.round(F.min("o_totalprice"), 2).alias("min_price"),
-                 F.round(F.max("o_totalprice"), 2).alias("max_price")))
+                 exact_sum("o_totalprice", 2).alias("sum_price"),
+                 F.min("o_totalprice").alias("min_price"),
+                 F.max("o_totalprice").alias("max_price")))
 
 
 # -------------------------------------------------------------- windows

@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 from sql_etl_data_warehouse_inside_airbnb_spark.functions.cleaning import (
     sanitize_numstr,
 )
-from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import register, t
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
+    exact_sum,
+    register,
+    t,
+)
 
 
 @register(
@@ -71,7 +75,7 @@ def j11_broadcast_semi(spark, sf_dir):
     "a2_region_segment_view",
     """SELECT n.n_name AS nation, c.c_mktsegment AS segment,
               CAST(COUNT(*) AS BIGINT) AS customer_count,
-              ROUND(AVG(c.c_acctbal), 4) AS avg_acctbal
+              round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_acctbal
        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
        GROUP BY n.n_name, c.c_mktsegment""",
     survey="A2",
@@ -85,7 +89,7 @@ def a2_region_segment_view(spark, sf_dir):
             .groupBy(F.col("n_name").alias("nation"),
                      F.col("c_mktsegment").alias("segment"))
             .agg(F.count("*").alias("customer_count"),
-                 F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal")))
+                 exact_sum("c_acctbal", 2).alias("sum_acctbal")))
 
 
 @register(
