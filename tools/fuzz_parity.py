@@ -55,7 +55,51 @@ AGGS = [
 ]
 
 
+def gen_join_query(rng: random.Random) -> str:
+    """Random equi-join (inner/semi/anti shapes) orders⋈customer or
+    lineitem⋈orders with an optional predicate each side."""
+    big, small, bk, sk = rng.choice([
+        ("orders", "customer", "o_custkey", "c_custkey"),
+        ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ])
+    bcols = TABLES[big]
+    pred = ""
+    if rng.random() < 0.7:
+        c = rng.choice(bcols["key"])
+        pred = f" AND b.{c} % {rng.randint(2, 9)} = 0"
+    kind = rng.random()
+    if kind < 0.4:
+        scol = rng.choice(TABLES[small]["cat"] + TABLES[small]["key"])
+        return (f"SELECT b.{bk} AS k, s.{scol} AS v "
+                f"FROM {big} b JOIN {small} s ON b.{bk} = s.{sk}"
+                f" WHERE 1=1{pred}")
+    exists = "EXISTS" if kind < 0.7 else "NOT EXISTS"
+    thresh = f"s.{rng.choice(TABLES[small]['num'])} > {rng.randint(0, 500)}"
+    return (f"SELECT b.{bk} AS k, CAST(COUNT(*) AS BIGINT) AS n "
+            f"FROM {big} b WHERE {exists} (SELECT 1 FROM {small} s "
+            f"WHERE s.{sk} = b.{bk} AND {thresh}){pred} "
+            f"GROUP BY b.{bk}")
+
+
+def gen_window_query(rng: random.Random) -> str:
+    """ROW_NUMBER/RANK with a total-order tiebreak (deterministic)."""
+    if rng.random() < 0.5:
+        return ("SELECT l_orderkey, l_linenumber, "
+                "ROW_NUMBER() OVER (PARTITION BY l_returnflag "
+                "ORDER BY l_orderkey, l_linenumber) AS rn "
+                f"FROM lineitem WHERE l_orderkey % {rng.randint(3, 17)} = 0")
+    return ("SELECT o_orderkey, "
+            "RANK() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY o_custkey, o_orderkey) AS rk "
+            f"FROM orders WHERE o_custkey % {rng.randint(3, 17)} = 1")
+
+
 def gen_query(rng: random.Random) -> str:
+    shape = rng.random()
+    if shape < 0.2:
+        return gen_join_query(rng)
+    if shape < 0.3:
+        return gen_window_query(rng)
     tbl = rng.choice(list(TABLES))
     cols = TABLES[tbl]
     preds = []
