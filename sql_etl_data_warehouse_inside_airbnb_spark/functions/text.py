@@ -156,3 +156,20 @@ def shingles(col: Column | str, n: int = 3) -> Column:
             " ", *[F.element_at(toks, i + j) for j in range(n)]))
     return F.when(F.size(toks) < n, F.array().cast("array<string>")) \
             .otherwise(F.array_distinct(gram))
+
+
+# GPT-2-style pre-tokenizer, lookahead-free so the same pattern runs on
+# Java regex (Spark) and RE2 (DuckDB): contraction suffixes, optional
+# leading-space letter runs, digit runs, punctuation runs, whitespace
+BPE_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)"
+               r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token count: matches of the GPT-2-style pre-tokenizer
+    regex (the unit a byte-pair encoder would split further). BIGINT;
+    0 for empty/NULL-trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.when(F.coalesce(F.trim(c), F.lit("")) == "", F.lit(0))
+             .otherwise(F.regexp_count(c, F.lit(BPE_PATTERN)))
+             .cast("bigint"))

@@ -103,3 +103,52 @@ def extract_features(media: DataFrame, fake: bool = True,
             })
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_index", LongType(), True),
+    StructField("frame_bytes", BinaryType(), True),
+])
+
+
+def frame_sample(media: DataFrame, frame_size: int = 64,
+                 every_n: int = 4) -> DataFrame:
+    """Video frame sampling as a 1→N mapInPandas stage: each payload is
+    chunked into ``frame_size``-byte pseudo-frames and every
+    ``every_n``-th frame is emitted as its own row (a real codec would
+    seek keyframes; the chunking stands in for decode+seek). The
+    output is a row-exploding batch transform — the shape a real
+    ffmpeg-backed sampler needs."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                n = max((len(payload) + frame_size - 1) // frame_size, 0)
+                for i in range(0, n, every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(bytes(
+                        payload[i * frame_size:(i + 1) * frame_size]))
+            yield pd.DataFrame({"media_id": ids, "frame_index": idxs,
+                                "frame_bytes": frames})
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def resize_stub(payload: bytes, width: int, height: int,
+                fake: bool = False) -> bytes:
+    """Resize kernel stub — needs an image codec not present here."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires a codec library not present in this "
+            "environment; pass fake=True for the deterministic stand-in")
+    # deterministic fake: tile/truncate payload to width*height bytes
+    target = max(width * height, 1)
+    reps = (target + max(len(payload), 1) - 1) // max(len(payload), 1)
+    return (payload * reps)[:target]

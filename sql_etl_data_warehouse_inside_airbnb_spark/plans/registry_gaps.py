@@ -307,3 +307,22 @@ def f6_filename_geography(spark, sf_dir):
     city, country = geography_from_filename("fname")
     return named.select("n_nationkey", "fname",
                         country.alias("country"), city.alias("city"))
+
+
+@register(
+    "ext_bpe_token_count",
+    """SELECT doc_id,
+              CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+                   ELSE len(regexp_extract_all(text,
+                     '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+              END::BIGINT AS n_bpe_tokens
+       FROM documents""",
+    survey="§7.5 text (BPE-ish tokenizer)",
+    note="GPT-2-style pre-tokenizer match count; lookahead-free "
+         "pattern runs identically on Java regex and RE2")
+def ext_bpe_token_count(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+        bpe_token_count,
+    )
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id", bpe_token_count("text").alias("n_bpe_tokens")))

@@ -151,3 +151,28 @@ def test_ivf_full_probe_equals_brute(spark, sf_dir):
             ivf_topk(emb, q, k=10, n_clusters=8, n_probe=2).collect()]
     assert len(part) == 10
     assert part[0][1] <= brute[0][1] + 1e-9
+
+
+def test_frame_sample_and_resize(spark):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.multimodal import (
+        frame_sample,
+        resize_stub,
+    )
+    docs = _docs_with_dups(spark)
+    media = attach_payload(docs, "doc_id", "text", kind="video")
+    frames = frame_sample(media, frame_size=8, every_n=2).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    # doc 1's text is 43 bytes -> 6 frames of 8 bytes -> indexes 0,2,4
+    assert [r.frame_index for r in sorted(by_id[1],
+                                          key=lambda r: r.frame_index)] \
+        == [0, 2, 4]
+    assert all(len(r.frame_bytes) <= 8 for r in frames)
+    # frame content is the payload slice
+    f0 = [r for r in by_id[1] if r.frame_index == 0][0]
+    assert f0.frame_bytes == b"the quic"
+
+    assert len(resize_stub(b"abc", 4, 4, fake=True)) == 16
+    with pytest.raises(NotImplementedError):
+        resize_stub(b"abc", 4, 4)
