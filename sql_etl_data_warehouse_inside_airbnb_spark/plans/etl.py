@@ -41,7 +41,10 @@ from sql_etl_data_warehouse_inside_airbnb_spark.plans.enrich import (
     pretreat_hosts,
     pretreat_listings,
 )
-from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import read_csv_raw
+from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+    read_csv_raw,
+    split_quarantine,
+)
 
 FILENAME_RE = re.compile(
     r"^(?P<country>[^_]+)_(?P<city>[^_]+)_(?P<kind>listings|calendar|reviews)_")
@@ -119,6 +122,12 @@ def run_pipeline(spark: SparkSession, data_dir: str,
         c = clean_listings(read_csv_raw(spark, path),
                            property_city=city, property_country=country)
         cleaned = c if cleaned is None else cleaned.unionByName(c)
+
+    # S8 reject capture: raw rows whose id can't type, preserved
+    # verbatim + reason (the reference's logs/listings_skipped_rows.csv)
+    _, rejects = split_quarantine(cleaned, "id")
+    rejects = rejects.withColumn("reject_reason",
+                                 F.lit("listing_id_cast_failed"))
 
     merge_res, id_map = build_dim_listings(
         cleaned, existing=prior["dim_listings"] if prior else None)
@@ -236,6 +245,11 @@ def run_pipeline(spark: SparkSession, data_dir: str,
             if suffix:
                 shutil.rmtree(tmp_path, ignore_errors=True)
             writer.parquet(tmp_path)
+        reject_mode = "append" if prior is not None else "overwrite"
+        rejects.write.mode(reject_mode).parquet(
+            os.path.join(output_dir, "rejects_listings"))
+        tables.stats["rejects_listings"] = spark.read.parquet(
+            os.path.join(output_dir, "rejects_listings")).count()
         for name in CORE_TABLES:
             final_path = os.path.join(output_dir, name)
             if suffix:

@@ -132,3 +132,19 @@ def test_enrichment_columns(spark, tmp_path):
     langs = {r.review_id: r.review_lang for r in t.fact_reviews.collect()}
     assert langs[11] == "en"
     assert langs[12] == "und"
+
+
+def test_reject_sink(spark, tmp_path):
+    src = tmp_path / "in2"
+    src.mkdir()
+    _wgz(src, "France_Paris_listings_2025-06-01.csv.gz", LISTING_COLS, [
+        [301, 7001, "Ok", "Paris, France", "X", "1", "2", "$10", "0", "", "1"],
+        ["not-an-id", 7002, "Bad", "Y, Z", "X", "1", "2", "$10", "0", "", "1"],
+    ])
+    t = run_pipeline(spark, str(src), str(tmp_path / "wh3"))
+    assert t.stats["dim_listings"] == 1
+    assert t.stats["rejects_listings"] == 1
+    rej = spark.read.parquet(str(tmp_path / "wh3" / "rejects_listings"))
+    row = rej.collect()[0]
+    assert row.id == "not-an-id"
+    assert row.reject_reason == "listing_id_cast_failed"
