@@ -326,3 +326,31 @@ def ext_bpe_token_count(spark, sf_dir):
     )
     return (t(spark, sf_dir, "documents")
             .select("doc_id", bpe_token_count("text").alias("n_bpe_tokens")))
+
+
+@register(
+    "ext_grouped_median",
+    """SELECT c_mktsegment,
+              quantile_cont(c_acctbal, 0.5) AS median_acctbal,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM customer GROUP BY c_mktsegment""",
+    survey="§2.10 UDF surface (applyInPandas grouped-map)",
+    note="per-group median via applyInPandas (pandas quantile, linear "
+         "interpolation == DuckDB quantile_cont); the grouped-map "
+         "Arrow surface the reference's generic-UDF row promises")
+def ext_grouped_median(spark, sf_dir):
+    import pandas as pd
+
+    def median(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({
+            "c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
+            "median_acctbal": [pdf["c_acctbal"].quantile(0.5)],
+            "n": [len(pdf)],
+        })
+
+    return (t(spark, sf_dir, "customer")
+            .select("c_mktsegment", "c_acctbal")
+            .groupBy("c_mktsegment")
+            .applyInPandas(
+                median,
+                schema="c_mktsegment string, median_acctbal double, n long"))
