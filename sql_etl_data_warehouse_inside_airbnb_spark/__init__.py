@@ -29,6 +29,19 @@ from sql_etl_data_warehouse_inside_airbnb_spark.operators.merge import (
     MergeResult,
     merge_upsert,
 )
+from sql_etl_data_warehouse_inside_airbnb_spark.operators.skew import (
+    salted_join,
+    two_stage_agg,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.enrich import (
+    add_review_lang,
+    pretreat_hosts,
+    pretreat_listings,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.etl import (
+    WarehouseTables,
+    run_pipeline,
+)
 from sql_etl_data_warehouse_inside_airbnb_spark.plans.pipeline import (
     build_dim_dates,
     build_dim_hosts,
@@ -48,5 +61,8 @@ __all__ = [
     "build_dim_dates", "build_dim_hosts", "build_dim_listings",
     "build_fact_calendar", "build_fact_reviews", "clean_listings",
     "register_views", "type_listings",
+    "salted_join", "two_stage_agg",
+    "add_review_lang", "pretreat_hosts", "pretreat_listings",
+    "WarehouseTables", "run_pipeline",
 ]
 __version__ = "0.1.0"
