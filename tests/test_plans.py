@@ -1,0 +1,53 @@
+"""Physical-plan shape guards: broadcast dim joins, parquet filter
+pushdown, and column pruning must survive refactors — at 100 TB these
+ARE the performance model, so they're asserted, not just observed."""
+
+from __future__ import annotations
+
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
+    REGISTRY,
+)
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _scan_lines(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_fact_dim_chain_broadcasts(spark, sf_dir):
+    plan = _physical(REGISTRY["j1_fact_dim_join"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the fact side must not shuffle
+
+
+def test_pricing_summary_pushes_date_filter(spark, sf_dir):
+    df = REGISTRY["a1_pricing_summary"].build(spark, sf_dir)
+    plan = _scan_lines(df)
+    # to_date(ts) <= lit must be rewritten into a pushable ts predicate
+    in_plan = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert in_plan and "LessThan(l_shipdate" in in_plan[0]
+
+
+def test_column_prune_reaches_scan(spark, sf_dir):
+    df = REGISTRY["p1_column_prune"].build(spark, sf_dir)
+    schema_lines = [ln for ln in _scan_lines(df).splitlines()
+                    if "ReadSchema" in ln]
+    assert schema_lines
+    line = schema_lines[0]
+    # exactly the three projected columns, nothing else
+    assert "l_orderkey" in line and "l_quantity" in line
+    assert "l_extendedprice" not in line and "l_shipdate" not in line
+
+
+def test_weekly_rollup_single_exchange(spark, sf_dir):
+    plan = _physical(REGISTRY["a7_weekly_rollup"].build(spark, sf_dir))
+    # one shuffle (the rollup groupBy) and nothing else
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_anti_join_projects_keys_only(spark, sf_dir):
+    plan = _physical(REGISTRY["j4_left_anti"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
