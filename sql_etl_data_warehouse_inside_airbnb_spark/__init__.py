@@ -33,6 +33,10 @@ from sql_etl_data_warehouse_inside_airbnb_spark.operators.skew import (
     salted_join,
     two_stage_agg,
 )
+from sql_etl_data_warehouse_inside_airbnb_spark.operators.temporal import (
+    asof_join,
+    range_join,
+)
 from sql_etl_data_warehouse_inside_airbnb_spark.plans.enrich import (
     add_review_lang,
     pretreat_hosts,
@@ -61,7 +65,7 @@ __all__ = [
     "build_dim_dates", "build_dim_hosts", "build_dim_listings",
     "build_fact_calendar", "build_fact_reviews", "clean_listings",
     "register_views", "type_listings",
-    "salted_join", "two_stage_agg",
+    "salted_join", "two_stage_agg", "asof_join", "range_join",
     "add_review_lang", "pretreat_hosts", "pretreat_listings",
     "WarehouseTables", "run_pipeline",
 ]
