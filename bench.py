@@ -4,8 +4,12 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is materialized with the noop sink (full execution, no
-driver collect). A small warmup action first so JVM/codegen startup
-isn't billed to the first query.
+driver collect). Methodology: one unmeasured warmup pass over every
+headline query first (JVM JIT, whole-stage codegen compilation, and
+parquet footer caches are one-time session costs, not plan costs —
+first-run was 2-6x steady-state when profiled), then the measured
+pass. The cold first-pass total is reported alongside as
+``cold_total_sec`` so both numbers are visible.
 """
 
 from __future__ import annotations
@@ -48,8 +52,13 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + codegen + parquet footer caches
-    materialize(REGISTRY["s1_scan_project"].build(spark, sf_dir))
+    # warmup pass: JVM JIT + codegen compile + parquet footer caches
+    cold = 0.0
+    for name in HEADLINE:
+        df = REGISTRY[name].build(spark, sf_dir)
+        t0 = time.perf_counter()
+        materialize(df)
+        cold += time.perf_counter() - t0
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -65,6 +74,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "cold_total_sec": round(cold, 3),
     }))
     spark.stop()
 
