@@ -278,10 +278,12 @@ def j14_range_join(spark, sf_dir):
     note="the watermark late-drop RULE as a deterministic batch "
          "rewrite: arrival order = event_id, watermark = running "
          "max(event time) - 30 min over prior arrivals, late rows "
-         "dropped before the hourly count. This is the semantic spec "
-         "the streaming path (windows.with_watermark) implements "
-         "incrementally; the global ordered window here is the "
-         "oracle-able formulation, not a scale-path operator")
+         "dropped before the hourly count. This is the strict bound "
+         "the streaming path (windows.with_watermark) is conservative "
+         "against — the engine never drops within the grace interval, "
+         "and handles older rows best-effort (pinned in tests/"
+         "test_streaming_watermark.py). The global ordered window here "
+         "is the oracle-able formulation, not a scale-path operator")
 def stream_watermark_late_drop(spark, sf_dir):
     arr = Window.orderBy("event_id").rowsBetween(
         Window.unboundedPreceding, -1)

@@ -59,7 +59,13 @@ def session_agg(events: DataFrame, gap: str = "2 hours",
 def with_watermark(events: DataFrame, ts_col: str = "ts",
                    delay: str = "1 hour") -> DataFrame:
     """Late-data bound: windows older than max(event time) - delay are
-    finalized and their state dropped; later events are discarded."""
+    finalized (append mode emits them) and their state evicted, which
+    is what bounds state size on an unbounded stream. The guarantee is
+    one-sided: rows within the delay always merge; rows older than the
+    watermark are best-effort (the engine may still merge them while
+    the window's state is live, or re-emit an evicted window as a
+    separate row — pinned in tests/test_streaming_watermark.py), so
+    exactly-once sinks upsert by window key."""
     return events.withWatermark(ts_col, delay)
 
 
