@@ -82,24 +82,66 @@ def gen_join_query(rng: random.Random) -> str:
 
 
 def gen_window_query(rng: random.Random) -> str:
-    """ROW_NUMBER/RANK with a total-order tiebreak (deterministic)."""
-    if rng.random() < 0.5:
+    """Window shapes with a total-order tiebreak (deterministic):
+    ranking, decimal-exact running frames, and lag/lead selection.
+    Frame/lag queries ride orders (o_orderkey is unique; lineitem's
+    (l_orderkey, l_linenumber) is NOT, which would make frame sums
+    order-dependent)."""
+    kind = rng.random()
+    if kind < 0.25:
         return ("SELECT l_orderkey, l_linenumber, "
                 "ROW_NUMBER() OVER (PARTITION BY l_returnflag "
                 "ORDER BY l_orderkey, l_linenumber) AS rn "
                 f"FROM lineitem WHERE l_orderkey % {rng.randint(3, 17)} = 0")
-    return ("SELECT o_orderkey, "
-            "RANK() OVER (PARTITION BY o_orderpriority "
-            "ORDER BY o_custkey, o_orderkey) AS rk "
-            f"FROM orders WHERE o_custkey % {rng.randint(3, 17)} = 1")
+    if kind < 0.5:
+        return ("SELECT o_orderkey, "
+                "RANK() OVER (PARTITION BY o_orderpriority "
+                "ORDER BY o_custkey, o_orderkey) AS rk "
+                f"FROM orders WHERE o_custkey % {rng.randint(3, 17)} = 1")
+    if kind < 0.75:
+        # exact decimal frame sum: FP frame sums would be fine (the
+        # order is total), but decimal keeps the tie-rounding rule out
+        k = rng.randint(1, 5)
+        part = rng.choice(["o_orderstatus", "o_orderpriority"])
+        return ("SELECT o_orderkey, "
+                "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) "
+                f"OVER (PARTITION BY {part} ORDER BY o_orderkey "
+                f"ROWS BETWEEN {k} PRECEDING AND CURRENT ROW) "
+                "AS DOUBLE), 2) AS frame_sum "
+                f"FROM orders WHERE o_orderkey % {rng.randint(2, 9)} = 0")
+    # lag/lead as pure selection (no arithmetic -> raw doubles compare
+    # exactly; both engines read the identical parquet values)
+    fn = rng.choice(["LAG", "LEAD"])
+    return (f"SELECT o_orderkey, {fn}(o_totalprice) "
+            "OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS adj "
+            f"FROM orders WHERE o_custkey % {rng.randint(2, 9)} = 1")
+
+
+def gen_rollup_query(rng: random.Random) -> str:
+    """ROLLUP/CUBE with GROUPING flags disambiguating rolled-up NULLs."""
+    op = rng.choice(["ROLLUP", "CUBE"])
+    tbl, a, b, num = rng.choice([
+        ("lineitem", "l_returnflag", "l_linestatus", "l_quantity"),
+        ("orders", "o_orderstatus", "o_orderpriority", "o_totalprice"),
+    ])
+    pred = f" WHERE {rng.choice(TABLES[tbl]['key'])} % {rng.randint(2, 7)} = 0"
+    return (f"SELECT {a}, {b}, "
+            f"CAST(GROUPING({a}) AS BIGINT) AS g_a, "
+            f"CAST(GROUPING({b}) AS BIGINT) AS g_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            f"ROUND(CAST(SUM(CAST({num} AS DECIMAL(18,6))) AS DOUBLE), 2) "
+            "AS s "
+            f"FROM {tbl}{pred} GROUP BY {op}({a}, {b})")
 
 
 def gen_query(rng: random.Random) -> str:
     shape = rng.random()
     if shape < 0.2:
         return gen_join_query(rng)
-    if shape < 0.3:
+    if shape < 0.32:
         return gen_window_query(rng)
+    if shape < 0.4:
+        return gen_rollup_query(rng)
     tbl = rng.choice(list(TABLES))
     cols = TABLES[tbl]
     preds = []
