@@ -341,3 +341,107 @@ def f18_array_functions(spark, sf_dir):
          .alias("n_distinct_tokens"),
         F.array_max(F.transform(tokens, lambda x: F.length(x)))
          .cast("bigint").alias("max_token_len"))
+
+
+@register(
+    "f19_explode_tokens",
+    """SELECT doc_id,
+              unnest(str_split_regex(trim(lower(text)), '\\s+')) AS token,
+              CAST(generate_subscripts(
+                   str_split_regex(trim(lower(text)), '\\s+'), 1)
+                   AS BIGINT) AS pos
+       FROM documents WHERE doc_id % 5 = 0""",
+    survey="§2.8 ext (explode / UDTF shape)",
+    note="posexplode: one row per token with its 1-based position — "
+         "the generator/UDTF surface (reference has no row-generating "
+         "op; Spark's explode is the built-in path and the shape any "
+         "Python UDTF would produce)")
+def f19_explode_tokens(spark, sf_dir):
+    tokens = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    return (t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 5 == 0)
+            .select("doc_id", F.posexplode(tokens).alias("pos0", "token"))
+            .select("doc_id", "token",
+                    (F.col("pos0") + 1).cast("bigint").alias("pos")))
+
+
+@register(
+    "a20_unpivot",
+    """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+              l_quantity AS val
+       FROM lineitem WHERE l_orderkey % 10 = 0
+       UNION ALL
+       SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+       FROM lineitem WHERE l_orderkey % 10 = 0
+       UNION ALL
+       SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+       FROM lineitem WHERE l_orderkey % 10 = 0""",
+    survey="§2.4 ext (unpivot — inverse of a18_pivot)",
+    note="wide→long unpivot (Spark melt); values are pure selection "
+         "(no arithmetic), so raw doubles compare exactly across "
+         "engines; the UNION ALL oracle is the portable rewrite")
+def a20_unpivot(spark, sf_dir):
+    return (t(spark, sf_dir, "lineitem")
+            .filter(F.col("l_orderkey") % 10 == 0)
+            .unpivot(["l_orderkey", "l_linenumber"],
+                     ["l_quantity", "l_discount", "l_tax"],
+                     "metric", "val"))
+
+
+@register(
+    "set_except_all",
+    """SELECT c_nationkey FROM customer
+       EXCEPT ALL
+       SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'""",
+    survey="§2.7 ext (bag semantics)",
+    note="EXCEPT ALL: multiset difference keeps per-key multiplicity "
+         "(distinct-EXCEPT is the set_except entry; both engines "
+         "implement bag semantics per SQL:2003)")
+def set_except_all(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return (c.select("c_nationkey")
+            .exceptAll(c.filter(F.col("c_mktsegment") == "BUILDING")
+                       .select("c_nationkey")))
+
+
+@register(
+    "set_intersect_all",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+       INTERSECT ALL
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+    survey="§2.7 ext (bag semantics)",
+    note="INTERSECT ALL: per-key multiplicity = min(count_left, "
+         "count_right) — the bag form of the set_intersect entry")
+def set_intersect_all(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+            .intersectAll(o.filter(F.col("o_orderstatus") == "O")
+                          .select("o_custkey")))
+
+
+@register(
+    "f20_map_functions",
+    """SELECT user_id,
+              SUM(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+              SUM(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+       FROM events GROUP BY user_id""",
+    survey="§2.8 ext (map functions)",
+    note="map surface: per-user counts collected into a "
+         "map<event_type,count> (map_from_entries over collected "
+         "structs), then element_at lookups — missing key → NULL, "
+         "matching the SUM(CASE) oracle's null-on-empty. The map is "
+         "a mid-plan value; output is scalar so the oracle "
+         "comparison stays engine-portable")
+def f20_map_functions(spark, sf_dir):
+    per_type = (t(spark, sf_dir, "events")
+                .groupBy("user_id", "event_type")
+                .agg(F.count("*").alias("n")))
+    maps = (per_type
+            .groupBy("user_id")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("event_type", "n")))
+                .alias("counts")))
+    return maps.select(
+        "user_id",
+        F.element_at("counts", "click").alias("n_clicks"),
+        F.element_at("counts", "error").alias("n_errors"))
