@@ -445,3 +445,29 @@ def f20_map_functions(spark, sf_dir):
         "user_id",
         F.element_at("counts", "click").alias("n_clicks"),
         F.element_at("counts", "error").alias("n_errors"))
+
+
+@register(
+    "u6_udtf_tokenize",
+    """SELECT doc_id,
+              unnest(str_split_regex(trim(lower(text)), '\\s+')) AS token,
+              CAST(generate_subscripts(
+                   str_split_regex(trim(lower(text)), '\\s+'), 1)
+                   AS BIGINT) AS pos
+       FROM documents WHERE doc_id % 7 = 0""",
+    survey="§2.10 ext (Python UDTF)",
+    note="the generic table-function surface: a Python UDTF in a "
+         "LATERAL join emits (token, pos) rows per document "
+         "(functions/tabular.py). Same oracle as the built-in explode "
+         "path (f19) — the UDTF is the escape hatch for generators "
+         "that genuinely need Python; explode stays the JVM hot path")
+def u6_udtf_tokenize(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.tabular import (
+        register_udtfs,
+    )
+    register_udtfs(spark)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """SELECT d.doc_id, tk.token, tk.pos
+           FROM udtf_docs d, LATERAL tokenize(d.text) tk
+           WHERE d.doc_id % 7 = 0""")

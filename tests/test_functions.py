@@ -157,3 +157,32 @@ def test_week_bucket_invariants_full_sweep(spark):
         # idempotent: bucketing the bucket start is a no-op
         | (tsql_week_start("ws") != F.col("ws")))
     assert bad.count() == 0
+
+
+def test_udtf_tokenize_equals_explode_path(spark, sf_dir):
+    # the Python UDTF must emit exactly what the JVM posexplode path
+    # emits — same tokens, same 1-based positions
+    from pyspark.sql import functions as F
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.tabular import (
+        register_udtfs,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        read_table,
+    )
+
+    register_udtfs(spark)
+    docs = read_table(spark, sf_dir, "documents").limit(200)
+    docs.createOrReplaceTempView("udtf_eq_docs")
+    via_udtf = spark.sql(
+        "SELECT d.doc_id, tk.token, tk.pos "
+        "FROM udtf_eq_docs d, LATERAL tokenize(d.text) tk")
+    tokens = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    via_explode = (docs
+                   .select("doc_id", F.posexplode(tokens)
+                           .alias("pos0", "token"))
+                   .select("doc_id", "token",
+                           (F.col("pos0") + 1).cast("bigint").alias("pos")))
+    a = sorted(map(tuple, via_udtf.collect()))
+    b = sorted(map(tuple, via_explode.collect()))
+    assert a == b and len(a) > 0
