@@ -51,3 +51,44 @@ def test_weekly_rollup_single_exchange(spark, sf_dir):
 def test_anti_join_projects_keys_only(spark, sf_dir):
     plan = _physical(REGISTRY["j4_left_anti"].build(spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_cube_expands_in_single_exchange(spark, sf_dir):
+    plan = _physical(REGISTRY["a17_cube"].build(spark, sf_dir))
+    # all 4 grouping-set levels ride ONE shuffle over Expand — a
+    # grouping-sets implementation that unions per-level aggregates
+    # would scan and shuffle 4x
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pivot_with_value_list_has_no_distinct_scan(spark, sf_dir):
+    df = REGISTRY["a18_pivot"].build(spark, sf_dir)
+    plan = _physical(df)
+    # explicit pivot values -> no separate distinct-collect job; the
+    # pivot itself is the standard two-phase aggregate (pre-agg on
+    # (status, flag), then pivotfirst on status) over ONE scan
+    assert "pivotfirst" in plan
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_asof_join_single_shuffle_no_join_node(spark, sf_dir):
+    plan = _physical(REGISTRY["j13_asof_join"].build(spark, sf_dir))
+    # the union+window rewrite: one shuffle on the key, a window pass,
+    # and NO join operator at all (nothing the planner could ever turn
+    # into a nested loop)
+    assert plan.count("Exchange hashpartitioning") == 1
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan
+    assert "Window" in plan
+
+
+def test_range_join_is_shuffled_equi_join(spark, sf_dir):
+    plan = _physical(REGISTRY["j14_range_join"].build(spark, sf_dir))
+    # the bucketized rewrite must reach the planner as an EQUI-join
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
