@@ -48,10 +48,15 @@ def clean_money(col: Column | str) -> Column:
 
 
 def sanitize_numstr(col: Column | str) -> Column:
-    """Strip a trailing ``.0`` float suffix and surrounding spaces from an
-    integer-ish string (data_loader.py:153-160), keep NULL for empty."""
+    """Strip a trailing ``.0`` float suffix and surrounding whitespace
+    from an integer-ish string (data_loader.py:153-160), keep NULL for
+    empty. The reference strips with python ``str.strip()`` — ALL
+    whitespace, not just spaces — so ``F.trim`` (space-only, the T-SQL
+    LTRIM/RTRIM twin) is wrong here: a trailing CR from a CRLF CSV row
+    must not survive (found by tests/test_properties.py)."""
     c = F.col(col) if isinstance(col, str) else col
-    s = F.regexp_replace(F.trim(c), r"\.0+$", "")
+    s = F.regexp_replace(F.regexp_replace(c, r"^\s+|\s+$", ""),
+                         r"\.0+$", "")
     return F.nullif(s, F.lit(""))
 
 

@@ -1,0 +1,150 @@
+"""Property-based tests (hypothesis) for the messy-string sanitizers.
+
+Each property compares the engine's vectorized Column expression
+against an INDEPENDENT Python model of the reference's semantics
+(T-SQL REPLACE/TRY_CAST ladder, pandas str sanitizers) over generated
+inputs — the fixed unit tests pin the known edge cases, these hunt the
+unknown ones. Inputs are drawn from the messy-money/boolean alphabet
+the reference actually faces (digits, $ , . - CR, t/f letters), not
+exotic numeric notations the domain never produces.
+
+Each example is one Spark job over a batch of strings, so examples are
+capped low; the batch dimension (up to 40 strings/example) carries the
+search width.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal, InvalidOperation
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from sql_etl_data_warehouse_inside_airbnb_spark.functions.cleaning import (
+    TRUTHY_LOADER,
+    TRUTHY_SQL,
+    clean_money,
+    norm_bool,
+    parse_host_location,
+    parse_host_location_udf,
+    sanitize_numstr,
+    truncate_str,
+)
+
+MONEY_ALPHABET = "0123456789$,.-\r tf"
+SETTINGS = settings(max_examples=20, deadline=None,
+                    suppress_health_check=[HealthCheck.too_slow])
+
+money_strings = st.lists(
+    st.one_of(st.none(),
+              st.text(alphabet=MONEY_ALPHABET, max_size=14)),
+    min_size=1, max_size=40)
+
+
+def _run(spark, values, expr):
+    df = spark.createDataFrame([(v,) for v in values], schema="s string")
+    return [r.out for r in df.select(expr.alias("out")).collect()]
+
+
+def _model_clean_money(s):
+    if s is None:
+        return None
+    cleaned = s.strip().replace("$", "").replace(",", "").replace("\r", "")
+    if cleaned == "":
+        return None
+    try:
+        d = Decimal(cleaned)
+    except InvalidOperation:
+        return None
+    q = d.quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+    # DECIMAL(10,2): 8 integer digits max; overflow -> NULL (try_cast)
+    if abs(q) >= Decimal("100000000"):
+        return None
+    return q
+
+
+@given(money_strings)
+@SETTINGS
+def test_clean_money_matches_reference_model(spark, values):
+    got = _run(spark, values, clean_money("s"))
+    want = [_model_clean_money(v) for v in values]
+    assert got == want
+
+
+def _model_sanitize_numstr(s):
+    if s is None:
+        return None
+    t = s.strip()
+    import re
+    t = re.sub(r"\.0+$", "", t)
+    return t if t != "" else None
+
+
+@given(money_strings)
+@SETTINGS
+def test_sanitize_numstr_matches_model(spark, values):
+    got = _run(spark, values, sanitize_numstr("s"))
+    want = [_model_sanitize_numstr(v) for v in values]
+    assert got == want
+
+
+bool_strings = st.lists(
+    st.one_of(st.none(),
+              st.text(alphabet="tfynoYESTRUE01 ", max_size=8)),
+    min_size=1, max_size=40)
+
+
+@given(bool_strings, st.sampled_from([TRUTHY_SQL, TRUTHY_LOADER]),
+       st.sampled_from([False, None]))
+@SETTINGS
+def test_norm_bool_matches_ladder_model(spark, values, truthy, null_as):
+    got = _run(spark, values, norm_bool("s", truthy=truthy, null_as=null_as))
+    want = [(null_as if v is None else v.strip().lower() in truthy)
+            for v in values]
+    assert got == want
+
+
+@given(st.lists(st.one_of(st.none(), st.text(max_size=30)),
+                min_size=1, max_size=40),
+       st.integers(min_value=1, max_value=12))
+@SETTINGS
+def test_truncate_str_is_python_slice(spark, values, n):
+    # surrogate halves break Arrow/JVM round-trips; the domain is text
+    values = [v for v in values
+              if v is None or not any('\ud800' <= ch <= '\udfff' for ch in v)]
+    if not values:
+        values = ["x"]
+    got = _run(spark, values, truncate_str("s", n))
+    want = [None if v is None else v[:n] for v in values]
+    assert got == want
+
+
+location_strings = st.lists(
+    st.one_of(st.none(),
+              st.text(alphabet="abcDEF ,", max_size=24)),
+    min_size=1, max_size=40)
+
+
+@given(location_strings)
+@SETTINGS
+def test_host_location_expr_equals_pandas_udf(spark, values):
+    # the JVM column expression and the Arrow pandas-UDF variant are
+    # two implementations of data_cleaner.py:48-65 — they must agree
+    # on every input, not just the 97.4% "City, Country" happy path
+    df = spark.createDataFrame([(v,) for v in values], schema="s string")
+    city, country = parse_host_location("s")
+    via_expr = df.select(city, country).collect()
+    via_udf = (df.select(parse_host_location_udf("s").alias("p"))
+               .select(F.col("p.city").alias("host_city"),
+                       F.col("p.country").alias("host_country"))
+               .collect())
+    assert [tuple(r) for r in via_expr] == [tuple(r) for r in via_udf]
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _quiet(spark):
+    spark.sparkContext.setLogLevel("ERROR")
+    yield
