@@ -158,6 +158,35 @@ def shingles(col: Column | str, n: int = 3) -> Column:
             .otherwise(F.array_distinct(gram))
 
 
+ROLLING_HASH_BASE = 31
+ROLLING_HASH_MOD = 1_000_000_007
+
+
+def rolling_hash(col: Column | str, prefix_len: int = 64) -> Column:
+    """Rabin-Karp polynomial rolling hash of the first ``prefix_len``
+    characters: fold (acc * 31 + codepoint) % (1e9+7) left-to-right.
+    BIGINT, 0 for empty text.
+
+    Pure column expression — ``transform(sequence(...))`` builds the
+    codepoint list and ``aggregate`` folds it, all inside whole-stage
+    codegen (no UDF). The same fold is expressible in DuckDB as
+    ``list_reduce`` (no-init reduce == init-0 fold because
+    0*B + x1 = x1), which is what makes the fingerprint
+    oracle-checkable across engines. This is the hash-ladder
+    counterpart of :func:`fingerprint` (md5): cheap, incremental by
+    construction, and the building block a streaming/chunked
+    fingerprinter would extend window-by-window.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.substring(c, 1, prefix_len)
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.ascii(F.substring(s, i, F.lit(1))))
+    return F.aggregate(
+        codes, F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * ROLLING_HASH_BASE + x) % ROLLING_HASH_MOD)
+
+
 # GPT-2-style pre-tokenizer, lookahead-free so the same pattern runs on
 # Java regex (Spark) and RE2 (DuckDB): contraction suffixes, optional
 # leading-space letter runs, digit runs, punctuation runs, whitespace

@@ -19,7 +19,7 @@ arbitrary-winner, J4 anti-join idempotency) to content-based dedup:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
@@ -140,3 +140,40 @@ def simhash_near_pairs(df: DataFrame, key_col: str, text_col: str,
                     ham.alias("hamming"))
             .distinct()
             .filter(F.col("hamming") <= max_hamming))
+
+
+def winnow_fingerprints(df: DataFrame, key_col: str, text_col: str,
+                        k: int = 5, window: int = 4,
+                        prefix_len: int = 64) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    hash every k-gram of the text, slide a ``window``-wide window over
+    the hash sequence, keep each window's minimum — the classic
+    plagiarism/near-dup fingerprint that guarantees any match of
+    length >= window+k-1 shares a fingerprint.
+
+    Returns the DISTINCT (key, fp) fingerprint set per document.
+
+    Scale shape: positions explode to ~prefix_len rows per document,
+    but the window-min partitions by document key, so the single
+    shuffle is by ``key_col`` (or none, if upstream already
+    partitioned by it); the k-gram hash itself is an md5 column
+    expression, fully codegen'd. The hash is the first 8 hex chars of
+    md5 — engine-portable (unlike xxhash64), which keeps the operator
+    oracle-checkable.
+    """
+    s = F.substring(F.col(text_col), 1, prefix_len)
+    grams = df.select(
+        F.col(key_col),
+        F.explode(F.sequence(
+            F.lit(1), F.greatest(F.length(s) - F.lit(k - 1), F.lit(1)))
+        ).alias("pos"),
+        s.alias("__s"))
+    grams = grams.select(
+        key_col, "pos",
+        F.substring(F.md5(F.substring(F.col("__s"), F.col("pos"),
+                                      F.lit(k))), 1, 8).alias("gram_hash"))
+    w = (Window.partitionBy(key_col).orderBy("pos")
+         .rowsBetween(-(window - 1), 0))
+    return (grams
+            .select(key_col, F.min("gram_hash").over(w).alias("fp"))
+            .distinct())

@@ -1,0 +1,246 @@
+"""Fourth coverage batch — surface widening past the §2 inventory:
+
+- document fingerprinting by TRUE rolling hash (Rabin-Karp fold) and
+  by winnowing (SIGMOD'03 window-min over k-gram hashes) — the two
+  fingerprint families a training-data dedup pipeline layers between
+  exact-md5 (ext_fingerprint) and MinHash/SimHash;
+- scalar and correlated (EXISTS) subqueries — the reference only has
+  IN/NOT IN subqueries (J5/J6); these complete the subquery surface;
+- value-window analytics (first/last/nth_value with explicit frames)
+  and distribution ranks (percent_rank/cume_dist), completing §2.5
+  beyond w3/w4/w5;
+- explicit GROUPING SETS — the third grouping-set form next to
+  ROLLUP (a16) and CUBE (a17), via the first-class
+  ``DataFrame.groupingSets`` API.
+
+Determinism notes follow the registry conventions: percent_rank /
+cume_dist are quotients, so the COMPARED columns are their exact
+integer rescalings (rank-1 and running count), never the raw ratio;
+the scalar-subquery threshold is division-free (price*n > sum, both
+sides exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+    rolling_hash,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.operators.dedup import (
+    winnow_fingerprints,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
+    register,
+    t,
+)
+
+# ------------------------------------------------------- fingerprints
+
+# DuckDB twin of functions.text.rolling_hash: list_reduce's no-init
+# fold equals aggregate's init-0 fold because 0*31 + x1 == x1.
+_RH_SQL = """CASE WHEN length(substr(text, 1, 64)) = 0 THEN 0 ELSE
+    list_reduce(
+      list_transform(range(1, length(substr(text, 1, 64)) + 1),
+        i -> CAST(ascii(substr(substr(text, 1, 64),
+                               CAST(i AS INTEGER), 1)) AS BIGINT)),
+      (a, b) -> (a * 31 + b) % 1000000007) END"""
+
+
+@register(
+    "ext_rolling_hash_fingerprint",
+    f"""WITH rh AS (SELECT lang, source, {_RH_SQL} AS fp FROM documents)
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fp,
+               MIN(fp) AS min_fp, MAX(fp) AS max_fp
+        FROM rh GROUP BY lang, source""",
+    survey="§7.5 text/dedup (rolling hash)",
+    note="TRUE Rabin-Karp rolling-hash fingerprint (base-31 mod 1e9+7 "
+         "fold over codepoints, functions/text.py:rolling_hash) — pure "
+         "aggregate() column expression, no UDF; distinct-fp counts "
+         "per (lang, source) make it a dedup cardinality probe")
+def ext_rolling_hash_fingerprint(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return (docs.select("lang", "source",
+                        rolling_hash("text").alias("fp"))
+            .groupBy("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("fp").alias("n_fp"),
+                 F.min("fp").alias("min_fp"),
+                 F.max("fp").alias("max_fp")))
+
+
+@register(
+    "ext_winnow_fingerprint",
+    """WITH s AS (SELECT doc_id, substr(text, 1, 64) AS s FROM documents),
+       g AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+                    substr(md5(substr(s, CAST(u.i AS INTEGER), 5)), 1, 8)
+                      AS gram_hash
+             FROM s, LATERAL unnest(
+               range(1, greatest(length(s) - 4, 1) + 1)) AS u(i)),
+       w AS (SELECT doc_id,
+                    min(gram_hash) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+             FROM g)
+       SELECT doc_id, CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fp,
+              MIN(fp) AS min_fp, MAX(fp) AS max_fp
+       FROM w GROUP BY doc_id""",
+    survey="§7.5 dedup (winnowing)",
+    note="winnowing fingerprint set (window-min over k-gram md5 "
+         "hashes, k=5 w=4; operators/dedup.py:winnow_fingerprints) — "
+         "guarantees any shared run >= w+k-1 chars shares a "
+         "fingerprint; single shuffle, partitioned by doc")
+def ext_winnow_fingerprint(spark, sf_dir):
+    fps = winnow_fingerprints(t(spark, sf_dir, "documents"),
+                              "doc_id", "text", k=5, window=4,
+                              prefix_len=64)
+    return (fps.groupBy("doc_id")
+            .agg(F.countDistinct("fp").alias("n_fp"),
+                 F.min("fp").alias("min_fp"),
+                 F.max("fp").alias("max_fp")))
+
+
+# --------------------------------------------------------- subqueries
+
+@register(
+    "sq_scalar_threshold",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       WHERE o_totalprice * (SELECT COUNT(*) FROM orders) >
+             (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                     AS DOUBLE) FROM orders)""",
+    survey="§2.2 ext (scalar subquery)",
+    note="orders above the global mean price via a scalar subquery — "
+         "division-free form (price*n > sum: both sides exact, so the "
+         "cross-engine mean-rounding trap can't bite); Spark plans the "
+         "scalar as a broadcast, no per-row recompute")
+def sq_scalar_threshold(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+         .cast("double").alias("s"))
+    return (o.join(F.broadcast(stats))
+            .filter(F.col("o_totalprice") * F.col("n") > F.col("s"))
+            .select("o_orderkey", "o_totalprice"))
+
+
+@register(
+    "sq_exists_correlated",
+    """SELECT c_custkey, c_name, c_nationkey FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderstatus = 'F'
+                       AND o.o_totalprice > 150000)""",
+    survey="§2.2 ext (correlated EXISTS), J6",
+    note="correlated EXISTS decorrelated to a predicated left_semi "
+         "join — the filter is pushed below the join so only "
+         "qualifying orders shuffle; completes the subquery surface "
+         "next to IN (j6) / NOT IN (j5)")
+def sq_exists_correlated(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = (t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderstatus") == "F")
+                 & (F.col("o_totalprice") > 150000))
+         .select(F.col("o_custkey").alias("c_custkey")))
+    return (c.join(o, "c_custkey", "left_semi")
+            .select("c_custkey", "c_name", "c_nationkey"))
+
+
+# ------------------------------------------------------ value windows
+
+@register(
+    "w6_value_windows",
+    """SELECT o_custkey, o_orderkey,
+              first_value(o_totalprice) OVER wrun AS first_price,
+              last_value(o_totalprice)  OVER wfull AS last_price,
+              nth_value(o_totalprice, 2) OVER wrun AS second_price
+       FROM orders
+       WINDOW wrun AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              wfull AS (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING)""",
+    survey="§2.5 ext (value windows)",
+    note="first/last/nth_value with EXPLICIT frames (the default "
+         "running frame makes last_value a footgun — spelled out "
+         "here); values are pure selection, no arithmetic, so raw "
+         "doubles compare exactly; one shuffle, both frames share the "
+         "(o_custkey, o_orderdate, o_orderkey) sort")
+def w6_value_windows(spark, sf_dir):
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                   "o_orderkey")
+    wrun = base.rowsBetween(Window.unboundedPreceding,
+                            Window.currentRow)
+    wfull = base.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.first("o_totalprice").over(wrun).alias("first_price"),
+        F.last("o_totalprice").over(wfull).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(wrun).alias("second_price"))
+
+
+@register(
+    "w7_dist_ladder",
+    """SELECT c_custkey, c_nationkey,
+              CAST(round(percent_rank() OVER wt *
+                   (COUNT(*) OVER wp - 1), 0) AS BIGINT) AS pr_scaled,
+              CAST(round(cume_dist() OVER wt *
+                   COUNT(*) OVER wp, 0) AS BIGINT) AS cd_scaled
+       FROM customer
+       WINDOW wt AS (PARTITION BY c_nationkey
+                     ORDER BY CAST(floor(c_acctbal / 1000) AS BIGINT)),
+              wp AS (PARTITION BY c_nationkey)""",
+    survey="§2.5 ext (distribution ranks)",
+    note="percent_rank/cume_dist on a tie-PRONE key: the raw ratios "
+         "are quotients (cross-engine rounding trap), so the compared "
+         "columns are the exact integer rescalings pr*(n-1)=rank-1 "
+         "and cd*n=running tie-count — bit-deterministic, and still "
+         "exercises both distribution functions end-to-end")
+def w7_dist_ladder(spark, sf_dir):
+    tier = F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    wt = Window.partitionBy("c_nationkey").orderBy(tier)
+    wp = Window.partitionBy("c_nationkey")
+    n = F.count("*").over(wp)
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.round(F.percent_rank().over(wt) * (n - 1), 0)
+         .cast("bigint").alias("pr_scaled"),
+        F.round(F.cume_dist().over(wt) * n, 0)
+         .cast("bigint").alias("cd_scaled"))
+
+
+# ------------------------------------------------------ grouping sets
+
+@register(
+    "a21_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+              CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+              CAST(COUNT(*) AS BIGINT) AS n_items,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+                    AS DOUBLE), 2) AS sum_qty
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    survey="§2.4 ext (grouping sets — explicit)",
+    note="explicit GROUPING SETS via the first-class "
+         "DataFrame.groupingSets API — the irregular-set form ROLLUP "
+         "(a16) and CUBE (a17) can't express (per-flag + per-status + "
+         "grand total, but NOT the cross); one Expand, one shuffle")
+def a21_grouping_sets(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
+        exact_sum,
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (li.groupingSets(
+                [["l_returnflag"], ["l_linestatus"], []],
+                "l_returnflag", "l_linestatus")
+            .agg(F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+                 F.grouping("l_linestatus").cast("bigint")
+                  .alias("g_status"),
+                 F.count("*").alias("n_items"),
+                 exact_sum("l_quantity", 2).alias("sum_qty")))

@@ -186,3 +186,38 @@ def test_udtf_tokenize_equals_explode_path(spark, sf_dir):
     a = sorted(map(tuple, via_udtf.collect()))
     b = sorted(map(tuple, via_explode.collect()))
     assert a == b and len(a) > 0
+
+
+def test_rolling_hash_known_fold(spark):
+    # reference fold in plain python: ((acc*31 + codepoint) % (1e9+7))
+    def py_rh(s, prefix=64):
+        acc = 0
+        for ch in s[:prefix]:
+            acc = (acc * 31 + ord(ch)) % 1_000_000_007
+        return acc
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+        rolling_hash,
+    )
+    vals = ["hello world", "h", "", "a" * 200, "Árvíztűrő tükörfúrógép"]
+    got = _one_col(spark, vals, rolling_hash)
+    assert got == [py_rh(v) for v in vals]
+
+
+def test_winnow_shared_run_guarantee(spark):
+    # winnowing guarantee: any shared substring of length >= w+k-1
+    # (here 4+5-1=8) yields at least one shared fingerprint
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+    shared = "the quick brown fox jumps"
+    df = spark.createDataFrame(
+        [(1, "AAAA " + shared), (2, shared + " ZZZZ"),
+         (3, "completely unrelated text with no overlap at all")],
+        ["doc_id", "text"])
+    fps = winnow_fingerprints(df, "doc_id", "text", k=5, window=4)
+    sets = {k: {r.fp for r in g} for k, g in
+            ((k, [r for r in fps.collect() if r.doc_id == k])
+             for k in (1, 2, 3))}
+    assert sets[1] & sets[2], "docs sharing a 25-char run must share a fp"
+    assert not (sets[1] & sets[3])
