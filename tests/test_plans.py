@@ -92,3 +92,61 @@ def test_range_join_is_shuffled_equi_join(spark, sf_dir):
             or "BroadcastHashJoin" in plan)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scalar_subquery_broadcasts_stats(spark, sf_dir):
+    plan = _physical(REGISTRY["sq_scalar_threshold"].build(spark, sf_dir))
+    # the 1-row (n, sum) aggregate must broadcast to the orders scan —
+    # a SortMergeJoin here would shuffle the whole fact table to join
+    # against one row
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_exists_semi_pushes_filter_below_join(spark, sf_dir):
+    df = REGISTRY["sq_exists_correlated"].build(spark, sf_dir)
+    # the o_totalprice threshold must reach the orders parquet scan,
+    # not run post-join (toString truncates long filter lists, so read
+    # the formatted explain, which prints PushedFilters in full)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "GreaterThan(o_totalprice" in buf.getvalue()
+    assert "LeftSemi" in _physical(df)
+
+
+def test_value_windows_share_one_sort(spark, sf_dir):
+    plan = _physical(REGISTRY["w6_value_windows"].build(spark, sf_dir))
+    # both frames ride the same (o_custkey, o_orderdate, o_orderkey)
+    # partitioning+sort: one exchange, one sort, one Window node
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort ") <= 2  # global guard: no per-frame re-sort
+
+
+def test_grouping_sets_single_expand_shuffle(spark, sf_dir):
+    plan = _physical(REGISTRY["a21_grouping_sets"].build(spark, sf_dir))
+    # irregular grouping sets still compile to ONE Expand over ONE
+    # shuffle — never a union of per-set aggregates (3x scan at scale)
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FileScan") == 1
+
+
+def test_winnow_single_shuffle_by_doc(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        read_table,
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    plan = _physical(winnow_fingerprints(docs, "doc_id", "text"))
+    # gram explode + window-min + distinct: the window partitions by
+    # doc_id, and AQE coalesces the distinct into the same
+    # partitioning — at most 2 exchanges, no join, no extra scan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
