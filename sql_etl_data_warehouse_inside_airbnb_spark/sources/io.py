@@ -108,3 +108,37 @@ def write_bucketed(df, table_name: str, keys: list[str],
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table_name)
+
+
+def write_format(df: DataFrame, path: str, fmt: str = "parquet",
+                 mode: str = "overwrite",
+                 partition_by: list[str] | None = None,
+                 **options) -> None:
+    """Generic columnar/semi-structured sink (parquet | orc | json |
+    csv). ``partition_by`` lays the files out hive-style
+    (``col=value/``) so downstream equality/IN filters on those
+    columns prune whole directories before any IO — at 100 TB the
+    partition column IS the primary index. Low-cardinality keys only:
+    a high-cardinality partition column degenerates into one tiny
+    file per value (the small-files problem)."""
+    w = df.write.mode(mode).format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.save(path)
+
+
+def read_format(spark: SparkSession, path: str, fmt: str = "parquet",
+                schema: StructType | str | None = None,
+                **options) -> DataFrame:
+    """Generic source for the same formats. Pass ``schema`` for JSON/CSV
+    round-trips: schema-on-read inference is a full extra pass over the
+    data AND widens types (JSON has no date/decimal), so typed layers
+    always read with the explicit schema."""
+    r = spark.read.format(fmt)
+    if schema is not None:
+        r = r.schema(schema)
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load(path)

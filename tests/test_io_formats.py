@@ -1,0 +1,55 @@
+"""Source/sink format matrix: JSON and ORC round-trips, and hive-style
+partition pruning — the layout behavior that IS the primary index at
+100 TB (SURVEY §2.1 extensions; the reference only speaks CSV)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+    read_format,
+    read_table,
+    write_format,
+)
+
+
+def _rows(df):
+    return sorted(tuple(str(v) for v in r) for r in
+                  df.select(*sorted(df.columns)).collect())
+
+
+def test_json_round_trip_with_schema(spark, sf_dir, tmp_path):
+    nation = read_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_json")
+    write_format(nation, path, fmt="json")
+    back = read_format(spark, path, fmt="json", schema=nation.schema)
+    assert back.schema == nation.schema
+    assert _rows(back) == _rows(nation)
+
+
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    cust = read_table(spark, sf_dir, "customer")
+    path = str(tmp_path / "customer_orc")
+    write_format(cust, path, fmt="orc")
+    back = read_format(spark, path, fmt="orc")
+    assert back.schema == cust.schema
+    assert _rows(back) == _rows(cust)
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    orders = read_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_part")
+    write_format(orders, path, fmt="parquet",
+                 partition_by=["o_orderstatus"])
+    back = read_format(spark, path, fmt="parquet")
+    hit = back.filter(F.col("o_orderstatus") == "F")
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    # the equality filter must become a PartitionFilter (directory
+    # pruning), never a post-scan row filter
+    assert "PartitionFilters" in plan
+    pf_line = [ln for ln in plan.splitlines()
+               if "PartitionFilters" in ln][0]
+    assert "o_orderstatus" in pf_line
+    # and the data content survives the round-trip + pruning
+    want = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert hit.count() == want
