@@ -244,3 +244,36 @@ def a21_grouping_sets(spark, sf_dir):
                   .alias("g_status"),
                  F.count("*").alias("n_items"),
                  exact_sum("l_quantity", 2).alias("sum_qty")))
+
+
+# ---------------------------------------------------- string functions
+
+@register(
+    "f21_string_ladder",
+    """SELECT c_custkey,
+              lpad(c_mktsegment, 12, '.') AS seg_lpad,
+              rpad(c_mktsegment, 12, '*') AS seg_rpad,
+              translate(c_name, '#_', '--') AS name_tr,
+              CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT)
+                AS seg_lev,
+              reverse(c_name) AS name_rev,
+              repeat(substr(c_mktsegment, 1, 2), 3) AS seg_rep,
+              CAST(strpos(c_name, '#') AS BIGINT) AS name_hashpos
+       FROM customer""",
+    survey="§2.8 ext (string functions — F1-F4 widened)",
+    note="string-function ladder past the reference's trim/replace/"
+         "substring set: lpad/rpad, translate, levenshtein, reverse, "
+         "repeat, strpos — all JVM column expressions verified "
+         "value-identical to DuckDB (initcap deliberately excluded: "
+         "absent from the oracle engine)")
+def f21_string_ladder(spark, sf_dir):
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.lpad("c_mktsegment", 12, ".").alias("seg_lpad"),
+        F.rpad("c_mktsegment", 12, "*").alias("seg_rpad"),
+        F.translate("c_name", "#_", "--").alias("name_tr"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING"))
+         .cast("bigint").alias("seg_lev"),
+        F.reverse("c_name").alias("name_rev"),
+        F.repeat(F.substring("c_mktsegment", 1, 2), 3).alias("seg_rep"),
+        F.instr("c_name", "#").cast("bigint").alias("name_hashpos"))
