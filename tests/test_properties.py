@@ -148,3 +148,34 @@ def test_host_location_expr_equals_pandas_udf(spark, values):
 def _quiet(spark):
     spark.sparkContext.setLogLevel("ERROR")
     yield
+
+
+rh_texts = st.lists(
+    st.text(alphabet=st.characters(max_codepoint=0xFFFF,
+                                   blacklist_categories=("Cs",)),
+            max_size=80),
+    min_size=1, max_size=20)
+
+
+@given(rh_texts)
+@SETTINGS
+def test_rolling_hash_matches_python_fold(spark, values):
+    # functions.text.rolling_hash is a declarative aggregate() fold;
+    # pin it to the plain-python Rabin-Karp reference on arbitrary BMP
+    # text (astral chars excluded: JVM strings are UTF-16, so a
+    # 1-char substring there is a code UNIT, not a codepoint)
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+        ROLLING_HASH_BASE,
+        ROLLING_HASH_MOD,
+        rolling_hash,
+    )
+
+    def py_rh(s, prefix=64):
+        acc = 0
+        for ch in s[:prefix]:
+            acc = (acc * ROLLING_HASH_BASE + ord(ch)) % ROLLING_HASH_MOD
+        return acc
+
+    df = spark.createDataFrame([(v,) for v in values], schema="s string")
+    got = [r.h for r in df.select(rolling_hash("s").alias("h")).collect()]
+    assert got == [py_rh(v) for v in values]
