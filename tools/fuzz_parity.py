@@ -117,9 +117,44 @@ def gen_window_query(rng: random.Random) -> str:
             f"FROM orders WHERE o_custkey % {rng.randint(2, 9)} = 1")
 
 
+def gen_subquery_query(rng: random.Random) -> str:
+    """Scalar and correlated-EXISTS subquery shapes. The scalar
+    threshold is division-free (price*n > sum) so no mean-rounding
+    can diverge; EXISTS/NOT EXISTS ride non-null keys."""
+    if rng.random() < 0.5:
+        m, r = rng.randint(2, 9), rng.randint(0, 8)
+        return ("SELECT o_orderkey, o_totalprice FROM orders "
+                f"WHERE o_orderkey % {m} = {r % m} AND "
+                "o_totalprice * (SELECT COUNT(*) FROM orders) > "
+                "(SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) "
+                "AS DOUBLE) FROM orders)")
+    neg = rng.choice(["EXISTS", "NOT EXISTS"])
+    thr = rng.randint(50, 250) * 1000
+    return ("SELECT c_custkey, c_nationkey FROM customer c "
+            f"WHERE {neg} (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey "
+            f"AND o.o_totalprice > {thr})")
+
+
+def gen_value_window_query(rng: random.Random) -> str:
+    """first/last/nth_value selection with explicit frames over a
+    total order (selection, no arithmetic -> raw doubles compare)."""
+    fn = rng.choice(["FIRST_VALUE(o_totalprice)",
+                     "LAST_VALUE(o_totalprice)",
+                     f"NTH_VALUE(o_totalprice, {rng.randint(2, 4)})"])
+    frame = rng.choice(
+        ["ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"])
+    return (f"SELECT o_orderkey, {fn} OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            f"{frame}) AS val "
+            f"FROM orders WHERE o_custkey % {rng.randint(2, 9)} = 1")
+
+
 def gen_rollup_query(rng: random.Random) -> str:
-    """ROLLUP/CUBE with GROUPING flags disambiguating rolled-up NULLs."""
-    op = rng.choice(["ROLLUP", "CUBE"])
+    """ROLLUP/CUBE/GROUPING SETS with GROUPING flags disambiguating
+    rolled-up NULLs."""
+    op = rng.choice(["ROLLUP", "CUBE", "GROUPING SETS"])
     tbl, a, b, num = rng.choice([
         ("lineitem", "l_returnflag", "l_linestatus", "l_quantity"),
         ("orders", "o_orderstatus", "o_orderpriority", "o_totalprice"),
@@ -131,17 +166,23 @@ def gen_rollup_query(rng: random.Random) -> str:
             "CAST(COUNT(*) AS BIGINT) AS n, "
             f"ROUND(CAST(SUM(CAST({num} AS DECIMAL(18,6))) AS DOUBLE), 2) "
             "AS s "
-            f"FROM {tbl}{pred} GROUP BY {op}({a}, {b})")
+            f"FROM {tbl}{pred} GROUP BY "
+            + (f"GROUPING SETS (({a}), ({b}), ())" if op == "GROUPING SETS"
+               else f"{op}({a}, {b})"))
 
 
 def gen_query(rng: random.Random) -> str:
     shape = rng.random()
-    if shape < 0.2:
+    if shape < 0.18:
         return gen_join_query(rng)
-    if shape < 0.32:
+    if shape < 0.28:
         return gen_window_query(rng)
-    if shape < 0.4:
+    if shape < 0.34:
+        return gen_value_window_query(rng)
+    if shape < 0.41:
         return gen_rollup_query(rng)
+    if shape < 0.48:
+        return gen_subquery_query(rng)
     tbl = rng.choice(list(TABLES))
     cols = TABLES[tbl]
     preds = []
