@@ -277,3 +277,55 @@ def f21_string_ladder(spark, sf_dir):
         F.reverse("c_name").alias("name_rev"),
         F.repeat(F.substring("c_mktsegment", 1, 2), 3).alias("seg_rep"),
         F.instr("c_name", "#").cast("bigint").alias("name_hashpos"))
+
+
+@register(
+    "ext_dedup_winnow_pairs",
+    """WITH base AS (SELECT doc_id, text FROM documents
+                     WHERE doc_id % 10 = 0),
+       corpus AS (
+         SELECT doc_id, text FROM base
+         UNION ALL
+         SELECT doc_id + 10000000,
+                substr(text, 1, 30) || 'XYZQW' || substr(text, 36)
+         FROM base),
+       s AS (SELECT doc_id, substr(text, 1, 64) AS s FROM corpus),
+       g AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+                    substr(md5(substr(s, CAST(u.i AS INTEGER), 5)), 1, 8)
+                      AS gram_hash
+             FROM s, LATERAL unnest(
+               range(1, greatest(length(s) - 4, 1) + 1)) AS u(i)),
+       w AS (SELECT DISTINCT doc_id,
+                    min(gram_hash) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+             FROM g)
+       SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+              CAST(COUNT(*) AS BIGINT) AS n_shared
+       FROM w a JOIN w b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id
+       HAVING COUNT(*) >= 5""",
+    survey="§7.5 dedup (winnowing pairs)",
+    note="near-dup candidate PAIRS from shared winnowing fingerprints "
+         "(>= 5 shared window-minima): planted 5-char-overwrite "
+         "mutants (key offset +10M) must pair with their originals "
+         "because winnowing guarantees shared runs survive; the "
+         "fp equi-join is the anti-quadratic step — cost rides "
+         "fingerprint bucket sizes, never all pairs")
+def ext_dedup_winnow_pairs(spark, sf_dir):
+    base = (t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 == 0)
+            .select("doc_id", "text"))
+    mutated = base.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.substring("text", 1, 30), F.lit("XYZQW"),
+                 F.expr("substring(text, 36)")).alias("text"))
+    corpus = base.unionByName(mutated)
+    fps = winnow_fingerprints(corpus, "doc_id", "text",
+                              k=5, window=4, prefix_len=64)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (a.join(b, on=[F.col("a.fp") == F.col("b.fp"),
+                          F.col("a.doc_id") < F.col("b.doc_id")])
+            .groupBy(F.col("a.doc_id").alias("key_a"),
+                     F.col("b.doc_id").alias("key_b"))
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= 5))

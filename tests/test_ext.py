@@ -176,3 +176,23 @@ def test_frame_sample_and_resize(spark):
     assert len(resize_stub(b"abc", 4, 4, fake=True)) == 16
     with pytest.raises(NotImplementedError):
         resize_stub(b"abc", 4, 4)
+
+
+def test_winnow_pairs_planted_recall(spark, sf_dir):
+    # every planted 5-char-overwrite mutant must pair with its
+    # original (winnowing guarantee: untouched runs >= w+k-1 chars
+    # keep shared fingerprints) — non-vacuity check for
+    # ext_dedup_winnow_pairs
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
+        REGISTRY,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        read_table,
+    )
+    pairs = REGISTRY["ext_dedup_winnow_pairs"].build(spark, sf_dir)
+    planted = (pairs
+               .filter(F.col("key_b") == F.col("key_a") + 10_000_000)
+               .count())
+    n_base = (read_table(spark, sf_dir, "documents")
+              .filter(F.col("doc_id") % 10 == 0).count())
+    assert planted == n_base
