@@ -329,3 +329,62 @@ def ext_dedup_winnow_pairs(spark, sf_dir):
                      F.col("b.doc_id").alias("key_b"))
             .agg(F.count("*").alias("n_shared"))
             .filter(F.col("n_shared") >= 5))
+
+
+# ------------------------------------------- ordered-set aggregates
+
+@register(
+    "a22_percentile_disc",
+    """SELECT o_orderstatus,
+              quantile_disc(o_totalprice, 0.25) AS p25,
+              quantile_disc(o_totalprice, 0.50) AS p50,
+              quantile_disc(o_totalprice, 0.75) AS p75
+       FROM orders GROUP BY o_orderstatus""",
+    survey="§2.4 ext (ordered-set aggregate)",
+    note="discrete percentiles (WITHIN GROUP ordered-set syntax, the "
+         "spark.sql surface) — percentile_disc SELECTS an actual row "
+         "value, no interpolation/division, so raw doubles compare "
+         "exactly; the interpolating exact-median twin is "
+         "ext_grouped_median (applyInPandas)")
+def a22_percentile_disc(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_a22")
+    return spark.sql(
+        """SELECT o_orderstatus,
+                  percentile_disc(0.25) WITHIN GROUP
+                    (ORDER BY o_totalprice) AS p25,
+                  percentile_disc(0.50) WITHIN GROUP
+                    (ORDER BY o_totalprice) AS p50,
+                  percentile_disc(0.75) WITHIN GROUP
+                    (ORDER BY o_totalprice) AS p75
+           FROM orders_a22 GROUP BY o_orderstatus""")
+
+
+# ----------------------------------------------------- date functions
+
+@register(
+    "f22_date_ladder",
+    """SELECT o_orderkey,
+              CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+              last_day(o_orderdate) AS eom,
+              CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+              CAST(datediff('day', o_orderdate, DATE '1998-01-01')
+                   AS BIGINT) AS days_to_98,
+              CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+              CAST(weekofyear(o_orderdate) AS BIGINT) AS woy
+       FROM orders""",
+    survey="§2.8 ext (date functions — F7-F10 widened)",
+    note="date-function ladder past the reference's convert/week set: "
+         "month truncation, last_day, add_months (both engines clamp "
+         "end-of-month), signed datediff, ISO day/week-of-year — all "
+         "JVM column expressions, integer/date-valued so "
+         "engine-portable")
+def f22_date_ladder(spark, sf_dir):
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mon"),
+        F.last_day("o_orderdate").alias("eom"),
+        F.add_months("o_orderdate", 3).alias("plus3m"),
+        F.datediff(F.lit("1998-01-01").cast("date"), "o_orderdate")
+         .cast("bigint").alias("days_to_98"),
+        F.dayofyear("o_orderdate").cast("bigint").alias("doy"),
+        F.weekofyear("o_orderdate").cast("bigint").alias("woy"))
