@@ -7,6 +7,10 @@ the window builders below produce identical plans for ``spark.read`` and
 ``spark.readStream`` inputs.
 """
 
+from sql_etl_data_warehouse_inside_airbnb_spark.streaming.sinks import (
+    run_stream_upsert_parquet,
+    upsert_batch_to_parquet,
+)
 from sql_etl_data_warehouse_inside_airbnb_spark.streaming.windows import (
     session_agg,
     sliding_agg,
@@ -14,4 +18,5 @@ from sql_etl_data_warehouse_inside_airbnb_spark.streaming.windows import (
     tumbling_agg,
 )
 
-__all__ = ["tumbling_agg", "sliding_agg", "session_agg", "stream_events"]
+__all__ = ["tumbling_agg", "sliding_agg", "session_agg", "stream_events",
+           "run_stream_upsert_parquet", "upsert_batch_to_parquet"]
