@@ -388,3 +388,53 @@ def f22_date_ladder(spark, sf_dir):
          .cast("bigint").alias("days_to_98"),
         F.dayofyear("o_orderdate").cast("bigint").alias("doy"),
         F.weekofyear("o_orderdate").cast("bigint").alias("woy"))
+
+
+# ---------------------------------------------------- regexp / arrays
+
+@register(
+    "f23_regexp_extract_all",
+    """SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+                AS n_nums,
+              COALESCE(array_to_string(
+                list_slice(regexp_extract_all(text, '[A-Za-z]{6,}'),
+                           1, 3), ','), '') AS first_long
+       FROM documents""",
+    survey="§2.8 ext (regexp — F2/P4 widened)",
+    note="regexp_extract_all surface: digit-run count + first three "
+         "6+-letter words (dialect-safe character-class patterns run "
+         "identically on Java regex and DuckDB RE2; no-match is '' "
+         "on both sides via COALESCE — DuckDB's join of an empty "
+         "extract is NULL, Spark's is '')")
+def f23_regexp_extract_all(spark, sf_dir):
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0))
+         .cast("bigint").alias("n_nums"),
+        F.array_join(
+            F.slice(F.regexp_extract_all("text", F.lit(r"[A-Za-z]{6,}"),
+                                         0), 1, 3), ",")
+         .alias("first_long"))
+
+
+@register(
+    "a23_collect_sorted",
+    """SELECT o_custkey,
+              array_to_string(list_sort(list(
+                CAST(year(o_orderdate) AS VARCHAR))), '|') AS yrs
+       FROM orders GROUP BY o_custkey""",
+    survey="§2.4 ext (collect aggregate)",
+    note="collect_list made deterministic: the bag of per-customer "
+         "order years is order-nondeterministic on both engines, so "
+         "array_sort before array_join — the only safe way to "
+         "oracle-compare a collected list; exercises the "
+         "array-aggregate surface (collect_list/array_sort/array_join "
+         "vs DuckDB list/list_sort/array_to_string)")
+def a23_collect_sorted(spark, sf_dir):
+    return (t(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(F.array_join(
+                F.array_sort(F.collect_list(
+                    F.year("o_orderdate").cast("string"))), "|")
+                .alias("yrs")))
