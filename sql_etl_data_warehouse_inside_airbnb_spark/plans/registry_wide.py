@@ -438,3 +438,23 @@ def a23_collect_sorted(spark, sf_dir):
                 F.array_sort(F.collect_list(
                     F.year("o_orderdate").cast("string"))), "|")
                 .alias("yrs")))
+
+
+@register(
+    "a24_approx_percentile", None,
+    survey="§7.5 scale path for a22 (quantile sketch)",
+    note="approx_percentile (Greenwald-Khanna sketch, accuracy 10000) "
+         "per o_orderstatus — the 100 TB substitute for exact "
+         "percentiles: mergeable per-partition sketches, no global "
+         "sort. Sketch internals are engine-specific -> rows-only "
+         "check; the error bound vs a22's exact percentile_disc is "
+         "asserted in tests/test_ext.py")
+def a24_approx_percentile(spark, sf_dir):
+    return (t(spark, sf_dir, "orders")
+            .groupBy("o_orderstatus")
+            .agg(F.percentile_approx("o_totalprice", 0.25, 10000)
+                  .alias("p25"),
+                 F.percentile_approx("o_totalprice", 0.50, 10000)
+                  .alias("p50"),
+                 F.percentile_approx("o_totalprice", 0.75, 10000)
+                  .alias("p75")))

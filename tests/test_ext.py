@@ -196,3 +196,21 @@ def test_winnow_pairs_planted_recall(spark, sf_dir):
     n_base = (read_table(spark, sf_dir, "documents")
               .filter(F.col("doc_id") % 10 == 0).count())
     assert planted == n_base
+
+
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    # the sketch's p50 must land within 1% (relative) of the exact
+    # discrete median on every group — the accuracy contract that
+    # makes a24 a usable stand-in for a22 at scale
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
+        REGISTRY,
+    )
+    approx = {r.o_orderstatus: r.p50 for r in
+              REGISTRY["a24_approx_percentile"].build(spark, sf_dir)
+              .collect()}
+    exact = {r.o_orderstatus: r.p50 for r in
+             REGISTRY["a22_percentile_disc"].build(spark, sf_dir)
+             .collect()}
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.01, k

@@ -179,3 +179,32 @@ def test_rolling_hash_matches_python_fold(spark, values):
     df = spark.createDataFrame([(v,) for v in values], schema="s string")
     got = [r.h for r in df.select(rolling_hash("s").alias("h")).collect()]
     assert got == [py_rh(v) for v in values]
+
+
+winnow_parts = st.tuples(
+    st.text(alphabet="abcdefgh ", max_size=20),
+    st.text(alphabet="ABCDEFGH ", min_size=8, max_size=20),
+    st.text(alphabet="stuvwxyz ", max_size=20))
+
+
+@given(winnow_parts)
+@SETTINGS
+def test_winnow_guarantee_on_random_texts(spark, parts):
+    # winnowing guarantee (SIGMOD'03): two texts sharing ANY run of
+    # >= window+k-1 = 8 chars share at least one fingerprint,
+    # wherever the run lands in either text (within the hashed
+    # prefix). Doc 1 = prefix+shared, doc 2 = shared+suffix, with
+    # disjoint alphabets so only the planted run is shared.
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+    prefix, shared, suffix = parts
+    df = spark.createDataFrame(
+        [(1, prefix + shared), (2, shared + suffix)],
+        ["doc_id", "text"])
+    rows = winnow_fingerprints(df, "doc_id", "text",
+                               k=5, window=4, prefix_len=64).collect()
+    fps = {1: set(), 2: set()}
+    for r in rows:
+        fps[r.doc_id].add(r.fp)
+    assert fps[1] & fps[2]
