@@ -458,3 +458,25 @@ def a24_approx_percentile(spark, sf_dir):
                   .alias("p50"),
                  F.percentile_approx("o_totalprice", 0.75, 10000)
                   .alias("p75")))
+
+
+@register(
+    "p11_like_predicates",
+    """SELECT p_partkey, p_name, p_type FROM part
+       WHERE (p_name LIKE '%gold%' OR p_type LIKE 'SMALL%')
+         AND p_name ILIKE '%RO%'""",
+    survey="§2.2 ext (LIKE predicates)",
+    note="LIKE/prefix-LIKE/ILIKE ladder. Predicate structure is the "
+         "point: an OR pushes to parquet only if EVERY leaf is a "
+         "source filter, so the pushable contains/startswith "
+         "disjunction is kept as its OWN conjunct (pushed as "
+         "Or(StringContains, StringStartsWith), guarded in "
+         "tests/test_plans.py) while the function-wrapped ILIKE "
+         "(lower() both sides) rides as a residual conjunct — mixing "
+         "it into the OR would un-push the whole disjunction")
+def p11_like_predicates(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return (p.filter((F.col("p_name").like("%gold%")
+                      | F.col("p_type").like("SMALL%"))
+                     & F.col("p_name").ilike("%RO%"))
+            .select("p_partkey", "p_name", "p_type"))

@@ -150,3 +150,18 @@ def test_winnow_single_shuffle_by_doc(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 2
     assert plan.count("FileScan") == 1
     assert "Join" not in plan
+
+
+def test_like_predicates_push_to_scan(spark, sf_dir):
+    import contextlib
+    import io
+
+    df = REGISTRY["p11_like_predicates"].build(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # contains/startswith LIKEs must reach the parquet scan as native
+    # string filters, not evaluate post-scan only
+    assert "StringContains(p_name,gold" in plan
+    assert "StringStartsWith(p_type,SMALL" in plan
