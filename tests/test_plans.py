@@ -165,3 +165,40 @@ def test_like_predicates_push_to_scan(spark, sf_dir):
     # string filters, not evaluate post-scan only
     assert "StringContains(p_name,gold" in plan
     assert "StringStartsWith(p_type,SMALL" in plan
+
+
+def test_min_max_by_partial_aggregates_map_side(spark, sf_dir):
+    plan = _physical(REGISTRY["a25_min_max_by"].build(spark, sf_dir))
+    # the selection aggregate must do a map-side partial (mergeable)
+    # pass BEFORE the shuffle — the whole point of preferring
+    # max_by/min_by over the ROW_NUMBER-rn=1 window idiom at scale —
+    # and it needs exactly one exchange and no Window operator
+    assert "partial_max_by" in plan and "partial_min_by" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+
+
+def test_projection_ladders_have_no_exchange(spark, sf_dir):
+    # f24 (higher-order lambdas) and f26 (NULL ladder) are pure
+    # projections: single scan, zero shuffles, and the lambda/scalar
+    # work stays inside whole-stage codegen or a single Project
+    for name in ("f24_higher_order", "f26_null_ladder"):
+        plan = _physical(REGISTRY[name].build(spark, sf_dir))
+        assert "Exchange" not in plan, name
+        assert plan.count("FileScan") == 1, name
+
+
+def test_cross_join_is_broadcast_nested_loop(spark, sf_dir):
+    plan = _physical(REGISTRY["j15_cross_join"].build(spark, sf_dir))
+    # tiny-by-construction sides: the cross product must ride a
+    # broadcast, never a shuffle of the (already minuscule) inputs
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Cross" in plan
+
+
+def test_ntile_single_shuffle_shared_sort(spark, sf_dir):
+    plan = _physical(REGISTRY["w8_ntile"].build(spark, sf_dir))
+    # one hash exchange on the partition key; the ntile rides the
+    # same sort as any other window on (status, price, key)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
