@@ -181,6 +181,120 @@ def f26_null_ladder(spark, sf_dir):
 
 
 @register(
+    "w9_time_range_frame",
+    """SELECT event_id, user_id,
+              count(*) OVER w AS trailing_n,
+              round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w
+                         AS DOUBLE), 6) AS trailing_sum
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                          AND CURRENT ROW)""",
+    survey="§2.5 ext (time-range window frames)",
+    note="trailing 1-hour count + exact-decimal sum per user via "
+         "RANGE BETWEEN INTERVAL — the no-self-join formulation of "
+         "trailing-window aggregates: one shuffle on user_id and a "
+         "per-partition ordered pass, vs the naive range self-join "
+         "that explodes quadratically in bucket size (j14's shape). "
+         "Frames are bounded by raw microsecond timestamps on BOTH "
+         "engines (an epoch-seconds rewrite would truncate "
+         "sub-second precision and shift frame membership); the "
+         "window SUM rides the repo's exact-decimal rule so FP "
+         "addition order can't bite. SQL surface because interval "
+         "frame bounds are SQL-only (Window.rangeBetween takes "
+         "longs); WINDOW clause shares one frame definition")
+def w9_time_range_frame(spark, sf_dir):
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """SELECT event_id, user_id,
+                  count(*) OVER w AS trailing_n,
+                  round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w
+                             AS DOUBLE), 6) AS trailing_sum
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                              AND CURRENT ROW)""")
+
+
+@register(
+    "a27_stats_moments",
+    """SELECT l_returnflag,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(19,6)))
+                         AS DOUBLE), 6) AS sx,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(19,6))
+                             * CAST(l_quantity AS DECIMAL(19,6)))
+                         AS DOUBLE), 6) AS sxx,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6)))
+                         AS DOUBLE), 6) AS sy,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(19,6))
+                             * CAST(l_extendedprice AS DECIMAL(19,6)))
+                         AS DOUBLE), 6) AS sxy
+       FROM lineitem
+       GROUP BY l_returnflag""",
+    survey="§2.4 ext (statistical moments)",
+    note="the distributed-moments formulation of variance/covariance/"
+         "correlation: exact decimal (n, Σx, Σx², Σy, Σxy) per group — "
+         "every derived statistic (var = (nΣx²-(Σx)²)/n(n-1), corr, "
+         "covar, and their window/rollup variants) is driver-side "
+         "arithmetic OVER these mergeable sums, which is exactly how "
+         "a 1000-executor job should compute them: one partial-agg "
+         "pass, no second scan, no per-group sort. The native "
+         "stddev_samp/var_samp/corr/covar_samp functions divide, and "
+         "quotients are the cross-engine rounding trap (registry "
+         "module docstring), so they are pinned against DuckDB with "
+         "tolerance in tests/test_functions.py instead of hashed here")
+def a27_stats_moments(spark, sf_dir):
+    # width 19 forces int128-backed decimals in DuckDB (<= 18 is
+    # int64-backed and its multiply overflows in the INPUT type);
+    # products land on (38,12) on both engines — exact for these
+    # magnitudes (q*p <= 5e6, sums <= ~1e13)
+    dx = F.col("l_quantity").cast("decimal(19,6)")
+    dy = F.col("l_extendedprice").cast("decimal(19,6)")
+    return (t(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.sum(dx).cast("double"), 6).alias("sx"),
+                 F.round(F.sum(dx * dx).cast("double"), 6).alias("sxx"),
+                 F.round(F.sum(dy).cast("double"), 6).alias("sy"),
+                 F.round(F.sum(dx * dy).cast("double"), 6).alias("sxy")))
+
+
+@register(
+    "a28_filtered_bool_aggs",
+    """SELECT o_orderpriority,
+              count(*) FILTER (WHERE o_totalprice > 100000)
+                  AS n_big,
+              count(*) FILTER (WHERE o_orderstatus = 'F')
+                  AS n_final,
+              bool_and(o_totalprice > 0) AS all_positive,
+              bool_or(o_orderstatus = 'P') AS any_pending
+       FROM orders
+       GROUP BY o_orderpriority""",
+    survey="§2.4 ext (filtered / boolean aggregates)",
+    note="the FILTER-clause and boolean-aggregate surface: count_if "
+         "(Spark's spelling of a filtered count), an explicit FILTER "
+         "(WHERE) aggregate, and bool_and/bool_or — all partially "
+         "aggregated map-side like any algebraic agg, and the "
+         "SUM(CASE...) idiom the reference uses for the same job (A5, "
+         "04_load_calendar.sql:37-40) expressed in its first-class "
+         "form. Counts are exact integers, booleans exact — zero FP "
+         "comparability risk. Runs through spark.sql to pin the SQL "
+         "FILTER-clause parse path")
+def a28_filtered_bool_aggs(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """SELECT o_orderpriority,
+                  count_if(o_totalprice > 100000) AS n_big,
+                  count(*) FILTER (WHERE o_orderstatus = 'F')
+                      AS n_final,
+                  bool_and(o_totalprice > 0) AS all_positive,
+                  bool_or(o_orderstatus = 'P') AS any_pending
+           FROM orders
+           GROUP BY o_orderpriority""")
+
+
+@register(
     "j15_cross_join",
     """SELECT r_name, s.o_orderstatus
        FROM region CROSS JOIN

@@ -221,3 +221,55 @@ def test_winnow_shared_run_guarantee(spark):
              for k in (1, 2, 3))}
     assert sets[1] & sets[2], "docs sharing a 25-char run must share a fp"
     assert not (sets[1] & sets[3])
+
+
+def test_native_stats_functions_match_oracle(spark, sf_dir):
+    # the native estimators divide, so they're pinned here with
+    # tolerance instead of value-hashed in the a27 oracle row:
+    # stddev_samp/var_samp/corr/covar_samp use the SAME definition on
+    # both engines (agree to ~1e-12 rel); skewness/kurtosis use
+    # DIFFERENT estimators (Spark: population moments m3/m2^1.5 and
+    # m4/m2^2-3; DuckDB: bias-corrected sample g1/G2) so Spark is
+    # checked against the population formula computed from exact sums
+    import duckdb
+    import math
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        read_table,
+    )
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, sf_dir, "lineitem")
+    got = li.agg(
+        F.stddev_samp("l_quantity").alias("sd"),
+        F.var_samp("l_quantity").alias("vr"),
+        F.corr("l_quantity", "l_extendedprice").alias("co"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("cv"),
+        F.skewness("l_quantity").alias("sk"),
+        F.kurtosis("l_quantity").alias("ku"),
+    ).first()
+
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""SELECT stddev_samp(l_quantity), var_samp(l_quantity),
+                   corr(l_quantity, l_extendedprice),
+                   covar_samp(l_quantity, l_extendedprice)
+            FROM '{sf_dir}/lineitem.parquet'""").fetchone()
+    for got_v, exp_v, name in [(got.sd, exp[0], "stddev"),
+                               (got.vr, exp[1], "var"),
+                               (got.co, exp[2], "corr"),
+                               (got.cv, exp[3], "covar")]:
+        assert math.isclose(got_v, exp_v, rel_tol=1e-9), (name, got_v, exp_v)
+
+    # population skewness/kurtosis from exact moments (Spark's defs)
+    n, s1, s2, s3, s4 = con.execute(
+        f"""SELECT count(*),
+                   sum(l_quantity), sum(l_quantity**2),
+                   sum(l_quantity**3), sum(l_quantity**4)
+            FROM '{sf_dir}/lineitem.parquet'""").fetchone()
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3 * mu * s2 / n + 2 * mu ** 3
+    m4 = s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n - 3 * mu ** 4
+    assert math.isclose(got.sk, m3 / m2 ** 1.5, rel_tol=1e-7)
+    assert math.isclose(got.ku, m4 / m2 ** 2 - 3, rel_tol=1e-7)

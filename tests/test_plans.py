@@ -202,3 +202,22 @@ def test_ntile_single_shuffle_shared_sort(spark, sf_dir):
     # same sort as any other window on (status, price, key)
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 1
+
+
+def test_time_range_frame_single_shuffle_no_join(spark, sf_dir):
+    plan = _physical(REGISTRY["w9_time_range_frame"].build(spark, sf_dir))
+    # the whole point of the RANGE-frame formulation: trailing-window
+    # aggregates as ONE shuffle on user_id + an ordered pass — never a
+    # self-join (which would be quadratic in bucket size)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_stats_moments_partial_aggregate(spark, sf_dir):
+    plan = _physical(REGISTRY["a27_stats_moments"].build(spark, sf_dir))
+    # all five moments ride one partial-agg pass over one scan: the
+    # mergeable formulation a 1000-executor variance needs
+    assert "partial_" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FileScan") == 1
