@@ -310,3 +310,89 @@ def j15_cross_join(spark, sf_dir):
     r = t(spark, sf_dir, "region").select("r_name")
     s = t(spark, sf_dir, "orders").select("o_orderstatus").distinct()
     return r.crossJoin(s)
+
+
+@register(
+    "f27_from_json_struct",
+    """SELECT event_type,
+              sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+              count(*) FILTER (WHERE CAST(json_extract(props, '$.k')
+                                          AS BIGINT) % 7 = 0) AS k_div7,
+              max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+       FROM events
+       GROUP BY event_type""",
+    survey="§2.8 ext (semi-structured: from_json)",
+    note="typed JSON parsing: from_json(props, 'k INT') to a real "
+         "struct column, then aggregate over the typed field — the "
+         "schema-declared counterpart of f17's get_json_object string "
+         "extraction (declare once, prune/push like any column, vs "
+         "re-parse per path expression). Malformed documents become "
+         "NULL structs (PERMISSIVE), the same null-on-failure spine "
+         "as try_cast (SURVEY §1.3). Integer-valued everywhere, so "
+         "engine-portable; oracle extracts with DuckDB's json_extract")
+def f27_from_json_struct(spark, sf_dir):
+    parsed = F.from_json(F.col("props"), "k INT")
+    k = parsed.getField("k").cast("bigint")
+    return (t(spark, sf_dir, "events")
+            .withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.sum("k").alias("k_sum"),
+                 F.count_if(F.col("k") % 7 == 0).alias("k_div7"),
+                 F.max("k").alias("k_max")))
+
+
+@register(
+    "a29_grouping_id",
+    """SELECT o_orderstatus, o_orderpriority,
+              CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+              CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+              CAST(2 * grouping(o_orderstatus)
+                   + grouping(o_orderpriority) AS BIGINT) AS gid,
+              CAST(count(*) AS BIGINT) AS n
+       FROM orders
+       GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+    survey="§2.4 ext (grouping / grouping_id)",
+    note="the disambiguation companion to a16's ROLLUP: grouping() "
+         "flags and grouping_id() distinguish a subtotal NULL from a "
+         "NULL data value — without them rollup output is ambiguous "
+         "the moment a grouping column is nullable. Spark's "
+         "grouping_id() bit order (leftmost column = most significant "
+         "bit) is reproduced in the oracle as 2*g_a + g_b; same "
+         "single Expand + single shuffle plan as a16/a21")
+def a29_grouping_id(spark, sf_dir):
+    return (t(spark, sf_dir, "orders")
+            .rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.grouping("o_orderstatus").cast("bigint")
+                  .alias("g_status"),
+                 F.grouping("o_orderpriority").cast("bigint")
+                  .alias("g_prio"),
+                 F.grouping_id().cast("bigint").alias("gid"),
+                 F.count("*").cast("bigint").alias("n")))
+
+
+@register(
+    "set_union_by_name",
+    """SELECT c_custkey AS entity_key, c_acctbal AS acctbal,
+              'customer' AS src
+       FROM customer
+       UNION ALL
+       SELECT n_nationkey AS entity_key, CAST(NULL AS DOUBLE) AS acctbal,
+              'nation' AS src
+       FROM nation""",
+    survey="§2.7 ext (unionByName, missing columns)",
+    note="schema-aligned union: unionByName(allowMissingColumns=True) "
+         "fills the absent column with NULL and aligns by NAME, not "
+         "position — the safe union for evolving schemas (a "
+         "positional union of reordered columns corrupts silently; "
+         "SURVEY §2.7 exposes union for capability parity). The "
+         "oracle is the explicit NULL-padded UNION ALL; acctbal "
+         "values are pure selection so raw doubles compare exactly")
+def set_union_by_name(spark, sf_dir):
+    cust = (t(spark, sf_dir, "customer")
+            .select(F.col("c_custkey").alias("entity_key"),
+                    F.col("c_acctbal").alias("acctbal"),
+                    F.lit("customer").alias("src")))
+    nat = (t(spark, sf_dir, "nation")
+           .select(F.col("n_nationkey").alias("entity_key"),
+                   F.lit("nation").alias("src")))
+    return cust.unionByName(nat, allowMissingColumns=True)

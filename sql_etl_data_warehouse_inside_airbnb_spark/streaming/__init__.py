@@ -12,6 +12,7 @@ from sql_etl_data_warehouse_inside_airbnb_spark.streaming.sinks import (
     upsert_batch_to_parquet,
 )
 from sql_etl_data_warehouse_inside_airbnb_spark.streaming.windows import (
+    dedup_stream,
     session_agg,
     sliding_agg,
     stream_events,
@@ -19,4 +20,5 @@ from sql_etl_data_warehouse_inside_airbnb_spark.streaming.windows import (
 )
 
 __all__ = ["tumbling_agg", "sliding_agg", "session_agg", "stream_events",
-           "run_stream_upsert_parquet", "upsert_batch_to_parquet"]
+           "dedup_stream", "run_stream_upsert_parquet",
+           "upsert_batch_to_parquet"]

@@ -99,3 +99,16 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination(timeout_sec)
+
+
+def dedup_stream(events: DataFrame, keys: tuple[str, ...] = ("event_id",),
+                 ts_col: str = "ts", delay: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup with bounded state: a duplicate key
+    arriving within ``delay`` of the first occurrence is suppressed;
+    the key's state is evicted once the watermark passes, so state is
+    O(keys-per-delay-window), not O(all keys ever) — the property that
+    makes exactly-once ingestion dedup (the streaming J4/ext_dedup_exact)
+    survive an unbounded stream. Batch equivalent: ``dropDuplicates``;
+    equivalence is asserted in tests/test_streaming_sinks.py."""
+    return (events.withWatermark(ts_col, delay)
+            .dropDuplicatesWithinWatermark(list(keys)))
