@@ -15,6 +15,7 @@ from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
 
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_adv  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_ext  # noqa: F401
+import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_final  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_gaps  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_more  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_surface  # noqa: F401

@@ -1,0 +1,392 @@
+"""Surface-completion batch 4 — the join/aggregate/function shapes the
+registry still lacked: outer joins (LEFT with null-fill, FULL with
+coalesced keys), null-safe equality joins, ordered string aggregation
+(listagg WITHIN GROUP), deterministic mode (two-stage argmax — the
+scale-safe form of mode()), exact median, mergeable HLL sketch union
+(the 100 TB COUNT(DISTINCT) path shown end-to-end: partial sketches,
+one union), str_to_map parsing, width_bucket histogramming,
+try-arithmetic (null-on-overflow / null-on-div-zero, the numeric twin
+of the try_cast spine, SURVEY §1.3), generator null-preservation
+(explode vs explode_outer), and per-key time-series gap-fill
+(sequence + explode + left join — the distributed replacement for the
+reference's driver-side date loop, modules/data_loader.py:492-498).
+
+Scale notes are per-query; the common thread: every shape here is one
+shuffle or less beyond its inputs, map-side-combinable where it
+aggregates, and free of driver-side iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
+    register,
+    t,
+)
+
+
+@register(
+    "j16_left_outer",
+    """SELECT c.c_custkey, c.c_mktsegment,
+              CAST(COALESCE(o.cnt, 0) AS BIGINT) AS order_count
+       FROM customer c
+       LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt
+                  FROM orders GROUP BY o_custkey) o
+         ON c.c_custkey = o.o_custkey""",
+    survey="§2.3 ext (outer joins)",
+    note="LEFT OUTER join with null-fill: customers keep their row even "
+         "with zero orders (the reference only ever inner/anti/semi-joins "
+         "— SURVEY §2.3; outer joins complete the join surface). The "
+         "aggregate is pre-shrunk BEFORE the join (one row per custkey), "
+         "so the outer join shuffles |customers|+|custkeys|, never raw "
+         "orders; COALESCE(cnt,0) is the canonical null-fill")
+def j16_left_outer(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    cnt = (t(spark, sf_dir, "orders")
+           .groupBy(F.col("o_custkey").alias("c_custkey"))
+           .agg(F.count("*").alias("order_count")))
+    return (c.join(cnt, "c_custkey", "left")
+            .select("c_custkey", "c_mktsegment",
+                    F.coalesce("order_count", F.lit(0)).alias("order_count")))
+
+
+@register(
+    "j17_full_outer",
+    """SELECT COALESCE(c.k, s.k) AS n_nationkey,
+              CAST(COALESCE(c.cnt, 0) AS BIGINT) AS customer_count,
+              CAST(COALESCE(s.cnt, 0) AS BIGINT) AS supplier_count
+       FROM (SELECT c_nationkey AS k, COUNT(*) AS cnt
+             FROM customer WHERE c_mktsegment = 'MACHINERY'
+             GROUP BY c_nationkey) c
+       FULL OUTER JOIN
+            (SELECT s_nationkey AS k, COUNT(*) AS cnt
+             FROM supplier WHERE s_acctbal > 4000
+             GROUP BY s_nationkey) s
+         ON c.k = s.k""",
+    survey="§2.3 ext (outer joins)",
+    note="FULL OUTER join of two aggregates with the coalesced-key idiom "
+         "(COALESCE(left.k, right.k) is mandatory — after a full join "
+         "either side's key can be NULL). Both sides are pre-aggregated "
+         "to ≤25 rows before the join: reconciliation joins at 100 TB "
+         "are cheap exactly when the full-outer happens on the rollups, "
+         "not the raw facts")
+def j17_full_outer(spark, sf_dir):
+    c = (t(spark, sf_dir, "customer")
+         .filter(F.col("c_mktsegment") == "MACHINERY")
+         .groupBy(F.col("c_nationkey").alias("ck"))
+         .agg(F.count("*").alias("customer_count")))
+    s = (t(spark, sf_dir, "supplier")
+         .filter(F.col("s_acctbal") > 4000)
+         .groupBy(F.col("s_nationkey").alias("sk"))
+         .agg(F.count("*").alias("supplier_count")))
+    return (c.join(s, c["ck"] == s["sk"], "full_outer")
+            .select(F.coalesce("ck", "sk").alias("n_nationkey"),
+                    F.coalesce("customer_count", F.lit(0)).alias("customer_count"),
+                    F.coalesce("supplier_count", F.lit(0)).alias("supplier_count")))
+
+
+@register(
+    "j18_null_safe_join",
+    """WITH a AS (SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS k,
+                        COUNT(*) AS cnt_all
+                 FROM orders GROUP BY 1),
+            b AS (SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS k,
+                        COUNT(*) AS cnt_f
+                 FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+       SELECT a.k AS priority_key,
+              CAST(a.cnt_all AS BIGINT) AS cnt_all,
+              CAST(b.cnt_f AS BIGINT) AS cnt_f
+       FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""",
+    survey="§2.3 ext (null-safe equality join)",
+    note="null-safe equi-join (eqNullSafe / <=> / IS NOT DISTINCT FROM): "
+         "NULL keys MATCH each other instead of silently dropping — the "
+         "join you need when the key itself is the result of a "
+         "null-on-failure cast (SURVEY §1.3 try_cast spine). Plans as a "
+         "regular hash join on the null-safe comparison, same single "
+         "shuffle as plain equality; both sides pre-aggregated to ≤5 rows")
+def j18_null_safe_join(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    k = F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
+    a = o.groupBy(k.alias("ka")).agg(F.count("*").alias("cnt_all"))
+    b = (o.filter(F.col("o_orderstatus") == "F")
+         .groupBy(k.alias("kb")).agg(F.count("*").alias("cnt_f")))
+    return (a.join(b, a["ka"].eqNullSafe(b["kb"]), "inner")
+            .select(F.col("ka").alias("priority_key"), "cnt_all", "cnt_f"))
+
+
+@register(
+    "a30_listagg",
+    """SELECT o_orderstatus,
+              string_agg(o_orderpriority, '|' ORDER BY o_orderkey)
+                AS priority_chain,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM orders WHERE o_orderkey % 997 = 0
+       GROUP BY o_orderstatus""",
+    survey="§2.4 ext (ordered string aggregation)",
+    note="listagg(...) WITHIN GROUP (ORDER BY ...) — the SQL:2016 "
+         "ordered string aggregate (DuckDB spells it string_agg ORDER "
+         "BY). The WITHIN GROUP order key is the unique o_orderkey, so "
+         "the concatenation is deterministic — an UNORDERED listagg is "
+         "partition-order-dependent and can never be oracle-compared "
+         "(same rule as a23's sorted collect_list). Input pre-filtered "
+         "to ~1/1000 of orders: unbounded string aggregates are a "
+         "driver-killer at scale, so the engine keys them behind "
+         "explicit cardinality control")
+def a30_listagg(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_la")
+    return spark.sql(
+        """SELECT o_orderstatus,
+                  listagg(o_orderpriority, '|')
+                    WITHIN GROUP (ORDER BY o_orderkey) AS priority_chain,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders_la WHERE o_orderkey % 997 = 0
+           GROUP BY o_orderstatus""")
+
+
+@register(
+    "a31_mode_argmax",
+    """SELECT o_orderstatus, o_orderpriority AS mode_priority,
+              cnt AS mode_count
+       FROM (SELECT o_orderstatus, o_orderpriority,
+                    CAST(COUNT(*) AS BIGINT) AS cnt,
+                    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                        ORDER BY COUNT(*) DESC, o_orderpriority DESC) AS rn
+             FROM orders GROUP BY o_orderstatus, o_orderpriority) x
+       WHERE rn = 1""",
+    survey="§2.4 ext (mode / argmax)",
+    note="deterministic mode: most frequent priority per status via "
+         "two-stage aggregation — groupBy(status, value).count() then "
+         "max(struct(count, value)) per status. Native mode() is "
+         "tie-NONdeterministic on both engines, so the engine's "
+         "canonical form is this argmax (ties break to the larger "
+         "value, pinned). Two map-side-combinable aggregates and no "
+         "per-group sort of raw rows — the window in the ORACLE is for "
+         "DuckDB's benefit only; the Spark plan sorts just the "
+         "(status, value) count table")
+def a31_mode_argmax(spark, sf_dir):
+    counts = (t(spark, sf_dir, "orders")
+              .groupBy("o_orderstatus", "o_orderpriority")
+              .agg(F.count("*").alias("cnt")))
+    return (counts.groupBy("o_orderstatus")
+            .agg(F.max(F.struct(F.col("cnt"),
+                                F.col("o_orderpriority"))).alias("w"))
+            .select("o_orderstatus",
+                    F.col("w.o_orderpriority").alias("mode_priority"),
+                    F.col("w.cnt").alias("mode_count")))
+
+
+@register(
+    "a32_median",
+    """SELECT l_returnflag,
+              median(CAST(l_quantity AS DOUBLE)) AS median_qty,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM lineitem GROUP BY l_returnflag""",
+    survey="§2.4 ext (exact median)",
+    note="exact interpolating median per group. Comparable across "
+         "engines ONLY because l_quantity is integer-valued: the "
+         "even-count interpolation (a+b)/2 is exact FP there, dodging "
+         "the quotient-rounding trap (registry docstring). DuckDB's "
+         "median over DECIMAL truncates to the lower middle — the "
+         "oracle casts to DOUBLE first (verified). Exact median is a "
+         "full-sort-per-group op; the 100 TB path is a24's "
+         "approx_percentile sketch — this entry is the correctness "
+         "anchor the sketch's error bound is measured against")
+def a32_median(spark, sf_dir):
+    return (t(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.median("l_quantity").alias("median_qty"),
+                 F.count("*").alias("n")))
+
+
+@register(
+    "a33_hll_sketch_union",
+    None,
+    survey="§7.5 scale path (mergeable sketches, A3/A4)",
+    note="the mergeable-sketch lifecycle end-to-end: hll_sketch_agg "
+         "builds a per-event_type DataSketches HLL of user_id (partial, "
+         "map-side combinable), hll_union_agg MERGES the per-type "
+         "sketches into the global estimate WITHOUT rescanning events — "
+         "exactly how a 1000-executor job rolls distinct counts up a "
+         "hierarchy (per-partition → per-key → global) with one scan. "
+         "Sketch binaries are engine-specific → rows-only; the estimate "
+         "accuracy vs exact COUNT(DISTINCT) is asserted in "
+         "tests/test_functions.py")
+def a33_hll_sketch_union(spark, sf_dir):
+    sketches = (t(spark, sf_dir, "events")
+                .groupBy("event_type")
+                .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    per_type = sketches.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"))
+    overall = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    ).select(F.lit("__ALL__").alias("event_type"), "approx_users")
+    return per_type.unionByName(overall)
+
+
+@register(
+    "f28_str_to_map",
+    """SELECT o_orderkey,
+              regexp_extract(kv, 'status:([^,]*)', 1) AS status_v,
+              regexp_extract(kv, 'prio:([^,]*)', 1) AS prio_v,
+              CAST(array_length(string_split(kv, ',')) AS BIGINT) AS nkeys,
+              CAST(NULL AS VARCHAR) AS miss_v
+       FROM (SELECT o_orderkey,
+                    'status:' || o_orderstatus || ',prio:' || o_orderpriority
+                      || ',key:' || CAST(o_orderkey AS VARCHAR) AS kv
+             FROM orders WHERE o_orderkey % 11 = 0) s""",
+    survey="§2.8 ext (map parsing: str_to_map)",
+    note="str_to_map round-trip: build 'k:v,k:v' text, parse to "
+         "map<string,string>, read entries back with element_at — "
+         "missing key → NULL (same null-on-absent contract as f20's "
+         "map lookup). This is the delimited-KV sibling of the JSON "
+         "surface (f17/f27) for logs that aren't JSON; pure JVM column "
+         "expressions, no UDF, no shuffle. Oracle parses the same "
+         "constructed string with RE2 regexp_extract")
+def f28_str_to_map(spark, sf_dir):
+    o = (t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderkey") % 11 == 0)
+         .select("o_orderkey",
+                 F.concat(F.lit("status:"), "o_orderstatus",
+                          F.lit(",prio:"), "o_orderpriority",
+                          F.lit(",key:"),
+                          F.col("o_orderkey").cast("string")).alias("kv")))
+    m = F.str_to_map("kv", F.lit(","), F.lit(":"))
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_v"),
+        F.element_at(m, "prio").alias("prio_v"),
+        F.size(m).cast("long").alias("nkeys"),
+        F.element_at(m, "absent").alias("miss_v"))
+
+
+@register(
+    "f29_width_bucket",
+    """SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+              CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+       FROM (SELECT CASE WHEN l_quantity >= 50 THEN 11
+                         ELSE 1 + CAST(floor(l_quantity / 5) AS BIGINT)
+                    END AS bucket, l_quantity
+             FROM lineitem) b
+       GROUP BY bucket""",
+    survey="§2.8 ext (width_bucket histogramming)",
+    note="width_bucket(qty, 0, 50, 10): equal-width histogram "
+         "assignment — the single-pass distributed histogram (bucket is "
+         "a pure projection; the count is one map-side-combinable "
+         "aggregate — no sort, no per-group state). Values exactly on a "
+         "boundary go to the UPPER bucket and v ≥ max goes to the "
+         "overflow bucket n+1 — both pinned by the oracle's closed-form "
+         "rewrite (DuckDB has no width_bucket). Constants chosen so "
+         "bucket width 5 divides the integer-valued quantities exactly: "
+         "boundary arithmetic is exact FP on both engines")
+def f29_width_bucket(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (li.select(F.width_bucket("l_quantity", F.lit(0), F.lit(50),
+                                     F.lit(10)).alias("bucket"),
+                      "l_quantity")
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"),
+                 F.min("l_quantity").cast("double").alias("min_qty"),
+                 F.max("l_quantity").cast("double").alias("max_qty")))
+
+
+@register(
+    "f30_try_arithmetic",
+    """SELECT o_orderkey,
+              CASE WHEN o_orderkey <= 10
+                   THEN o_orderkey + 9223372036854775797 END AS add_v,
+              CASE WHEN o_orderkey < 4
+                   THEN o_orderkey * 2305843009213693952 END AS mul_v,
+              CASE WHEN o_orderkey % 2 = 1
+                   THEN o_totalprice END AS div_v
+       FROM orders WHERE o_orderkey <= 1000""",
+    survey="§2.8 ext (try-arithmetic: null-on-overflow/div-zero)",
+    note="the numeric twin of the try_cast spine (SURVEY §1.3): "
+         "try_add / try_multiply return NULL on BIGINT overflow instead "
+         "of failing the job, try_divide returns NULL on division by "
+         "zero. At 100 TB a single poisoned row must not kill a "
+         "30-minute stage — null-and-quarantine beats throw. Overflow "
+         "thresholds are pinned exactly (add overflows iff key > 10 "
+         "against MAX-10; multiply iff key ≥ 4 against 2^61); the "
+         "divide uses denominator key%2 so surviving quotients are "
+         "x/1.0 — exact, dodging the quotient-rounding trap. Oracle is "
+         "the predicate rewrite (DuckDB would raise on the overflow)")
+def f30_try_arithmetic(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.try_add(F.col("o_orderkey"),
+                  F.lit(9223372036854775797)).alias("add_v"),
+        F.try_multiply(F.col("o_orderkey"),
+                       F.lit(2305843009213693952)).alias("mul_v"),
+        F.try_divide(F.col("o_totalprice"),
+                     (F.col("o_orderkey") % 2).cast("double")).alias("div_v"))
+
+
+@register(
+    "f31_explode_outer",
+    """SELECT d.doc_id, u.token
+       FROM documents d
+       LEFT JOIN LATERAL unnest(regexp_extract_all(d.text, '[A-Za-z]{11,}'))
+         AS u(token) ON true
+       WHERE d.doc_id % 7 = 0""",
+    survey="§2.8 ext (generator null-preservation: explode_outer)",
+    note="explode_outer vs explode: a document with NO long words keeps "
+         "its row with token=NULL instead of vanishing — the "
+         "LEFT-JOIN-shaped generator. Losing empty parents silently is "
+         "the classic explode bug in per-document pipelines (token "
+         "stats would drop exactly the short documents they should "
+         "count as zero). Same RE2/Java-regex-portable pattern "
+         "discipline as f23; oracle is DuckDB's LEFT JOIN LATERAL "
+         "unnest, the relational definition of the outer generator")
+def f31_explode_outer(spark, sf_dir):
+    d = (t(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") % 7 == 0))
+    arr = F.regexp_extract_all("text", F.lit("[A-Za-z]{11,}"))
+    return d.select("doc_id", F.explode_outer(arr).alias("token"))
+
+
+@register(
+    "f32_sequence_gapfill",
+    """WITH o AS (SELECT o_custkey, date_trunc('month', o_orderdate) AS m
+                 FROM orders WHERE o_custkey < 50),
+            spans AS (SELECT o_custkey, min(m) AS lo, max(m) AS hi
+                      FROM o GROUP BY o_custkey),
+            months AS (SELECT o_custkey, g.m FROM spans,
+                       LATERAL unnest(generate_series(lo, hi,
+                                      INTERVAL 1 MONTH)) AS g(m)),
+            cnt AS (SELECT o_custkey, m, COUNT(*) AS c
+                    FROM o GROUP BY o_custkey, m)
+       SELECT months.o_custkey, months.m AS month,
+              CAST(COALESCE(cnt.c, 0) AS BIGINT) AS order_count
+       FROM months LEFT JOIN cnt
+         ON months.o_custkey = cnt.o_custkey AND months.m = cnt.m""",
+    survey="F10 ext (per-key time-series gap-fill)",
+    note="per-key gap-fill: each customer's order counts on a gap-FREE "
+         "monthly axis (months with zero orders appear as 0). "
+         "sequence(min, max, interval 1 month) + explode generates the "
+         "axis PER KEY inside the executors — the distributed form of "
+         "the reference's driver-side date loop "
+         "(modules/data_loader.py:492-498, F10) and of f10's single "
+         "global date dimension. Cost: two aggregates + one left join, "
+         "all partitioned by custkey, no driver collect; the axis "
+         "explode amplifies rows by span-months, which is bounded and "
+         "predictable, never quadratic")
+def f32_sequence_gapfill(spark, sf_dir):
+    o = (t(spark, sf_dir, "orders")
+         .filter(F.col("o_custkey") < 50)
+         .select("o_custkey",
+                 F.date_trunc("month", "o_orderdate").alias("m")))
+    spans = o.groupBy("o_custkey").agg(F.min("m").alias("lo"),
+                                       F.max("m").alias("hi"))
+    months = spans.select(
+        "o_custkey",
+        F.explode(F.sequence("lo", "hi",
+                             F.expr("interval 1 month"))).alias("month"))
+    cnt = (o.groupBy("o_custkey", F.col("m").alias("month"))
+           .agg(F.count("*").alias("c")))
+    return (months.join(cnt, ["o_custkey", "month"], "left")
+            .select("o_custkey", "month",
+                    F.coalesce("c", F.lit(0)).alias("order_count")))

@@ -273,3 +273,30 @@ def test_native_stats_functions_match_oracle(spark, sf_dir):
     m4 = s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n - 3 * mu ** 4
     assert math.isclose(got.sk, m3 / m2 ** 1.5, rel_tol=1e-7)
     assert math.isclose(got.ku, m4 / m2 ** 2 - 3, rel_tol=1e-7)
+
+
+def test_hll_sketch_union_accuracy(spark, sf_dir):
+    # a33's contract: the per-type HLL estimates AND the merged global
+    # estimate (hll_union_agg over the per-type sketches, no rescan)
+    # land within the sketch's error envelope of the exact distinct
+    # counts. Default lgConfigK=12 -> rsd ~1.6%; assert a loose 5%.
+    import duckdb
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
+        REGISTRY,
+    )
+
+    got = {r.event_type: r.approx_users
+           for r in REGISTRY["a33_hll_sketch_union"].build(spark, sf_dir).collect()}
+
+    con = duckdb.connect()
+    exact = dict(con.execute(
+        f"""SELECT event_type, COUNT(DISTINCT user_id)
+            FROM '{sf_dir}/events.parquet' GROUP BY event_type""").fetchall())
+    exact["__ALL__"] = con.execute(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
