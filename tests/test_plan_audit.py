@@ -1,0 +1,76 @@
+"""Registry-wide physical-plan audit.
+
+test_plans.py guards individual headline plans; this sweeps EVERY
+registry query and enforces the two global scale invariants:
+
+1. No accidental nested-loop joins. BroadcastNestedLoopJoin /
+   CartesianProduct are O(n*m) — at 100 TB they are outage-shaped, not
+   slow. They are allowed only where a side is literal-sized BY
+   CONSTRUCTION: the explicit cross-join demo (j15), the broadcast
+   1-row ANN query vector (ext_ann_brute_topk), and the scalar-subquery
+   broadcast (sq_scalar_threshold, a 1-row side Spark itself plans as
+   BNLJ).
+
+2. No row-at-a-time Python in the hot path. BatchEvalPython (pickled
+   per-row UDF eval) is allowed only in the declared Python-UDTF escape
+   hatch (u6). Arrow-batched Python (ArrowEvalPython /
+   FlatMapGroupsInPandas) is allowed only in the entries that exist to
+   exercise that surface (ext_lang_id_udf, ext_grouped_median) — every
+   other query must stay JVM-side end-to-end.
+
+The whitelists are asserted BOTH ways: an unlisted query growing one of
+these nodes fails, and a whitelisted query losing it fails too (a stale
+whitelist is a silent hole in the guard).
+"""
+
+from __future__ import annotations
+
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
+    REGISTRY,
+)
+
+# query -> nodes it is ALLOWED (and required) to contain
+NESTED_LOOP_OK = {
+    "j15_cross_join": "BroadcastNestedLoopJoin",
+    "ext_ann_brute_topk": "BroadcastNestedLoopJoin",
+    "sq_scalar_threshold": "BroadcastNestedLoopJoin",
+}
+ROW_PYTHON_OK = {
+    "u6_udtf_tokenize": "BatchEvalPython",
+}
+ARROW_PYTHON_OK = {
+    "ext_lang_id_udf": "ArrowEvalPython",
+    "ext_grouped_median": "FlatMapGroupsInPandas",
+}
+
+NESTED_LOOP_NODES = ("BroadcastNestedLoopJoin", "CartesianProduct")
+PYTHON_NODES = ("BatchEvalPython", "ArrowEvalPython",
+                "FlatMapGroupsInPandas", "MapInPandas", "PythonUDTF",
+                "FlatMapGroupsInPandasWithState")
+
+
+def test_registry_wide_plan_audit(spark, sf_dir):
+    plans = {}
+    for name, q in sorted(REGISTRY.items()):
+        df = q.build(spark, sf_dir)
+        plans[name] = df._jdf.queryExecution().executedPlan().toString()
+
+    violations = []
+    for name, plan in plans.items():
+        for node in NESTED_LOOP_NODES:
+            if node in plan and NESTED_LOOP_OK.get(name) != node:
+                violations.append(f"{name}: unexpected {node}")
+        for node in PYTHON_NODES:
+            allowed = {ROW_PYTHON_OK.get(name), ARROW_PYTHON_OK.get(name)}
+            # a PythonUDTF plan necessarily contains its eval node pair
+            if name in ROW_PYTHON_OK:
+                allowed.add("PythonUDTF")
+            if node in plan and node not in allowed:
+                violations.append(f"{name}: unexpected {node}")
+    assert not violations, violations
+
+    # whitelists must stay honest: the declared node must still exist
+    for wl in (NESTED_LOOP_OK, ROW_PYTHON_OK, ARROW_PYTHON_OK):
+        for name, node in wl.items():
+            assert name in plans, f"whitelisted {name} left the registry"
+            assert node in plans[name], f"{name}: whitelisted {node} gone"
