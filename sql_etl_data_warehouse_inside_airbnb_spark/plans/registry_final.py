@@ -390,3 +390,41 @@ def f32_sequence_gapfill(spark, sf_dir):
     return (months.join(cnt, ["o_custkey", "month"], "left")
             .select("o_custkey", "month",
                     F.coalesce("c", F.lit(0)).alias("order_count")))
+
+
+@register(
+    "stream_interval_join",
+    """SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id
+       FROM events a JOIN events b
+         ON a.user_id = b.user_id
+        AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
+       WHERE a.event_type = 'view' AND b.event_type = 'purchase'""",
+    survey="§2.9/§7.5 streaming (stream-stream interval join)",
+    note="the batch meaning of the stream-stream interval join "
+         "(streaming/joins.py): purchases attributed to a same-user "
+         "view within the preceding hour. Equi join on user_id with a "
+         "bounded residual time predicate — one shuffle per side, no "
+         "nested loop (guarded in tests/test_plan_audit.py). In "
+         "streaming the SAME builder runs on two watermarked readStream "
+         "sources, and the bounded interval is what makes join state "
+         "evictable; stream==batch is pinned in "
+         "tests/test_streaming_joins.py. Compared columns are the ID "
+         "pairs (unique per match); the join's time predicate rides the "
+         "exact nanos→micros truncation pinned in sources/io.py — a "
+         "float division there once moved timestamps by ±256 ns "
+         "(double ulp at 1.7e18) and flipped microseconds vs the oracle")
+def stream_interval_join(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.streaming.joins import (
+        interval_join,
+    )
+    ev = t(spark, sf_dir, "events")
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts")))
+    return (interval_join(views, purchases, key="user_id",
+                          left_ts="view_ts", right_ts="purchase_ts",
+                          max_span="1 hour")
+            .select("user_id", "view_id", "purchase_id"))

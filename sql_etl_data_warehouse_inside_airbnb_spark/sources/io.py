@@ -68,13 +68,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     parquet reader rejects by default; read nanos as long (runtime conf,
     works on any session) and convert to a microsecond timestamp — the
     same truncation DuckDB applies.
+
+    The nanos→micros step MUST be integer division (``div``): ``/``
+    would promote the int64 nanos to DOUBLE first, and at ~1.7e18 a
+    double's ulp is 256 — every timestamp silently moves by up to
+    ±256 ns, which flips the microsecond on ~1 in 4 rows vs the
+    oracle's exact truncation.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for f_ in df.schema.fields:
         if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(
-                (F.col("ts") / F.lit(1000)).cast("long")))
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -1,0 +1,50 @@
+"""Stream-stream event-time interval joins.
+
+Unified-API builder: takes two event DataFrames (batch reads or
+``readStream`` sources) whose timestamp columns are ALREADY
+disambiguated by name, and returns the interval-join plan — right rows
+match a left row when they share the key and the right timestamp falls
+in ``[left_ts, left_ts + max_span)``.
+
+Scale contract: the join is an EQUI join on the key with a bounded
+residual time predicate — one shuffle per side, never a nested loop.
+In streaming mode, watermark BOTH inputs before calling (see
+``streaming.windows.with_watermark``): the bounded interval plus the
+two watermarks are exactly what lets Spark compute how long a buffered
+row can still find a partner and evict join state past that horizon —
+an UNbounded stream-stream join must keep every row forever, the
+streaming twin of the unpartitioned scan.
+
+The batch meaning of the same plan is registered as
+``stream_interval_join`` (plans/registry_final.py) and oracle-checked;
+stream==batch equivalence is pinned in tests/test_streaming_joins.py.
+
+Reference parity note: the reference has no streams (SURVEY §2.9); this
+is part of the declared streaming extension (§7.5). Its batch shadow
+generalizes the reference's J2-style derived-key joins to event time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(left: DataFrame, right: DataFrame, key: str,
+                  left_ts: str, right_ts: str,
+                  max_span: str = "1 hour") -> DataFrame:
+    """Inner interval join: ``right_ts`` in ``[left_ts, left_ts+span)``.
+
+    ``left`` and ``right`` must not share column names other than
+    ``key`` (rename timestamps/payloads first) — the survivor columns
+    of both sides are returned.
+    """
+    overlap = set(left.columns) & set(right.columns) - {key}
+    if overlap:
+        raise ValueError(f"disambiguate shared columns first: {overlap}")
+    cond = ((left[key] == right[key]) &
+            (right[right_ts] >= left[left_ts]) &
+            (right[right_ts] < left[left_ts] + F.expr(f"INTERVAL {max_span}")))
+    joined = left.join(right, cond, "inner")
+    # keep ONE key column (either side's works — inner equi on the key)
+    return joined.drop(right[key])
