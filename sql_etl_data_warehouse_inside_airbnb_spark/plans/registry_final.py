@@ -428,3 +428,51 @@ def stream_interval_join(spark, sf_dir):
                           left_ts="view_ts", right_ts="purchase_ts",
                           max_span="1 hour")
             .select("user_id", "view_id", "purchase_id"))
+
+
+@register(
+    "j19_star_join_rollup",
+    """SELECT r.r_name AS region, CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+              CAST(COUNT(*) AS BIGINT) AS n_items,
+              round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_revenue
+       FROM lineitem l
+       JOIN orders o ON l.l_orderkey = o.o_orderkey
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE p.p_type = 'PROMO' AND o.o_orderstatus = 'F'
+       GROUP BY r.r_name, year(o.o_orderdate)""",
+    survey="§3 composite (J1/J7/A1 end-to-end, TPC-H Q5 shape)",
+    note="the composite star-schema rollup: a 6-table join tree "
+         "(fact→fact-dim chain + selective dim filter) feeding a "
+         "two-key aggregate — the shape every reference view is a "
+         "special case of, and the plan the optimizer must get right "
+         "at 100 TB: selective dim filters push into the parquet "
+         "scans, small dims broadcast (zero fact shuffles for them), "
+         "and only the lineitem↔orders spine pays a shuffle. The "
+         "revenue measure rides the exact-decimal-sum rule "
+         "(per-row double product cast to DECIMAL before SUM — the "
+         "product is bit-identical IEEE on both engines, the sum is "
+         "order-independent decimal). Plan shape guarded in "
+         "tests/test_plans.py::test_star_join_broadcasts_dims")
+def j19_star_join_rollup(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))) \
+        .cast("decimal(18,6)")
+    return (l
+            .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+            .join(o, l["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .groupBy(F.col("r_name").alias("region"),
+                     F.year("o_orderdate").cast("long").alias("order_year"))
+            .agg(F.count("*").alias("n_items"),
+                 F.round(F.sum(rev).cast("double"), 2).alias("sum_revenue")))

@@ -221,3 +221,16 @@ def test_stats_moments_partial_aggregate(spark, sf_dir):
     assert "partial_" in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("FileScan") == 1
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    # j19: the 6-table star join must broadcast every dim side (part,
+    # customer, nation, region) — at 100 TB the dims stay broadcast and
+    # the lineitem-orders spine is the single unavoidable exchange (at
+    # test SF orders fits under the broadcast threshold too, so the
+    # count can be 5 and the join tree has ZERO shuffles).
+    df = REGISTRY["j19_star_join_rollup"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
