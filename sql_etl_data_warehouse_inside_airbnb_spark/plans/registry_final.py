@@ -476,3 +476,63 @@ def j19_star_join_rollup(spark, sf_dir):
                      F.year("o_orderdate").cast("long").alias("order_year"))
             .agg(F.count("*").alias("n_items"),
                  F.round(F.sum(rev).cast("double"), 2).alias("sum_revenue")))
+
+
+@register(
+    "j20_scd2_apply",
+    """WITH base AS (SELECT c_custkey, c_mktsegment FROM customer),
+            ch AS (SELECT c_custkey, 'RELOCATED' AS seg,
+                          DATE '2024-06-01' AS ts
+                   FROM customer WHERE c_custkey % 10 = 3
+                   UNION ALL
+                   SELECT c_custkey + 10000000, 'ONBOARDED',
+                          DATE '2024-06-01'
+                   FROM customer WHERE c_custkey % 10 = 7)
+       SELECT b.c_custkey, b.c_mktsegment,
+              DATE '2024-01-01' AS valid_from,
+              CASE WHEN c.c_custkey IS NOT NULL
+                        AND c.seg <> b.c_mktsegment
+                   THEN c.ts END AS valid_to,
+              (c.c_custkey IS NULL OR c.seg = b.c_mktsegment)
+                AS is_current
+       FROM base b LEFT JOIN ch c ON b.c_custkey = c.c_custkey
+       UNION ALL
+       SELECT c.c_custkey, c.seg, c.ts, CAST(NULL AS DATE), TRUE
+       FROM ch c LEFT JOIN base b ON b.c_custkey = c.c_custkey
+       WHERE b.c_custkey IS NULL OR c.seg <> b.c_mktsegment""",
+    survey="J8 ext (SCD type-2 — history-preserving MERGE)",
+    note="type-2 slowly-changing dimension apply "
+         "(operators/scd.py:scd2_apply): where the reference's MERGE "
+         "OVERWRITES tracked columns on match (J8, "
+         "data_loader.py:251-290), SCD2 CLOSES the old row "
+         "(valid_to = change date, is_current = false) and opens a new "
+         "one — matched-and-changed keys get two rows, unchanged and "
+         "absent keys pass through, brand-new keys insert open. One "
+         "full-outer join on the business key over the OPEN slice only "
+         "(closed history never joins), then projections + union — no "
+         "whole-dim window, no driver diffing. The change batch is "
+         "derived deterministically from customer (keys %10=3 change "
+         "segment, %10=7 spawn new keys) so both engines see the same "
+         "delta; invariants (one open row per key, no overlapping "
+         "intervals) are property-tested in tests/test_scd.py")
+def j20_scd2_apply(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.scd import (
+        scd2_apply,
+    )
+    c = t(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey", "c_mktsegment",
+        F.to_date(F.lit("2024-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"))
+    changes = (c.filter(F.col("c_custkey") % 10 == 3)
+               .select("c_custkey",
+                       F.lit("RELOCATED").alias("c_mktsegment"),
+                       F.to_date(F.lit("2024-06-01")).alias("change_ts"))
+               .unionByName(
+                   c.filter(F.col("c_custkey") % 10 == 7)
+                   .select((F.col("c_custkey") + 10000000).alias("c_custkey"),
+                           F.lit("ONBOARDED").alias("c_mktsegment"),
+                           F.to_date(F.lit("2024-06-01")).alias("change_ts"))))
+    return scd2_apply(base, changes, key="c_custkey",
+                      attrs=["c_mktsegment"], change_ts="change_ts")
