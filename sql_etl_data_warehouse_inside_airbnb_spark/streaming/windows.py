@@ -84,8 +84,10 @@ def stream_events(spark: SparkSession, sf_dir: str,
               .parquet(sf_dir))
     for f_ in stream.schema.fields:
         if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
-            stream = stream.withColumn("ts", F.timestamp_micros(
-                (F.col("ts") / F.lit(1000)).cast("long")))
+            # integer div, NOT `/`: float division drifts ±256 ns at
+            # 1.7e18 (double ulp) — see sources/io.py:read_table
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream
 
 
