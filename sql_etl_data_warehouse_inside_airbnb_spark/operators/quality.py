@@ -1,0 +1,77 @@
+"""Declarative data-quality expectations.
+
+The reference's validation is a single hand-rolled boolean fixer
+(modules/data_validator.py in /root/reference, U5 in SURVEY §2.10) plus
+ad-hoc count reconciliations after each load (A11). This generalizes
+both into the warehouse-standard expectation report (the dbt-test /
+Great-Expectations shape) as ONE Spark job:
+
+* row checks — any boolean Column that must hold per row — become
+  ``SUM(CASE WHEN NOT cond)`` conditional aggregates, ALL evaluated in
+  a single scan (one partial-agg pass, map-side combinable, no
+  per-check job);
+* uniqueness checks are ``COUNT(*) - COUNT(DISTINCT struct(cols))``
+  (exact; the distinct pays the one shuffle it must);
+* referential checks are broadcast/shuffled left-anti counts against
+  the referenced key set.
+
+The report is a tidy (check_name, n_violations) DataFrame — joinable,
+sinkable, assertable; a CI gate is ``report.filter(n_violations > 0)``.
+NULL-handling rule: a row check counts a violation when the predicate
+is NOT true (false OR NULL) — a NULL comparison is a failed
+expectation, not a pass, which is the conservative reading the
+reference's TRY_CAST quarantine takes (SURVEY §1.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _violations(cond: Column) -> Column:
+    # NOT true == false or NULL: nulls are violations, not passes
+    return F.sum(F.when(cond, F.lit(0)).otherwise(F.lit(1)))
+
+
+def expectation_report(df: DataFrame, row_checks: dict[str, Column],
+                       unique: dict[str, list[str]] | None = None,
+                       references: dict[str, tuple[DataFrame, str, str]]
+                       | None = None) -> DataFrame:
+    """Evaluate all expectations; return (check_name, n_violations).
+
+    ``row_checks``: name -> predicate that must hold on every row.
+    ``unique``: name -> column list that must be duplicate-free.
+    ``references``: name -> (dim_df, fact_key, dim_key): every non-null
+    ``fact_key`` value must exist among ``dim_key`` values.
+    """
+    spark = df.sparkSession
+    parts: list[DataFrame] = []
+
+    if row_checks:
+        one_pass = df.agg(*[
+            _violations(cond).cast("long").alias(name)
+            for name, cond in row_checks.items()])
+        parts.append(one_pass.unpivot(
+            [], list(row_checks), "check_name", "n_violations"))
+
+    for name, cols in (unique or {}).items():
+        parts.append(df.agg(
+            (F.count(F.lit(1))
+             - F.countDistinct(*[F.col(c) for c in cols]))
+            .cast("long").alias("n_violations"))
+            .select(F.lit(name).alias("check_name"), "n_violations"))
+
+    for name, (dim, fact_key, dim_key) in (references or {}).items():
+        orphans = (df.select(F.col(fact_key).alias("_k"))
+                   .filter(F.col("_k").isNotNull())
+                   .join(dim.select(F.col(dim_key).alias("_k")),
+                         "_k", "left_anti"))
+        parts.append(orphans.agg(
+            F.count(F.lit(1)).cast("long").alias("n_violations"))
+            .select(F.lit(name).alias("check_name"), "n_violations"))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -536,3 +536,58 @@ def j20_scd2_apply(spark, sf_dir):
                            F.to_date(F.lit("2024-06-01")).alias("change_ts"))))
     return scd2_apply(base, changes, key="c_custkey",
                       attrs=["c_mktsegment"], change_ts="change_ts")
+
+
+@register(
+    "x1_quality_report",
+    """SELECT 'price_under_cap' AS check_name,
+              CAST(COUNT(*) FILTER (WHERE (o_totalprice <= 300000)
+                   IS NOT TRUE) AS BIGINT) AS n_violations FROM orders
+       UNION ALL
+       SELECT 'status_known',
+              CAST(COUNT(*) FILTER (WHERE (o_orderstatus IN ('F','O'))
+                   IS NOT TRUE) AS BIGINT) FROM orders
+       UNION ALL
+       SELECT 'date_not_null',
+              CAST(COUNT(*) FILTER (WHERE o_orderdate IS NULL)
+                   AS BIGINT) FROM orders
+       UNION ALL
+       SELECT 'unique_orderkey',
+              CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+       FROM orders
+       UNION ALL
+       SELECT 'custkey_in_building_dim', CAST(COUNT(*) AS BIGINT)
+       FROM orders o LEFT JOIN
+            (SELECT c_custkey FROM customer
+             WHERE c_mktsegment = 'BUILDING') c
+         ON o.o_custkey = c.c_custkey
+       WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL""",
+    survey="U5/A11 ext (declarative data-quality expectations)",
+    note="the expectation report (operators/quality.py): row checks "
+         "(range, accepted values, not-null) fold into ONE conditional-"
+         "aggregate scan — adding a check adds a column to the partial "
+         "aggregate, not a job; uniqueness is COUNT(*) - "
+         "COUNT(DISTINCT); referential integrity is a left-anti count "
+         "(here deliberately violated: only BUILDING customers count "
+         "as the dim, so most orders orphan — a non-vacuous failing "
+         "check). NULL predicate = violation (IS NOT TRUE), the "
+         "conservative reading of the reference's TRY_CAST quarantine. "
+         "Generalizes the reference's validator (U5) + post-load count "
+         "reconciliations (A11) into the dbt-test shape")
+def x1_quality_report(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.quality import (
+        expectation_report,
+    )
+    o = t(spark, sf_dir, "orders")
+    building = (t(spark, sf_dir, "customer")
+                .filter(F.col("c_mktsegment") == "BUILDING"))
+    return expectation_report(
+        o,
+        row_checks={
+            "price_under_cap": F.col("o_totalprice") <= 300000,
+            "status_known": F.col("o_orderstatus").isin("F", "O"),
+            "date_not_null": F.col("o_orderdate").isNotNull(),
+        },
+        unique={"unique_orderkey": ["o_orderkey"]},
+        references={"custkey_in_building_dim":
+                    (building, "o_custkey", "c_custkey")})
