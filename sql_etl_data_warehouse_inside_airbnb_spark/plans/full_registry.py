@@ -17,6 +17,7 @@ import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_adv  # noqa: F4
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_ext  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_final  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_gaps  # noqa: F401
+import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_graph  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_more  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_surface  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_wide  # noqa: F401

@@ -1,0 +1,250 @@
+"""Graph clustering, robust outliers, and time-series interpolation.
+
+The dedup family (registry_ext) stops at candidate PAIRS; these
+queries add the steps a training-data pipeline runs after that:
+transitive closure into clusters (connected components, the only
+iterative algorithm in the registry — oracle'd against a DuckDB
+recursive CTE), canonical-document assignment over a planted-duplicate
+corpus, robust per-group outlier flagging (median/MAD, the
+distribution-free sibling of a27's moment statistics), and per-key
+linear interpolation of missing time-series points (the value-filling
+sibling of f32's zero-filling gap-fill).
+
+Determinism note: the interpolation emits exact integer
+numerator/denominator pairs instead of the quotient — cross-engine
+double division on rounding ties is the one thing the oracle harness
+cannot absorb (see SKILL.md gotchas).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
+    register,
+    t,
+)
+
+_FP_SQL = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+
+
+@register(
+    "g1_connected_components",
+    """WITH RECURSIVE e AS (
+         SELECT a.doc_id AS src, b.doc_id AS dst
+         FROM documents a JOIN documents b
+           ON b.doc_id = a.doc_id + 1 AND b.lang = a.lang),
+       sym AS (SELECT src AS a, dst AS b FROM e
+               UNION SELECT dst, src FROM e),
+       walk(node, comp) AS (
+         SELECT a, a FROM sym
+         UNION
+         SELECT s.b, w.comp FROM walk w JOIN sym s ON s.a = w.node)
+       SELECT node, MIN(comp) AS component FROM walk GROUP BY node""",
+    survey="§7.5 dedup ext (connected components)",
+    note="connected components (operators/graph.py) on a data-derived "
+         "graph: adjacent doc_ids sharing a language are edges, so "
+         "components are maximal same-language runs — sizes vary, "
+         "non-vacuous. Spark side is iterative min-label propagation "
+         "with pointer halving (O(log diameter) rounds, each one "
+         "equi-join + one map-side-combinable min agg, "
+         "localCheckpoint'd to stop lineage blowup); convergence is "
+         "detected by the monotone label-sum, one scalar agg per "
+         "round. The oracle is the transitive-closure recursive CTE — "
+         "O(component²) row pairs, fine at test scale, exactly what "
+         "the distributed formulation avoids at 100 TB. Edge "
+         "derivation is an equi-join on doc_id+1, not a global-order "
+         "window (which would single-partition at scale)")
+def g1_connected_components(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.graph import (
+        connected_components,
+    )
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    a, b = d.alias("a"), d.alias("b")
+    edges = (a.join(b, (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+                    & (F.col("b.lang") == F.col("a.lang")))
+             .select(F.col("a.doc_id").alias("src"),
+                     F.col("b.doc_id").alias("dst")))
+    return connected_components(edges)
+
+
+@register(
+    "g2_dedup_clusters",
+    f"""WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+         UNION ALL
+         SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 21 = 0)
+       SELECT doc_id,
+              MIN(doc_id) OVER (PARTITION BY {_FP_SQL}) AS cluster_id
+       FROM corpus""",
+    survey="§7.5 dedup ext (cluster assignment)",
+    note="end-to-end dedup clustering: corpus with planted exact "
+         "duplicates (copies at +1M/+2M key offsets; every 21st doc "
+         "forms a 3-clique) -> fingerprint-equality pairs -> "
+         "assign_clusters (components + singleton fallback), so every "
+         "row gets the cluster's min doc_id and `one row per cluster` "
+         "is a plain filter. Because the planted edges are exact-dup "
+         "cliques, the oracle needs no recursion: cluster == min "
+         "doc_id over the fingerprint partition. The same Spark path "
+         "handles NEAR-dup pairs (minhash/simhash), where transitivity "
+         "is real and only the component closure is correct")
+def g2_dedup_clusters(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+        fingerprint,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.graph import (
+        assign_clusters,
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    c1 = (docs.filter(F.col("doc_id") % 7 == 0)
+          .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    c2 = (docs.filter(F.col("doc_id") % 21 == 0)
+          .select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text"))
+    corpus = docs.unionByName(c1).unionByName(c2)
+    fp = corpus.select("doc_id", fingerprint("text").alias("fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("key_a"),
+                     F.col("b.doc_id").alias("key_b")))
+    return (assign_clusters(corpus, "doc_id", pairs)
+            .select("doc_id", "cluster_id"))
+
+
+@register(
+    "x2_outlier_mad",
+    """WITH c AS (SELECT c_mktsegment,
+                         CAST(c_acctbal AS DOUBLE) AS bal FROM customer),
+       med AS (SELECT c_mktsegment, median(bal) AS med
+               FROM c GROUP BY 1),
+       dev AS (SELECT c.c_mktsegment, abs(c.bal - m.med) AS adev
+               FROM c JOIN med m ON c.c_mktsegment = m.c_mktsegment),
+       mad AS (SELECT c_mktsegment, median(adev) AS mad
+               FROM dev GROUP BY 1)
+       SELECT d.c_mktsegment,
+              CAST(COUNT(*) FILTER (WHERE d.adev > 1.5 * m.mad)
+                   AS BIGINT) AS n_outliers,
+              CAST(COUNT(*) AS BIGINT) AS n_rows
+       FROM dev d JOIN mad m ON d.c_mktsegment = m.c_mktsegment
+       GROUP BY 1""",
+    survey="§2.4 ext (robust outlier detection, median/MAD)",
+    note="robust per-group outlier count: |x - median| > 1.5 * MAD, "
+         "the distribution-free screen a data-quality pass runs where "
+         "a27's mean/stddev z-score is skew-fragile. Two exact-median "
+         "aggregates; the per-group (median, MAD) tables are tiny and "
+         "broadcast back, so the fact table is scanned twice and never "
+         "shuffled on a data key. Exact median is a full per-group "
+         "sort — at 100 TB swap in approx_percentile (a24) and the "
+         "plan shape is unchanged. Compared columns are integer "
+         "counts; the 1.5*MAD threshold comparison is double but both "
+         "engines compute it from identical operands (CAST to DOUBLE "
+         "pinned in the oracle — DuckDB median over DECIMAL truncates)")
+def x2_outlier_mad(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(
+        "c_mktsegment", F.col("c_acctbal").cast("double").alias("bal"))
+    med = c.groupBy("c_mktsegment").agg(F.median("bal").alias("med"))
+    dev = (c.join(F.broadcast(med), "c_mktsegment")
+           .select("c_mktsegment",
+                   F.abs(F.col("bal") - F.col("med")).alias("adev")))
+    mad = dev.groupBy("c_mktsegment").agg(F.median("adev").alias("mad"))
+    return (dev.join(F.broadcast(mad), "c_mktsegment")
+            .groupBy("c_mktsegment")
+            .agg(F.sum(F.when(F.col("adev") > 1.5 * F.col("mad"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_outliers"),
+                 F.count("*").cast("bigint").alias("n_rows")))
+
+
+@register(
+    "ts1_interpolate",
+    """WITH o AS (SELECT o_custkey, date_trunc('month', o_orderdate) AS m
+                  FROM orders WHERE o_custkey < 40),
+       spans AS (SELECT o_custkey, min(m) AS lo, max(m) AS hi
+                 FROM o GROUP BY o_custkey),
+       months AS (SELECT o_custkey, g.m FROM spans,
+                  LATERAL unnest(generate_series(lo, hi,
+                                 INTERVAL 1 MONTH)) AS g(m)),
+       cnt AS (SELECT o_custkey, m, COUNT(*) AS c
+               FROM o GROUP BY o_custkey, m),
+       j AS (SELECT months.o_custkey, months.m AS month, cnt.c
+             FROM months LEFT JOIN cnt
+               ON months.o_custkey = cnt.o_custkey AND months.m = cnt.m),
+       w AS (SELECT o_custkey, month, c,
+               last_value(CASE WHEN c IS NOT NULL THEN month END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY o_custkey ORDER BY month
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS pm,
+               last_value(c IGNORE NULLS)
+                 OVER (PARTITION BY o_custkey ORDER BY month
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS pv,
+               first_value(CASE WHEN c IS NOT NULL THEN month END
+                           IGNORE NULLS)
+                 OVER (PARTITION BY o_custkey ORDER BY month
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                 AS nm,
+               first_value(c IGNORE NULLS)
+                 OVER (PARTITION BY o_custkey ORDER BY month
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                 AS nv
+             FROM j)
+       SELECT o_custkey, month,
+              CAST(CASE WHEN c IS NOT NULL THEN c
+                   ELSE pv * (datediff('month', pm, nm)
+                              - datediff('month', pm, month))
+                        + nv * datediff('month', pm, month)
+                   END AS BIGINT) AS interp_num,
+              CAST(CASE WHEN c IS NOT NULL THEN 1
+                   ELSE datediff('month', pm, nm)
+                   END AS BIGINT) AS interp_den
+       FROM w""",
+    survey="F10 ext (per-key linear interpolation)",
+    note="per-key linear interpolation: f32's gap-free monthly axis, "
+         "but missing months take the straight line between their "
+         "bracketing present months instead of zero — the standard "
+         "time-series repair before rate-of-change features. "
+         "prev/next value and position come from "
+         "last/first(IGNORE NULLS) over running frames — two window "
+         "passes over ONE partitioning (custkey), no self-join, no "
+         "driver loop; the axis ends are always present months, so "
+         "the brackets never dangle. Emits exact integer "
+         "numerator/denominator (value = num/den) instead of the "
+         "quotient: lerp division on rounding ties is exactly the "
+         "cross-engine trap the oracle harness can't absorb")
+def ts1_interpolate(spark, sf_dir):
+    o = (t(spark, sf_dir, "orders")
+         .filter(F.col("o_custkey") < 40)
+         .select("o_custkey",
+                 F.date_trunc("month", "o_orderdate").alias("m")))
+    spans = o.groupBy("o_custkey").agg(F.min("m").alias("lo"),
+                                       F.max("m").alias("hi"))
+    months = spans.select(
+        "o_custkey",
+        F.explode(F.sequence("lo", "hi",
+                             F.expr("interval 1 month"))).alias("month"))
+    cnt = (o.groupBy("o_custkey", F.col("m").alias("month"))
+           .agg(F.count("*").alias("c")))
+    j = months.join(cnt, ["o_custkey", "month"], "left")
+    wp = (Window.partitionBy("o_custkey").orderBy("month")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = (Window.partitionBy("o_custkey").orderBy("month")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    present_m = F.when(F.col("c").isNotNull(), F.col("month"))
+    w = j.select(
+        "o_custkey", "month", "c",
+        F.last(present_m, ignorenulls=True).over(wp).alias("pm"),
+        F.last("c", ignorenulls=True).over(wp).alias("pv"),
+        F.first(present_m, ignorenulls=True).over(wn).alias("nm"),
+        F.first("c", ignorenulls=True).over(wn).alias("nv"))
+    k = F.months_between("month", "pm")
+    n = F.months_between("nm", "pm")
+    return w.select(
+        "o_custkey", "month",
+        F.when(F.col("c").isNotNull(), F.col("c"))
+        .otherwise(F.col("pv") * (n - k) + F.col("nv") * k)
+        .cast("bigint").alias("interp_num"),
+        F.when(F.col("c").isNotNull(), F.lit(1))
+        .otherwise(n).cast("bigint").alias("interp_den"))
