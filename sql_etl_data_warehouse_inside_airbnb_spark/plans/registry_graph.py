@@ -248,3 +248,58 @@ def ts1_interpolate(spark, sf_dir):
         .cast("bigint").alias("interp_num"),
         F.when(F.col("c").isNotNull(), F.lit(1))
         .otherwise(n).cast("bigint").alias("interp_den"))
+
+
+@register(
+    "x3_snapshot_diff",
+    """WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+                    FROM orders),
+       new AS (
+         SELECT o_orderkey,
+                CASE WHEN o_orderkey % 17 = 0 THEN o_totalprice + 1
+                     ELSE o_totalprice END AS o_totalprice,
+                o_orderstatus
+         FROM orders WHERE o_orderkey % 13 <> 0
+         UNION ALL
+         SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+         FROM orders WHERE o_orderkey % 19 = 0)
+       SELECT * FROM (
+         SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                     WHEN n.o_orderkey IS NULL THEN 'delete'
+                     WHEN NOT (o.o_totalprice IS NOT DISTINCT FROM
+                                 n.o_totalprice
+                               AND o.o_orderstatus IS NOT DISTINCT FROM
+                                 n.o_orderstatus)
+                     THEN 'update' ELSE 'unchanged' END AS change_type
+         FROM old o FULL OUTER JOIN new n
+           ON o.o_orderkey = n.o_orderkey)
+       WHERE change_type <> 'unchanged'""",
+    survey="§2.3/§3.2 ext (snapshot CDC diff)",
+    note="snapshot reconciliation (operators/merge.py:snapshot_diff): "
+         "recover the insert/update/delete delta between two full "
+         "table versions — the inverse of j8's MERGE, and what a "
+         "pipeline runs when the upstream re-ships whole files with "
+         "no change log (exactly the reference's re-load situation, "
+         "SURVEY §3.2). New snapshot is derived deterministically "
+         "(every 13th key deleted, 17th repriced, 19th re-keyed as an "
+         "insert) so all three change types are non-vacuous. One "
+         "full-outer shuffle join; column comparison is ONE null-safe "
+         "struct equality, JVM-side, no hash round-trip; bucketed "
+         "snapshots make the join co-located at scale")
+def x3_snapshot_diff(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.merge import (
+        snapshot_diff,
+    )
+    old = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    base = old.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 17 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderstatus")
+    inserts = (old.filter(F.col("o_orderkey") % 19 == 0)
+               .select((F.col("o_orderkey") + 100000000)
+                       .alias("o_orderkey"),
+                       "o_totalprice", "o_orderstatus"))
+    return snapshot_diff(old, base.unionByName(inserts), "o_orderkey")
