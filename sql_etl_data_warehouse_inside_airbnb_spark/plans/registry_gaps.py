@@ -354,3 +354,43 @@ def ext_grouped_median(spark, sf_dir):
             .applyInPandas(
                 median,
                 schema="c_mktsegment string, median_acctbal double, n long"))
+
+
+@register(
+    "u7_pandas_udaf_maxgap",
+    """SELECT o_custkey,
+              CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_days
+       FROM (SELECT o_custkey,
+                    date_diff('day',
+                              lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                     ORDER BY o_orderdate),
+                              o_orderdate) AS gap
+             FROM orders)
+       GROUP BY o_custkey""",
+    survey="§2.10 UDF surface (grouped-agg pandas UDAF)",
+    note="the third Arrow surface after scalar pandas_udf (ext_lang_id"
+         "_udf) and grouped-map applyInPandas (ext_grouped_median): a "
+         "GROUPED_AGG pandas UDAF inside .agg() — per-customer max gap "
+         "in days between consecutive orders, sorted and diffed in "
+         "pandas per Arrow batch (ArrowAggregatePython node, whitelisted "
+         "in tests/test_plan_audit.py). One shuffle on the group key, "
+         "same as a JVM aggregate, but NO partial map-side combine — "
+         "the documented cost of a pandas UDAF vs built-ins; use one "
+         "only when the per-group computation (here an order-dependent "
+         "fold) has no pyspark.sql.functions form. Result is an "
+         "integer day count, and the max over consecutive diffs of a "
+         "sorted multiset is tie-permutation-invariant — exact across "
+         "engines; the oracle is the lag-window rewrite")
+def u7_pandas_udaf_maxgap(spark, sf_dir):
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: inference from hints needs module-level
+    # pandas + unstringified annotations (see memory: pandas_udf trap)
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def max_gap_days(d):
+        days = d.sort_values().diff().dt.days.dropna()
+        return 0 if days.empty else int(days.max())
+
+    return (t(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(max_gap_days("o_orderdate").alias("max_gap_days")))

@@ -41,12 +41,13 @@ ROW_PYTHON_OK = {
 ARROW_PYTHON_OK = {
     "ext_lang_id_udf": "ArrowEvalPython",
     "ext_grouped_median": "FlatMapGroupsInPandas",
+    "u7_pandas_udaf_maxgap": "ArrowAggregatePython",
 }
 
 NESTED_LOOP_NODES = ("BroadcastNestedLoopJoin", "CartesianProduct")
 PYTHON_NODES = ("BatchEvalPython", "ArrowEvalPython",
                 "FlatMapGroupsInPandas", "MapInPandas", "PythonUDTF",
-                "FlatMapGroupsInPandasWithState")
+                "FlatMapGroupsInPandasWithState", "ArrowAggregatePython")
 
 
 def test_registry_wide_plan_audit(spark, sf_dir):
