@@ -303,3 +303,54 @@ def x3_snapshot_diff(spark, sf_dir):
                        .alias("o_orderkey"),
                        "o_totalprice", "o_orderstatus"))
     return snapshot_diff(old, base.unionByName(inserts), "o_orderkey")
+
+
+@register(
+    "m1_frequent_itemsets",
+    """WITH b AS (SELECT DISTINCT l_orderkey, n_name
+                  FROM lineitem
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey),
+       n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM b),
+       singles AS (SELECT [n_name] AS items, COUNT(*) AS freq
+                   FROM b GROUP BY n_name),
+       pairs AS (SELECT [a.n_name, b2.n_name] AS items, COUNT(*) AS freq
+                 FROM b a JOIN b b2
+                   ON a.l_orderkey = b2.l_orderkey
+                  AND a.n_name < b2.n_name
+                 GROUP BY a.n_name, b2.n_name)
+       SELECT items, CAST(freq AS BIGINT) AS freq
+       FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
+       WHERE freq >= (SELECT CEIL(0.02 * n) FROM n_orders)""",
+    survey="§7.5 ext (frequent-itemset mining, FPGrowth)",
+    note="market-basket mining via pyspark.ml FPGrowth: baskets are "
+         "the distinct supplier-nations per order (25-symbol alphabet "
+         "keeps co-occurrence dense enough to be non-vacuous at every "
+         "sf). FPGrowth's distributed form is conditional-tree "
+         "partitioning — each worker mines the projected tree of its "
+         "item partition, no candidate-generation shuffle storm (vs "
+         "Apriori). Support counts are exact longs, and both engines "
+         "apply the same ceil(minSupport*n) cutoff to the same IEEE "
+         "double product, so the boundary agrees. Oracle enumerates "
+         "size-1/2 itemsets by exact GROUP BY; the Spark side filters "
+         "to size<=2 (size-3 sets exist below threshold only). Items "
+         "arrays sorted on both sides for stable comparison")
+def m1_frequent_itemsets(spark, sf_dir):
+    from pyspark.ml.fpm import FPGrowth
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    su = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    baskets = (li.join(F.broadcast(su),
+                       li["l_suppkey"] == su["s_suppkey"])
+               .join(F.broadcast(na),
+                     su["s_nationkey"] == na["n_nationkey"])
+               .select("l_orderkey", "n_name").distinct()
+               .groupBy("l_orderkey")
+               .agg(F.collect_set("n_name").alias("items")))
+    model = FPGrowth(itemsCol="items", minSupport=0.02,
+                     minConfidence=0.5).fit(baskets)
+    return (model.freqItemsets
+            .filter(F.size("items") <= 2)
+            .select(F.sort_array("items").alias("items"),
+                    F.col("freq").cast("bigint").alias("freq")))
