@@ -354,3 +354,51 @@ def m1_frequent_itemsets(spark, sf_dir):
             .filter(F.size("items") <= 2)
             .select(F.sort_array("items").alias("items"),
                     F.col("freq").cast("bigint").alias("freq")))
+
+
+@register(
+    "x4_fuzzy_match",
+    """WITH dirty AS (
+         SELECT s_suppkey + 500000 AS dirty_key,
+                s_suppkey,
+                CASE WHEN s_suppkey % 3 = 0
+                     THEN replace(s_name, '#', '##')
+                     WHEN s_suppkey % 3 = 1
+                     THEN substring(s_name, 1, length(s_name) - 1)
+                     ELSE s_name END AS dirty_name
+         FROM supplier WHERE s_suppkey % 2 = 0)
+       SELECT d.dirty_key, s.s_suppkey AS matched_key,
+              CAST(levenshtein(d.dirty_name, s.s_name) AS INT) AS dist
+       FROM dirty d JOIN supplier s
+         ON substring(d.dirty_name, 1, 4) = substring(s.s_name, 1, 4)
+        AND levenshtein(d.dirty_name, s.s_name) <= 2""",
+    survey="§2.8/§7.5 ext (fuzzy entity matching, edit distance)",
+    note="fuzzy entity resolution: a derived 'dirty' feed (every other "
+         "supplier, names mutated by doubled '#' or truncated last "
+         "char) is matched back to the clean dimension by Levenshtein "
+         "<= 2 — the reference's host-name/location cleanup theme "
+         "(pretreatment.py) done as a set operation. The join is "
+         "BLOCKED on a 4-char name prefix, so the edit-distance "
+         "(quadratic per pair, JVM levenshtein, no UDF) runs only "
+         "inside prefix buckets — an equi-join at scale, never "
+         "all-pairs; mutations preserve the prefix so blocking costs "
+         "no recall here (the general recipe is multi-pass blocking). "
+         "Both engines implement classic Wagner-Fischer, so distances "
+         "compare exactly; ambiguous multi-matches are kept (it's a "
+         "candidate-scoring op, winner selection is w1/w2's job)")
+def x4_fuzzy_match(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    dirty = (s.filter(F.col("s_suppkey") % 2 == 0)
+             .select((F.col("s_suppkey") + 500000).alias("dirty_key"),
+                     F.when(F.col("s_suppkey") % 3 == 0,
+                            F.regexp_replace("s_name", "#", "##"))
+                     .when(F.col("s_suppkey") % 3 == 1,
+                           F.expr("substring(s_name, 1, length(s_name) - 1)"))
+                     .otherwise(F.col("s_name")).alias("dirty_name")))
+    dist = F.levenshtein(F.col("dirty_name"), F.col("s_name"))
+    return (dirty.join(
+        s,
+        (F.substring("dirty_name", 1, 4) == F.substring("s_name", 1, 4))
+        & (dist <= 2))
+        .select("dirty_key", F.col("s_suppkey").alias("matched_key"),
+                dist.cast("int").alias("dist")))
