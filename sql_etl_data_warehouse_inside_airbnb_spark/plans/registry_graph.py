@@ -402,3 +402,67 @@ def x4_fuzzy_match(spark, sf_dir):
         & (dist <= 2))
         .select("dirty_key", F.col("s_suppkey").alias("matched_key"),
                 dist.cast("int").alias("dist")))
+
+
+@register(
+    "x5_incremental_agg",
+    """SELECT o_custkey,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                    AS DOUBLE), 2) AS sum_price
+       FROM orders GROUP BY o_custkey""",
+    survey="A8/A11 ext (incremental aggregate maintenance)",
+    note="materialized-aggregate maintenance: the per-customer rollup "
+         "is computed as HISTORY (orders before 1998) + DELTA (1998 "
+         "onward) merged by re-aggregating the PARTIAL aggregates — "
+         "sum-of-sums, sum-of-counts — never rescanning history rows. "
+         "The oracle is the one-shot full aggregate, so the parity "
+         "match IS the algebraic-correctness proof (count/sum are "
+         "mergeable; avg/stddev derive from merged sums, a27; exact "
+         "quantiles are NOT algebraic — that's what a24/a33's "
+         "mergeable sketches are for). At 100 TB this is the daily "
+         "pattern: yesterday's partials are a small table, only the "
+         "delta partition is scanned; partial sums stay DECIMAL until "
+         "the final round so merge order can't move the result")
+def x5_incremental_agg(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,6)").alias("p"))
+    cutoff = F.lit("1998-01-01").cast("date")
+
+    def partial(df):
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("pn"), F.sum("p").alias("ps"))
+
+    hist = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    return (hist.unionByName(delta)
+            .groupBy("o_custkey")
+            .agg(F.sum("pn").cast("bigint").alias("n_orders"),
+                 F.round(F.sum("ps").cast("double"), 2).alias("sum_price")))
+
+
+@register(
+    "w10_topk_per_group",
+    """SELECT o_custkey, o_orderkey, o_totalprice
+       FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             FROM orders) WHERE rn <= 3""",
+    survey="§2.5/§2.6 ext (top-k per group)",
+    note="per-group top-k (3 priciest orders per customer, orderkey "
+         "tiebreak for a total order): the grouped sibling of o2's "
+         "global top-k and the k>1 generalization of w2's "
+         "first-per-group. One shuffle on the group key; rank "
+         "truncation happens inside the window sort, so only k rows "
+         "per group survive the exchange — never a per-group "
+         "collect/sort in Python")
+def w10_topk_per_group(spark, sf_dir):
+    from pyspark.sql import Window as W
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (t(spark, sf_dir, "orders")
+            .select("o_custkey", "o_orderkey", "o_totalprice",
+                    F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= 3)
+            .drop("rn"))
