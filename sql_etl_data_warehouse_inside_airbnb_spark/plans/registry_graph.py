@@ -466,3 +466,98 @@ def w10_topk_per_group(spark, sf_dir):
                     F.row_number().over(w).alias("rn"))
             .filter(F.col("rn") <= 3)
             .drop("rn"))
+
+
+@register(
+    "e1_funnel_stages",
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+       s AS (SELECT user_id, MIN(ts) AS t1 FROM events
+             WHERE event_type = 'signup' GROUP BY user_id),
+       v AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+             JOIN s ON e.user_id = s.user_id AND e.ts > s.t1
+             WHERE e.event_type = 'view' GROUP BY e.user_id),
+       p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+             JOIN v ON e.user_id = v.user_id AND e.ts > v.t2
+             WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+       SELECT u.user_id,
+              CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                        WHEN v.user_id IS NOT NULL THEN 2
+                        WHEN s.user_id IS NOT NULL THEN 1
+                        ELSE 0 END AS INT) AS funnel_stage
+       FROM u LEFT JOIN s ON u.user_id = s.user_id
+              LEFT JOIN v ON u.user_id = v.user_id
+              LEFT JOIN p ON u.user_id = p.user_id""",
+    survey="§2.9/§7.5 ext (ordered funnel analysis)",
+    note="ordered funnel: signup -> first view AFTER signup -> first "
+         "purchase AFTER that view, per user — the sequence constraint "
+         "(each stage strictly later than the previous) is what plain "
+         "per-type counts get wrong. Three per-user min-aggregates "
+         "chained by equi-joins on user_id — every join and agg shares "
+         "ONE partitioning key, so at scale this is one shuffle then "
+         "map-side work; no window over the full event stream, no "
+         "match_recognize engine needed. Timestamps only compare "
+         "WITHIN an engine (the cross-engine columns are user_id and "
+         "the integer stage), so event-time precision is not on the "
+         "oracle boundary here (cf. sources/io.py nanos note)")
+def e1_funnel_stages(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    s = (ev.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    v = (ev.filter(F.col("event_type") == "view").alias("e")
+         .join(s.alias("s"), (F.col("e.user_id") == F.col("s.user_id"))
+               & (F.col("e.ts") > F.col("s.t1")))
+         .groupBy(F.col("e.user_id").alias("user_id"))
+         .agg(F.min("e.ts").alias("t2")))
+    p = (ev.filter(F.col("event_type") == "purchase").alias("e")
+         .join(v.alias("v"), (F.col("e.user_id") == F.col("v.user_id"))
+               & (F.col("e.ts") > F.col("v.t2")))
+         .groupBy(F.col("e.user_id").alias("user_id"))
+         .agg(F.min("e.ts").alias("t3")))
+    stage = (F.when(F.col("t3").isNotNull(), 3)
+             .when(F.col("t2").isNotNull(), 2)
+             .when(F.col("t1").isNotNull(), 1)
+             .otherwise(0)).cast("int")
+    return (u.join(s, "user_id", "left")
+            .join(v.select("user_id", "t2"), "user_id", "left")
+            .join(p.select("user_id", "t3"), "user_id", "left")
+            .select("user_id", stage.alias("funnel_stage")))
+
+
+@register(
+    "e2_retention_cohorts",
+    """WITH firsts AS (SELECT user_id,
+                              date_trunc('week', MIN(ts)) AS cohort_week
+                       FROM events GROUP BY user_id),
+       active AS (SELECT DISTINCT user_id,
+                         date_trunc('week', ts) AS active_week
+                  FROM events)
+       SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+              CAST(datediff('day', f.cohort_week, a.active_week) / 7
+                   AS INT) AS week_offset,
+              CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_users
+       FROM firsts f JOIN active a ON f.user_id = a.user_id
+       GROUP BY 1, 2""",
+    survey="§2.9/§7.5 ext (retention cohort analysis)",
+    note="retention triangle: users bucketed by first-seen ISO week, "
+         "counted once per later active week — the standard "
+         "growth-analytics rollup. Per-user first-event agg + distinct "
+         "(user, week) pairs + one join, all partitioned by user_id; "
+         "the final (cohort, offset) aggregate is tiny. Week "
+         "bucketing here is plain date_trunc('week') (ISO Monday, "
+         "identical in both engines) — deliberately NOT the "
+         "reference's Sunday->next-Monday T-SQL week (a7/F9), which "
+         "exists separately; the offset is an exact integer because "
+         "both operands are Monday boundaries")
+def e2_retention_cohorts(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    firsts = (ev.groupBy("user_id")
+              .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+    active = (ev.select("user_id",
+                        F.date_trunc("week", "ts").alias("active_week"))
+              .distinct())
+    return (firsts.join(active, "user_id")
+            .groupBy(F.col("cohort_week").cast("date").alias("cohort_week"),
+                     F.expr("datediff(active_week, cohort_week) div 7")
+                     .cast("int").alias("week_offset"))
+            .agg(F.countDistinct("user_id").alias("n_users")))
