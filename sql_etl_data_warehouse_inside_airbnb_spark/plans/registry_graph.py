@@ -561,3 +561,80 @@ def e2_retention_cohorts(spark, sf_dir):
                      F.expr("datediff(active_week, cohort_week) div 7")
                      .cast("int").alias("week_offset"))
             .agg(F.countDistinct("user_id").alias("n_users")))
+
+
+_SHINGLE5_SQL = """list_distinct(list_transform(
+             generate_series(1,
+               len(string_split_regex(trim(text), '\\s+')) - 4),
+             i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                  string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                  string_split_regex(trim(text), '\\s+')[i+2] || ' ' ||
+                  string_split_regex(trim(text), '\\s+')[i+3] || ' ' ||
+                  string_split_regex(trim(text), '\\s+')[i+4]))"""
+
+
+@register(
+    "ext_decontaminate",
+    f"""WITH eval_sh AS (
+         SELECT DISTINCT g.sh FROM documents,
+                LATERAL unnest({_SHINGLE5_SQL}) AS g(sh)
+         WHERE doc_id % 17 = 0
+           AND len(string_split_regex(trim(text), '\\s+')) >= 5),
+       corpus_sh AS (
+         SELECT doc_id, g.sh FROM documents,
+                LATERAL unnest({_SHINGLE5_SQL}) AS g(sh)
+         WHERE len(string_split_regex(trim(text), '\\s+')) >= 5)
+       SELECT DISTINCT c.doc_id AS contaminated_doc_id
+       FROM corpus_sh c JOIN eval_sh e ON c.sh = e.sh""",
+    survey="§7.5 ext (benchmark decontamination)",
+    note="eval-set decontamination: flag every training document "
+         "sharing ANY 5-gram shingle with the held-out eval corpus "
+         "(planted here as every 17th doc, so recall is exactly "
+         "verifiable) — the pre-training hygiene step next to dedup. "
+         "Shape matters: explode shingles on both sides and LEFT SEMI "
+         "join on the shingle string — a hash join on short keys that "
+         "scales linearly in total shingle count, NOT a pairwise "
+         "document comparison (the Jaccard ops' O(pairs) is exactly "
+         "what contamination checks against a small eval set never "
+         "need). At 100 TB: eval shingle set is millions of rows -> "
+         "broadcast; corpus side is one projection+explode, no "
+         "shuffle of document text")
+def ext_decontaminate(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+        shingles,
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_sh = (docs.filter(F.col("doc_id") % 17 == 0)
+               .select(F.explode(shingles("text", 5)).alias("sh"))
+               .distinct())
+    corpus_sh = docs.select(
+        "doc_id", F.explode(shingles("text", 5)).alias("sh"))
+    return (corpus_sh.join(F.broadcast(eval_sh), "sh", "left_semi")
+            .select(F.col("doc_id").alias("contaminated_doc_id"))
+            .distinct())
+
+
+@register(
+    "ext_train_split",
+    """SELECT doc_id, lang,
+              CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                   WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM documents""",
+    survey="§7.5 ext (deterministic train/val/test split)",
+    note="reproducible 80/10/10 split: multiplicative (Knuth) hash of "
+         "the key, modulo-bucketed — pure arithmetic, so the SAME doc "
+         "lands in the SAME split on every engine, every run, every "
+         "repartitioning (rand()-based splits violate all three; "
+         "engine hash functions differ cross-engine, which is why "
+         "this is arithmetic and not xxhash64). Stateless map, no "
+         "shuffle; stratification is free downstream because the "
+         "hash is independent of lang — assert per-lang ratios with "
+         "a5-style conditional aggs if the corpus needs proof")
+def ext_train_split(spark, sf_dir):
+    m = F.col("doc_id") * F.lit(2654435761)
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id", "lang",
+                    F.when(m % 100 < 80, "train")
+                    .when(m % 100 < 90, "val")
+                    .otherwise("test").alias("split")))
