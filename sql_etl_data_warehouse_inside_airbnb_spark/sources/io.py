@@ -77,9 +77,27 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return normalize_event_time(df)
+
+
+def normalize_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Coerce the event-time column to session-timezone TIMESTAMP.
+
+    Two upstream encodings exist: INT64 nanos (read as bigint under
+    ``nanosAsLong``) and TIMESTAMP(MICROS) with no timezone (Spark
+    TIMESTAMP_NTZ). Watermarks and window functions require TIMESTAMP
+    (LTZ); with the session pinned to UTC (session.py) the NTZ→LTZ
+    cast is a pure type relabel of the same microsecond value.
+    """
     for f_ in df.schema.fields:
-        if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if f_.name != ts_col:
+            continue
+        kind = f_.dataType.simpleString()
+        if kind == "bigint":
+            df = df.withColumn(
+                ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+        elif kind == "timestamp_ntz":
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 
 

@@ -16,6 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+    normalize_event_time,
+)
+
 
 def tumbling_agg(events: DataFrame, size: str = "1 day",
                  ts_col: str = "ts") -> DataFrame:
@@ -82,13 +86,10 @@ def stream_events(spark: SparkSession, sf_dir: str,
               .option("maxFilesPerTrigger", max_files_per_trigger)
               .option("pathGlobFilter", "events.parquet")
               .parquet(sf_dir))
-    for f_ in stream.schema.fields:
-        if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
-            # integer div, NOT `/`: float division drifts ±256 ns at
-            # 1.7e18 (double ulp) — see sources/io.py:read_table
-            stream = stream.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    # bigint nanos → micros (integer div, NOT `/`: float division
+    # drifts ±256 ns at 1.7e18) and NTZ → LTZ for watermark support —
+    # see sources/io.py:normalize_event_time
+    return normalize_event_time(stream)
 
 
 def run_stream_to_memory(stream_df: DataFrame, query_name: str,
