@@ -48,19 +48,45 @@ def jaccard_similarity(a: Column, b: Column) -> Column:
 
 def ngram_jaccard_pairs(df: DataFrame, key_col: str, text_col: str,
                         block_col: str, n: int = 3,
-                        threshold: float = 0.0) -> DataFrame:
+                        threshold: float = 0.0,
+                        length_bucket: int | None = None,
+                        minhash_band: bool = False) -> DataFrame:
     """Near-dup candidate pairs by n-gram Jaccard within blocks.
 
-    The block column bounds the join fan-out (at 100 TB: block on a
-    cheap surrogate — language, length bucket, LSH band — never
-    all-pairs). Output: (key_a, key_b, jaccard)."""
+    The composed block key bounds the join fan-out. ``block_col`` alone
+    (e.g. language, ~5 values) makes each block O(N/5) and the
+    self-join O(N²/25) — a scale-killer. Composing it with:
+
+    - ``length_bucket``: floor(|shingles| / bucket) — the classic
+      set-similarity length filter (near-dups have near-equal sizes);
+    - ``minhash_band``: min(md5(shingle)) — a 1-hash MinHash band; two
+      documents share it with probability equal to their shingle
+      Jaccard, so true near-dups stay co-blocked while the band's
+      cardinality grows with the corpus vocabulary (≈ distinct
+      shingles), keeping block sizes O(1) as N grows.
+
+    md5 (not xxhash64) keeps the band engine-portable, so the whole
+    candidate generation stays oracle-checkable in DuckDB.
+    Output: (key_a, key_b, jaccard)."""
     base = df.select(F.col(key_col), F.col(block_col),
                      shingles(text_col, n).alias("sh"))
+    keys = [block_col]
+    if length_bucket:
+        base = base.withColumn(
+            "__lb", F.floor(F.size("sh") / F.lit(length_bucket)))
+        keys.append("__lb")
+    if minhash_band:
+        # min over empty shingle set is NULL -> null-keyed docs join
+        # nothing (same semantics in DuckDB).
+        base = base.withColumn(
+            "__band", F.array_min(F.transform("sh", lambda s: F.md5(s))))
+        keys.append("__band")
     a = base.alias("a")
     b = base.alias("b")
     sim = jaccard_similarity(F.col("a.sh"), F.col("b.sh"))
-    return (a.join(b, on=[F.col(f"a.{block_col}") == F.col(f"b.{block_col}"),
-                          F.col(f"a.{key_col}") < F.col(f"b.{key_col}")])
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in keys]
+    cond.append(F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+    return (a.join(b, on=cond)
             .select(F.col(f"a.{key_col}").alias("key_a"),
                     F.col(f"b.{key_col}").alias("key_b"),
                     F.round(sim, 6).alias("jaccard"))

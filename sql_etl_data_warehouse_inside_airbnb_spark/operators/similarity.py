@@ -93,27 +93,72 @@ def lsh_topk(df: DataFrame, query: DataFrame, k: int = 10,
             .limit(k))
 
 
+def sign_bucket(vec: Column, bits: int) -> Column:
+    """Axis-aligned sign-LSH bucket: bit i set iff vec[i] > 0. The
+    basis-vector special case of random-hyperplane LSH — collision
+    probability decays with angular distance, and (unlike seeded
+    planes) it is exactly expressible in ANSI SQL, so blocked plans
+    stay oracle-checkable. ``bits`` scales with log N at scale to hold
+    block sizes constant."""
+    bucket = F.lit(0).cast("long")
+    for i in range(bits):
+        bucket = bucket + F.when(
+            F.element_at(vec, i + 1) > 0,
+            F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
 def pairwise_cosine_dups(df: DataFrame, key_col: str = "vec_id",
                          vec_col: str = "embedding",
                          block_col: str = "label",
-                         threshold: float = 0.2) -> DataFrame:
+                         threshold: float = 0.2,
+                         sign_bits: int = 0) -> DataFrame:
     """Embedding near-dup pairs: blocked pairwise cosine (same blocking
-    contract as ngram_jaccard_pairs — never all-pairs)."""
+    contract as ngram_jaccard_pairs — never all-pairs).
+
+    ``block_col`` alone is usually low-cardinality (a label/language),
+    which makes the self-join quadratic at scale; compose it with
+    ``sign_bits`` > 0 so the block key is (block_col, sign-LSH bucket)
+    — 2**sign_bits buckets per block value, tunable with N."""
     base = df.select(F.col(key_col), F.col(block_col),
                      as_double(F.col(vec_col)).alias("v"))
+    keys = [block_col]
+    if sign_bits:
+        # bucket over the double-cast copy ("v"): float->double is
+        # sign-preserving, and vec_col is already projected away.
+        base = base.withColumn("__bkt", sign_bucket(F.col("v"), sign_bits))
+        keys.append("__bkt")
     a, b = base.alias("a"), base.alias("b")
     sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
-    return (a.join(b, on=[F.col(f"a.{block_col}") == F.col(f"b.{block_col}"),
-                          F.col(f"a.{key_col}") < F.col(f"b.{key_col}")])
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in keys]
+    cond.append(F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+    return (a.join(b, on=cond)
             .select(F.col(f"a.{key_col}").alias("key_a"),
                     F.col(f"b.{key_col}").alias("key_b"),
                     sim.alias("cosine"))
             .filter(F.col("cosine") >= threshold))
 
 
+def fit_ivf_quantizer(df: DataFrame, vec_col: str = "embedding",
+                      n_clusters: int = 16, seed: int = 42):
+    """Fit the IVF coarse quantizer (distributed KMeans) ONCE, offline.
+
+    Returns a pyspark.ml KMeansModel to pass to :func:`ivf_topk`. At
+    100 TB this runs as a scheduled job (fit on a sample), the table is
+    rewritten partitioned by cluster id, and every probe reuses the
+    model — the fit must never sit on the per-query path."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = (df.select(as_double(F.col(vec_col)).alias("__v"))
+            .withColumn("__fv", array_to_vector("__v")))
+    return KMeans(k=n_clusters, seed=seed, featuresCol="__fv",
+                  predictionCol="__cluster").fit(base)
+
+
 def ivf_topk(df: DataFrame, query: DataFrame, k: int = 10,
              key_col: str = "vec_id", vec_col: str = "embedding",
-             n_clusters: int = 16, n_probe: int = 4,
+             model=None, n_clusters: int = 16, n_probe: int = 4,
              seed: int = 42) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     assigns every vector to its nearest centroid; a probe scans only the
@@ -121,21 +166,22 @@ def ivf_topk(df: DataFrame, query: DataFrame, k: int = 10,
 
     The scale path beyond LSH: at 100 TB the table is written
     partitioned by ``__cluster`` so a probe reads n_probe/n_clusters of
-    the files; the quantizer is fit once offline (distributed KMeans)
-    and reused. ``n_probe == n_clusters`` degrades to exact brute force
+    the files. Pass ``model`` from :func:`fit_ivf_quantizer` — fitting
+    is only done inline as a convenience fallback when ``model`` is
+    None (fine for tests, wrong for the per-query path).
+    ``n_probe == n_clusters`` degrades to exact brute force
     (recall 1.0) — the tested equivalence. Deterministic: fixed seed,
     key tiebreaks.
     """
     import math
 
-    from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if model is None:
+        model = fit_ivf_quantizer(df, vec_col, n_clusters, seed)
     base = (df.select(F.col(key_col),
                       as_double(F.col(vec_col)).alias("__v"))
             .withColumn("__fv", array_to_vector("__v")))
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="__fv",
-                   predictionCol="__cluster").fit(base)
     assigned = model.transform(base).select(key_col, "__v", "__cluster")
 
     # single-row query + tiny centroid list -> driver-side probe choice

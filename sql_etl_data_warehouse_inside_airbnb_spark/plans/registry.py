@@ -373,7 +373,8 @@ def a4_global_count_distinct(spark, sf_dir):
 @register(
     "a5_conditional_agg",
     """SELECT l_linestatus,
-              sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+              CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_returned,
               count(*) AS n_total
        FROM lineitem GROUP BY l_linestatus""",
     survey="A5", note="pivot-style SUM(CASE) conditional aggregate")
@@ -424,7 +425,8 @@ def a6_money_clean_agg(spark, sf_dir):
                    AS DATE) + 6 AS week_end,
               sum(CAST(l_extendedprice AS DECIMAL(18,2)))
                   AS price_sum_per_week,
-              sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_per_week,
+              CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS returned_per_week,
               count(*) AS items_per_week
        FROM lineitem GROUP BY 1, 2, 3""",
     survey="A7/F8/A5/A6",
@@ -438,7 +440,9 @@ def a6_money_clean_agg(spark, sf_dir):
 def a7_weekly_rollup(spark, sf_dir):
     # week_end is functionally dependent on week_start: derive it after
     # the aggregate so the shuffle key stays (suppkey, week_start) and
-    # the per-row date math runs once, not twice.
+    # the per-row date math runs once, not twice. The final select pins
+    # the output column order to the oracle's (the driver's value hash
+    # is column-position-sensitive) without changing the plan.
     return (t(spark, sf_dir, "lineitem")
             .groupBy("l_suppkey",
                      tsql_week_start("l_shipdate").alias("week_start"))
@@ -447,7 +451,10 @@ def a7_weekly_rollup(spark, sf_dir):
                  F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
                   .alias("returned_per_week"),
                  F.count("*").alias("items_per_week"))
-            .withColumn("week_end", F.date_add("week_start", 6)))
+            .withColumn("week_end", F.date_add("week_start", 6))
+            .select("l_suppkey", "week_start", "week_end",
+                    "price_sum_per_week", "returned_per_week",
+                    "items_per_week"))
 
 
 @register(

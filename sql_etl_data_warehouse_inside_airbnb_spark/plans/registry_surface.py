@@ -315,7 +315,8 @@ def j15_cross_join(spark, sf_dir):
 @register(
     "f27_from_json_struct",
     """SELECT event_type,
-              sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+              CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                   AS BIGINT) AS k_sum,
               count(*) FILTER (WHERE CAST(json_extract(props, '$.k')
                                           AS BIGINT) % 7 = 0) AS k_div7,
               max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max

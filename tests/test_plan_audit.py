@@ -75,3 +75,38 @@ def test_registry_wide_plan_audit(spark, sf_dir):
         for name, node in wl.items():
             assert name in plans, f"whitelisted {name} left the registry"
             assert node in plans[name], f"{name}: whitelisted {node} gone"
+
+
+def test_dedup_block_keys_are_composed(spark, sf_dir):
+    """The pairwise dedup self-joins must never block on the bare
+    low-cardinality column alone (lang ~5 values, label ~10 values →
+    O((N/5)²) pairs at scale). The composed key (length bucket +
+    MinHash band / sign-LSH bucket) must appear in the physical join
+    keys, and empirically it must fragment blocks: many more distinct
+    blocks, much smaller max block."""
+    from pyspark.sql import functions as F
+
+    ng = REGISTRY["ext_dedup_ngram_jaccard"].build(spark, sf_dir)
+    ng_plan = ng._jdf.queryExecution().executedPlan().toString()
+    assert "__band" in ng_plan and "__lb" in ng_plan, ng_plan[:2000]
+
+    emb = REGISTRY["ext_dedup_embedding"].build(spark, sf_dir)
+    emb_plan = emb._jdf.queryExecution().executedPlan().toString()
+    assert "__bkt" in emb_plan, emb_plan[:2000]
+
+    # empirical fragmentation: composed key cardinality must dominate
+    # the bare column's, and the worst block must shrink
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
+        sign_bucket,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import read_table
+
+    e = (read_table(spark, sf_dir, "embeddings")
+         .withColumn("__bkt", sign_bucket(
+             F.transform("embedding", lambda x: x.cast("double")), 6)))
+    bare = e.groupBy("label").count()
+    comp = e.groupBy("label", "__bkt").count()
+    n_bare, max_bare = bare.count(), bare.agg(F.max("count")).first()[0]
+    n_comp, max_comp = comp.count(), comp.agg(F.max("count")).first()[0]
+    assert n_comp >= 5 * n_bare, (n_comp, n_bare)
+    assert max_comp * 5 <= max_bare, (max_comp, max_bare)

@@ -2,6 +2,12 @@
 query on Spark AND its oracle SQL on DuckDB over the same parquet
 tables, compare row count + sorted values.
 
+Stricter than the driver spec claims: r01 showed the driver's value
+hash is column-POSITION-sensitive (a7 failed on output order alone)
+and dtype-sensitive (a5 failed on DuckDB HUGEINT vs Spark BIGINT), so
+this mirror also enforces exact column order and audits the oracle's
+Arrow dtypes against Spark's coarse type classes.
+
 Usage: python tools/parity.py [sf_dir] [name_filter...]
 """
 
@@ -48,6 +54,47 @@ def rows_key(cols, rows):
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+def coarse_spark_type(dt: str) -> str:
+    """Map a Spark simpleString dtype to a coarse comparison class."""
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if dt in ("float", "double"):
+        return "float"
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt.startswith("timestamp"):
+        return "timestamp"
+    if dt.startswith(("array", "map", "struct")):
+        return "nested"
+    return dt  # string, date, boolean, binary
+
+
+def coarse_arrow_type(t) -> str:
+    """Map a pyarrow DataType (DuckDB result) to the same classes.
+    int128/HUGEINT deliberately maps to its own class: the driver's
+    hash distinguishes it from int64 (r01 a5 failure)."""
+    import pyarrow as pa
+
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_struct(t) or pa.types.is_map(t)):
+        return "nested"
+    return str(t)  # includes hugeint -> "int128" etc.
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     filters = sys.argv[2:]
@@ -81,15 +128,26 @@ def main():
             print(f"rows  {name}: {len(srows)} rows (no oracle)")
             continue
         try:
-            res = con.execute(q.oracle)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            otbl = con.execute(q.oracle).arrow()
+            ocols = otbl.column_names
+            orows = list(zip(*(otbl.column(i).to_pylist()
+                               for i in range(otbl.num_columns)))) \
+                if otbl.num_columns else []
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failed.append(name)
             continue
-        if sorted(scols) != sorted(ocols):
-            print(f"FAIL  {name}: columns {sorted(scols)} != {sorted(ocols)}")
+        if scols != ocols:
+            print(f"FAIL  {name}: column order {scols} != {ocols}")
+            failed.append(name)
+            continue
+        stypes = [coarse_spark_type(dt) for _, dt in sdf.dtypes]
+        otypes = [coarse_arrow_type(otbl.schema.field(i).type)
+                  for i in range(otbl.num_columns)]
+        if stypes != otypes:
+            bad = [(c, s, o) for c, s, o in zip(scols, stypes, otypes)
+                   if s != o]
+            print(f"FAIL  {name}: dtype class mismatch {bad}")
             failed.append(name)
             continue
         sk, ok = rows_key(scols, srows), rows_key(ocols, orows)
