@@ -95,6 +95,54 @@ def lang_id_udf(texts):
     return pd.Series([detect(s) for s in texts])
 
 
+try:  # public optional dependency — the reference's actual detector
+    import langdetect as _langdetect  # noqa: F401
+    HAVE_LANGDETECT = True
+except ImportError:
+    HAVE_LANGDETECT = False
+
+
+@F.pandas_udf(StringType())
+def lang_detect_udf(texts):
+    """Library-backed language detection — full U4 parity with the
+    reference's langdetect UDF (scripts/app/language_detection.py:41-154
+    wraps `langdetect.detect` per comment row; here it runs
+    Arrow-batched). Uses the public ``langdetect`` package when
+    installed (DetectorFactory.seed pinned for determinism, detection
+    failures -> 'und' like the reference's try/except -> 'unknown'),
+    and falls back to the marker-token heuristic otherwise — the UDF
+    signature, plan shape, and null handling are identical either way,
+    so installing the library never changes the query plan."""
+    import pandas as pd
+
+    if HAVE_LANGDETECT:
+        from langdetect import DetectorFactory, detect
+        from langdetect.lang_detect_exception import LangDetectException
+
+        DetectorFactory.seed = 0
+
+        def _detect(s):
+            if s is None or not s.strip():
+                return "und"
+            try:
+                return detect(s)
+            except LangDetectException:
+                return "und"
+    else:
+        def _detect(s):
+            if s is None:
+                return "und"
+            padded = " " + s.strip() + " "
+            best_lang, best_score = "und", 0
+            for lang, markers in LANG_MARKERS:
+                score = sum(padded.count(m) for m in markers)
+                if score > best_score:
+                    best_lang, best_score = lang, score
+            return best_lang
+
+    return pd.Series([_detect(s) for s in texts])
+
+
 def quality_features(col: Column | str) -> list[Column]:
     """Doc-quality features: token count, char count, mean token length,
     stopword ratio — the length/punct/stopword profile family."""

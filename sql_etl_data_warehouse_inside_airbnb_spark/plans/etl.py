@@ -97,7 +97,8 @@ def _load_existing(spark: SparkSession,
 
 def run_pipeline(spark: SparkSession, data_dir: str,
                  output_dir: str | None = None,
-                 incremental: bool = False) -> WarehouseTables:
+                 incremental: bool = False,
+                 reviews_cap: bool = False) -> WarehouseTables:
     """Full ETL. With ``output_dir``, each warehouse table is persisted
     as Parquet (the typed layer); otherwise everything stays lazy.
 
@@ -147,6 +148,19 @@ def run_pipeline(spark: SparkSession, data_dir: str,
 
     calendar_raw = _union("calendar")
     reviews_raw = _union("reviews")
+    if reviews_cap and files["reviews"]:
+        # reference caps PER FILE (modules/data_loader.py:427-431), so
+        # re-read per file, cap, then union — off by default; see
+        # pipeline.cap_reviews for the divergence note
+        from sql_etl_data_warehouse_inside_airbnb_spark.plans.pipeline import (
+            cap_reviews,
+        )
+        reviews_raw = None
+        for path, _, _ in files["reviews"]:
+            d = cap_reviews(read_csv_raw(spark, path))
+            reviews_raw = (d if reviews_raw is None
+                           else reviews_raw.unionByName(
+                               d, allowMissingColumns=True))
 
     date_sources = [d for d in (calendar_raw, reviews_raw) if d is not None]
     dim_dates = (build_dim_dates(*date_sources) if date_sources

@@ -427,3 +427,57 @@ def ext_multimodal_meta(spark, sf_dir):
                     F.octet_length(payload).cast("bigint")
                      .alias("payload_bytes"),
                     F.sha2(payload, 256).alias("payload_sha256"))
+
+
+@register(
+    "ext_multimodal_image_meta",
+    """SELECT doc_id AS media_id,
+              CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                   ELSE 'gif' END AS format,
+              CAST(doc_id % 1000 + 1 AS BIGINT) AS width,
+              CAST(n_chars % 800 + 1 AS BIGINT) AS height,
+              CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 23
+                        ELSE 13 END AS BIGINT) AS n_bytes
+       FROM documents""",
+    survey="§7.5 multimodal (real decode)",
+    note="REAL image header decode, hash-checked: per document a valid "
+         "PNG/JPEG/GIF header payload is synthesized (binary column, "
+         "dimensions derived from doc_id/n_chars), then "
+         "operators/multimodal.py:extract_image_meta parses the actual "
+         "bytes back (PNG IHDR / JPEG SOFn scan / GIF screen "
+         "descriptor) in a mapInPandas stage. The oracle recomputes "
+         "the expected (format,width,height,n_bytes) arithmetically — "
+         "any parsing bug breaks the hash match. Both stages are "
+         "Arrow-batched; payload bytes never shuffle")
+def ext_multimodal_image_meta(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.multimodal import (
+        build_image_payloads,
+        extract_image_meta,
+    )
+    dims = (t(spark, sf_dir, "documents")
+            .select(F.col("doc_id").alias("media_id"),
+                    (F.col("doc_id") % 1000 + 1).alias("width"),
+                    (F.col("n_chars") % 800 + 1).alias("height")))
+    return extract_image_meta(build_image_payloads(dims))
+
+
+@register(
+    "ext_lang_detect_lib", None,
+    survey="U4 (library path)",
+    note="library-backed language detection: functions/text.py:"
+         "lang_detect_udf uses the public langdetect package when "
+         "installed (seeded, failure->'und') and the marker heuristic "
+         "otherwise — same Arrow-batched plan either way, mirroring "
+         "the reference's langdetect UDF "
+         "(scripts/app/language_detection.py:41-154). Output depends "
+         "on which detector is present -> rows-only; the fallback "
+         "path is fixture-pinned against lang_id() in tests")
+def ext_lang_detect_lib(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+        lang_detect_udf,
+    )
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id", lang_detect_udf(F.col("text")).alias("lang"))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("first_doc")))

@@ -64,16 +64,12 @@ def write_pipe_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table (TESTDATA.md).
 
-    ``events.parquet`` carries INT64 TIMESTAMP(NANOS) which Spark's
-    parquet reader rejects by default; read nanos as long (runtime conf,
-    works on any session) and convert to a microsecond timestamp — the
-    same truncation DuckDB applies.
-
-    The nanos→micros step MUST be integer division (``div``): ``/``
-    would promote the int64 nanos to DOUBLE first, and at ~1.7e18 a
-    double's ulp is 256 — every timestamp silently moves by up to
-    ±256 ns, which flips the microsecond on ~1 in 4 rows vs the
-    oracle's exact truncation.
+    ``events.parquet``'s ``ts`` encoding varies across testdata
+    regenerations (INT64 TIMESTAMP(NANOS) in some drops, TIMESTAMP_NTZ
+    micros in others); :func:`normalize_event_time` handles both and
+    documents the encoding details. The nanosAsLong conf only matters
+    for the nanos drops, where Spark's reader would otherwise reject
+    the file.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -214,3 +214,62 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
     assert set(approx) == set(exact)
     for k in exact:
         assert abs(approx[k] - exact[k]) / exact[k] < 0.01, k
+
+
+def test_image_header_decode_roundtrip():
+    # real header parsing: every builder's output must decode back to
+    # its exact (format, width, height); junk payloads must yield None
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.multimodal import (
+        gif_bytes,
+        image_dimensions,
+        jpeg_bytes,
+        png_bytes,
+    )
+    cases = [(png_bytes, "png"), (jpeg_bytes, "jpeg"), (gif_bytes, "gif")]
+    for build, fmt in cases:
+        for w, h in [(1, 1), (640, 480), (65535, 1), (1023, 799)]:
+            assert image_dimensions(build(w, h)) == (fmt, w, h), (fmt, w, h)
+    assert image_dimensions(None) is None
+    assert image_dimensions(b"") is None
+    assert image_dimensions(b"not an image at all") is None
+    # a JPEG with APPn segments before SOF0 (real-camera shape)
+    jpg = jpeg_bytes(321, 123)
+    with_app0 = (jpg[:2]
+                 + b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+                 + jpg[2:])
+    assert image_dimensions(with_app0) == ("jpeg", 321, 123)
+
+
+def test_extract_image_meta_spark_roundtrip(spark):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.multimodal import (
+        build_image_payloads,
+        extract_image_meta,
+    )
+    dims = spark.createDataFrame(
+        [(0, 100, 50), (1, 2, 3), (2, 999, 777), (3, 64, 64)],
+        ["media_id", "width", "height"])
+    out = {r.media_id: r for r in
+           extract_image_meta(build_image_payloads(dims)).collect()}
+    expect = {0: "png", 1: "jpeg", 2: "gif", 3: "png"}
+    for mid, w, h in [(0, 100, 50), (1, 2, 3), (2, 999, 777), (3, 64, 64)]:
+        r = out[mid]
+        assert (r.format, r.width, r.height) == (expect[mid], w, h), r
+
+
+def test_lang_detect_udf_fallback_matches_heuristic(spark, sf_dir):
+    # without langdetect installed the library UDF must be semantically
+    # identical to the JVM lang_id() expression (fixture-pinned U4)
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+        HAVE_LANGDETECT,
+        lang_detect_udf,
+        lang_id,
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    both = docs.select(
+        lang_id(F.col("text")).alias("jvm"),
+        lang_detect_udf(F.col("text")).alias("py"))
+    if HAVE_LANGDETECT:
+        # library path: just require total coverage (no nulls/errors)
+        assert both.filter(F.col("py").isNull()).count() == 0
+    else:
+        assert both.filter(F.col("jvm") != F.col("py")).count() == 0

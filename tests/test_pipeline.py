@@ -138,3 +138,21 @@ def test_views(spark):
     lf = spark.sql("SELECT SUM(listing_count) AS n "
                    "FROM vw_local_foreign_analysis").collect()
     assert lf[0].n == 4
+
+
+def test_reviews_cap_reproduction(spark):
+    # the reference's >200k 80% sampling cap (data_loader.py:427-431),
+    # off by default, exact mode matches int(0.8*n) exactly
+    from pyspark.sql import functions as F
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.pipeline import (
+        cap_reviews,
+    )
+    df = spark.range(1000).select(F.col("id").alias("review_id"))
+    # under the threshold: untouched
+    assert cap_reviews(df, max_rows=1000).count() == 1000
+    # over the threshold, exact mode: exactly int(0.8 * n) rows
+    assert cap_reviews(df, max_rows=100, exact=True).count() == 800
+    # fraction mode: approximate but seeded-deterministic
+    a = cap_reviews(df, max_rows=100).count()
+    b = cap_reviews(df, max_rows=100).count()
+    assert a == b and 700 <= a <= 900

@@ -40,7 +40,9 @@ ROW_PYTHON_OK = {
 }
 ARROW_PYTHON_OK = {
     "ext_lang_id_udf": "ArrowEvalPython",
+    "ext_lang_detect_lib": "ArrowEvalPython",
     "ext_grouped_median": "FlatMapGroupsInPandas",
+    "ext_multimodal_image_meta": "MapInPandas",
     "u7_pandas_udaf_maxgap": "ArrowAggregatePython",
 }
 
