@@ -36,9 +36,11 @@ HEADLINE = [
     "w1_latest_per_key",       # window dedup
     "o2_topk",                 # TakeOrderedAndProject
     "ext_dedup_exact",         # fingerprint groupBy
+    "ext_dedup_simhash",       # banded near-dup pair join
     "ext_lang_id",             # text analysis, column exprs
     "ext_ann_brute_topk",      # vector top-k
     "stream_tumbling",         # windowed event agg
+    "stream_stateful_totals",  # custom stateful operator (batch twin)
 ]
 
 
