@@ -29,6 +29,11 @@ from sql_etl_data_warehouse_inside_airbnb_spark.operators.merge import (
     MergeResult,
     merge_upsert,
 )
+from sql_etl_data_warehouse_inside_airbnb_spark.operators.quality import (
+    expectation_report,
+    profile_csv_file,
+    profile_table,
+)
 from sql_etl_data_warehouse_inside_airbnb_spark.operators.skew import (
     salted_join,
     two_stage_agg,
@@ -68,5 +73,6 @@ __all__ = [
     "salted_join", "two_stage_agg", "asof_join", "range_join",
     "add_review_lang", "pretreat_hosts", "pretreat_listings",
     "WarehouseTables", "run_pipeline",
+    "expectation_report", "profile_csv_file", "profile_table",
 ]
 __version__ = "0.1.0"

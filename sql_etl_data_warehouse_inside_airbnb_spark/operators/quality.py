@@ -29,6 +29,67 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def profile_table(df: DataFrame, columns: list[str] | None = None,
+                  approx: bool = True) -> DataFrame:
+    """Per-column EDA profile as ONE Spark job — the engine's
+    "profile this file" surface (the reference's menu option 1,
+    modules/data_analyzer.py:102-150, which shape/dtype/missing-counts
+    a pandas sample; here the full table is profiled distributed).
+
+    Returns one row per column:
+    (column, dtype, n_rows, n_nulls, null_bp, n_distinct,
+    min_value, max_value) — ``null_bp`` is integer basis points
+    (floor(10000*nulls/rows)): exact cross-engine arithmetic, no
+    float-division rounding ties. min/max are cast to string so one
+    schema serves every column type.
+
+    All per-column stats ride a single partial-aggregate scan
+    (map-side combinable, one job regardless of column count); the
+    final unpivot reshapes ONE row driver-free. ``approx=True``
+    (default) uses approx_count_distinct (HLL — the 100 TB path);
+    ``approx=False`` pays the exact-distinct expand, which is what an
+    external SQL oracle can reproduce."""
+    cols = columns or df.columns
+    dtypes = dict(df.dtypes)
+    distinct = (F.approx_count_distinct if approx else F.countDistinct)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.struct(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+             .cast("long").alias("n_nulls"),
+            distinct(c).cast("long").alias("n_distinct"),
+            F.min(F.col(c).cast("string")).alias("min_value"),
+            F.max(F.col(c).cast("string")).alias("max_value"),
+        ).alias(c))
+    one = df.agg(*aggs)
+    dtype_map = F.create_map(*[F.lit(x) for kv in dtypes.items()
+                               for x in kv])
+    return (one.unpivot(["__n"], cols, "column", "stats")
+            .select(
+                "column",
+                F.element_at(dtype_map, F.col("column")).alias("dtype"),
+                F.col("__n").cast("long").alias("n_rows"),
+                F.col("stats.n_nulls").alias("n_nulls"),
+                F.floor(10000 * F.col("stats.n_nulls")
+                        / F.greatest(F.col("__n"), F.lit(1)))
+                 .cast("long").alias("null_bp"),
+                F.col("stats.n_distinct").alias("n_distinct"),
+                F.col("stats.min_value").alias("min_value"),
+                F.col("stats.max_value").alias("max_value")))
+
+
+def profile_csv_file(spark, path: str, columns: list[str] | None = None,
+                     approx: bool = True) -> DataFrame:
+    """EDA entry point over a raw Inside-Airbnb ``csv.gz`` file:
+    schema-on-read scan (inferSchema=false, all strings — the
+    reference's own Spark EDA read, modules/data_analyzer.py:136-139)
+    piped into :func:`profile_table`."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        read_csv_raw,
+    )
+    return profile_table(read_csv_raw(spark, path), columns, approx)
+
+
 def _violations(cond: Column) -> Column:
     # NOT true == false or NULL: nulls are violations, not passes
     return F.sum(F.when(cond, F.lit(0)).otherwise(F.lit(1)))

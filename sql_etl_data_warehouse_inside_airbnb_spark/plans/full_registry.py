@@ -77,8 +77,10 @@ _PRIORITY = [
     "stream_tumbling", "stream_sliding", "stream_session",
     "stream_interval_join", "stream_stateful_totals",
     "g1_connected_components", "g2_dedup_clusters",
-    # round-2 additions (real image decode, library langdetect path)
+    # round-2 additions (real image decode, library langdetect path,
+    # EDA profile surface)
     "ext_multimodal_image_meta", "ext_lang_detect_lib",
+    "x6_profile_table",
 ]
 
 

@@ -591,3 +591,61 @@ def x1_quality_report(spark, sf_dir):
         unique={"unique_orderkey": ["o_orderkey"]},
         references={"custkey_in_building_dim":
                     (building, "o_custkey", "c_custkey")})
+
+
+@register(
+    "x6_profile_table",
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM customer)
+       SELECT 'c_custkey' AS "column", 'bigint' AS dtype, n.n_rows,
+              CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_nulls,
+              CAST(10000 * sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                   // greatest(n.n_rows, 1) AS BIGINT) AS null_bp,
+              CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+              min(CAST(c_custkey AS VARCHAR)) AS min_value,
+              max(CAST(c_custkey AS VARCHAR)) AS max_value
+       FROM customer, n GROUP BY n.n_rows
+       UNION ALL
+       SELECT 'c_name', 'string', n.n_rows,
+              CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(10000 * sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+                   // greatest(n.n_rows, 1) AS BIGINT),
+              CAST(count(DISTINCT c_name) AS BIGINT),
+              min(c_name), max(c_name)
+       FROM customer, n GROUP BY n.n_rows
+       UNION ALL
+       SELECT 'c_nationkey', 'int', n.n_rows,
+              CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT),
+              CAST(10000 * sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+                   // greatest(n.n_rows, 1) AS BIGINT),
+              CAST(count(DISTINCT c_nationkey) AS BIGINT),
+              min(CAST(c_nationkey AS VARCHAR)), max(CAST(c_nationkey AS VARCHAR))
+       FROM customer, n GROUP BY n.n_rows
+       UNION ALL
+       SELECT 'c_mktsegment', 'string', n.n_rows,
+              CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT),
+              CAST(10000 * sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+                   // greatest(n.n_rows, 1) AS BIGINT),
+              CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+              min(c_mktsegment), max(c_mktsegment)
+       FROM customer, n GROUP BY n.n_rows""",
+    survey="EDA surface (data_analyzer.py:102-150)",
+    note="per-column table profile — the 'profile this file' menu "
+         "entry (operators/quality.py:profile_table): every column's "
+         "null count/basis-points, distinct count, min/max ride ONE "
+         "partial-aggregate scan, reshaped by unpivot (no driver "
+         "loop). Exact distinct here so the oracle can reproduce it; "
+         "approx=True (HLL) is the default 100 TB path. Doubles are "
+         "excluded from the profiled subset because engine "
+         "double->string formatting differs; null_bp is integer basis "
+         "points (no float division ties)")
+def x6_profile_table(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.quality import (
+        profile_table,
+    )
+    return profile_table(
+        t(spark, sf_dir, "customer"),
+        columns=["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+        approx=False)
