@@ -80,7 +80,7 @@ _PRIORITY = [
     # round-2 additions (real image decode, library langdetect path,
     # EDA profile surface)
     "ext_multimodal_image_meta", "ext_lang_detect_lib",
-    "x6_profile_table",
+    "x6_profile_table", "ext_data_prep_pipeline",
 ]
 
 

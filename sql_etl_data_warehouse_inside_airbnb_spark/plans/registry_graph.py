@@ -638,3 +638,91 @@ def ext_train_split(spark, sf_dir):
                     F.when(m % 100 < 80, "train")
                     .when(m % 100 < 90, "val")
                     .otherwise("test").alias("split")))
+
+
+@register(
+    "ext_data_prep_pipeline",
+    f"""WITH scored AS (
+         SELECT doc_id, lang, text,
+                (5 * least(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                     END::BIGINT, 100)
+                 + 300 - least(floor(300 *
+                     ((len(string_split(' ' || trim(text) || ' ', ' the ')) - 1)
+                      + (len(string_split(' ' || trim(text) || ' ', ' a ')) - 1)
+                     )::BIGINT / greatest(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                     END::BIGINT, 1)), 300)
+                 + least(floor(25 *
+                     len(regexp_replace(trim(text), '\\s+', '', 'g'))::BIGINT
+                     / greatest(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                     END::BIGINT, 1)), 200))::BIGINT AS q
+         FROM documents),
+       quality AS (
+         SELECT doc_id, lang, text FROM scored WHERE q >= 600),
+       deduped AS (
+         SELECT min(doc_id) AS doc_id FROM quality
+         GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))),
+       kept AS (
+         SELECT q.doc_id, q.lang, q.text FROM quality q
+         JOIN deduped d ON q.doc_id = d.doc_id),
+       eval_sh AS (
+         SELECT DISTINCT g.sh FROM documents,
+                LATERAL unnest({_SHINGLE5_SQL}) AS g(sh)
+         WHERE doc_id % 17 = 0
+           AND len(string_split_regex(trim(text), '\\s+')) >= 5),
+       contaminated AS (
+         SELECT DISTINCT k.doc_id FROM kept k,
+                LATERAL unnest({_SHINGLE5_SQL}) AS g(sh)
+         WHERE g.sh IN (SELECT sh FROM eval_sh)
+           AND len(string_split_regex(trim(k.text), '\\s+')) >= 5),
+       clean AS (
+         SELECT doc_id, lang FROM kept
+         WHERE doc_id % 17 <> 0
+           AND doc_id NOT IN (SELECT doc_id FROM contaminated))
+       SELECT doc_id, lang,
+              CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                   WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM clean""",
+    survey="§7.5 ext (composed training-data prep)",
+    note="the end-to-end pre-training data prep pipeline as ONE lazy "
+         "lineage composed from the individual operators: quality "
+         "filter (quality_score >= 600, integer milli-score) -> exact "
+         "dedup winner (min doc_id per md5 fingerprint groupBy) -> "
+         "decontamination (drop eval docs AND any doc sharing a "
+         "5-gram shingle with the eval set — explode + broadcast semi "
+         "join, linear) -> deterministic arithmetic-hash 80/10/10 "
+         "split. Every stage is the operator the registry checks "
+         "individually; this entry proves they COMPOSE into the shape "
+         "a real pipeline runs — one scan of documents feeds all "
+         "stages, the only shuffle is the dedup groupBy, the eval "
+         "shingle set broadcasts")
+def ext_data_prep_pipeline(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+        fingerprint,
+        quality_score,
+        shingles,
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    quality = docs.filter(quality_score("text") >= 600)
+    winners = (quality
+               .groupBy(fingerprint("text").alias("__fp"))
+               .agg(F.min("doc_id").alias("doc_id")))
+    kept = quality.join(winners.select("doc_id"), "doc_id", "left_semi")
+    eval_sh = (docs.filter(F.col("doc_id") % 17 == 0)
+               .select(F.explode(shingles("text", 5)).alias("sh"))
+               .distinct())
+    corpus_sh = kept.select("doc_id", F.explode(shingles("text", 5))
+                            .alias("sh"))
+    contaminated = (corpus_sh.join(F.broadcast(eval_sh), "sh", "left_semi")
+                    .select("doc_id").distinct())
+    clean = (kept.filter(F.col("doc_id") % 17 != 0)
+             .join(contaminated, "doc_id", "left_anti"))
+    m = F.col("doc_id") * F.lit(2654435761)
+    return clean.select(
+        "doc_id", "lang",
+        F.when(m % 100 < 80, "train")
+         .when(m % 100 < 90, "val")
+         .otherwise("test").alias("split"))
