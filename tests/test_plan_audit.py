@@ -112,3 +112,23 @@ def test_dedup_block_keys_are_composed(spark, sf_dir):
     n_comp, max_comp = comp.count(), comp.agg(F.max("count")).first()[0]
     assert n_comp >= 5 * n_bare, (n_comp, n_bare)
     assert max_comp * 5 <= max_bare, (max_comp, max_bare)
+
+
+def test_registry_priority_names_resolve():
+    """A typo in full_registry._PRIORITY silently un-fronts an entry
+    (it just filters out) — every priority name must exist, the
+    reorder must keep all entries exactly once, and the two fixed r01
+    hash-fails must sit first so they get re-adjudicated."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans import (
+        full_registry as fr,
+    )
+    missing = [n for n in fr._PRIORITY if n not in fr.REGISTRY]
+    assert not missing, missing
+    names = list(fr.REGISTRY)
+    assert len(names) == len(set(names))
+    assert names[0] == "a5_conditional_agg"
+    assert names[1] == "a7_weekly_rollup"
+    green_positions = [names.index(n) for n in fr._R01_GREEN]
+    first_green = min(green_positions)
+    # every r01-green entry sits behind every non-green one
+    assert first_green == len(names) - len(fr._R01_GREEN)
