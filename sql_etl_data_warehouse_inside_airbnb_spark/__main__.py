@@ -1,11 +1,17 @@
 """CLI: run the full ETL over a directory of Inside-Airbnb-shaped
-csv.gz files (the reference's `python main.py` menu option 4).
+csv.gz files (the reference's `python main.py` menu option 4), or
+profile raw files before loading (menu option 1).
 
-    python -m sql_etl_data_warehouse_inside_airbnb_spark [--incremental] <data_dir> [output_dir]
+    python -m sql_etl_data_warehouse_inside_airbnb_spark [--incremental] [--reviews-cap] <data_dir> [output_dir]
+    python -m sql_etl_data_warehouse_inside_airbnb_spark --profile <file.csv.gz> [...]
 
 ``--incremental`` re-loads into an existing warehouse at output_dir
 (MERGE listings, append-if-absent reviews/calendar weeks, stable
-date_ids) instead of rebuilding.
+date_ids) instead of rebuilding. ``--reviews-cap`` reproduces the
+reference's >200k-row 80% reviews sampling cap (off by default — it
+drops data; see plans/pipeline.py:cap_reviews). ``--profile`` prints
+a per-column EDA profile (nulls, distincts, min/max) of each given
+raw csv.gz, schema-on-read, one Spark job per file.
 """
 
 from __future__ import annotations
@@ -20,14 +26,32 @@ def main(argv: list[str]) -> int:
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__.strip())
         return 0 if argv else 2
+
+    if argv[0] == "--profile":
+        from sql_etl_data_warehouse_inside_airbnb_spark.operators.quality import (
+            profile_csv_file,
+        )
+        paths = argv[1:]
+        if not paths:
+            print(__doc__.strip())
+            return 2
+        spark = get_spark("sql-etl-dw-inside-airbnb-profile")
+        spark.sparkContext.setLogLevel("ERROR")
+        for p in paths:
+            print(f"== {p}")
+            profile_csv_file(spark, p).show(truncate=32)
+        spark.stop()
+        return 0
+
     incremental = "--incremental" in argv
-    argv = [a for a in argv if a != "--incremental"]
+    reviews_cap = "--reviews-cap" in argv
+    argv = [a for a in argv if a not in ("--incremental", "--reviews-cap")]
     data_dir = argv[0]
     output_dir = argv[1] if len(argv) > 1 else None
     spark = get_spark("sql-etl-dw-inside-airbnb-etl")
     spark.sparkContext.setLogLevel("ERROR")
     tables = run_pipeline(spark, data_dir, output_dir,
-                          incremental=incremental)
+                          incremental=incremental, reviews_cap=reviews_cap)
     for name in ("dim_listings", "dim_listing_id_map", "dim_hosts",
                  "dim_dates", "fact_calendar", "fact_reviews"):
         n = tables.stats.get(name, getattr(tables, name).count())
