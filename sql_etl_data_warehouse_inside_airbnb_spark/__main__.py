@@ -39,7 +39,10 @@ def main(argv: list[str]) -> int:
         spark.sparkContext.setLogLevel("ERROR")
         for p in paths:
             print(f"== {p}")
-            profile_csv_file(spark, p).show(truncate=32)
+            prof = profile_csv_file(spark, p)
+            # one output row per COLUMN — show() would cap at 20 and
+            # silently hide the rest of a wide listings file
+            prof.show(n=10_000, truncate=32)
         spark.stop()
         return 0
 

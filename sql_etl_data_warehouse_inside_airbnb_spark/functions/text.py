@@ -74,6 +74,22 @@ def lang_id(col: Column | str) -> Column:
     return expr
 
 
+def _heuristic_detect(s: str | None) -> str:
+    """Python twin of :func:`lang_id`: marker-token argmax, strict >
+    == first-wins tie order, all-zero → 'und'. THE single definition —
+    both pandas UDFs call it, so the fixture-pinned equivalence with
+    the JVM expression can't silently fork."""
+    if s is None:
+        return "und"
+    padded = " " + s.strip() + " "
+    best_lang, best_score = "und", 0
+    for lang, markers in LANG_MARKERS:
+        score = sum(padded.count(m) for m in markers)
+        if score > best_score:
+            best_lang, best_score = lang, score
+    return best_lang
+
+
 @F.pandas_udf(StringType())
 def lang_id_udf(texts):
     """Arrow-batched pandas UDF with semantics identical to lang_id()
@@ -81,18 +97,7 @@ def lang_id_udf(texts):
     fasttext, …) drops in here without touching the plan."""
     import pandas as pd
 
-    def detect(s):
-        if s is None:
-            return "und"
-        padded = " " + s.strip() + " "
-        best_lang, best_score = "und", 0
-        for lang, markers in LANG_MARKERS:
-            score = sum(padded.count(m) for m in markers)
-            if score > best_score:       # strict > == first-wins tie order
-                best_lang, best_score = lang, score
-        return best_lang
-
-    return pd.Series([detect(s) for s in texts])
+    return pd.Series([_heuristic_detect(s) for s in texts])
 
 
 try:  # public optional dependency — the reference's actual detector
@@ -129,16 +134,7 @@ def lang_detect_udf(texts):
             except LangDetectException:
                 return "und"
     else:
-        def _detect(s):
-            if s is None:
-                return "und"
-            padded = " " + s.strip() + " "
-            best_lang, best_score = "und", 0
-            for lang, markers in LANG_MARKERS:
-                score = sum(padded.count(m) for m in markers)
-                if score > best_score:
-                    best_lang, best_score = lang, score
-            return best_lang
+        _detect = _heuristic_detect
 
     return pd.Series([_detect(s) for s in texts])
 

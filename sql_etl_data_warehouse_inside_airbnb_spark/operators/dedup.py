@@ -148,11 +148,14 @@ def simhash64(text_col: Column | str) -> Column:
     # shiftleft(1, 63) of the unrolled form produced
     powers = F.array(*[F.lit(1 << i) for i in range(63)]
                      + [F.lit(-(2 ** 63))])
-    return F.aggregate(
+    sim = F.aggregate(
         F.zip_with(votes, powers,
                    lambda v, p: F.when(v > 0, p)
                                  .otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
+    # NULL text -> NULL token array propagates NULL through the fold;
+    # pin it to 0, matching the unrolled form's when/otherwise(0)
+    return F.coalesce(sim, F.lit(0).cast("long"))
 
 
 def simhash_near_pairs(df: DataFrame, key_col: str, text_col: str,

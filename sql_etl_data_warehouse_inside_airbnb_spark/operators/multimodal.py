@@ -172,7 +172,10 @@ def image_dimensions(payload: bytes | None):
                 i += 1
                 continue
             marker = payload[i + 1]
-            if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD8:
+            if marker == 0xFF:
+                i += 1          # fill byte: next FF may start the marker
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
                 i += 2          # standalone markers carry no length
                 continue
             if marker == 0xD9:  # EOI

@@ -55,7 +55,8 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.struct(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            F.coalesce(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)),
+                       F.lit(0))   # empty table: sum is NULL, pin to 0
              .cast("long").alias("n_nulls"),
             distinct(c).cast("long").alias("n_distinct"),
             F.min(F.col(c).cast("string")).alias("min_value"),

@@ -132,11 +132,16 @@ def pairwise_cosine_dups(df: DataFrame, key_col: str = "vec_id",
     sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in keys]
     cond.append(F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
-    return (a.join(b, on=cond)
-            .select(F.col(f"a.{key_col}").alias("key_a"),
-                    F.col(f"b.{key_col}").alias("key_b"),
-                    sim.alias("cosine"))
-            .filter(F.col("cosine") >= threshold))
+    out = (a.join(b, on=cond)
+           .select(F.col(f"a.{key_col}").alias("key_a"),
+                   F.col(f"b.{key_col}").alias("key_b"),
+                   sim.alias("cosine")))
+    # threshold <= -1 means "no re-rank filter": skip the predicate
+    # entirely so a NULL cosine (zero-norm vector) passes through on
+    # both engines instead of being dropped only on the Spark side
+    if threshold > -1.0:
+        out = out.filter(F.col("cosine") >= threshold)
+    return out
 
 
 def fit_ivf_quantizer(df: DataFrame, vec_col: str = "embedding",

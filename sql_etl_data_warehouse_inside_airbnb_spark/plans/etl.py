@@ -147,10 +147,9 @@ def run_pipeline(spark: SparkSession, data_dir: str,
         return df
 
     calendar_raw = _union("calendar")
-    reviews_raw = _union("reviews")
     if reviews_cap and files["reviews"]:
         # reference caps PER FILE (modules/data_loader.py:427-431), so
-        # re-read per file, cap, then union — off by default; see
+        # read per file, cap, then union — off by default; see
         # pipeline.cap_reviews for the divergence note
         from sql_etl_data_warehouse_inside_airbnb_spark.plans.pipeline import (
             cap_reviews,
@@ -161,6 +160,8 @@ def run_pipeline(spark: SparkSession, data_dir: str,
             reviews_raw = (d if reviews_raw is None
                            else reviews_raw.unionByName(
                                d, allowMissingColumns=True))
+    else:
+        reviews_raw = _union("reviews")
 
     date_sources = [d for d in (calendar_raw, reviews_raw) if d is not None]
     dim_dates = (build_dim_dates(*date_sources) if date_sources

@@ -54,6 +54,10 @@ _R01_GREEN = frozenset({
 # Explicit front of the queue: fixed r01 hash-fails first (they need a
 # fresh verdict), then the never-checked dedicated §2 twins, the LLM
 # ext ops, streaming, graph — the entries VERDICT.md ranked highest.
+# Within the ~50-entry window, hash-checked entries (full value
+# verdict) outrank rows-only ones (weaker check): the rows-only block
+# sits at the tail of the priority list so a tight cap still
+# adjudicates every oracle-paired query.
 _PRIORITY = [
     "a5_conditional_agg", "a7_weekly_rollup",
     # dedicated SURVEY §2 twins
@@ -64,23 +68,25 @@ _PRIORITY = [
     "o7_distinct_sorted_limit", "f6_filename_geography",
     "f7_date_conversion", "f12_case_conditional", "f14_numeric_coercion",
     "f16_metadata_math",
-    # LLM-data-pipeline ext ops
+    # round-2 additions with full oracles (real image decode, EDA
+    # profile, composed data-prep pipeline)
+    "ext_multimodal_image_meta", "x6_profile_table",
+    "ext_data_prep_pipeline",
+    # LLM-data-pipeline ext ops (oracle-paired)
     "ext_token_count", "ext_text_quality", "ext_quality_score",
     "ext_lang_id", "ext_lang_id_udf", "ext_fingerprint",
-    "ext_dedup_exact", "ext_dedup_ngram_jaccard", "ext_dedup_minhash",
-    "ext_dedup_simhash", "ext_dedup_embedding", "ext_ann_brute_topk",
-    "ext_ann_lsh_topk", "ext_ann_ivf_topk", "ext_multimodal_meta",
+    "ext_dedup_exact", "ext_dedup_ngram_jaccard", "ext_dedup_embedding",
+    "ext_ann_brute_topk", "ext_multimodal_meta",
     "ext_bpe_token_count", "ext_decontaminate", "ext_train_split",
     "ext_rolling_hash_fingerprint", "ext_winnow_fingerprint",
     "ext_dedup_winnow_pairs", "ext_grouped_median",
-    # streaming + graph
+    # streaming (oracle-paired batch twins) + graph (CTE oracle)
     "stream_tumbling", "stream_sliding", "stream_session",
     "stream_interval_join", "stream_stateful_totals",
     "g1_connected_components", "g2_dedup_clusters",
-    # round-2 additions (real image decode, library langdetect path,
-    # EDA profile surface)
-    "ext_multimodal_image_meta", "ext_lang_detect_lib",
-    "x6_profile_table", "ext_data_prep_pipeline",
+    # rows-only entries last (engine-specific hashes / library paths)
+    "ext_dedup_minhash", "ext_dedup_simhash", "ext_ann_lsh_topk",
+    "ext_ann_ivf_topk", "ext_lang_detect_lib",
 ]
 
 

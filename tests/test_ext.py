@@ -238,6 +238,9 @@ def test_image_header_decode_roundtrip():
                  + b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
                  + jpg[2:])
     assert image_dimensions(with_app0) == ("jpeg", 321, 123)
+    # 0xFF fill bytes before a marker are spec-valid (ITU T.81 B.1.1.3)
+    with_fill = jpg[:2] + b"\xff\xff\xff" + jpg[2:]
+    assert image_dimensions(with_fill) == ("jpeg", 321, 123)
 
 
 def test_extract_image_meta_spark_roundtrip(spark):
@@ -273,3 +276,18 @@ def test_lang_detect_udf_fallback_matches_heuristic(spark, sf_dir):
         assert both.filter(F.col("py").isNull()).count() == 0
     else:
         assert both.filter(F.col("jvm") != F.col("py")).count() == 0
+
+
+def test_simhash_null_text_is_zero(spark):
+    # NULL text must fingerprint to 0 (the pre-optimization semantics),
+    # not NULL — a NULL band value would silently drop the doc from
+    # the banded pair join
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.dedup import (
+        simhash64,
+    )
+    df = spark.createDataFrame([(1, None), (2, "some text here")],
+                               ["doc_id", "text"])
+    rows = {r.doc_id: r.s for r in
+            df.select("doc_id", simhash64("text").alias("s")).collect()}
+    assert rows[1] == 0
+    assert rows[2] != 0

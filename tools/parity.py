@@ -61,7 +61,8 @@ def coarse_spark_type(dt: str) -> str:
     if dt in ("float", "double"):
         return "float"
     if dt.startswith("decimal"):
-        return "decimal"
+        scale = dt.rstrip(")").split(",")[-1] if "," in dt else "0"
+        return f"decimal(s={scale.strip()})"
     if dt.startswith("timestamp"):
         return "timestamp"
     if dt.startswith(("array", "map", "struct")):
@@ -71,12 +72,18 @@ def coarse_spark_type(dt: str) -> str:
 
 def coarse_arrow_type(t) -> str:
     """Map a pyarrow DataType (DuckDB result) to the same classes.
-    int128/HUGEINT deliberately maps to its own class: the driver's
-    hash distinguishes it from int64 (r01 a5 failure)."""
+    Note DuckDB exports HUGEINT to Arrow as decimal128(38,0), so an
+    uncast integer sum lands in the decimal class — it still fails
+    against a Spark BIGINT (int != decimal, the r01 a5 case), and the
+    scale check below distinguishes it from a real decimal(p,s>0)."""
     import pyarrow as pa
 
     if pa.types.is_decimal(t):
-        return "decimal"
+        # keep the scale: HUGEINT-as-decimal128(38,0) must not pass
+        # against a Spark decimal(p,2) column (precision is looser
+        # cross-engine — DuckDB widens sums to 38 — so only scale
+        # participates in the class)
+        return f"decimal(s={t.scale})"
     if pa.types.is_integer(t):
         return "int"
     if pa.types.is_floating(t):
