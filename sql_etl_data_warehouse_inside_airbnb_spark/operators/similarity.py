@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -106,6 +106,49 @@ def sign_bucket(vec: Column, bits: int) -> Column:
             F.element_at(vec, i + 1) > 0,
             F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
     return bucket
+
+
+def batch_topk(df: DataFrame, queries: DataFrame, k: int = 10,
+               key_col: str = "vec_id", vec_col: str = "embedding",
+               query_key: str = "query_id",
+               n_planes: int = 0, dim: int = 64,
+               exclude_self: bool = False) -> DataFrame:
+    """Batched top-k: many query vectors at once — the serving shape
+    (a single-query plan per lookup would be a driver-side loop).
+
+    ``n_planes == 0``: exact — broadcast the query batch, score every
+    (query, vector) pair, keep top-k per query with one window pass.
+    Cost is |Q|·N scoring but only ONE pass over the corpus for the
+    whole batch; the re-rank window partitions by query id, so no
+    global sort.
+
+    ``n_planes > 0``: LSH — both sides bucket by the same fixed-seed
+    hyperplanes and the scoring join becomes a bucket equi-join:
+    cost ∝ Σ bucket overlaps, not |Q|·N. Recall < 1 by construction.
+
+    Output: (query_id, key, cosine, rank), rank 1..k per query,
+    ties broken by key for determinism."""
+    q = queries.select(F.col(query_key),
+                       as_double(F.col(vec_col)).alias("__qvec"))
+    data = df.select(F.col(key_col), as_double(F.col(vec_col)).alias("__v"))
+    if n_planes:
+        planes = _hyperplanes(dim, n_planes)
+        q = q.withColumn("__bucket", lsh_bucket(F.col("__qvec"), planes))
+        data = data.withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
+        scored = data.join(F.broadcast(q), "__bucket")
+    else:
+        scored = data.crossJoin(F.broadcast(q))
+    if exclude_self:
+        # when queries are corpus rows (query_key carries the key),
+        # drop the self-match BEFORE ranking so ranks stay dense 1..k
+        scored = scored.filter(F.col(key_col) != F.col(query_key))
+    sim = F.round(cosine(F.col("__v"), F.col("__qvec")), 6)
+    w = Window.partitionBy(query_key).orderBy(F.col("cosine").desc(),
+                                              F.col(key_col))
+    return (scored
+            .select(F.col(query_key), F.col(key_col), sim.alias("cosine"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
 
 
 def pairwise_cosine_dups(df: DataFrame, key_col: str = "vec_id",

@@ -69,9 +69,9 @@ _PRIORITY = [
     "f7_date_conversion", "f12_case_conditional", "f14_numeric_coercion",
     "f16_metadata_math",
     # round-2 additions with full oracles (real image decode, EDA
-    # profile, composed data-prep pipeline)
+    # profile, composed data-prep pipeline, batched ANN)
     "ext_multimodal_image_meta", "x6_profile_table",
-    "ext_data_prep_pipeline",
+    "ext_data_prep_pipeline", "ext_ann_batch_topk",
     # LLM-data-pipeline ext ops (oracle-paired)
     "ext_token_count", "ext_text_quality", "ext_quality_score",
     "ext_lang_id", "ext_lang_id_udf", "ext_fingerprint",

@@ -481,3 +481,41 @@ def ext_lang_detect_lib(spark, sf_dir):
             .groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
                  F.min("doc_id").alias("first_doc")))
+
+
+@register(
+    "ext_ann_batch_topk",
+    """WITH q AS (
+         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         FROM embeddings WHERE vec_id % 100 = 0),
+       scored AS (
+         SELECT q.query_id, e.vec_id,
+                round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                      / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                               e.embedding::DOUBLE[]))
+                         * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+         FROM embeddings e, q
+         WHERE e.vec_id <> q.query_id),
+       ranked AS (
+         SELECT query_id, vec_id, cosine,
+                CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, vec_id) AS INT) AS rank
+         FROM scored)
+       SELECT query_id, vec_id, cosine, rank
+       FROM ranked WHERE rank <= 5""",
+    survey="§7.5 similarity (batched serving shape)",
+    note="batched exact top-k: the whole query batch broadcasts and "
+         "the corpus is scanned ONCE for all queries; per-query "
+         "re-rank is a window partitioned by query_id (no global "
+         "sort, no driver loop over queries — the anti-pattern this "
+         "operator exists to replace). operators/similarity.py:"
+         "batch_topk; the n_planes>0 LSH variant turns scoring into "
+         "a bucket equi-join for corpus-scale batches")
+def ext_ann_batch_topk(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
+        batch_topk,
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return batch_topk(emb, queries, k=5, exclude_self=True)

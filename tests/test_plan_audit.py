@@ -33,6 +33,7 @@ from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
 NESTED_LOOP_OK = {
     "j15_cross_join": "BroadcastNestedLoopJoin",
     "ext_ann_brute_topk": "BroadcastNestedLoopJoin",
+    "ext_ann_batch_topk": "BroadcastNestedLoopJoin",  # broadcast query batch
     "sq_scalar_threshold": "BroadcastNestedLoopJoin",
 }
 ROW_PYTHON_OK = {
