@@ -231,6 +231,73 @@ def rolling_hash(col: Column | str, prefix_len: int = 64) -> Column:
         lambda acc, x: (acc * ROLLING_HASH_BASE + x) % ROLLING_HASH_MOD)
 
 
+# PII patterns — lookahead-free so the same regex runs on Java regex
+# (Spark) and RE2 (DuckDB). Redaction order matters: emails first
+# (their digits would otherwise feed the phone pattern).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d[\d\- ]{7,}\d"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Scrub emails then phone-number-shaped digit runs to
+    ``<EMAIL>``/``<PHONE>`` placeholders — the minimum-viable PII pass
+    a training-data pipeline runs before anything leaves the raw zone.
+    Pure regexp_replace chain: JVM-side, codegen'd, engine-portable."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_email = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
+
+
+def distinct_token_bp(col: Column | str) -> Column:
+    """Intra-document repetition signal: distinct-token share in
+    integer basis points (10000 = every token unique; low values =
+    boilerplate/repetition — the Gopher-style repetition filter).
+    Integer floor arithmetic, so exact across engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(c), r"\s+", -1)
+    n = token_count(c)
+    return (F.when(n == 0, F.lit(10000))
+            .otherwise(F.floor(10000 * F.size(F.array_distinct(toks))
+                               / n))
+            .cast("bigint"))
+
+
+def chunk_documents(df, key_col: str = "doc_id", text_col: str = "text",
+                    chunk_size: int = 64, overlap: int = 16):
+    """Split each document into overlapping token-window chunks — the
+    context-window prep step (1→N row transform). Chunk i covers
+    tokens [i*step, i*step + chunk_size) with step = chunk_size -
+    overlap; every document yields at least one chunk.
+
+    Shape: explode over a per-row ``sequence`` of chunk ids + ``slice``
+    of the pre-split token array — single scan, no shuffle, no UDF;
+    chunk count arithmetic is integer (``div``), so the fan-out is
+    engine-portable and oracle-checkable. Output:
+    (key, chunk_id, n_chunk_tokens, chunk_text)."""
+    step = chunk_size - overlap
+    if step <= 0:
+        raise ValueError("chunk_size must exceed overlap")
+    c = F.col(text_col)
+    toks = F.split(F.trim(c), r"\s+", -1)
+    n = F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(toks))
+    base = df.select(F.col(key_col), toks.alias("__toks"),
+                     n.cast("bigint").alias("__n"))
+    n_chunks = F.greatest(
+        F.expr(f"(__n - {overlap} + {step - 1}) div {step}"), F.lit(1))
+    chunks = base.select(
+        key_col, "__toks", "__n",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"))
+    piece = F.slice(F.col("__toks"), F.col("chunk_id") * step + 1,
+                    chunk_size)
+    # empty text still splits to [''] — report 0 tokens, not 1
+    return chunks.select(
+        F.col(key_col),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.when(F.col("__n") == 0, F.lit(0)).otherwise(F.size(piece))
+         .cast("bigint").alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"))
+
+
 # GPT-2-style pre-tokenizer, lookahead-free so the same pattern runs on
 # Java regex (Spark) and RE2 (DuckDB): contraction suffixes, optional
 # leading-space letter runs, digit runs, punctuation runs, whitespace

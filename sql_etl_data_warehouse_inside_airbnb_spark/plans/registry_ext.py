@@ -519,3 +519,114 @@ def ext_ann_batch_topk(spark, sf_dir):
     queries = (emb.filter(F.col("vec_id") % 100 == 0)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
     return batch_topk(emb, queries, k=5, exclude_self=True)
+
+
+@register(
+    "ext_chunk_documents",
+    """WITH d AS (
+         SELECT doc_id,
+                string_split_regex(trim(text), '\\s+') AS toks,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                END::BIGINT AS n
+         FROM documents)
+       SELECT doc_id,
+              CAST(g.chunk_id AS BIGINT) AS chunk_id,
+              CASE WHEN n = 0 THEN 0
+                   ELSE len(list_slice(toks, g.chunk_id * 48 + 1,
+                                       least(g.chunk_id * 48 + 64, len(toks))))
+              END::BIGINT AS n_chunk_tokens,
+              array_to_string(list_slice(toks, g.chunk_id * 48 + 1,
+                              least(g.chunk_id * 48 + 64, len(toks))), ' ')
+                  AS chunk_text
+       FROM d, LATERAL unnest(generate_series(
+                0, greatest((n - 16 + 47) // 48, 1) - 1)) AS g(chunk_id)""",
+    survey="§7.5 ext (context-window chunking)",
+    note="overlapping token-window chunking (64-token chunks, 16 "
+         "overlap) — the context-window prep 1->N transform "
+         "(functions/text.py:chunk_documents): explode a per-row "
+         "chunk-id sequence + slice the pre-split token array; one "
+         "scan, no shuffle, integer chunk-count arithmetic so the "
+         "fan-out is engine-exact")
+def ext_chunk_documents(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+        chunk_documents,
+    )
+    return chunk_documents(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ext_pii_redact",
+    """WITH planted AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0
+                     THEN text || ' contact user' || doc_id ||
+                          '@example.com or +1 555-000-' ||
+                          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE text END AS text
+         FROM documents)
+       SELECT doc_id,
+              CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   AS BIGINT) AS n_emails,
+              regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g'),
+                  '\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g') AS redacted
+       FROM planted""",
+    survey="§7.5 ext (PII scrubbing)",
+    note="minimum-viable PII pass (functions/text.py:redact_pii): "
+         "emails then phone-shaped digit runs -> placeholders, pure "
+         "regexp_replace chain (JVM, codegen, lookahead-free so Java "
+         "regex and RE2 agree). Emails/phones are planted on every "
+         "7th doc so the redaction is non-vacuous and the exact "
+         "redacted text is hash-checked")
+def ext_pii_redact(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+        EMAIL_RE,
+        redact_pii,
+    )
+    planted = (t(spark, sf_dir, "documents")
+               .select("doc_id",
+                       F.when(F.col("doc_id") % 7 == 0,
+                              F.concat(F.col("text"),
+                                       F.lit(" contact user"),
+                                       F.col("doc_id").cast("string"),
+                                       F.lit("@example.com or +1 555-000-"),
+                                       F.lpad((F.col("doc_id") % 10000)
+                                              .cast("string"), 4, "0")))
+                       .otherwise(F.col("text")).alias("text")))
+    return planted.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(EMAIL_RE)).cast("bigint")
+         .alias("n_emails"),
+        redact_pii("text").alias("redacted"))
+
+
+@register(
+    "ext_repetition_filter",
+    """SELECT doc_id,
+              CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+'))
+              END::BIGINT AS n_tokens,
+              CASE WHEN trim(text) = '' THEN 10000
+                   ELSE floor(10000 *
+                        len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                        / len(string_split_regex(trim(text), '\\s+')))
+              END::BIGINT AS distinct_token_bp
+       FROM documents""",
+    survey="§7.5 ext (repetition filter)",
+    note="Gopher-style intra-document repetition signal: distinct-"
+         "token share in integer basis points "
+         "(functions/text.py:distinct_token_bp) — low values flag "
+         "boilerplate/repeated text for filtering; integer floor "
+         "arithmetic keeps it engine-exact")
+def ext_repetition_filter(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+        distinct_token_bp,
+        token_count,
+    )
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    token_count("text").alias("n_tokens"),
+                    distinct_token_bp("text").alias("distinct_token_bp")))

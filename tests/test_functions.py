@@ -300,3 +300,46 @@ def test_hll_sketch_union_accuracy(spark, sf_dir):
     assert set(got) == set(exact)
     for k, est in got.items():
         assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_chunk_documents_reassembly(spark):
+    # chunks must tile the document: step-strided starts, dense ids,
+    # first chunk == first chunk_size tokens, last chunk reaches the end
+    from pyspark.sql import functions as F
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+        chunk_documents,
+    )
+    text = " ".join(f"t{i}" for i in range(150))
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, "")],
+                               ["doc_id", "text"])
+    out = chunk_documents(df, chunk_size=64, overlap=16)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    # 150 tokens, step 48 -> ceil((150-16)/48) = 3 chunks
+    assert sorted(cid for d, cid in rows if d == 1) == [0, 1, 2]
+    assert rows[(1, 0)].chunk_text.split()[0] == "t0"
+    assert rows[(1, 1)].chunk_text.split()[0] == "t48"
+    assert rows[(1, 2)].chunk_text.split()[-1] == "t149"
+    assert rows[(1, 0)].n_chunk_tokens == 64
+    # short and empty docs still produce exactly one chunk
+    assert rows[(2, 0)].chunk_text == "a b"
+    assert rows[(3, 0)].n_chunk_tokens == 0
+
+
+def test_redact_pii_and_repetition(spark):
+    from pyspark.sql import functions as F
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+        distinct_token_bp,
+        redact_pii,
+    )
+    df = spark.createDataFrame(
+        [(1, "mail me at bob.smith+x@ex-ample.co.uk or +44 7700 900123 now"),
+         (2, "spam spam spam spam"),
+         (3, "all tokens unique here")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in df.select(
+        "doc_id", redact_pii("text").alias("red"),
+        distinct_token_bp("text").alias("bp")).collect()}
+    assert "<EMAIL>" in out[1].red and "<PHONE>" in out[1].red
+    assert "bob" not in out[1].red and "900123" not in out[1].red
+    assert out[2].bp == 2500       # 1 distinct of 4
+    assert out[3].bp == 10000
