@@ -79,12 +79,14 @@ _PRIORITY = [
     "ext_dedup_exact", "ext_dedup_ngram_jaccard", "ext_dedup_embedding",
     "ext_ann_brute_topk", "ext_multimodal_meta",
     "ext_bpe_token_count", "ext_decontaminate", "ext_train_split",
-    "ext_rolling_hash_fingerprint", "ext_winnow_fingerprint",
     "ext_dedup_winnow_pairs", "ext_grouped_median",
     # streaming (oracle-paired batch twins) + graph (CTE oracle)
     "stream_tumbling", "stream_sliding", "stream_session",
     "stream_interval_join", "stream_stateful_totals",
     "g1_connected_components", "g2_dedup_clusters",
+    # fingerprint-variant twins (their pair/join semantics are already
+    # covered above by ext_dedup_winnow_pairs / ext_fingerprint)
+    "ext_rolling_hash_fingerprint", "ext_winnow_fingerprint",
     # rows-only entries last (engine-specific hashes / library paths)
     "ext_dedup_minhash", "ext_dedup_simhash", "ext_ann_lsh_topk",
     "ext_ann_ivf_topk", "ext_lang_detect_lib",
