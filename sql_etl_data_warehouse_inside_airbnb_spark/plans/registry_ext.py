@@ -630,3 +630,81 @@ def ext_repetition_filter(spark, sf_dir):
             .select("doc_id",
                     token_count("text").alias("n_tokens"),
                     distinct_token_bp("text").alias("distinct_token_bp")))
+
+
+@register(
+    "ext_source_stats",
+    """WITH f AS (
+         SELECT source,
+                md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                    AS fp,
+                (5 * least(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                     END::BIGINT, 100)
+                 + 300 - least(floor(300 *
+                     ((len(string_split(' ' || trim(text) || ' ', ' the ')) - 1)
+                      + (len(string_split(' ' || trim(text) || ' ', ' a ')) - 1)
+                     )::BIGINT / greatest(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                     END::BIGINT, 1)), 300)
+                 + least(floor(25 *
+                     len(regexp_replace(trim(text), '\\s+', '', 'g'))::BIGINT
+                     / greatest(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                     END::BIGINT, 1)), 200))::BIGINT AS q
+         FROM documents)
+       SELECT source,
+              count(*) AS n_docs,
+              CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+              CAST(sum(q) AS BIGINT) AS quality_sum,
+              CAST(count(*) FILTER (WHERE q < 500) AS BIGINT) AS n_low_quality
+       FROM f GROUP BY source""",
+    survey="§7.5 ext (source-level curation stats)",
+    note="per-source curation profile — the domain-filtering input a "
+         "web-scale corpus needs (block/sample decisions are made per "
+         "source, not per doc): doc count, distinct-fingerprint count "
+         "(source-local dedup rate), exact integer quality sum, and "
+         "low-quality count, all in one groupBy(source) pass; "
+         "map-side-combinable except the exact distinct, which is the "
+         "one shuffle the semantics require (swap in "
+         "approx_count_distinct at 100 TB, the a19 pattern)")
+def ext_source_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    q = quality_score("text")
+    return (d.select("source", fingerprint("text").alias("fp"),
+                     q.alias("q"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("fp").alias("n_unique"),
+                 F.sum("q").alias("quality_sum"),
+                 F.count_if(F.col("q") < 500).alias("n_low_quality")))
+
+
+@register(
+    "ext_stratified_sample",
+    """WITH ranked AS (
+         SELECT doc_id, lang,
+                CAST(row_number() OVER (
+                     PARTITION BY lang
+                     ORDER BY (doc_id * 2654435761) % 1000000007, doc_id)
+                     AS BIGINT) AS rk
+         FROM documents)
+       SELECT doc_id, lang, rk
+       FROM ranked WHERE rk <= 20""",
+    survey="§7.5 ext (stratified sampling)",
+    note="deterministic stratified subsample: exactly K docs per "
+         "language, ranked by an arithmetic (Knuth-multiplicative) "
+         "hash of the key — same sample on every engine, every run, "
+         "every partitioning (rand() gives none of those), the "
+         "ext_train_split discipline applied to per-stratum top-K. "
+         "One window pass partitioned by the stratum; at 100 TB "
+         "rank-over-hash beats ORDER BY rand() LIMIT because no "
+         "global sort exists — each stratum sorts independently")
+def ext_stratified_sample(spark, sf_dir):
+    from pyspark.sql import Window as W
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)
+    w = W.partitionBy("lang").orderBy(h, "doc_id")
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id", "lang")
+            .withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rk") <= 20))
