@@ -708,3 +708,77 @@ def ext_stratified_sample(spark, sf_dir):
             .select("doc_id", "lang")
             .withColumn("rk", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rk") <= 20))
+
+
+@register(
+    "ext_vocab_topk",
+    """WITH toks AS (
+         SELECT lower(g.tok) AS token
+         FROM documents, LATERAL unnest(
+              string_split_regex(trim(text), '\\s+')) AS g(tok)
+         WHERE trim(text) <> ''),
+       counts AS (
+         SELECT token, count(*) AS n FROM toks GROUP BY token)
+       SELECT token, n,
+              CAST(row_number() OVER (ORDER BY n DESC, token)
+                   AS BIGINT) AS rank
+       FROM counts ORDER BY n DESC, token LIMIT 100""",
+    survey="§7.5 ext (vocabulary building)",
+    note="corpus vocabulary top-K — the tokenizer-training precursor "
+         "(BPE/unigram both start from token/frequency tables): "
+         "explode tokens, one map-side-combinable groupBy(token), "
+         "TakeOrdered top-K with a total-order tiebreak. At 100 TB "
+         "the token groupBy is the canonical high-cardinality agg — "
+         "partial aggregation collapses each partition's counts "
+         "before the shuffle, so wire volume ∝ distinct tokens per "
+         "partition, not corpus tokens")
+def ext_vocab_topk(spark, sf_dir):
+    from pyspark.sql import Window as W
+    toks = (t(spark, sf_dir, "documents")
+            .filter(F.trim("text") != "")
+            .select(F.explode(F.split(F.trim("text"), r"\s+", -1))
+                    .alias("token"))
+            .select(F.lower("token").alias("token")))
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    w = W.orderBy(F.col("n").desc(), "token")
+    return (counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .orderBy(F.col("n").desc(), "token").limit(100))
+
+
+@register(
+    "ext_label_centroid",
+    """WITH flat AS (
+         SELECT label,
+                unnest(embedding) AS x,
+                generate_subscripts(embedding, 1) AS pos
+         FROM embeddings)
+       SELECT label,
+              CAST(pos AS BIGINT) AS pos,
+              round(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)))
+                         AS DOUBLE), 6) AS dim_sum,
+              count(*) AS n_vectors
+       FROM flat WHERE pos <= 8
+       GROUP BY label, pos""",
+    survey="§7.5 ext (embedding aggregation)",
+    note="per-label centroid numerators (first 8 dims): posexplode "
+         "the vector, groupBy(label, dim) with an EXACT decimal sum "
+         "(FP sums are partition-order-dependent — the SCALE.md "
+         "determinism rule applied to vector math). The centroid "
+         "divide happens outside the compared columns. Scale shape: "
+         "the 64x row fan-out is immediately collapsed by map-side "
+         "partial aggregation; this is how KMeans centroids / class "
+         "means are computed without ever collecting vectors")
+def ext_label_centroid(spark, sf_dir):
+    return (t(spark, sf_dir, "embeddings")
+            .select("label", F.posexplode("embedding")
+                    .alias("pos0", "x"))
+            .filter(F.col("pos0") < 8)
+            .select("label", (F.col("pos0") + 1).cast("bigint").alias("pos"),
+                    # widen float->double explicitly BEFORE the decimal
+                    # cast: engines disagree on direct float->decimal
+                    # (shortest-decimal vs binary-exact widening)
+                    F.col("x").cast("double").cast("decimal(18,9)")
+                     .alias("xd"))
+            .groupBy("label", "pos")
+            .agg(F.round(F.sum("xd").cast("double"), 6).alias("dim_sum"),
+                 F.count("*").alias("n_vectors")))
