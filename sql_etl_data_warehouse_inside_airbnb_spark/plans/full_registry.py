@@ -74,7 +74,7 @@ _PRIORITY = [
     "ext_data_prep_pipeline", "ext_ann_batch_topk",
     "ext_chunk_documents", "ext_pii_redact", "ext_repetition_filter",
     "ext_source_stats", "ext_stratified_sample",
-    "ext_vocab_topk", "ext_label_centroid",
+    "ext_vocab_topk", "ext_label_centroid", "ext_sequence_pack",
     # LLM-data-pipeline ext ops (oracle-paired)
     "ext_token_count", "ext_text_quality", "ext_quality_score",
     "ext_lang_id", "ext_lang_id_udf", "ext_fingerprint",

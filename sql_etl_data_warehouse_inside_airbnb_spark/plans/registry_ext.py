@@ -782,3 +782,45 @@ def ext_label_centroid(spark, sf_dir):
             .groupBy("label", "pos")
             .agg(F.round(F.sum("xd").cast("double"), 6).alias("dim_sum"),
                  F.count("*").alias("n_vectors")))
+
+
+@register(
+    "ext_sequence_pack",
+    """WITH d AS (
+         SELECT doc_id,
+                doc_id % 8 AS shard,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                END::BIGINT AS n_tokens
+         FROM documents),
+       c AS (
+         SELECT doc_id, shard, n_tokens,
+                sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_off
+         FROM d)
+       SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+              CAST(tok_off // 512 AS BIGINT) AS pack_id,
+              CAST(tok_off % 512 AS BIGINT) AS pack_offset
+       FROM c""",
+    survey="§7.5 ext (sequence packing)",
+    note="concat-and-cut sequence packing — the step that turns a "
+         "document stream into fixed-budget training sequences "
+         "(512-token packs here): running token offset per shard via "
+         "one window cumsum, pack id = offset div budget. Docs are "
+         "packed WITHIN a hash shard (doc_id % 8) so each shard's "
+         "prefix-sum window sorts independently — a single global "
+         "ordering would be a one-partition sort at 100 TB; sharded "
+         "packing is how real pipelines parallelize it. Deterministic "
+         "(doc_id order), integer arithmetic, exact on both engines")
+def ext_sequence_pack(spark, sf_dir):
+    from pyspark.sql import Window as W
+    d = (t(spark, sf_dir, "documents")
+         .select("doc_id",
+                 (F.col("doc_id") % 8).cast("bigint").alias("shard"),
+                 token_count("text").alias("n_tokens")))
+    w = (W.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, 0))
+    offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (d.withColumn("pack_id",
+                         F.floor(offset / 512).cast("bigint"))
+            .withColumn("pack_offset", (offset % 512).cast("bigint")))
