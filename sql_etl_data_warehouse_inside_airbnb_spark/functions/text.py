@@ -277,7 +277,10 @@ def chunk_documents(df, key_col: str = "doc_id", text_col: str = "text",
     step = chunk_size - overlap
     if step <= 0:
         raise ValueError("chunk_size must exceed overlap")
-    c = F.col(text_col)
+    # NULL text behaves like empty text (one empty chunk, 0 tokens) —
+    # without the coalesce the NULL propagates to n_chunk_tokens while
+    # concat_ws still emits '', an inconsistent row
+    c = F.coalesce(F.col(text_col), F.lit(""))
     toks = F.split(F.trim(c), r"\s+", -1)
     n = F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(toks))
     base = df.select(F.col(key_col), toks.alias("__toks"),

@@ -68,24 +68,32 @@ _PRIORITY = [
     "o7_distinct_sorted_limit", "f6_filename_geography",
     "f7_date_conversion", "f12_case_conditional", "f14_numeric_coercion",
     "f16_metadata_math",
-    # round-2 additions with full oracles (real image decode, EDA
-    # profile, composed data-prep pipeline, batched ANN)
+    # round-2 flagship additions with full oracles (real image decode,
+    # EDA profile, composed data-prep pipeline, batched ANN, chunking,
+    # PII, repetition)
     "ext_multimodal_image_meta", "x6_profile_table",
     "ext_data_prep_pipeline", "ext_ann_batch_topk",
     "ext_chunk_documents", "ext_pii_redact", "ext_repetition_filter",
-    "ext_source_stats", "ext_stratified_sample",
-    "ext_vocab_topk", "ext_label_centroid", "ext_sequence_pack",
     # LLM-data-pipeline ext ops (oracle-paired)
     "ext_token_count", "ext_text_quality", "ext_quality_score",
-    "ext_lang_id", "ext_lang_id_udf", "ext_fingerprint",
+    "ext_lang_id", "ext_fingerprint",
     "ext_dedup_exact", "ext_dedup_ngram_jaccard", "ext_dedup_embedding",
-    "ext_ann_brute_topk", "ext_multimodal_meta",
+    "ext_ann_brute_topk",
     "ext_bpe_token_count", "ext_decontaminate", "ext_train_split",
     "ext_dedup_winnow_pairs", "ext_grouped_median",
     # streaming (oracle-paired batch twins) + graph (CTE oracle)
     "stream_tumbling", "stream_sliding", "stream_session",
     "stream_interval_join", "stream_stateful_totals",
     "g1_connected_components", "g2_dedup_clusters",
+    # ---- position 50 boundary: everything above fits a 50-entry
+    # adjudication window; below are oracle entries whose semantics
+    # are already pinned above or by pytest, then rows-only entries
+    # twin surfaces (same oracle as ext_lang_id; plumbing superseded
+    # by ext_multimodal_image_meta)
+    "ext_lang_id_udf", "ext_multimodal_meta",
+    # round-2 curation extras (checked by the local strict gate)
+    "ext_source_stats", "ext_stratified_sample",
+    "ext_vocab_topk", "ext_label_centroid", "ext_sequence_pack",
     # fingerprint-variant twins (their pair/join semantics are already
     # covered above by ext_dedup_winnow_pairs / ext_fingerprint)
     "ext_rolling_hash_fingerprint", "ext_winnow_fingerprint",

@@ -525,9 +525,10 @@ def ext_ann_batch_topk(spark, sf_dir):
     "ext_chunk_documents",
     """WITH d AS (
          SELECT doc_id,
-                string_split_regex(trim(text), '\\s+') AS toks,
-                CASE WHEN trim(text) = '' THEN 0
-                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                string_split_regex(trim(coalesce(text, '')), '\\s+') AS toks,
+                CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                     ELSE len(string_split_regex(trim(coalesce(text, '')),
+                              '\\s+'))
                 END::BIGINT AS n
          FROM documents)
        SELECT doc_id,

@@ -293,10 +293,11 @@ def test_simhash_null_text_is_zero(spark):
     assert rows[2] != 0
 
 
-def test_batch_topk_lsh_subset_of_exact(spark, sf_dir):
-    # the LSH-bucketed batch variant must return a subset of the exact
-    # batch results per query (recall < 1, precision exact within
-    # candidates), same schema and dense ranks
+def test_batch_topk_lsh_bounded_by_exact(spark, sf_dir):
+    # the LSH-bucketed batch variant re-ranks only within buckets, so
+    # it is NOT necessarily a subset of the exact top-k; what must
+    # hold: same schema, dense per-query ranks, and no LSH candidate
+    # scoring above the exact top-1
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
         batch_topk,
     )
@@ -306,7 +307,6 @@ def test_batch_topk_lsh_subset_of_exact(spark, sf_dir):
     exact = batch_topk(emb, queries, k=5, exclude_self=True).collect()
     lsh = batch_topk(emb, queries, k=5, n_planes=4,
                      exclude_self=True).collect()
-    exact_pairs = {(r.query_id, r.vec_id) for r in exact}
     by_query = {}
     for r in lsh:
         by_query.setdefault(r.query_id, []).append(r)
@@ -314,8 +314,7 @@ def test_batch_topk_lsh_subset_of_exact(spark, sf_dir):
     for qid, rows in by_query.items():
         ranks = sorted(r.rank for r in rows)
         assert ranks == list(range(1, len(ranks) + 1)), (qid, ranks)
-    # every exact top-1 that shares the query's bucket should be found;
-    # weaker but non-vacuous: lsh candidate sims never beat exact top-1
+    # no LSH candidate can score above the true (exact) top-1
     exact_best = {r.query_id: r.cosine for r in exact if r.rank == 1}
     for r in lsh:
         assert r.cosine <= exact_best[r.query_id] + 1e-9

@@ -305,12 +305,11 @@ def test_hll_sketch_union_accuracy(spark, sf_dir):
 def test_chunk_documents_reassembly(spark):
     # chunks must tile the document: step-strided starts, dense ids,
     # first chunk == first chunk_size tokens, last chunk reaches the end
-    from pyspark.sql import functions as F
     from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
         chunk_documents,
     )
     text = " ".join(f"t{i}" for i in range(150))
-    df = spark.createDataFrame([(1, text), (2, "a b"), (3, "")],
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, ""), (4, None)],
                                ["doc_id", "text"])
     out = chunk_documents(df, chunk_size=64, overlap=16)
     rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
@@ -320,13 +319,14 @@ def test_chunk_documents_reassembly(spark):
     assert rows[(1, 1)].chunk_text.split()[0] == "t48"
     assert rows[(1, 2)].chunk_text.split()[-1] == "t149"
     assert rows[(1, 0)].n_chunk_tokens == 64
-    # short and empty docs still produce exactly one chunk
+    # short, empty, and NULL docs still produce exactly one chunk
     assert rows[(2, 0)].chunk_text == "a b"
     assert rows[(3, 0)].n_chunk_tokens == 0
+    assert rows[(4, 0)].n_chunk_tokens == 0
+    assert rows[(4, 0)].chunk_text == ""
 
 
 def test_redact_pii_and_repetition(spark):
-    from pyspark.sql import functions as F
     from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
         distinct_token_bp,
         redact_pii,
