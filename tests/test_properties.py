@@ -208,3 +208,60 @@ def test_winnow_guarantee_on_random_texts(spark, parts):
     for r in rows:
         fps[r.doc_id].add(r.fp)
     assert fps[1] & fps[2]
+
+
+@given(st.lists(st.tuples(st.sampled_from(["png", "jpeg", "gif"]),
+                          st.integers(1, 65535), st.integers(1, 65535)),
+                min_size=1, max_size=20))
+@settings(max_examples=30, deadline=None)
+def test_image_header_roundtrip_property(cases):
+    # pure-Python kernel property (no Spark): every builder output
+    # decodes back exactly; corrupting the first byte never decodes
+    # to a wrong answer (None or a different format is fine, a wrong
+    # width/height is not possible since parsing is header-exact)
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.multimodal import (
+        gif_bytes,
+        image_dimensions,
+        jpeg_bytes,
+        png_bytes,
+    )
+    builders = {"png": png_bytes, "jpeg": jpeg_bytes, "gif": gif_bytes}
+    for fmt, w, h in cases:
+        payload = builders[fmt](w, h)
+        assert image_dimensions(payload) == (fmt, w, h)
+        corrupted = bytes([payload[0] ^ 0xFF]) + payload[1:]
+        got = image_dimensions(corrupted)
+        assert got is None or got[0] != fmt
+
+
+@given(st.integers(0, 400), st.sampled_from([(64, 16), (32, 8), (16, 0)]))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunk_documents_tiling_property(spark, n_tokens, shape):
+    # for any doc length and (chunk_size, overlap): chunk ids are dense
+    # from 0, consecutive chunks start exactly step tokens apart, the
+    # union of chunks covers all tokens, and every chunk is non-empty
+    # except the single chunk of an empty doc
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+        chunk_documents,
+    )
+    chunk_size, overlap = shape
+    step = chunk_size - overlap
+    text = " ".join(f"w{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(chunk_documents(df, chunk_size=chunk_size,
+                                  overlap=overlap).collect(),
+                  key=lambda r: r.chunk_id)
+    assert [r.chunk_id for r in rows] == list(range(len(rows)))
+    if n_tokens == 0:
+        assert len(rows) == 1 and rows[0].n_chunk_tokens == 0
+        return
+    covered = set()
+    for r in rows:
+        toks = r.chunk_text.split()
+        assert toks[0] == f"w{r.chunk_id * step}"
+        assert len(toks) == r.n_chunk_tokens <= chunk_size
+        covered.update(toks)
+    assert covered == {f"w{i}" for i in range(n_tokens)}
+    # no chunk beyond the one holding the last token
+    assert (len(rows) - 1) * step < n_tokens
