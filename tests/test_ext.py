@@ -318,3 +318,25 @@ def test_batch_topk_lsh_bounded_by_exact(spark, sf_dir):
     exact_best = {r.query_id: r.cosine for r in exact if r.rank == 1}
     for r in lsh:
         assert r.cosine <= exact_best[r.query_id] + 1e-9
+
+
+def test_batch_topk_agrees_with_single_query_brute(spark, sf_dir):
+    # the batched exact path must produce the same (key, cosine) list
+    # as the single-query brute_force_topk for each query in the batch
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
+        batch_topk,
+        brute_force_topk,
+    )
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    batch = batch_topk(emb, queries, k=5, exclude_self=True).collect()
+    by_query = {}
+    for r in sorted(batch, key=lambda r: r.rank):
+        by_query.setdefault(r.query_id, []).append((r.vec_id, r.cosine))
+    for qid in [r.query_id for r in queries.collect()]:
+        single = brute_force_topk(
+            emb.filter(F.col("vec_id") != qid),
+            emb.filter(F.col("vec_id") == qid), k=5).collect()
+        expected = [(r.vec_id, r.cosine) for r in single]
+        assert by_query[qid] == expected, qid
