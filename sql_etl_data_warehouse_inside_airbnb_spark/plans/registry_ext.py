@@ -337,11 +337,44 @@ def ext_ann_brute_topk(spark, sf_dir):
     return brute_force_topk(emb.filter(F.col("vec_id") != 0), query, k=10)
 
 
+def _lsh_oracle_sql() -> str:
+    """Build the DuckDB oracle for ext_ann_lsh_topk from the SAME
+    fixed-seed hyperplanes the Spark operator uses — the plane floats
+    are embedded as literals, so bucket assignment and the exact
+    cosine re-rank are both reproduced and the entry is hash-checked
+    rather than rows-only. Sign tests on O(1)-magnitude dot products
+    are robust to fold-order FP noise (~1e-16), unlike raw floats."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
+        _hyperplanes,
+    )
+    planes = _hyperplanes(64, 4)
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+        terms.append(f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+                     f"{lit}) > 0 THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""WITH b AS (
+         SELECT vec_id, embedding, {bucket} AS bkt FROM embeddings),
+       q AS (SELECT embedding::DOUBLE[] AS qv, bkt FROM b WHERE vec_id = 0)
+       SELECT e.vec_id,
+              round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                    / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                             e.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+       FROM b e, q
+       WHERE e.vec_id <> 0 AND e.bkt = q.bkt
+       ORDER BY cosine DESC, e.vec_id LIMIT 10"""
+
+
 @register(
-    "ext_ann_lsh_topk", None,
+    "ext_ann_lsh_topk", _lsh_oracle_sql(),
     survey="§7.5 similarity",
     note="hyperplane-LSH bucketed top-k (fixed-seed planes, bucket "
-         "equi-join + exact re-rank); recall<1 by design → rows-only")
+         "equi-join + exact re-rank). The oracle embeds the same "
+         "seed-42 plane literals, so the bucketing AND the re-rank "
+         "are hash-checked — recall<1 vs brute force is the designed "
+         "semantics, not an oracle gap")
 def ext_ann_lsh_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
