@@ -858,3 +858,67 @@ def ext_sequence_pack(spark, sf_dir):
     return (d.withColumn("pack_id",
                          F.floor(offset / 512).cast("bigint"))
             .withColumn("pack_offset", (offset % 512).cast("bigint")))
+
+
+@register(
+    "ext_chunk_pack_pipeline",
+    """WITH d AS (
+         SELECT doc_id,
+                string_split_regex(trim(coalesce(text, '')), '\\s+') AS toks,
+                CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                     ELSE len(string_split_regex(trim(coalesce(text, '')),
+                              '\\s+'))
+                END::BIGINT AS n
+         FROM documents),
+       chunks AS (
+         SELECT doc_id,
+                CAST(g.chunk_id AS BIGINT) AS chunk_id,
+                CASE WHEN n = 0 THEN 0
+                     ELSE len(list_slice(toks, g.chunk_id * 48 + 1,
+                              least(g.chunk_id * 48 + 64, len(toks))))
+                END::BIGINT AS n_chunk_tokens
+         FROM d, LATERAL unnest(generate_series(
+                  0, greatest((n - 16 + 47) // 48, 1) - 1)) AS g(chunk_id)),
+       packed AS (
+         SELECT doc_id, chunk_id, n_chunk_tokens,
+                doc_id % 8 AS shard,
+                sum(n_chunk_tokens) OVER (PARTITION BY doc_id % 8
+                    ORDER BY doc_id, chunk_id
+                    ROWS UNBOUNDED PRECEDING) - n_chunk_tokens AS tok_off
+         FROM chunks)
+       SELECT CAST(shard AS BIGINT) AS shard,
+              CAST(tok_off // 256 AS BIGINT) AS pack_id,
+              count(*) AS n_chunks,
+              CAST(sum(n_chunk_tokens) AS BIGINT) AS pack_tokens,
+              min(doc_id) AS first_doc,
+              max(doc_id) AS last_doc
+       FROM packed GROUP BY 1, 2""",
+    survey="§7.5 ext (chunk -> pack composition)",
+    note="the two sequence-prep stages COMPOSED: chunk_documents "
+         "(64-token windows, 16 overlap) feeds sharded concat-and-cut "
+         "packing (256-token packs) in one lazy lineage — explode + "
+         "per-shard window cumsum + pack-level rollup, one scan of "
+         "documents, shuffles only on the shard window and the final "
+         "groupBy. The per-pack summary (chunk count, token count, "
+         "doc span) is what a training-data loader manifests")
+def ext_chunk_pack_pipeline(spark, sf_dir):
+    from pyspark.sql import Window as W
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+        chunk_documents,
+    )
+    chunks = chunk_documents(t(spark, sf_dir, "documents"))
+    w = (W.partitionBy("shard").orderBy("doc_id", "chunk_id")
+         .rowsBetween(W.unboundedPreceding, 0))
+    packed = (chunks
+              .withColumn("shard", (F.col("doc_id") % 8).cast("bigint"))
+              .withColumn("tok_off",
+                          F.sum("n_chunk_tokens").over(w)
+                          - F.col("n_chunk_tokens")))
+    return (packed
+            .groupBy("shard",
+                     F.floor(F.col("tok_off") / 256).cast("bigint")
+                      .alias("pack_id"))
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum("n_chunk_tokens").alias("pack_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))
