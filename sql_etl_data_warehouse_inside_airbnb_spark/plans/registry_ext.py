@@ -922,3 +922,72 @@ def ext_chunk_pack_pipeline(spark, sf_dir):
                  F.sum("n_chunk_tokens").alias("pack_tokens"),
                  F.min("doc_id").alias("first_doc"),
                  F.max("doc_id").alias("last_doc")))
+
+
+@register(
+    "ext_dup_ngram_fraction",
+    """WITH grams AS (
+         SELECT doc_id, g.sh
+         FROM (SELECT doc_id,
+                      CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 3
+                           THEN []::VARCHAR[]
+                           ELSE list_transform(
+                             generate_series(1,
+                               len(string_split_regex(trim(text), '\\s+')) - 2),
+                             i -> string_split_regex(trim(text), '\\s+')[i]
+                                  || ' ' ||
+                                  string_split_regex(trim(text), '\\s+')[i+1]
+                                  || ' ' ||
+                                  string_split_regex(trim(text), '\\s+')[i+2])
+                      END AS shs
+               FROM documents) d,
+              LATERAL unnest(d.shs) AS g(sh)),
+       df AS (
+         SELECT sh, count(DISTINCT doc_id) AS n_docs FROM grams GROUP BY sh)
+       SELECT g.doc_id,
+              count(*) AS n_grams,
+              CAST(count(*) FILTER (WHERE df.n_docs > 1) AS BIGINT)
+                  AS n_shared_grams,
+              CAST(10000 * count(*) FILTER (WHERE df.n_docs > 1)
+                   // count(*) AS BIGINT) AS shared_gram_bp
+       FROM grams g JOIN df ON g.sh = df.sh
+       GROUP BY g.doc_id""",
+    survey="§7.5 ext (cross-doc repetition filter)",
+    note="cross-document duplicated-3-gram fraction (basis points) — "
+         "the RefinedWeb/Gopher-style filter that flags documents "
+         "whose n-grams mostly appear in OTHER documents (boilerplate, "
+         "templates), complementing distinct_token_bp's intra-doc "
+         "signal. Shape: explode positional n-grams, one groupBy for "
+         "cross-doc document frequency, hash join back, one per-doc "
+         "rollup — linear in total grams, both aggs map-side "
+         "combinable; at 100 TB the DF table is the same artifact the "
+         "decontamination and PPJoin prefix filters reuse. Integer "
+         "basis points keep it engine-exact; docs with <3 tokens emit "
+         "no grams and are absent (both engines)")
+def ext_dup_ngram_fraction(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+        shingles,
+    )
+    # positional (non-distinct) 3-grams: fraction is over gram
+    # OCCURRENCES, so repeated local grams count every time
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+", -1)
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(2))
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2)))
+    grams = (d.select("doc_id",
+                      F.when(F.size(toks) < 3,
+                             F.array().cast("array<string>"))
+                      .otherwise(gram).alias("shs"))
+             .select("doc_id", F.explode("shs").alias("sh")))
+    df_counts = (grams.groupBy("sh")
+                 .agg(F.countDistinct("doc_id").alias("n_docs")))
+    joined = grams.join(df_counts, "sh")
+    shared = F.count_if(F.col("n_docs") > 1)
+    return (joined.groupBy("doc_id")
+            .agg(F.count("*").alias("n_grams"),
+                 shared.alias("n_shared_grams"),
+                 F.floor(10000 * shared / F.count("*")).cast("bigint")
+                  .alias("shared_gram_bp")))
