@@ -991,3 +991,41 @@ def ext_dup_ngram_fraction(spark, sf_dir):
                  shared.alias("n_shared_grams"),
                  F.floor(10000 * shared / F.count("*")).cast("bigint")
                   .alias("shared_gram_bp")))
+
+
+@register(
+    "ext_url_parse",
+    """WITH u AS (
+         SELECT doc_id,
+                'https://' || source || '.example.org/docs/' ||
+                CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+         FROM documents)
+       SELECT doc_id,
+              regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+              regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+              regexp_extract(url, 'lang=([a-z]+)', 1) AS lang_param,
+              regexp_extract(regexp_extract(url, '^[a-z]+://([^/]+)/', 1),
+                             '([^.]+\\.[^.]+)$', 1) AS domain
+       FROM u""",
+    survey="§7.5 ext (URL/domain parsing)",
+    note="URL decomposition for web-corpus curation: host, path, "
+         "query param, and registrable-domain suffix from a "
+         "synthesized well-formed URL per document. Spark side uses "
+         "the parse_url builtin for host/path/query (JVM, no regex "
+         "backtracking at scale) plus one regexp for the domain "
+         "suffix; the oracle recomputes all four with portable "
+         "regexps. Domain is the key source-level curation joins "
+         "block on (same role as ext_source_stats.source)")
+def ext_url_parse(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.org/docs/"),
+                   F.col("doc_id").cast("string"),
+                   F.lit("?lang="), F.col("lang"))
+    host = F.parse_url(url, F.lit("HOST"))
+    return d.select(
+        "doc_id",
+        host.alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("domain"))
