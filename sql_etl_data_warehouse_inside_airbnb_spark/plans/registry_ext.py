@@ -1029,3 +1029,55 @@ def ext_url_parse(spark, sf_dir):
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
         F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("domain"))
+
+
+@register(
+    "ext_filter_funnel",
+    """WITH f AS (
+         SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                END::BIGINT AS n_tok,
+                len(regexp_replace(trim(text), '\\s+', '', 'g'))::BIGINT
+                    AS n_nospace,
+                CASE WHEN trim(text) = '' THEN 10000
+                     ELSE floor(10000 * len(list_distinct(
+                              string_split_regex(trim(text), '\\s+')))
+                          / len(string_split_regex(trim(text), '\\s+')))
+                END::BIGINT AS distinct_bp
+         FROM documents)
+       SELECT doc_id,
+              CASE
+                WHEN n_tok < 5 THEN 'too_short'
+                WHEN n_tok > 5000 THEN 'too_long'
+                WHEN 10 * n_nospace < 25 * n_tok THEN 'short_tokens'
+                WHEN 10 * n_nospace > 120 * n_tok THEN 'long_tokens'
+                WHEN distinct_bp < 3000 THEN 'repetitive'
+                ELSE 'keep'
+              END AS verdict
+       FROM f""",
+    survey="§7.5 ext (quality filter funnel)",
+    note="Gopher-style keep/drop funnel with reason codes — the "
+         "curation filter's real shape (first failing rule wins, so "
+         "attrition is attributable per rule): token-count bounds, "
+         "mean-token-length bounds expressed as integer cross-"
+         "multiplications (10*chars vs k*tokens — no division, no "
+         "float), repetition threshold on the distinct-token basis "
+         "points. One scan, pure column CASE ladder; the downstream "
+         "groupBy(verdict) count is the funnel report")
+def ext_filter_funnel(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+        distinct_token_bp,
+        token_count,
+    )
+    d = t(spark, sf_dir, "documents")
+    n_tok = token_count("text")
+    n_nospace = (F.length(F.regexp_replace(F.trim("text"), r"\s+", ""))
+                 .cast("bigint"))
+    verdict = (F.when(n_tok < 5, "too_short")
+               .when(n_tok > 5000, "too_long")
+               .when(10 * n_nospace < 25 * n_tok, "short_tokens")
+               .when(10 * n_nospace > 120 * n_tok, "long_tokens")
+               .when(distinct_token_bp("text") < 3000, "repetitive")
+               .otherwise("keep"))
+    return d.select("doc_id", verdict.alias("verdict"))
