@@ -185,6 +185,58 @@ def simhash_near_pairs(df: DataFrame, key_col: str, text_col: str,
             .filter(F.col("hamming") <= max_hamming))
 
 
+def ppjoin_prefix_pairs(df: DataFrame, key_col: str, text_col: str,
+                        threshold_num: int = 1, threshold_den: int = 2,
+                        n: int = 3) -> DataFrame:
+    """EXACT Jaccard self-join via prefix filtering (AllPairs/PPJoin,
+    Bayardo WWW'07 / Xiao WWW'08) — the lossless alternative to LSH:
+    every pair with shingle-Jaccard >= t is returned, yet candidate
+    generation is an equi-join on rare shingles, never all-pairs.
+
+    Prefix lemma: order each doc's shingles by GLOBAL rarity (document
+    frequency asc, shingle asc — deterministic); with overlap bound
+    ceil(t*|X|) per doc, any qualifying pair must share a shingle in
+    both docs' first |X| - ceil(t*|X|) + 1 shingles. Joining on prefix
+    shingles therefore finds every qualifying pair; an exact Jaccard
+    re-check drops false candidates.
+
+    The threshold is a RATIONAL (num/den) so the prefix arithmetic is
+    integer-exact cross-engine: ceil(t*|X|) == (num*|X| + den - 1) div
+    den. Cost shape: one DF groupBy (map-side combinable), one per-doc
+    window for the rarity rank, one equi-join on prefix shingles whose
+    fan-out tracks shingle rarity (rare shingles -> tiny posting
+    lists), one exact re-check join. At 100 TB the DF table is the
+    same artifact the decontamination and dup-ngram ops build.
+    Output: (key_a, key_b, jaccard >= num/den)."""
+    sh = (df.select(F.col(key_col), shingles(text_col, n).alias("sh"))
+          .filter(F.size("sh") > 0))
+    flat = sh.select(key_col, F.explode("sh").alias("g"))
+    dfreq = flat.groupBy("g").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy(key_col).orderBy("__df", "g")
+    ranked = (flat.join(dfreq, "g")
+              .withColumn("__rk", F.row_number().over(w)))
+    sizes = sh.select(key_col, F.size("sh").alias("__n"))
+    # prefix length = n - ceil(t*n) + 1, all-integer
+    plen = (F.col("__n")
+            - F.floor((threshold_num * F.col("__n") + threshold_den - 1)
+                      / threshold_den) + 1)
+    prefix = (ranked.join(sizes, key_col)
+              .filter(F.col("__rk") <= plen)
+              .select(key_col, "g"))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (a.join(b, on=[F.col("a.g") == F.col("b.g"),
+                          F.col(f"a.{key_col}") < F.col(f"b.{key_col}")])
+            .select(F.col(f"a.{key_col}").alias("key_a"),
+                    F.col(f"b.{key_col}").alias("key_b"))
+            .distinct())
+    sa = sh.select(F.col(key_col).alias("key_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col(key_col).alias("key_b"), F.col("sh").alias("sh_b"))
+    sim = jaccard_similarity(F.col("sh_a"), F.col("sh_b"))
+    return (cand.join(sa, "key_a").join(sb, "key_b")
+            .select("key_a", "key_b", F.round(sim, 6).alias("jaccard"))
+            .filter(F.col("jaccard") * threshold_den >= threshold_num))
+
+
 def winnow_fingerprints(df: DataFrame, key_col: str, text_col: str,
                         k: int = 5, window: int = 4,
                         prefix_len: int = 64) -> DataFrame:

@@ -1081,3 +1081,76 @@ def ext_filter_funnel(spark, sf_dir):
                .when(distinct_token_bp("text") < 3000, "repetitive")
                .otherwise("keep"))
     return d.select("doc_id", verdict.alias("verdict"))
+
+
+@register(
+    "ext_dedup_ppjoin",
+    """WITH base AS (
+         SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+       corpus AS (
+         SELECT doc_id, text FROM base
+         UNION ALL
+         SELECT doc_id + 10000000, text || ' mutation' FROM base),
+       d AS (
+         SELECT doc_id,
+                CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 3
+                     THEN []::VARCHAR[]
+                     ELSE list_distinct(list_transform(
+                       generate_series(1,
+                         len(string_split_regex(trim(text), '\\s+')) - 2),
+                       i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                            string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                            string_split_regex(trim(text), '\\s+')[i+2]))
+                END AS sh
+         FROM corpus),
+       s AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+       flat AS (
+         SELECT doc_id, g.x AS g FROM s, LATERAL unnest(s.sh) AS g(x)),
+       dfreq AS (SELECT g, count(*) AS dfc FROM flat GROUP BY g),
+       ranked AS (
+         SELECT f.doc_id, f.g,
+                row_number() OVER (PARTITION BY f.doc_id
+                                   ORDER BY d2.dfc, f.g) AS rk
+         FROM flat f JOIN dfreq d2 USING (g)),
+       sizes AS (SELECT doc_id, len(sh)::BIGINT AS n FROM s),
+       prefix AS (
+         SELECT r.doc_id, r.g
+         FROM ranked r JOIN sizes z USING (doc_id)
+         WHERE r.rk <= z.n - ((1 * z.n + 1) // 2) + 1),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+         FROM prefix a JOIN prefix b
+           ON a.g = b.g AND a.doc_id < b.doc_id),
+       scored AS (
+         SELECT c.key_a, c.key_b,
+                round(len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+                      / (len(sa.sh) + len(sb.sh)
+                         - len(list_filter(sa.sh,
+                               x -> list_contains(sb.sh, x))))::DOUBLE, 6)
+                    AS jaccard
+         FROM cand c
+         JOIN s sa ON sa.doc_id = c.key_a
+         JOIN s sb ON sb.doc_id = c.key_b)
+       SELECT key_a, key_b, jaccard FROM scored WHERE jaccard * 2 >= 1""",
+    survey="§7.5 dedup (prefix filtering)",
+    note="EXACT Jaccard >= 1/2 self-join via AllPairs/PPJoin prefix "
+         "filtering (operators/dedup.py:ppjoin_prefix_pairs) over the "
+         "planted-mutation corpus: lossless (every qualifying pair "
+         "returned — asserted against brute force in tests), yet "
+         "candidates come from an equi-join on globally-rare prefix "
+         "shingles, not all-pairs. The rational threshold keeps the "
+         "prefix-length arithmetic integer-exact, so the whole "
+         "algorithm — DF ranks, prefixes, candidates, exact scores — "
+         "is hash-checked against the oracle replicating it")
+def ext_dedup_ppjoin(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.dedup import (
+        ppjoin_prefix_pairs,
+    )
+    docs = (t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 == 0)
+            .select("doc_id", "text"))
+    mutated = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" mutation")).alias("text"))
+    corpus = docs.unionByName(mutated)
+    return ppjoin_prefix_pairs(corpus, "doc_id", "text")

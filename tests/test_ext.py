@@ -340,3 +340,33 @@ def test_batch_topk_agrees_with_single_query_brute(spark, sf_dir):
             emb.filter(F.col("vec_id") == qid), k=5).collect()
         expected = [(r.vec_id, r.cosine) for r in single]
         assert by_query[qid] == expected, qid
+
+
+def test_ppjoin_is_lossless_vs_brute_force(spark, sf_dir):
+    # prefix filtering must be LOSSLESS: pairs(ppjoin) == pairs from
+    # the all-pairs exact Jaccard at the same threshold
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+        shingles,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.dedup import (
+        jaccard_similarity,
+        ppjoin_prefix_pairs,
+    )
+    docs = (read_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 5 == 0).select("doc_id", "text"))
+    mutated = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                          F.concat("text", F.lit(" zz")).alias("text"))
+    corpus = docs.unionByName(mutated)
+    pp = {(r.key_a, r.key_b): r.jaccard
+          for r in ppjoin_prefix_pairs(corpus, "doc_id", "text").collect()}
+    sh = (corpus.select("doc_id", shingles("text").alias("sh"))
+          .filter(F.size("sh") > 0))
+    a, b = sh.alias("a"), sh.alias("b")
+    sim = F.round(jaccard_similarity(F.col("a.sh"), F.col("b.sh")), 6)
+    brute = {(r.key_a, r.key_b): r.jaccard for r in
+             (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+              .select(F.col("a.doc_id").alias("key_a"),
+                      F.col("b.doc_id").alias("key_b"),
+                      sim.alias("jaccard"))
+              .filter(F.col("jaccard") * 2 >= 1)).collect()}
+    assert pp == brute and len(brute) > 0
