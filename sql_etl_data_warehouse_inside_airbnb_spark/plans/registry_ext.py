@@ -1154,3 +1154,46 @@ def ext_dedup_ppjoin(spark, sf_dir):
         F.concat(F.col("text"), F.lit(" mutation")).alias("text"))
     corpus = docs.unionByName(mutated)
     return ppjoin_prefix_pairs(corpus, "doc_id", "text")
+
+
+@register(
+    "ext_embedding_quantize",
+    """WITH flat AS (
+         SELECT vec_id,
+                generate_subscripts(embedding, 1) AS pos,
+                CAST(unnest(embedding) AS DOUBLE) AS x
+         FROM embeddings),
+       f AS (SELECT * FROM flat WHERE pos <= 16),
+       stats AS (
+         SELECT pos, min(x) AS mn, max(x) AS mx FROM f GROUP BY pos)
+       SELECT f.vec_id,
+              CAST(f.pos AS BIGINT) AS pos,
+              CAST(CASE WHEN s.mx = s.mn THEN 0
+                        ELSE floor((f.x - s.mn) * 255.0 / (s.mx - s.mn))
+                   END AS BIGINT) AS qcode
+       FROM f JOIN stats s USING (pos)""",
+    survey="§7.5 ext (vector quantization)",
+    note="int8 scalar quantization of embeddings (first 16 dims): "
+         "global per-dimension min/max (posexplode + one "
+         "map-side-combinable agg over a 16-row stats table that "
+         "broadcasts back), then floor-affine codes 0..255 — the "
+         "storage/compression step of a vector index build (4x "
+         "smaller than float32; IVF/LSH probe over codes, exact "
+         "re-rank over originals). floor (not round) sidesteps "
+         "half-tie rounding-mode differences; min/max are selection "
+         "not arithmetic, and the affine expression is the same IEEE "
+         "double ops on both engines -> hash-exact")
+def ext_embedding_quantize(spark, sf_dir):
+    flat = (t(spark, sf_dir, "embeddings")
+            .select("vec_id", F.posexplode("embedding").alias("pos0", "x"))
+            .filter(F.col("pos0") < 16)
+            .select("vec_id", (F.col("pos0") + 1).cast("bigint").alias("pos"),
+                    F.col("x").cast("double").alias("x")))
+    stats = flat.groupBy("pos").agg(F.min("x").alias("mn"),
+                                    F.max("x").alias("mx"))
+    qcode = (F.when(F.col("mx") == F.col("mn"), F.lit(0))
+             .otherwise(F.floor((F.col("x") - F.col("mn")) * 255.0
+                                / (F.col("mx") - F.col("mn"))))
+             .cast("bigint"))
+    return (flat.join(F.broadcast(stats), "pos")
+            .select("vec_id", "pos", qcode.alias("qcode")))
