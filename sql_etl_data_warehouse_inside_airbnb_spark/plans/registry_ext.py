@@ -1197,3 +1197,52 @@ def ext_embedding_quantize(spark, sf_dir):
              .cast("bigint"))
     return (flat.join(F.broadcast(stats), "pos")
             .select("vec_id", "pos", qcode.alias("qcode")))
+
+
+@register(
+    "ext_training_manifest",
+    """WITH q AS (
+         SELECT doc_id, lang,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                END::BIGINT AS n_tokens,
+                CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                     WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents)
+       SELECT q.doc_id, q.lang, q.split, q.n_tokens,
+              round(sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[])), 6)
+                  AS embedding_norm,
+              CAST(len(e.embedding) AS BIGINT) AS embedding_dim
+       FROM q JOIN embeddings e ON e.vec_id = q.doc_id""",
+    survey="§7.5 ext (training-record assembly)",
+    note="the last-mile assembly: text-side features (token count, "
+         "deterministic split) joined 1:1 with the vector side "
+         "(embedding norm + dim) into the manifest a training loader "
+         "reads — one equi-join on the shared id, both inputs "
+         "column-pruned before the join so embedding payloads only "
+         "flow for the columns used. At 100 TB both tables are "
+         "bucketed on the id and the join is exchange-free "
+         "(write_bucketed, tests/test_bucketing.py)")
+def ext_training_manifest(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
+        as_double,
+        l2_norm,
+    )
+    m = F.col("doc_id") * F.lit(2654435761)
+    docs = (t(spark, sf_dir, "documents")
+            .select("doc_id", "lang",
+                    token_count("text").alias("n_tokens"),
+                    F.when(m % 100 < 80, "train")
+                    .when(m % 100 < 90, "val")
+                    .otherwise("test").alias("split")))
+    emb = (t(spark, sf_dir, "embeddings")
+           .select(F.col("vec_id").alias("doc_id"),
+                   F.round(l2_norm(as_double(F.col("embedding"))), 6)
+                    .alias("embedding_norm"),
+                   F.size("embedding").cast("bigint")
+                    .alias("embedding_dim")))
+    return (docs.join(emb, "doc_id")
+            .select("doc_id", "lang", "split", "n_tokens",
+                    "embedding_norm", "embedding_dim"))
