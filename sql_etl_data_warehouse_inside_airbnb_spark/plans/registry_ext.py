@@ -1246,3 +1246,80 @@ def ext_training_manifest(spark, sf_dir):
     return (docs.join(emb, "doc_id")
             .select("doc_id", "lang", "split", "n_tokens",
                     "embedding_norm", "embedding_dim"))
+
+
+@register(
+    "ext_chunk_dedup",
+    """WITH d AS (
+         SELECT doc_id,
+                string_split_regex(trim(coalesce(text, '')), '\\s+') AS toks,
+                CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                     ELSE len(string_split_regex(trim(coalesce(text, '')),
+                              '\\s+'))
+                END::BIGINT AS n
+         FROM documents),
+       chunks AS (
+         SELECT doc_id,
+                CAST(g.chunk_id AS BIGINT) AS chunk_id,
+                array_to_string(list_slice(toks, g.chunk_id * 48 + 1,
+                                least(g.chunk_id * 48 + 64, len(toks))), ' ')
+                    AS chunk_text
+         FROM d, LATERAL unnest(generate_series(
+                  0, greatest((n - 16 + 47) // 48, 1) - 1)) AS g(chunk_id))
+       SELECT md5(lower(regexp_replace(trim(chunk_text), '\\s+', ' ', 'g')))
+                  AS fingerprint,
+              min(doc_id * 1000000 + chunk_id) AS canonical_chunk,
+              count(*) AS n_copies
+       FROM chunks
+       GROUP BY 1""",
+    survey="§7.5 ext (chunk-level dedup composition)",
+    note="exact dedup applied AFTER chunking — the sequence-level "
+         "dedup pass a pretraining pipeline runs on top of doc-level "
+         "dedup (overlapping windows and boilerplate create repeated "
+         "chunks that doc-level fingerprints cannot see). Same "
+         "fingerprint groupBy as ext_dedup_exact over the "
+         "chunk_documents lineage; canonical key packs (doc, chunk) "
+         "into one BIGINT so min() is a deterministic winner")
+def ext_chunk_dedup(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+        chunk_documents,
+        fingerprint,
+    )
+    chunks = chunk_documents(t(spark, sf_dir, "documents"))
+    return (chunks
+            .select(fingerprint("chunk_text").alias("fingerprint"),
+                    (F.col("doc_id") * 1_000_000 + F.col("chunk_id"))
+                    .alias("ck"))
+            .groupBy("fingerprint")
+            .agg(F.min("ck").alias("canonical_chunk"),
+                 F.count("*").alias("n_copies")))
+
+
+@register(
+    "ext_label_balance",
+    """WITH c AS (
+         SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+       m AS (SELECT max(n) AS mx, min(n) AS mn,
+                    CAST(sum(n) AS BIGINT) AS total FROM c)
+       SELECT c.label, c.n,
+              CAST(10000 * c.n // m.total AS BIGINT) AS share_bp,
+              CAST(10000 * m.mx // greatest(m.mn, 1) AS BIGINT)
+                  AS imbalance_bp
+       FROM c, m""",
+    survey="§7.5 ext (class balance report)",
+    note="label distribution + imbalance factor (max/min class ratio "
+         "in basis points) — the class-balance check run before "
+         "sampling weights are chosen; one groupBy plus a broadcast "
+         "1-row global, integer arithmetic throughout")
+def ext_label_balance(spark, sf_dir):
+    c = (t(spark, sf_dir, "embeddings")
+         .groupBy("label").agg(F.count("*").alias("n")))
+    m = F.broadcast(c.agg(F.max("n").alias("mx"), F.min("n").alias("mn"),
+                          F.sum("n").alias("total")))
+    return (c.crossJoin(m)
+            .select("label", "n",
+                    F.floor(10000 * F.col("n") / F.col("total"))
+                     .cast("bigint").alias("share_bp"),
+                    F.floor(10000 * F.col("mx")
+                            / F.greatest(F.col("mn"), F.lit(1)))
+                     .cast("bigint").alias("imbalance_bp")))

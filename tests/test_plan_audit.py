@@ -34,6 +34,7 @@ NESTED_LOOP_OK = {
     "j15_cross_join": "BroadcastNestedLoopJoin",
     "ext_ann_brute_topk": "BroadcastNestedLoopJoin",
     "ext_ann_batch_topk": "BroadcastNestedLoopJoin",  # broadcast query batch
+    "ext_label_balance": "BroadcastNestedLoopJoin",   # broadcast 1-row global
     "sq_scalar_threshold": "BroadcastNestedLoopJoin",
 }
 ROW_PYTHON_OK = {
