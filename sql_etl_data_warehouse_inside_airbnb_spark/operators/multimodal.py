@@ -219,6 +219,89 @@ def gif_bytes(width: int, height: int) -> bytes:
     return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00"
 
 
+def wav_bytes(sample_rate: int, channels: int, bits: int,
+              n_samples: int) -> bytes:
+    """Minimal real RIFF/WAVE PCM header (44 bytes, canonical layout):
+    fmt chunk with the given parameters and a data chunk size declared
+    for ``n_samples`` frames (payload omitted — header-only, like the
+    image builders)."""
+    import struct
+
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    data_size = n_samples * block_align
+    return (b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels,
+                                    sample_rate, byte_rate, block_align,
+                                    bits)
+            + b"data" + struct.pack("<I", data_size))
+
+
+def wav_metadata(payload: bytes | None):
+    """REAL audio decode (header-level): parse a RIFF/WAVE payload's
+    fmt and data chunks and return (sample_rate, channels, bits,
+    duration_ms), or None when not a WAV. Walks the chunk list per the
+    RIFF spec (chunk id + little-endian size), so fmt/data need not be
+    at fixed offsets; duration is exact integer arithmetic."""
+    import struct
+
+    if payload is None or len(payload) < 36 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt = None
+    data_size = None
+    while i + 8 <= len(payload):
+        cid = payload[i:i + 4]
+        size = struct.unpack("<I", payload[i + 4:i + 8])[0]
+        if cid == b"fmt " and i + 8 + 16 <= len(payload):
+            _, channels, rate, byte_rate, _, bits = struct.unpack(
+                "<HHIIHH", payload[i + 8:i + 24])
+            fmt = (rate, channels, bits, byte_rate)
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)      # chunks are word-aligned
+    if fmt is None or data_size is None or fmt[3] == 0:
+        return None
+    rate, channels, bits, byte_rate = fmt
+    return (rate, channels, bits, data_size * 1000 // byte_rate)
+
+
+AUDIO_META_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("sample_rate", LongType(), True),
+    StructField("channels", LongType(), True),
+    StructField("bits", LongType(), True),
+    StructField("duration_ms", LongType(), True),
+])
+
+
+def extract_audio_meta(media: DataFrame) -> DataFrame:
+    """mapInPandas stage running the REAL WAV header decode
+    (:func:`wav_metadata`) — the audio twin of extract_image_meta."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rates, chans, bits, durs = [], [], [], []
+            for p in pdf["payload"]:
+                meta = wav_metadata(p)
+                rates.append(meta[0] if meta else None)
+                chans.append(meta[1] if meta else None)
+                bits.append(meta[2] if meta else None)
+                durs.append(meta[3] if meta else None)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "sample_rate": pd.array(rates, dtype="Int64"),
+                "channels": pd.array(chans, dtype="Int64"),
+                "bits": pd.array(bits, dtype="Int64"),
+                "duration_ms": pd.array(durs, dtype="Int64"),
+            })
+
+    return media.mapInPandas(run, schema=AUDIO_META_SCHEMA)
+
+
 IMAGE_META_SCHEMA = StructType([
     StructField("media_id", LongType(), False),
     StructField("format", StringType(), True),

@@ -1323,3 +1323,60 @@ def ext_label_balance(spark, sf_dir):
                     F.floor(10000 * F.col("mx")
                             / F.greatest(F.col("mn"), F.lit(1)))
                      .cast("bigint").alias("imbalance_bp")))
+
+
+@register(
+    "ext_multimodal_audio_meta",
+    """SELECT doc_id AS media_id,
+              CAST(CASE doc_id % 3 WHEN 0 THEN 16000 WHEN 1 THEN 44100
+                        ELSE 48000 END AS BIGINT) AS sample_rate,
+              CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+              CAST(16 AS BIGINT) AS bits,
+              CAST((n_chars % 2000 + 1) * 1000
+                   // (CASE doc_id % 3 WHEN 0 THEN 16000 WHEN 1 THEN 44100
+                            ELSE 48000 END) AS BIGINT) AS duration_ms
+       FROM documents""",
+    survey="§7.5 multimodal (audio decode)",
+    note="REAL WAV header decode, hash-checked — the audio twin of "
+         "ext_multimodal_image_meta: a valid RIFF/WAVE header is "
+         "synthesized per document (rate/channels/frame-count derived "
+         "from doc_id/n_chars), then operators/multimodal.py:"
+         "wav_metadata walks the chunk list (fmt + data, word-aligned "
+         "sizes) and recovers sample_rate/channels/bits/duration_ms; "
+         "the oracle recomputes the expectations arithmetically so "
+         "any chunk-walk bug breaks the hash")
+def ext_multimodal_audio_meta(spark, sf_dir):
+    from collections.abc import Iterator
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.multimodal import (
+        extract_audio_meta,
+        wav_bytes,
+    )
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    dims = (t(spark, sf_dir, "documents")
+            .select(F.col("doc_id").alias("media_id"),
+                    F.when(F.col("doc_id") % 3 == 0, 16000)
+                     .when(F.col("doc_id") % 3 == 1, 44100)
+                     .otherwise(48000).alias("rate"),
+                    (F.col("doc_id") % 2 + 1).alias("channels"),
+                    (F.col("n_chars") % 2000 + 1).alias("n_samples")))
+
+    def build(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [wav_bytes(int(r), int(c), 16, int(ns))
+                        for r, c, ns in zip(pdf["rate"], pdf["channels"],
+                                            pdf["n_samples"])]
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "payload": payloads})
+
+    schema = StructType([StructField("media_id", LongType(), False),
+                         StructField("payload", BinaryType(), True)])
+    return extract_audio_meta(dims.mapInPandas(build, schema=schema))

@@ -370,3 +370,23 @@ def test_ppjoin_is_lossless_vs_brute_force(spark, sf_dir):
                       sim.alias("jaccard"))
               .filter(F.col("jaccard") * 2 >= 1)).collect()}
     assert pp == brute and len(brute) > 0
+
+
+def test_wav_header_roundtrip():
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.multimodal import (
+        wav_bytes,
+        wav_metadata,
+    )
+    for rate, ch, bits, n in [(16000, 1, 16, 16000), (44100, 2, 16, 22050),
+                              (48000, 2, 24, 1), (8000, 1, 8, 0)]:
+        meta = wav_metadata(wav_bytes(rate, ch, bits, n))
+        assert meta == (rate, ch, bits, n * 1000 // rate), meta
+    assert wav_metadata(None) is None
+    assert wav_metadata(b"RIFFxxxxNOPE") is None
+    assert wav_metadata(b"not audio") is None
+    # an extra chunk before fmt must not break the walk
+    import struct
+    w = wav_bytes(16000, 1, 16, 100)
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = w[:12] + extra + w[12:]
+    assert wav_metadata(patched) == (16000, 1, 16, 6)

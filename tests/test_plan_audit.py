@@ -45,6 +45,7 @@ ARROW_PYTHON_OK = {
     "ext_lang_detect_lib": "ArrowEvalPython",
     "ext_grouped_median": "FlatMapGroupsInPandas",
     "ext_multimodal_image_meta": "MapInPandas",
+    "ext_multimodal_audio_meta": "MapInPandas",
     "u7_pandas_udaf_maxgap": "ArrowAggregatePython",
 }
 
