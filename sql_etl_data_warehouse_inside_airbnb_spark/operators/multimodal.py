@@ -267,6 +267,60 @@ def wav_metadata(payload: bytes | None):
     return (rate, channels, bits, data_size * 1000 // byte_rate)
 
 
+def mp4_bytes(timescale: int, duration: int) -> bytes:
+    """Minimal real MP4: ftyp box + moov box containing a version-0
+    mvhd with the given timescale/duration (ISO 14496-12 layout)."""
+    import struct
+
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00"
+    mvhd_body = (b"\x00\x00\x00\x00"          # version 0 + flags
+                 + struct.pack(">II", 0, 0)   # creation/modification
+                 + struct.pack(">II", timescale, duration)
+                 + b"\x00" * 80)              # rate..next_track_id
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    return ftyp + moov
+
+
+def mp4_metadata(payload: bytes | None):
+    """REAL video decode (container-level): walk the top-level MP4 box
+    list, find moov/mvhd, return (timescale, duration_ms). Handles
+    mvhd version 0 (32-bit) and version 1 (64-bit) fields. None when
+    the payload is not an MP4 container."""
+    import struct
+
+    if payload is None or len(payload) < 16 or payload[4:8] != b"ftyp":
+        return None
+
+    def walk(buf, start, end):
+        i = start
+        while i + 8 <= end:
+            size = struct.unpack(">I", buf[i:i + 4])[0]
+            btype = buf[i + 4:i + 8]
+            if size < 8:
+                return None
+            if btype == b"moov":
+                return walk(buf, i + 8, min(i + size, end))
+            if btype == b"mvhd":
+                ver = buf[i + 8]
+                if ver == 0 and i + 8 + 20 <= end:
+                    ts, dur = struct.unpack(">II", buf[i + 20:i + 28])
+                    return (ts, dur)
+                if ver == 1 and i + 8 + 32 <= end:
+                    ts = struct.unpack(">I", buf[i + 28:i + 32])[0]
+                    dur = struct.unpack(">Q", buf[i + 32:i + 40])[0]
+                    return (ts, dur)
+                return None
+            i += size
+        return None
+
+    found = walk(payload, 0, len(payload))
+    if not found or found[0] == 0:
+        return None
+    ts, dur = found
+    return (ts, dur * 1000 // ts)
+
+
 AUDIO_META_SCHEMA = StructType([
     StructField("media_id", LongType(), False),
     StructField("sample_rate", LongType(), True),

@@ -98,7 +98,8 @@ _PRIORITY = [
     "ext_url_parse", "ext_filter_funnel", "ext_dedup_ppjoin",
     "ext_embedding_quantize", "ext_training_manifest",
     "ext_chunk_dedup", "ext_label_balance",
-    "ext_multimodal_audio_meta", "ext_ann_lsh_topk",
+    "ext_multimodal_audio_meta", "ext_multimodal_video_meta",
+    "ext_ann_lsh_topk",
     # fingerprint-variant twins (their pair/join semantics are already
     # covered above by ext_dedup_winnow_pairs / ext_fingerprint)
     "ext_rolling_hash_fingerprint", "ext_winnow_fingerprint",

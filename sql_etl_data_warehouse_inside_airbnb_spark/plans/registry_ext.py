@@ -1380,3 +1380,62 @@ def ext_multimodal_audio_meta(spark, sf_dir):
     schema = StructType([StructField("media_id", LongType(), False),
                          StructField("payload", BinaryType(), True)])
     return extract_audio_meta(dims.mapInPandas(build, schema=schema))
+
+
+@register(
+    "ext_multimodal_video_meta",
+    """SELECT doc_id AS media_id,
+              CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                        ELSE 90000 END AS BIGINT) AS timescale,
+              CAST((n_chars % 36000 + 1) * 1000
+                   // (CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                            ELSE 90000 END) AS BIGINT) AS duration_ms
+       FROM documents""",
+    survey="§7.5 multimodal (video decode)",
+    note="REAL MP4 container decode, hash-checked — completes the "
+         "image/audio/video trio: a valid ftyp+moov/mvhd box layout "
+         "is synthesized per document (timescale/duration from "
+         "doc_id/n_chars), then operators/multimodal.py:mp4_metadata "
+         "walks the box tree (v0 and v1 mvhd) and recovers "
+         "(timescale, duration_ms); the oracle recomputes both "
+         "arithmetically so any box-walk bug breaks the hash")
+def ext_multimodal_video_meta(spark, sf_dir):
+    from collections.abc import Iterator
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.multimodal import (
+        mp4_bytes,
+        mp4_metadata,
+    )
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    dims = (t(spark, sf_dir, "documents")
+            .select(F.col("doc_id").alias("media_id"),
+                    F.when(F.col("doc_id") % 3 == 0, 600)
+                     .when(F.col("doc_id") % 3 == 1, 1000)
+                     .otherwise(90000).alias("ts"),
+                    (F.col("n_chars") % 36000 + 1).alias("dur")))
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            tss, durs = [], []
+            for ts, dur in zip(pdf["ts"], pdf["dur"]):
+                meta = mp4_metadata(mp4_bytes(int(ts), int(dur)))
+                tss.append(meta[0] if meta else None)
+                durs.append(meta[1] if meta else None)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "timescale": pd.array(tss, dtype="Int64"),
+                "duration_ms": pd.array(durs, dtype="Int64"),
+            })
+
+    schema = StructType([StructField("media_id", LongType(), False),
+                         StructField("timescale", LongType(), True),
+                         StructField("duration_ms", LongType(), True)])
+    return dims.mapInPandas(run, schema=schema)

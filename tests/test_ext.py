@@ -390,3 +390,21 @@ def test_wav_header_roundtrip():
     extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
     patched = w[:12] + extra + w[12:]
     assert wav_metadata(patched) == (16000, 1, 16, 6)
+
+
+def test_mp4_header_roundtrip():
+    import struct
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.multimodal import (
+        mp4_bytes,
+        mp4_metadata,
+    )
+    for ts, dur in [(600, 600), (1000, 123456), (90000, 1), (600, 0)]:
+        assert mp4_metadata(mp4_bytes(ts, dur)) == (ts, dur * 1000 // ts)
+    assert mp4_metadata(None) is None
+    assert mp4_metadata(b"not a video file") is None
+    # a free box before moov must not break the walk
+    m = mp4_bytes(1000, 5000)
+    free = struct.pack(">I", 12) + b"free" + b"zzzz"
+    patched = m[:16] + free + m[16:]
+    assert mp4_metadata(patched) == (1000, 5000)

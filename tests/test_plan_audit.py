@@ -46,6 +46,7 @@ ARROW_PYTHON_OK = {
     "ext_grouped_median": "FlatMapGroupsInPandas",
     "ext_multimodal_image_meta": "MapInPandas",
     "ext_multimodal_audio_meta": "MapInPandas",
+    "ext_multimodal_video_meta": "MapInPandas",
     "u7_pandas_udaf_maxgap": "ArrowAggregatePython",
 }
 
