@@ -6,14 +6,17 @@ feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so the Python worker sees columnar batches, not
 rows.
 
-Header-level image decode is REAL: ``image_dimensions`` parses
-PNG/JPEG/GIF container headers in pure Python (no codec library), and
-``extract_image_meta`` runs it as a mapInPandas stage. Pixel-level
-kernels (full decode / resize) need codecs (PIL/ffmpeg/torchaudio) NOT
-in this container, so those remain stubs: ``decode_image_stub`` /
-``resize_stub`` raise ``NotImplementedError`` unless ``fake=True``
-(deterministic stand-in). Everything around the kernels — schema,
-batch iteration, partitioning contract — is real and tested.
+Header/container-level decode is REAL for all three modalities, in
+pure Python (no codec library), each run as a mapInPandas stage:
+``image_dimensions`` parses PNG IHDR / JPEG SOFn / GIF descriptors,
+``wav_metadata`` walks RIFF/WAVE chunks (rate/channels/bits/duration),
+``mp4_metadata`` walks the ISO box tree to moov/mvhd (timescale/
+duration). Pixel/sample-level kernels (full decode / resize) need
+codecs (PIL/ffmpeg/torchaudio) NOT in this container, so those remain
+stubs: ``decode_image_stub`` / ``resize_stub`` raise
+``NotImplementedError`` unless ``fake=True`` (deterministic
+stand-in). Everything around the kernels — schema, batch iteration,
+partitioning contract — is real and tested.
 
 Scale notes: payloads dominate bytes, so (a) never shuffle the binary
 column — project it away before joins/aggs and re-attach by key;
