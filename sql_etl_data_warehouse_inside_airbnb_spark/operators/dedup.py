@@ -231,10 +231,18 @@ def ppjoin_prefix_pairs(df: DataFrame, key_col: str, text_col: str,
             .distinct())
     sa = sh.select(F.col(key_col).alias("key_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col(key_col).alias("key_b"), F.col("sh").alias("sh_b"))
-    sim = jaccard_similarity(F.col("sh_a"), F.col("sh_b"))
+    # integer-exact threshold test: inter/union >= num/den iff
+    # inter*den >= num*union — never compares rounded floats, so the
+    # lossless guarantee holds for thresholds like 1/3 that have no
+    # exact 6-dp representation; round() touches only the OUTPUT column
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (cand.join(sa, "key_a").join(sb, "key_b")
-            .select("key_a", "key_b", F.round(sim, 6).alias("jaccard"))
-            .filter(F.col("jaccard") * threshold_den >= threshold_num))
+            .filter(inter * threshold_den >= threshold_num * union)
+            .select("key_a", "key_b",
+                    F.round(jaccard_similarity(F.col("sh_a"),
+                                               F.col("sh_b")), 6)
+                     .alias("jaccard")))
 
 
 def winnow_fingerprints(df: DataFrame, key_col: str, text_col: str,

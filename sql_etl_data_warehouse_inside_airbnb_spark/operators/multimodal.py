@@ -288,8 +288,10 @@ def mp4_bytes(timescale: int, duration: int) -> bytes:
 def mp4_metadata(payload: bytes | None):
     """REAL video decode (container-level): walk the top-level MP4 box
     list, find moov/mvhd, return (timescale, duration_ms). Handles
-    mvhd version 0 (32-bit) and version 1 (64-bit) fields. None when
-    the payload is not an MP4 container."""
+    mvhd version 0 (32-bit) and version 1 (64-bit) fields, plus the
+    two ISO 14496-12 §4.2 size escapes: size==1 (64-bit largesize
+    follows the type) and size==0 (box extends to end of enclosing
+    container). None when the payload is not an MP4 container."""
     import struct
 
     if payload is None or len(payload) < 16 or payload[4:8] != b"ftyp":
@@ -300,18 +302,27 @@ def mp4_metadata(payload: bytes | None):
         while i + 8 <= end:
             size = struct.unpack(">I", buf[i:i + 4])[0]
             btype = buf[i + 4:i + 8]
-            if size < 8:
+            hdr = 8
+            if size == 1:               # 64-bit largesize escape
+                if i + 16 > end:
+                    return None
+                size = struct.unpack(">Q", buf[i + 8:i + 16])[0]
+                hdr = 16
+            elif size == 0:             # box runs to end of container
+                size = end - i
+            if size < hdr:
                 return None
             if btype == b"moov":
-                return walk(buf, i + 8, min(i + size, end))
+                return walk(buf, i + hdr, min(i + size, end))
             if btype == b"mvhd":
-                ver = buf[i + 8]
-                if ver == 0 and i + 8 + 20 <= end:
-                    ts, dur = struct.unpack(">II", buf[i + 20:i + 28])
+                body = i + hdr                # version+flags start here
+                ver = buf[body]
+                if ver == 0 and body + 20 <= end:
+                    ts, dur = struct.unpack(">II", buf[body + 12:body + 20])
                     return (ts, dur)
-                if ver == 1 and i + 8 + 32 <= end:
-                    ts = struct.unpack(">I", buf[i + 28:i + 32])[0]
-                    dur = struct.unpack(">Q", buf[i + 32:i + 40])[0]
+                if ver == 1 and body + 32 <= end:
+                    ts = struct.unpack(">I", buf[body + 20:body + 24])[0]
+                    dur = struct.unpack(">Q", buf[body + 24:body + 32])[0]
                     return (ts, dur)
                 return None
             i += size

@@ -3,13 +3,22 @@
 Importing this module populates ``REGISTRY`` with every query the
 engine declares to the driver (``__spark_entry__.queries()``).
 
-The registry is then REORDERED for the driver's correctness harness:
-round 1 adjudicated exactly the first 50 entries (CORRECTNESS_r01.json)
-and left the other 107 without a verdict. Entries that have never been
-driver-checked come first — the two r01 hash-fails (now fixed), then
-the dedicated SURVEY §2 twins, the LLM-data-pipeline ext ops,
-streaming, and graph — and the 48 entries already green in r01 move to
-the back. Every name stays present; only dict insertion order changes.
+The registry is then REORDERED for the driver's correctness harness,
+which adjudicates ~the first 50 entries per round:
+
+- round 1 checked the first 50 of the original order (48 green);
+- round 2 front-loaded 50 never-checked entries (49 green; the one
+  hash-fail, ``a7_weekly_rollup``, is value-identical to the oracle
+  and got its output dtype normalized to round(double,2) this round);
+- round 3 (this order): ``a7`` first for its fresh verdict, the two
+  new IO-mechanics probes, then the never-adjudicated oracle-paired
+  surface — LLM-pipeline stragglers and the §2-adjacent relational
+  rows (outer/null-safe joins, star join, SCD2, subqueries, grouping
+  sets/percentiles) leading, per VERDICT.md r2 items 3-4.
+
+Entries with a green CORRECTNESS row from r1+r2 move to the back;
+rows-only entries sit behind every oracle-paired one. Every name stays
+present; only dict insertion order changes.
 """
 
 from __future__ import annotations
@@ -26,12 +35,13 @@ import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_ext  # noqa: F4
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_final  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_gaps  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_graph  # noqa: F401
+import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_io  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_more  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_surface  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_wide  # noqa: F401
 
-# The 48 entries with a green CORRECTNESS_r01.json row (47 hash-green +
-# a19 rows-only by design). a5/a7 hash-failed in r01 and are excluded.
+# Entries with a green CORRECTNESS_r01.json row (47 hash-green + a19
+# rows-only by design).
 _R01_GREEN = frozenset({
     "s1_scan_project", "s4_limited_scan", "p1_column_prune",
     "p4_trycast_filter", "p6_between", "p7_isin", "p9_eq_lookup",
@@ -51,59 +61,78 @@ _R01_GREEN = frozenset({
     "a19_approx_distinct", "f18_array_functions",
 })
 
-# Explicit front of the queue: fixed r01 hash-fails first (they need a
-# fresh verdict), then the never-checked dedicated §2 twins, the LLM
-# ext ops, streaming, graph — the entries VERDICT.md ranked highest.
-# Within the ~50-entry window, hash-checked entries (full value
-# verdict) outrank rows-only ones (weaker check): the rows-only block
-# sits at the tail of the priority list so a tight cap still
-# adjudicates every oracle-paired query.
-_PRIORITY = [
-    "a5_conditional_agg", "a7_weekly_rollup",
-    # dedicated SURVEY §2 twins
-    "p2_add_default_column", "p3_column_drop", "p5_null_empty_predicates",
-    "j3_cast_key_join", "j5_not_in_anti", "j10_catalog_join",
-    "j11_broadcast_semi", "a2_region_segment_view", "a8_per_key_count",
-    "a11_count_scalars", "a13_merge_action_counts", "o6_full_sort",
-    "o7_distinct_sorted_limit", "f6_filename_geography",
+# The 49 hash-green rows of CORRECTNESS_r02.json (everything checked
+# in r2 except a7_weekly_rollup, which stays front for a re-verdict).
+_R02_GREEN = frozenset({
+    "a5_conditional_agg", "p2_add_default_column", "p3_column_drop",
+    "p5_null_empty_predicates", "j3_cast_key_join", "j5_not_in_anti",
+    "j10_catalog_join", "j11_broadcast_semi", "a2_region_segment_view",
+    "a8_per_key_count", "a11_count_scalars", "a13_merge_action_counts",
+    "o6_full_sort", "o7_distinct_sorted_limit", "f6_filename_geography",
     "f7_date_conversion", "f12_case_conditional", "f14_numeric_coercion",
-    "f16_metadata_math",
-    # round-2 flagship additions with full oracles (real image decode,
-    # EDA profile, composed data-prep pipeline, batched ANN, chunking,
-    # PII, repetition)
-    "ext_multimodal_image_meta", "x6_profile_table",
-    "ext_data_prep_pipeline", "ext_ann_batch_topk",
-    "ext_chunk_documents", "ext_pii_redact", "ext_repetition_filter",
-    # LLM-data-pipeline ext ops (oracle-paired)
-    "ext_token_count", "ext_text_quality", "ext_quality_score",
-    "ext_lang_id", "ext_fingerprint",
-    "ext_dedup_exact", "ext_dedup_ngram_jaccard", "ext_dedup_embedding",
-    "ext_ann_brute_topk",
-    "ext_bpe_token_count", "ext_decontaminate", "ext_train_split",
-    "ext_dedup_winnow_pairs", "ext_grouped_median",
-    # streaming (oracle-paired batch twins) + graph (CTE oracle)
-    "stream_tumbling", "stream_sliding", "stream_session",
-    "stream_interval_join", "stream_stateful_totals",
-    "g1_connected_components", "g2_dedup_clusters",
-    # ---- position 50 boundary: everything above fits a 50-entry
-    # adjudication window; below are oracle entries whose semantics
-    # are already pinned above or by pytest, then rows-only entries
-    # twin surfaces (same oracle as ext_lang_id; plumbing superseded
-    # by ext_multimodal_image_meta)
-    "ext_lang_id_udf", "ext_multimodal_meta",
-    # round-2 curation extras (checked by the local strict gate)
-    "ext_source_stats", "ext_stratified_sample",
-    "ext_vocab_topk", "ext_label_centroid", "ext_sequence_pack",
-    "ext_chunk_pack_pipeline", "ext_dup_ngram_fraction",
-    "ext_url_parse", "ext_filter_funnel", "ext_dedup_ppjoin",
-    "ext_embedding_quantize", "ext_training_manifest",
-    "ext_chunk_dedup", "ext_label_balance",
+    "f16_metadata_math", "ext_multimodal_image_meta", "x6_profile_table",
+    "ext_data_prep_pipeline", "ext_ann_batch_topk", "ext_chunk_documents",
+    "ext_pii_redact", "ext_repetition_filter", "ext_token_count",
+    "ext_text_quality", "ext_quality_score", "ext_lang_id",
+    "ext_fingerprint", "ext_dedup_exact", "ext_dedup_ngram_jaccard",
+    "ext_dedup_embedding", "ext_ann_brute_topk", "ext_bpe_token_count",
+    "ext_decontaminate", "ext_train_split", "ext_dedup_winnow_pairs",
+    "ext_grouped_median", "stream_tumbling", "stream_sliding",
+    "stream_session", "stream_interval_join", "stream_stateful_totals",
+    "g1_connected_components", "g2_dedup_clusters", "ext_lang_id_udf",
+    "ext_multimodal_meta",
+})
+
+_GREEN = _R01_GREEN | _R02_GREEN
+
+# Explicit front of the queue — the ~50-entry adjudication window.
+_PRIORITY = [
+    # the fixed r1+r2 hash-fail: fresh verdict needed on the
+    # round(double,2) output dtype
+    "a7_weekly_rollup",
+    # new IO-mechanics probes (S8/S9/S3 + S10/S11 round trips)
+    "s8_quarantine_roundtrip", "s11_compaction_roundtrip",
+    # LLM-pipeline stragglers (implemented + locally green since r2)
+    "ext_dedup_ppjoin", "ext_ann_lsh_topk",
     "ext_multimodal_audio_meta", "ext_multimodal_video_meta",
-    "ext_ann_lsh_topk",
-    # fingerprint-variant twins (their pair/join semantics are already
-    # covered above by ext_dedup_winnow_pairs / ext_fingerprint)
+    "ext_chunk_pack_pipeline", "ext_training_manifest",
+    "ext_chunk_dedup",
+    # §2-adjacent relational surface a warehouse user hits daily
+    "j16_left_outer", "j17_full_outer", "j18_null_safe_join",
+    "j19_star_join_rollup", "j20_scd2_apply", "j15_cross_join",
+    "j12_salted_skew_join", "a15_two_stage_salted_agg",
+    "sq_scalar_threshold", "sq_exists_correlated",
+    "a21_grouping_sets", "a22_percentile_disc", "a20_unpivot",
+    "set_except_all", "set_intersect_all", "set_union_by_name",
+    "p11_like_predicates",
+    # window / advanced-aggregate surface
+    "w6_value_windows", "w7_dist_ladder", "w8_ntile",
+    "w9_time_range_frame", "w10_topk_per_group", "a23_collect_sorted",
+    "a25_min_max_by", "a26_bitwise_agg", "a27_stats_moments",
+    "a28_filtered_bool_aggs", "a29_grouping_id", "a30_listagg",
+    "a31_mode_argmax", "a32_median",
+    # json/map/higher-order functions + analysis utilities
+    "f17_json_extract", "f24_higher_order", "f27_from_json_struct",
+    "x1_quality_report", "x2_outlier_mad", "x3_snapshot_diff",
+    "x4_fuzzy_match", "x5_incremental_agg", "ts1_interpolate",
+    # ---- position ~50 boundary. Below: the rest of the
+    # never-adjudicated oracle-paired surface, for a wider window /
+    # round 4.
+    "m1_frequent_itemsets", "e1_funnel_stages", "e2_retention_cohorts",
+    "sql_surface_view_query", "w1_merge_dedup_latest",
+    "u6_udtf_tokenize", "u7_pandas_udaf_maxgap",
+    "f19_explode_tokens", "f20_map_functions", "f21_string_ladder",
+    "f22_date_ladder", "f23_regexp_extract_all", "f26_null_ladder",
+    "f28_str_to_map", "f29_width_bucket", "f30_try_arithmetic",
+    "f31_explode_outer", "f32_sequence_gapfill",
+    "ext_source_stats", "ext_stratified_sample", "ext_vocab_topk",
+    "ext_label_centroid", "ext_sequence_pack",
+    "ext_dup_ngram_fraction", "ext_url_parse", "ext_filter_funnel",
+    "ext_embedding_quantize", "ext_label_balance",
     "ext_rolling_hash_fingerprint", "ext_winnow_fingerprint",
-    # rows-only entries last (engine-specific hashes / library paths)
+    # rows-only entries last (engine-specific hashes / library paths /
+    # sketch internals)
+    "a24_approx_percentile", "a33_hll_sketch_union",
     "ext_dedup_minhash", "ext_dedup_simhash",
     "ext_ann_ivf_topk", "ext_lang_detect_lib",
 ]
@@ -112,9 +141,11 @@ _PRIORITY = [
 def _reorder() -> None:
     front = [n for n in _PRIORITY if n in REGISTRY]
     fset = set(front)
-    mid = [n for n in REGISTRY
-           if n not in fset and n not in _R01_GREEN]
-    back = [n for n in REGISTRY if n in _R01_GREEN]
+    # anything new/unlisted: oracle-paired before rows-only, ahead of
+    # the already-green back block
+    mid = sorted((n for n in REGISTRY if n not in fset and n not in _GREEN),
+                 key=lambda n: REGISTRY[n].oracle is None)
+    back = [n for n in REGISTRY if n in _GREEN]
     order = front + mid + back
     assert len(order) == len(REGISTRY), (len(order), len(REGISTRY))
     snapshot = dict(REGISTRY)

@@ -198,26 +198,33 @@ def build_fact_calendar(calendar_raw: DataFrame,
 
 def cap_reviews(reviews_raw: DataFrame, max_rows: int = 200_000,
                 frac: float = 0.8, seed: int = 42,
-                exact: bool = False) -> DataFrame:
+                exact: bool = False, key_col: str = "id") -> DataFrame:
     """Reproduction of the reference's reviews sampling cap
     (modules/data_loader.py:427-431): a reviews FILE larger than
     ``max_rows`` is down-sampled to 80% with a fixed seed before
     loading. OFF by default (``run_pipeline(reviews_cap=False)``) — it
     silently drops a fifth of the data, which is a documented semantic
     of the reference's loads, not something a warehouse should default
-    to (SURVEY §7.3 divergence note).
+    to (SURVEY §7.3 divergence note). The cap decision needs the row
+    count, so enabling it costs one extra pass over the raw file.
 
     ``exact=False`` (default): seeded Bernoulli ``sample(frac)`` —
     per-partition, no shuffle, row count approximate. The scale path.
     ``exact=True``: matches the reference's exact ``n = int(0.8 *
-    rows)`` via a rand(seed) global rank — a total sort, fine at the
-    reference's single-node scale, NOT the 100 TB path."""
+    rows)`` count AND is row-level reproducible: ranks by a seeded
+    ``xxhash64`` of ``key_col`` (tie-broken by the key itself, the
+    ext_train_split pattern) rather than ``rand(seed)``, whose draw
+    order depends on the input partition layout — the SELECTED subset,
+    not just its size, is therefore stable across repartitionings.
+    Still a global sort: fine at the reference's single-node scale,
+    NOT the 100 TB path."""
     n = reviews_raw.count()
     if n <= max_rows:
         return reviews_raw
     if not exact:
         return reviews_raw.sample(fraction=frac, seed=seed)
-    w = Window.orderBy(F.rand(seed))
+    w = Window.orderBy(F.xxhash64(F.col(key_col), F.lit(seed)),
+                       F.col(key_col))
     return (reviews_raw.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= int(n * frac)).drop("__rk"))
 

@@ -423,8 +423,8 @@ def a6_money_clean_agg(spark, sf_dir):
                    AS DATE) AS week_start,
               CAST(date_trunc('week', CAST(l_shipdate AS DATE) + INTERVAL 1 DAY)
                    AS DATE) + 6 AS week_end,
-              sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-                  AS price_sum_per_week,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                         AS DOUBLE), 2) AS price_sum_per_week,
               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
                    AS BIGINT) AS returned_per_week,
               count(*) AS items_per_week
@@ -432,11 +432,14 @@ def a6_money_clean_agg(spark, sf_dir):
     survey="A7/F8/A5/A6",
     note="fact_calendar weekly rollup with exact T-SQL week bucketing "
          "(Sunday → next Monday's week). Compared aggregate is the "
-         "exact decimal SUM: an AVG over doubles divides, and "
-         "division quotients landing on a rounding tie (count=8 "
-         "groups here) round differently across engines at ANY "
-         "scale — the ETL's real fact_calendar averages "
-         "DECIMAL(10,2) prices, which stays exact")
+         "exact decimal SUM, emitted as round(CAST(... AS DOUBLE), 2) "
+         "on both sides: the sum itself is exact in DECIMAL(18,2), but "
+         "the driver's hash canonicalizes DuckDB DECIMAL output through "
+         "pandas float64 ('15325.8') while Spark keeps Decimal "
+         "('15325.80') — the same green-path dtype normalization "
+         "a6_money_clean_agg uses. An AVG would be worse: division "
+         "quotients on rounding ties diverge across engines at ANY "
+         "scale (SURVEY §7.3 decimals)")
 def a7_weekly_rollup(spark, sf_dir):
     # week_end is functionally dependent on week_start: derive it after
     # the aggregate so the shuffle key stays (suppkey, week_start) and
@@ -446,7 +449,8 @@ def a7_weekly_rollup(spark, sf_dir):
     return (t(spark, sf_dir, "lineitem")
             .groupBy("l_suppkey",
                      tsql_week_start("l_shipdate").alias("week_start"))
-            .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                                .cast("decimal(18,2)")).cast("double"), 2)
                   .alias("price_sum_per_week"),
                  F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
                   .alias("returned_per_week"),

@@ -1123,15 +1123,17 @@ def ext_filter_funnel(spark, sf_dir):
            ON a.g = b.g AND a.doc_id < b.doc_id),
        scored AS (
          SELECT c.key_a, c.key_b,
-                round(len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
-                      / (len(sa.sh) + len(sb.sh)
-                         - len(list_filter(sa.sh,
-                               x -> list_contains(sb.sh, x))))::DOUBLE, 6)
-                    AS jaccard
+                len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+                    AS inter_n,
+                len(sa.sh) + len(sb.sh)
+                  - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+                    AS union_n
          FROM cand c
          JOIN s sa ON sa.doc_id = c.key_a
          JOIN s sb ON sb.doc_id = c.key_b)
-       SELECT key_a, key_b, jaccard FROM scored WHERE jaccard * 2 >= 1""",
+       SELECT key_a, key_b,
+              round(inter_n / union_n::DOUBLE, 6) AS jaccard
+       FROM scored WHERE inter_n * 2 >= 1 * union_n""",
     survey="§7.5 dedup (prefix filtering)",
     note="EXACT Jaccard >= 1/2 self-join via AllPairs/PPJoin prefix "
          "filtering (operators/dedup.py:ppjoin_prefix_pairs) over the "

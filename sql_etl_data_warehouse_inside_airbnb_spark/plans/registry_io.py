@@ -1,0 +1,133 @@
+"""Driver-checkable IO-mechanics probes (SURVEY §2.1 S-rows).
+
+The S-row sinks/scans (quarantine split S8, pipe-gzip CSV sink S9 /
+scan S3, generic export S10, compaction S11) were pytest-only through
+round 2 — the driver's correctness gate never saw them because a
+registry query must return a DataFrame an ANSI-SQL oracle can
+reproduce. These probes close that gap with a write → read-back →
+aggregate shape: the query materializes data through the real sink and
+scan, then returns per-branch counts and value checksums. The oracle
+computes the same aggregates directly from the source table, so the
+hashes match **iff the round trip preserved every row and byte** —
+turning the sink/scan mechanics themselves into the thing under test.
+
+Reference parity: the quarantine split replaces the reference's per-row
+INSERT fallback writing logs/listings_skipped_rows.csv
+(modules/data_loader.py:203-228); the pipe-gzip sink/scan is the
+cleaned layer (modules/data_cleaner.py:146, data_loader.py:133).
+
+Scale note: the probe writes are tiny on purpose, but the code paths
+are the production ones — distributed CSV part-files with per-file
+headers, gzip codec, schema-on-read with no inference (all-string),
+and a rename-atomic compaction rewrite.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
+    register,
+    t,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+    compact_parquet,
+    read_pipe_csv,
+    split_quarantine,
+    write_pipe_csv,
+)
+
+_TMP = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".tmp_probe")
+
+
+@register(
+    "s8_quarantine_roundtrip",
+    """WITH raw AS (
+         SELECT CASE WHEN o_orderkey % 97 = 0
+                     THEN 'X' || CAST(o_orderkey AS VARCHAR)
+                     ELSE CAST(o_orderkey AS VARCHAR) END AS o_orderkey,
+                CAST(o_custkey AS VARCHAR) AS o_custkey
+         FROM orders)
+       SELECT 'good' AS branch,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(TRY_CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+              CAST(sum(length(o_orderkey) + length(o_custkey)) AS BIGINT)
+                  AS byte_sum
+       FROM raw WHERE TRY_CAST(o_orderkey AS BIGINT) IS NOT NULL
+       UNION ALL
+       SELECT 'reject' AS branch,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(TRY_CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+              CAST(sum(length(o_orderkey) + length(o_custkey)) AS BIGINT)
+                  AS byte_sum
+       FROM raw WHERE TRY_CAST(o_orderkey AS BIGINT) IS NULL""",
+    survey="S8/S9/S3",
+    note="reject-file semantics probe: corrupt ~1% of keys "
+         "deterministically, split_quarantine (S8, the declarative "
+         "reject csv of data_loader.py:203-228), write BOTH branches "
+         "through the pipe-gzip CSV sink (S9), read them back with the "
+         "no-inference pipe scan (S3), and aggregate. The oracle "
+         "derives the same counts/sums straight from orders, so a "
+         "green hash certifies the sink+scan round trip byte-for-byte. "
+         "reject's key_sum is NULL by construction (no key casts) — "
+         "that NULL surviving the round trip is part of the check")
+def s8_quarantine_roundtrip(spark, sf_dir):
+    raw = (t(spark, sf_dir, "orders")
+           .select(F.when(F.col("o_orderkey") % 97 == 0,
+                          F.concat(F.lit("X"),
+                                   F.col("o_orderkey").cast("string")))
+                    .otherwise(F.col("o_orderkey").cast("string"))
+                    .alias("o_orderkey"),
+                   F.col("o_custkey").cast("string").alias("o_custkey")))
+    good, reject = split_quarantine(raw, "o_orderkey", "bigint")
+    cols = ["o_orderkey", "o_custkey"]
+    base = os.path.join(_TMP, "s8_quarantine")
+    write_pipe_csv(good, os.path.join(base, "good"))
+    write_pipe_csv(reject, os.path.join(base, "reject"))
+
+    def summarize(branch):
+        rt = read_pipe_csv(spark, os.path.join(base, branch), columns=cols)
+        return (rt.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_orderkey").try_cast("bigint")).alias("key_sum"),
+            F.sum(F.length("o_orderkey") + F.length("o_custkey"))
+             .cast("bigint").alias("byte_sum"))
+            .select(F.lit(branch).alias("branch"), "n_rows", "key_sum",
+                    "byte_sum"))
+
+    return summarize("good").unionByName(summarize("reject"))
+
+
+@register(
+    "s11_compaction_roundtrip",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_keys,
+              CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+              CAST(sum(length(s_name)) AS BIGINT) AS name_chars
+       FROM supplier""",
+    survey="S10/S11",
+    note="table-lifecycle probe: export supplier to a parquet dir "
+         "fragmented into 16 small files (S10), run the rename-atomic "
+         "compact_parquet maintenance rewrite (S11, the small-files "
+         "compaction SCALE.md documents), read the compacted table "
+         "back and checksum it against the oracle's direct scan. "
+         "Asserts compaction changed the file layout, not the data — "
+         "and that the rewrite actually compacted (files_after < "
+         "files_before)")
+def s11_compaction_roundtrip(spark, sf_dir):
+    path = os.path.join(_TMP, "s11_compact", "supplier")
+    (t(spark, sf_dir, "supplier")
+     .select("s_suppkey", "s_name")
+     .repartition(16)
+     .write.mode("overwrite").parquet(path))
+    stats = compact_parquet(spark, path, target_file_mb=128)
+    assert stats["files_after"] < stats["files_before"], stats
+    rt = spark.read.parquet(path)
+    return rt.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("s_suppkey").alias("n_keys"),
+        F.sum("s_suppkey").alias("key_sum"),
+        F.sum(F.length("s_name")).cast("bigint").alias("name_chars"))

@@ -408,3 +408,15 @@ def test_mp4_header_roundtrip():
     free = struct.pack(">I", 12) + b"free" + b"zzzz"
     patched = m[:16] + free + m[16:]
     assert mp4_metadata(patched) == (1000, 5000)
+    # ISO 14496-12 §4.2 size escapes (real-world large files):
+    # size==1 → 64-bit largesize follows the type
+    moov = m[16:]                       # the moov box of mp4_bytes
+    inner = moov[8:]                    # its mvhd child
+    large_moov = (struct.pack(">I", 1) + b"moov"
+                  + struct.pack(">Q", 16 + len(inner)) + inner)
+    assert mp4_metadata(m[:16] + large_moov) == (1000, 5000)
+    # size==0 → box extends to end of the enclosing container
+    zero_moov = struct.pack(">I", 0) + b"moov" + inner
+    assert mp4_metadata(m[:16] + zero_moov) == (1000, 5000)
+    # truncated largesize header is corrupt, not a crash
+    assert mp4_metadata(m[:16] + struct.pack(">I", 1) + b"moov") is None

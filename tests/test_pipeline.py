@@ -149,10 +149,17 @@ def test_reviews_cap_reproduction(spark):
     )
     df = spark.range(1000).select(F.col("id").alias("review_id"))
     # under the threshold: untouched
-    assert cap_reviews(df, max_rows=1000).count() == 1000
+    assert cap_reviews(df, max_rows=1000, key_col="review_id").count() == 1000
     # over the threshold, exact mode: exactly int(0.8 * n) rows
-    assert cap_reviews(df, max_rows=100, exact=True).count() == 800
+    assert cap_reviews(df, max_rows=100, exact=True,
+                       key_col="review_id").count() == 800
+    # exact mode selects by seeded key hash, so the SUBSET (not just
+    # its size) is invariant to the input partition layout
+    pick = lambda d: sorted(  # noqa: E731
+        r.review_id for r in cap_reviews(d, max_rows=100, exact=True,
+                                         key_col="review_id").collect())
+    assert pick(df.repartition(13)) == pick(df.coalesce(1))
     # fraction mode: approximate but seeded-deterministic
-    a = cap_reviews(df, max_rows=100).count()
-    b = cap_reviews(df, max_rows=100).count()
+    a = cap_reviews(df, max_rows=100, key_col="review_id").count()
+    b = cap_reviews(df, max_rows=100, key_col="review_id").count()
     assert a == b and 700 <= a <= 900
