@@ -37,8 +37,10 @@ HEADLINE = [
     "o2_topk",                 # TakeOrderedAndProject
     "ext_dedup_exact",         # fingerprint groupBy
     "ext_dedup_simhash",       # banded near-dup pair join
+    "ext_dedup_ppjoin",        # lossless prefix-filter Jaccard join
     "ext_lang_id",             # text analysis, column exprs
     "ext_ann_brute_topk",      # vector top-k
+    "ext_ann_lsh_topk",        # bucketed ANN (the scale path)
     "stream_tumbling",         # windowed event agg
     "stream_stateful_totals",  # custom stateful operator (batch twin)
 ]

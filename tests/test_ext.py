@@ -269,11 +269,23 @@ def test_lang_detect_udf_fallback_matches_heuristic(spark, sf_dir):
     )
     docs = read_table(spark, sf_dir, "documents")
     both = docs.select(
+        F.length(F.trim("text")).alias("n_chars"),
         lang_id(F.col("text")).alias("jvm"),
         lang_detect_udf(F.col("text")).alias("py"))
     if HAVE_LANGDETECT:
-        # library path: just require total coverage (no nulls/errors)
+        # library path: total coverage (no nulls/errors), and on docs
+        # where BOTH detectors should be confident — long text, the
+        # heuristic found markers — the two must mostly agree (the
+        # reference's langdetect UDF and our marker heuristic are
+        # interchangeable on clear-cut text; disagreement is expected
+        # only on short/ambiguous docs)
         assert both.filter(F.col("py").isNull()).count() == 0
+        confident = both.filter((F.col("n_chars") > 200)
+                                & (F.col("jvm") != "und"))
+        n = confident.count()
+        if n:
+            agree = confident.filter(F.col("jvm") == F.col("py")).count()
+            assert agree / n >= 0.8, (agree, n)
     else:
         assert both.filter(F.col("jvm") != F.col("py")).count() == 0
 
