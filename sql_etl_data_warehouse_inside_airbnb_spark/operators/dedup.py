@@ -122,6 +122,69 @@ def minhash_candidate_pairs(df: DataFrame, key_col: str, text_col: str,
                     F.round("jaccard_distance", 6).alias("jaccard_distance")))
 
 
+def minhash_banded_pairs(df: DataFrame, key_col: str, text_col: str,
+                         n: int = 3, num_hashes: int = 8,
+                         band_rows: int = 2,
+                         threshold_num: int = 1,
+                         threshold_den: int = 2) -> DataFrame:
+    """Engine-portable banded MinHash near-dup join — the classic
+    b-bands × r-rows LSH (Broder '97 / MMDS ch.3) built from column
+    expressions only, no ml-lib hashes:
+
+    - signature_i(doc) = lexicographic MIN over the doc's shingles of
+      md5('mh{i}:' || shingle) — a seeded hash family whose min is a
+      valid MinHash (uniform over hex strings; min of lowercase hex is
+      identical cross-engine, the winnowing trick);
+    - band key b = md5(sig[b*r] || '|' || ... ) — candidate pairs are
+      an equi-join on (band_idx, band_key): one narrow shuffle whose
+      fan-out tracks bucket sizes, never all-pairs;
+    - exact Jaccard re-check with the integer-exact threshold test
+      (inter*den >= num*union), so precision is exact; recall is the
+      standard 1-(1-J^r)^b curve but DETERMINISTIC given the fixed
+      hash family — every engine computes the identical candidate set.
+
+    The md5 family makes the whole operator oracle-checkable
+    (DuckDB: list_min(list_transform(sh, s -> md5(...)))), unlike the
+    pyspark.ml MinHashLSH path (:func:`minhash_candidate_pairs`) whose
+    hash coefficients are engine-internal. Output: (key_a, key_b,
+    jaccard)."""
+    assert num_hashes % band_rows == 0
+    sh = (df.select(F.col(key_col), shingles(text_col, n).alias("sh"))
+          .filter(F.size("sh") > 0))
+
+    def sig(i: int) -> Column:
+        return F.array_min(F.transform(
+            F.col("sh"), lambda g: F.md5(F.concat(F.lit(f"mh{i}:"), g))))
+
+    signed = sh.select(key_col,
+                       *[sig(i).alias(f"__s{i}") for i in range(num_hashes)])
+    n_bands = num_hashes // band_rows
+    band_keys = [
+        F.md5(F.concat_ws("|", *[F.col(f"__s{b * band_rows + r}")
+                                 for r in range(band_rows)]))
+        for b in range(n_bands)]
+    banded = signed.select(
+        key_col,
+        F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, on=[F.col("a.band_idx") == F.col("b.band_idx"),
+                          F.col("a.band_key") == F.col("b.band_key"),
+                          F.col(f"a.{key_col}") < F.col(f"b.{key_col}")])
+            .select(F.col(f"a.{key_col}").alias("key_a"),
+                    F.col(f"b.{key_col}").alias("key_b"))
+            .distinct())
+    sa = sh.select(F.col(key_col).alias("key_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col(key_col).alias("key_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (cand.join(sa, "key_a").join(sb, "key_b")
+            .filter(inter * threshold_den >= threshold_num * union)
+            .select("key_a", "key_b",
+                    F.round(jaccard_similarity(F.col("sh_a"),
+                                               F.col("sh_b")), 6)
+                     .alias("jaccard")))
+
+
 def simhash64(text_col: Column | str) -> Column:
     """64-bit SimHash: xxhash64 each distinct token, per-bit majority
     vote, reassemble. Pure column expressions — ONE fold over the

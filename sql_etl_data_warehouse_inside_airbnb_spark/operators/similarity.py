@@ -207,16 +207,18 @@ def fit_ivf_quantizer(df: DataFrame, vec_col: str = "embedding",
 def ivf_topk(df: DataFrame, query: DataFrame, k: int = 10,
              key_col: str = "vec_id", vec_col: str = "embedding",
              model=None, n_clusters: int = 16, n_probe: int = 4,
-             seed: int = 42) -> DataFrame:
+             seed: int = 42, allow_inline_fit: bool | None = None
+             ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     assigns every vector to its nearest centroid; a probe scans only the
     ``n_probe`` clusters nearest the query, then exact-cosine re-ranks.
 
     The scale path beyond LSH: at 100 TB the table is written
     partitioned by ``__cluster`` so a probe reads n_probe/n_clusters of
-    the files. Pass ``model`` from :func:`fit_ivf_quantizer` — fitting
-    is only done inline as a convenience fallback when ``model`` is
-    None (fine for tests, wrong for the per-query path).
+    the files. Pass ``model`` from :func:`fit_ivf_quantizer` — a full
+    KMeans fit on the serving path turns an index PROBE into an index
+    BUILD, so ``model=None`` raises unless ``allow_inline_fit=True``
+    is passed explicitly (small-data/test convenience only).
     ``n_probe == n_clusters`` degrades to exact brute force
     (recall 1.0) — the tested equivalence. Deterministic: fixed seed,
     key tiebreaks.
@@ -226,6 +228,12 @@ def ivf_topk(df: DataFrame, query: DataFrame, k: int = 10,
     from pyspark.ml.functions import array_to_vector
 
     if model is None:
+        if not allow_inline_fit:
+            raise ValueError(
+                "ivf_topk: no quantizer model supplied. Fit one offline "
+                "with fit_ivf_quantizer(df) and pass model=...; inline "
+                "fitting on the query path is an index build per query "
+                "and must be opted into with allow_inline_fit=True.")
         model = fit_ivf_quantizer(df, vec_col, n_clusters, seed)
     base = (df.select(F.col(key_col),
                       as_double(F.col(vec_col)).alias("__v"))

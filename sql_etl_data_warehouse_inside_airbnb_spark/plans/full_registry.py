@@ -90,10 +90,13 @@ _PRIORITY = [
     # the fixed r1+r2 hash-fail: fresh verdict needed on the
     # round(double,2) output dtype
     "a7_weekly_rollup",
-    # new IO-mechanics probes (S8/S9/S3 + S10/S11 round trips)
-    "s8_quarantine_roundtrip", "s11_compaction_roundtrip",
+    # new IO-mechanics probes (S8/S9/S3, S5 header-only, S10/S11)
+    "s8_quarantine_roundtrip", "s5_header_scan",
+    "s11_compaction_roundtrip",
     # LLM-pipeline stragglers (implemented + locally green since r2)
-    "ext_dedup_ppjoin", "ext_ann_lsh_topk",
+    # + the new portable banded MinHash (upgrades the MinHash family
+    # from rows-only to hash-checked)
+    "ext_dedup_ppjoin", "ext_dedup_minhash_banded", "ext_ann_lsh_topk",
     "ext_multimodal_audio_meta", "ext_multimodal_video_meta",
     "ext_chunk_pack_pipeline", "ext_training_manifest",
     "ext_chunk_dedup",

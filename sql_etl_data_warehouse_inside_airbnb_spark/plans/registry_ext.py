@@ -1159,6 +1159,91 @@ def ext_dedup_ppjoin(spark, sf_dir):
 
 
 @register(
+    "ext_dedup_minhash_banded",
+    """WITH base AS (
+         SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+       corpus AS (
+         SELECT doc_id, text FROM base
+         UNION ALL
+         SELECT doc_id + 10000000, text || ' mutation' FROM base),
+       d AS (
+         SELECT doc_id,
+                CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 3
+                     THEN []::VARCHAR[]
+                     ELSE list_distinct(list_transform(
+                       generate_series(1,
+                         len(string_split_regex(trim(text), '\\s+')) - 2),
+                       i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                            string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                            string_split_regex(trim(text), '\\s+')[i+2]))
+                END AS sh
+         FROM corpus),
+       s AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+       sig AS (
+         SELECT doc_id, sh,
+                list_min(list_transform(sh, g -> md5('mh0:' || g))) AS s0,
+                list_min(list_transform(sh, g -> md5('mh1:' || g))) AS s1,
+                list_min(list_transform(sh, g -> md5('mh2:' || g))) AS s2,
+                list_min(list_transform(sh, g -> md5('mh3:' || g))) AS s3,
+                list_min(list_transform(sh, g -> md5('mh4:' || g))) AS s4,
+                list_min(list_transform(sh, g -> md5('mh5:' || g))) AS s5,
+                list_min(list_transform(sh, g -> md5('mh6:' || g))) AS s6,
+                list_min(list_transform(sh, g -> md5('mh7:' || g))) AS s7
+         FROM s),
+       bands AS (
+         SELECT doc_id,
+                md5(s0 || '|' || s1) AS b0, md5(s2 || '|' || s3) AS b1,
+                md5(s4 || '|' || s5) AS b2, md5(s6 || '|' || s7) AS b3
+         FROM sig),
+       long AS (
+         SELECT doc_id, 0 AS band_idx, b0 AS band_key FROM bands
+         UNION ALL SELECT doc_id, 1, b1 FROM bands
+         UNION ALL SELECT doc_id, 2, b2 FROM bands
+         UNION ALL SELECT doc_id, 3, b3 FROM bands),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+         FROM long a JOIN long b
+           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+          AND a.doc_id < b.doc_id),
+       scored AS (
+         SELECT c.key_a, c.key_b,
+                len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+                    AS inter_n,
+                len(sa.sh) + len(sb.sh)
+                  - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+                    AS union_n
+         FROM cand c
+         JOIN s sa ON sa.doc_id = c.key_a
+         JOIN s sb ON sb.doc_id = c.key_b)
+       SELECT key_a, key_b,
+              round(inter_n / union_n::DOUBLE, 6) AS jaccard
+       FROM scored WHERE inter_n * 2 >= 1 * union_n""",
+    survey="§7.5 dedup (MinHash-LSH, portable hash family)",
+    note="banded MinHash near-dup join with a seeded-md5 hash family "
+         "(operators/dedup.py:minhash_banded_pairs): 8 signatures -> "
+         "4 bands x 2 rows, candidate equi-join on (band_idx, "
+         "band_key), exact integer-Jaccard re-check at t=1/2 over the "
+         "same planted-mutation corpus as ext_dedup_ppjoin (recall "
+         "comparable side by side). Unlike the pyspark.ml MinHashLSH "
+         "twin (ext_dedup_minhash, rows-only: ml-internal hash "
+         "coefficients), every hash here is engine-portable, so the "
+         "FULL pipeline — signatures, banding, candidates, scores — "
+         "is value-hash-checked against the oracle")
+def ext_dedup_minhash_banded(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.dedup import (
+        minhash_banded_pairs,
+    )
+    docs = (t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 == 0)
+            .select("doc_id", "text"))
+    mutated = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" mutation")).alias("text"))
+    corpus = docs.unionByName(mutated)
+    return minhash_banded_pairs(corpus, "doc_id", "text")
+
+
+@register(
     "ext_embedding_quantize",
     """WITH flat AS (
          SELECT vec_id,

@@ -102,6 +102,34 @@ def s8_quarantine_roundtrip(spark, sf_dir):
 
 
 @register(
+    "s5_header_scan",
+    """SELECT CAST(ordinal_position AS BIGINT) AS pos, column_name
+       FROM information_schema.columns
+       WHERE table_name = 'supplier'""",
+    survey="S5/S9/S3",
+    note="header-only scan probe (the reference's nrows=0 column "
+         "discovery, modules/data_cleaner.py:213): write supplier "
+         "through the pipe-gzip sink, then scan ONLY the header "
+         "(header=True read with no schema and no inference resolves "
+         "columns from the first line; limit(0) keeps the job "
+         "data-free) and return the (position, name) listing. The "
+         "oracle reads the same listing from information_schema, so a "
+         "green hash certifies the sink wrote the header and the scan "
+         "recovered names in order. The createDataFrame is "
+         "driver-side by design — a column LISTING is O(schema), "
+         "never O(data)")
+def s5_header_scan(spark, sf_dir):
+    sup = t(spark, sf_dir, "supplier")
+    path = os.path.join(_TMP, "s5_header", "supplier")
+    write_pipe_csv(sup, path)
+    header = read_pipe_csv(spark, path)   # no schema: columns from header
+    listed = header.limit(0).columns
+    return spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(listed)],
+        "pos bigint, column_name string")
+
+
+@register(
     "s11_compaction_roundtrip",
     """SELECT CAST(count(*) AS BIGINT) AS n_rows,
               CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_keys,

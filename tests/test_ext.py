@@ -135,6 +135,25 @@ def test_minhash_registry_recalls_planted_pairs(spark, sf_dir):
     assert all(r.key_b == r.key_a + 10_000_000 for r in pairs)
 
 
+def test_minhash_banded_recalls_planted_pairs(spark, sf_dir):
+    """The portable seeded-md5 banded MinHash must find the planted
+    one-token mutations too: at J ≈ 0.94 (one appended token on a
+    ~50-gram doc) the 4x2 banding collision probability is ~1-5e-5,
+    and with the FIXED hash family the outcome is deterministic —
+    on this fixture every planted pair survives."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
+        REGISTRY,
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    n_sampled = docs.filter((F.col("doc_id") % 10 == 0)
+                            & (F.length(F.trim("text")) > 0)).count()
+    rows = REGISTRY["ext_dedup_minhash_banded"].build(spark, sf_dir).collect()
+    planted = {(r.key_a, r.key_b) for r in rows
+               if r.key_b == r.key_a + 10_000_000}
+    assert len(planted) == n_sampled
+    assert all(r.jaccard >= 0.5 for r in rows)
+
+
 def test_ivf_full_probe_equals_brute(spark, sf_dir):
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
         ivf_topk,
@@ -144,13 +163,20 @@ def test_ivf_full_probe_equals_brute(spark, sf_dir):
     brute = [(r.vec_id, r.cosine) for r in
              brute_force_topk(emb, q, k=10).collect()]
     full_probe = [(r.vec_id, r.cosine) for r in
-                  ivf_topk(emb, q, k=10, n_clusters=8, n_probe=8).collect()]
+                  ivf_topk(emb, q, k=10, n_clusters=8, n_probe=8,
+                           allow_inline_fit=True).collect()]
     assert full_probe == brute
     # partial probe returns k candidates drawn from the brute ordering
     part = [(r.vec_id, r.cosine) for r in
-            ivf_topk(emb, q, k=10, n_clusters=8, n_probe=2).collect()]
+            ivf_topk(emb, q, k=10, n_clusters=8, n_probe=2,
+                     allow_inline_fit=True).collect()]
     assert len(part) == 10
     assert part[0][1] <= brute[0][1] + 1e-9
+    # serving-path guard: a missing quantizer must raise, not silently
+    # rebuild the index per query
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="fit_ivf_quantizer"):
+        ivf_topk(emb, q, k=10)
 
 
 def test_frame_sample_and_resize(spark):

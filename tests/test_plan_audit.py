@@ -130,9 +130,14 @@ def test_registry_priority_names_resolve():
     assert not missing, missing
     names = list(fr.REGISTRY)
     assert len(names) == len(set(names))
-    assert names[0] == "a5_conditional_agg"
-    assert names[1] == "a7_weekly_rollup"
-    green_positions = [names.index(n) for n in fr._R01_GREEN]
-    first_green = min(green_positions)
-    # every r01-green entry sits behind every non-green one
-    assert first_green == len(names) - len(fr._R01_GREEN)
+    # the round-1+2 hash-fail goes first for its round-3 re-verdict
+    assert names[0] == "a7_weekly_rollup"
+    # every entry with a green r1/r2 CORRECTNESS row sits behind every
+    # entry still waiting for a verdict
+    green_positions = [names.index(n) for n in fr._GREEN]
+    assert min(green_positions) == len(names) - len(fr._GREEN)
+    # the ~50-entry adjudication window must spend itself on full
+    # value-hash verdicts: no rows-only (oracle-less) entry inside it
+    window = names[:50]
+    rows_only = [n for n in window if fr.REGISTRY[n].oracle is None]
+    assert not rows_only, rows_only
