@@ -185,6 +185,55 @@ def minhash_banded_pairs(df: DataFrame, key_col: str, text_col: str,
                      .alias("jaccard")))
 
 
+def line_dedup(df: DataFrame, key_col: str, text_col: str,
+               max_df: int = 5) -> DataFrame:
+    """CCNet/RefinedWeb-style line-level boilerplate removal: a line
+    appearing in more than ``max_df`` distinct documents (nav bars,
+    cookie banners, copyright footers) is dropped from EVERY document;
+    survivors are reassembled in original line order.
+
+    This is the dedup granularity BETWEEN exact document dedup
+    (fingerprint groupBy) and chunk dedup: boilerplate contaminates
+    most web documents without making any two documents equal, so
+    doc-level fingerprints never see it.
+
+    Shape: one posexplode over lines, one map-side-combinable
+    distinct-count per line (the cross-doc document-frequency table —
+    the same DF artifact the dup-ngram and prefix filters build, at
+    line granularity), one hash join back, one per-doc reassembly
+    groupBy. Linear in total lines; no pairwise anything. The
+    reassembly sorts each doc's surviving (pos, line) structs inside
+    the aggregate — a per-group array sort, never a global order.
+
+    Output: (key, cleaned_text, lines_kept, lines_dropped); a document
+    whose every line was boilerplate survives with empty text, so the
+    op never changes corpus cardinality."""
+    lines = df.select(
+        F.col(key_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    dfreq = lines.groupBy("line").agg(
+        F.countDistinct(key_col).alias("line_df"))
+    kept = (lines.join(dfreq, "line")
+            .filter(F.col("line_df") <= max_df))
+    reassembled = kept.groupBy(key_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                        lambda s: s["line"]), "\n").alias("cleaned_text"),
+        F.count("*").alias("lines_kept"))
+    totals = df.select(
+        F.col(key_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("bigint")
+         .alias("lines_total"))
+    return (totals.join(reassembled, key_col, "left")
+            .select(key_col,
+                    F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+                    F.coalesce("lines_kept", F.lit(0)).cast("bigint")
+                     .alias("lines_kept"),
+                    (F.col("lines_total")
+                     - F.coalesce("lines_kept", F.lit(0)))
+                    .cast("bigint").alias("lines_dropped")))
+
+
 def simhash64(text_col: Column | str) -> Column:
     """64-bit SimHash: xxhash64 each distinct token, per-bit majority
     vote, reassemble. Pure column expressions — ONE fold over the

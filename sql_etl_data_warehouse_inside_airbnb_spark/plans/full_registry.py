@@ -99,7 +99,7 @@ _PRIORITY = [
     "ext_dedup_ppjoin", "ext_dedup_minhash_banded", "ext_ann_lsh_topk",
     "ext_multimodal_audio_meta", "ext_multimodal_video_meta",
     "ext_chunk_pack_pipeline", "ext_training_manifest",
-    "ext_chunk_dedup",
+    "ext_chunk_dedup", "ext_line_dedup",
     # §2-adjacent relational surface a warehouse user hits daily
     "j16_left_outer", "j17_full_outer", "j18_null_safe_join",
     "j19_star_join_rollup", "j20_scd2_apply", "j15_cross_join",

@@ -1159,6 +1159,76 @@ def ext_dedup_ppjoin(spark, sf_dir):
 
 
 @register(
+    "ext_line_dedup",
+    """WITH corpus AS (
+         SELECT doc_id,
+                'shared banner ' || CAST(doc_id % 3 AS VARCHAR)
+                  || chr(10) || text
+                  || CASE WHEN doc_id % 4 = 0
+                          THEN chr(10) || 'unique footer '
+                               || CAST(doc_id AS VARCHAR)
+                          ELSE '' END AS text
+         FROM documents),
+       lines AS (
+         SELECT doc_id,
+                generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+                unnest(string_split(text, chr(10))) AS line
+         FROM corpus),
+       dfreq AS (
+         SELECT line, count(DISTINCT doc_id) AS line_df
+         FROM lines GROUP BY line),
+       kept AS (
+         SELECT l.doc_id, l.pos, l.line
+         FROM lines l JOIN dfreq d USING (line)
+         WHERE d.line_df <= 5),
+       agg AS (
+         SELECT doc_id,
+                array_to_string(list(line ORDER BY pos), chr(10))
+                    AS cleaned_text,
+                CAST(count(*) AS BIGINT) AS lines_kept
+         FROM kept GROUP BY doc_id),
+       tot AS (
+         SELECT doc_id,
+                CAST(len(string_split(text, chr(10))) AS BIGINT)
+                    AS lines_total
+         FROM corpus)
+       SELECT t.doc_id,
+              COALESCE(a.cleaned_text, '') AS cleaned_text,
+              CAST(COALESCE(a.lines_kept, 0) AS BIGINT) AS lines_kept,
+              CAST(t.lines_total - COALESCE(a.lines_kept, 0) AS BIGINT)
+                  AS lines_dropped
+       FROM tot t LEFT JOIN agg a USING (doc_id)""",
+    survey="§7.5 dedup (line-level boilerplate removal)",
+    note="CCNet/RefinedWeb-style line dedup "
+         "(operators/dedup.py:line_dedup): lines appearing in > 5 "
+         "distinct documents are dropped everywhere, survivors "
+         "reassembled in order — the dedup granularity BETWEEN doc "
+         "fingerprints and chunk dedup, aimed at nav/cookie/footer "
+         "boilerplate that contaminates most documents while making "
+         "no two equal. The corpus plants a 3-variant shared banner "
+         "(df≈n/3, dropped) and per-doc unique footers (df=1, kept) "
+         "on the newline-free test docs, so drops and keeps are both "
+         "non-vacuous and the exact reassembled text is hash-checked. "
+         "Shape: explode → line-DF groupBy → join back → per-doc "
+         "reassembly; linear in total lines, no pairwise step")
+def ext_line_dedup(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.dedup import (
+        line_dedup,
+    )
+    corpus = (t(spark, sf_dir, "documents")
+              .select("doc_id",
+                      F.concat(
+                          F.lit("shared banner "),
+                          (F.col("doc_id") % 3).cast("string"),
+                          F.lit("\n"), F.col("text"),
+                          F.when(F.col("doc_id") % 4 == 0,
+                                 F.concat(F.lit("\nunique footer "),
+                                          F.col("doc_id").cast("string")))
+                           .otherwise(F.lit(""))).alias("text")))
+    return line_dedup(corpus, "doc_id", "text", max_df=5)
+
+
+@register(
     "ext_dedup_minhash_banded",
     """WITH base AS (
          SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),

@@ -135,6 +135,34 @@ def test_minhash_registry_recalls_planted_pairs(spark, sf_dir):
     assert all(r.key_b == r.key_a + 10_000_000 for r in pairs)
 
 
+def test_line_dedup_drops_boilerplate_keeps_content(spark):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.dedup import (
+        line_dedup,
+    )
+    rows = [(i, f"BANNER\nbody text {i}" + ("\nfooter" if i < 2 else ""))
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in
+           line_dedup(df, "doc_id", "text", max_df=5).collect()}
+    assert len(out) == 10                       # cardinality preserved
+    for i in range(10):
+        r = out[i]
+        assert "BANNER" not in r.cleaned_text   # df=10 > 5: dropped
+        assert f"body text {i}" in r.cleaned_text
+        # footer appears in only 2 docs: kept, in original order
+        if i < 2:
+            assert r.cleaned_text == f"body text {i}\nfooter"
+            assert (r.lines_kept, r.lines_dropped) == (2, 1)
+        else:
+            assert (r.lines_kept, r.lines_dropped) == (1, 1)
+    # all-boilerplate doc survives with empty text
+    allb = spark.createDataFrame(
+        [(i, "BANNER") for i in range(7)], "doc_id bigint, text string")
+    got = line_dedup(allb, "doc_id", "text", max_df=5).collect()
+    assert len(got) == 7
+    assert all(r.cleaned_text == "" and r.lines_kept == 0 for r in got)
+
+
 def test_minhash_banded_recalls_planted_pairs(spark, sf_dir):
     """The portable seeded-md5 banded MinHash must find the planted
     one-token mutations too: at J ≈ 0.94 (one appended token on a
