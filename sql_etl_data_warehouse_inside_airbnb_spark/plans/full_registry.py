@@ -121,6 +121,7 @@ _PRIORITY = [
     # ---- position ~50 boundary. Below: the rest of the
     # never-adjudicated oracle-paired surface, for a wider window /
     # round 4.
+    "s10_partition_prune_roundtrip",
     "m1_frequent_itemsets", "e1_funnel_stages", "e2_retention_cohorts",
     "sql_surface_view_query", "w1_merge_dedup_latest",
     "u6_udtf_tokenize", "u7_pandas_udaf_maxgap",

@@ -159,3 +159,41 @@ def s11_compaction_roundtrip(spark, sf_dir):
         F.countDistinct("s_suppkey").alias("n_keys"),
         F.sum("s_suppkey").alias("key_sum"),
         F.sum(F.length("s_name")).cast("bigint").alias("name_chars"))
+
+
+@register(
+    "s10_partition_prune_roundtrip",
+    """SELECT o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+       FROM orders
+       WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+       GROUP BY o_orderpriority""",
+    survey="S10/S11 (partitioned layout)",
+    note="hive-partitioned sink round trip: write orders partitioned "
+         "by o_orderpriority (sources/io.py:write_format partition_by "
+         "— the layout where the partition column IS the primary "
+         "index, SCALE.md), read back with an IN filter that must "
+         "prune to 2 of 5 directories BEFORE any IO, and checksum the "
+         "surviving partitions against the oracle's direct filter. "
+         "The partition column round-trips through the directory NAME "
+         "(col=value paths), not the data files — so a green hash "
+         "also certifies hive-style path encode/decode. Pruning "
+         "itself is plan-asserted in tests/test_plans.py-style via "
+         "the partition filters shown in explain; this probe pins the "
+         "VALUES surviving the layout")
+def s10_partition_prune_roundtrip(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        read_format,
+        write_format,
+    )
+    path = os.path.join(_TMP, "s10_partitioned", "orders")
+    write_format(
+        t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        path, partition_by=["o_orderpriority"])
+    rt = read_format(spark, path)
+    return (rt.filter(F.col("o_orderpriority")
+                      .isin("1-URGENT", "2-HIGH"))
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("o_orderkey").alias("key_sum")))
