@@ -207,7 +207,11 @@ def line_dedup(df: DataFrame, key_col: str, text_col: str,
 
     Output: (key, cleaned_text, lines_kept, lines_dropped); a document
     whose every line was boilerplate survives with empty text, so the
-    op never changes corpus cardinality."""
+    op never changes corpus cardinality. Idempotent over corpora of
+    non-empty lines (a surviving line's DF only shrinks — property-
+    tested); fully-emptied docs re-enter a second pass as ONE empty
+    line, so pipelines chaining passes should drop empty lines (or
+    filter lines_kept > 0) between them."""
     lines = df.select(
         F.col(key_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))

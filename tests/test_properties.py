@@ -265,3 +265,39 @@ def test_chunk_documents_tiling_property(spark, n_tokens, shape):
     assert covered == {f"w{i}" for i in range(n_tokens)}
     # no chunk beyond the one holding the last token
     assert (len(rows) - 1) * step < n_tokens
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["boiler", "common", "alpha", "beta",
+                              "gamma"]),
+             min_size=1, max_size=5),
+    min_size=1, max_size=12))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_line_dedup_idempotent_and_conservative(spark, docs):
+    # for any corpus of NON-EMPTY lines: (1) line_dedup never changes
+    # corpus cardinality, (2) kept+dropped == total lines per doc,
+    # (3) the op is IDEMPOTENT on surviving docs — a surviving line's
+    # document frequency can only shrink when lines are deleted, so a
+    # second pass removes nothing. (The non-empty-line restriction is
+    # load-bearing: a fully-boilerplate doc re-enters pass 2 as one
+    # EMPTY line, which can push ''-line DF over the threshold and
+    # strip empty lines from other docs — the documented reason a real
+    # pipeline drops empty lines before/after this op.)
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.dedup import (
+        line_dedup,
+    )
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    once = line_dedup(df, "doc_id", "text", max_df=2)
+    got = {r.doc_id: r for r in once.collect()}
+    assert set(got) == {i for i, _ in rows}
+    for i, lines in enumerate(docs):
+        assert got[i].lines_kept + got[i].lines_dropped == len(lines)
+    survivors = once.filter(F.col("lines_kept") > 0)
+    twice = line_dedup(
+        survivors.select("doc_id", F.col("cleaned_text").alias("text")),
+        "doc_id", "text", max_df=2)
+    for r in twice.collect():
+        assert r.cleaned_text == got[r.doc_id].cleaned_text
+        assert r.lines_dropped == 0
