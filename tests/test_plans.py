@@ -234,3 +234,22 @@ def test_star_join_broadcasts_dims(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 4, plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_readback_prunes_partitions(spark, sf_dir):
+    # the s10 probe's read-back must carry the IN filter as a PARTITION
+    # filter (directory pruning before any IO), not a data filter —
+    # the explain-visible form of "the partition column IS the index"
+    import contextlib
+    import io
+
+    df = REGISTRY["s10_partition_prune_roundtrip"].build(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    text = buf.getvalue()
+    part_lines = [ln for ln in text.splitlines()
+                  if "PartitionFilters" in ln]
+    assert part_lines, text
+    assert any("o_orderpriority" in ln and "IN" in ln.upper()
+               for ln in part_lines), part_lines
