@@ -1193,7 +1193,7 @@ def ext_dedup_ppjoin(spark, sf_dir):
                     AS lines_total
          FROM corpus)
        SELECT t.doc_id,
-              COALESCE(a.cleaned_text, '') AS cleaned_text,
+              md5(COALESCE(a.cleaned_text, '')) AS cleaned_md5,
               CAST(COALESCE(a.lines_kept, 0) AS BIGINT) AS lines_kept,
               CAST(t.lines_total - COALESCE(a.lines_kept, 0) AS BIGINT)
                   AS lines_dropped
@@ -1208,9 +1208,14 @@ def ext_dedup_ppjoin(spark, sf_dir):
          "no two equal. The corpus plants a 3-variant shared banner "
          "(df≈n/3, dropped) and per-doc unique footers (df=1, kept) "
          "on the newline-free test docs, so drops and keeps are both "
-         "non-vacuous and the exact reassembled text is hash-checked. "
-         "Shape: explode → line-DF groupBy → join back → per-doc "
-         "reassembly; linear in total lines, no pairwise step")
+         "non-vacuous and the exact reassembled text is byte-verified "
+         "via its md5 (the registry output stays newline-free: every "
+         "other checked entry's strings are single-line, so multiline "
+         "values would ride an untested path of the driver's hash "
+         "canonicalization — the md5 checks the same bytes without "
+         "the exposure; tests check the raw text). Shape: explode → "
+         "line-DF groupBy → join back → per-doc reassembly; linear "
+         "in total lines, no pairwise step")
 def ext_line_dedup(spark, sf_dir):
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.dedup import (
         line_dedup,
@@ -1225,7 +1230,10 @@ def ext_line_dedup(spark, sf_dir):
                                  F.concat(F.lit("\nunique footer "),
                                           F.col("doc_id").cast("string")))
                            .otherwise(F.lit(""))).alias("text")))
-    return line_dedup(corpus, "doc_id", "text", max_df=5)
+    return (line_dedup(corpus, "doc_id", "text", max_df=5)
+            .select("doc_id",
+                    F.md5("cleaned_text").alias("cleaned_md5"),
+                    "lines_kept", "lines_dropped"))
 
 
 @register(
