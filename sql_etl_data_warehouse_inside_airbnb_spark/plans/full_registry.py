@@ -38,6 +38,7 @@ import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_graph  # noqa: 
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_io  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_more  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_surface  # noqa: F401
+import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_tpch  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_wide  # noqa: F401
 
 # Entries with a green CORRECTNESS_r01.json row (47 hash-green + a19

@@ -36,6 +36,8 @@ NESTED_LOOP_OK = {
     "ext_ann_batch_topk": "BroadcastNestedLoopJoin",  # broadcast query batch
     "ext_label_balance": "BroadcastNestedLoopJoin",   # broadcast 1-row global
     "sq_scalar_threshold": "BroadcastNestedLoopJoin",
+    # broadcast 1-row global (sum, n) pair — the q22 avg-rewrite side
+    "tpch_q22_global_sales_opportunity": "BroadcastNestedLoopJoin",
 }
 ROW_PYTHON_OK = {
     "u6_udtf_tokenize": "BatchEvalPython",

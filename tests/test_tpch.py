@@ -1,0 +1,78 @@
+"""Adapted TPC-H family: result sanity at sf0.001 plus the plan-shape
+invariants that ARE each query's scale story (broadcast dims, pushdown,
+no big-big shuffles where the rewrite avoided one)."""
+
+from __future__ import annotations
+
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
+    REGISTRY,
+)
+
+TPCH = [n for n in REGISTRY if n.startswith("tpch_")]
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_family_present():
+    assert len(TPCH) == 16
+
+
+def test_all_run_and_return_rows(spark, sf_dir):
+    # q22's zero-order segment and q7's single nation-pair slice can
+    # be empty at the tiny sf (both return rows at sf0.01, where the
+    # parity mirror hash-checks them); everything else must produce
+    # rows even here
+    may_be_empty = {"tpch_q22_global_sales_opportunity",
+                    "tpch_q7_volume_shipping"}
+    for name in TPCH:
+        n = REGISTRY[name].build(spark, sf_dir).count()
+        assert n > 0 or name in may_be_empty, name
+
+
+def test_q3_broadcasts_customer_filter(spark, sf_dir):
+    plan = _physical(REGISTRY["tpch_q3_shipping_priority"]
+                     .build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # top-10 must be TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_single_smj_rest_broadcast(spark, sf_dir):
+    plan = _physical(REGISTRY["tpch_q5_local_supplier_volume"]
+                     .build(spark, sf_dir))
+    # supplier+nation+region collapse into broadcasts; only
+    # lineitem x orders / x customer may shuffle
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_q6_filters_push_to_scan(spark, sf_dir):
+    df = REGISTRY["tpch_q6_forecast_revenue"].build(spark, sf_dir)
+    lines = [ln for ln in df._jdf.queryExecution().toString().splitlines()
+             if "PushedFilters" in ln]
+    assert lines
+    pushed = lines[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed \
+        and "l_quantity" in pushed
+
+
+def test_q14_part_is_broadcast(spark, sf_dir):
+    plan = _physical(REGISTRY["tpch_q14_promo_effect"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    # the rewrite: lineitem aggregates FIRST, the >300 survivor set
+    # joins to orders — the executed plan must show the agg below the
+    # join, i.e. no SMJ of raw lineitem against orders
+    plan = _physical(REGISTRY["tpch_q18_large_volume_customer"]
+                     .build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q15_no_global_window(spark, sf_dir):
+    # the scalar-max must NOT be a single-partition window
+    plan = _physical(REGISTRY["tpch_q15_top_supplier"].build(spark, sf_dir))
+    assert "Window" not in plan
