@@ -43,6 +43,8 @@ HEADLINE = [
     "ext_ann_lsh_topk",        # bucketed ANN (the scale path)
     "stream_tumbling",         # windowed event agg
     "stream_stateful_totals",  # custom stateful operator (batch twin)
+    "tpch_q3_shipping_priority",   # 3-way join + grouped top-k
+    "tpch_q18_large_volume_customer",  # agg-before-join rewrite
 ]
 
 

@@ -338,10 +338,19 @@ def ppjoin_prefix_pairs(df: DataFrame, key_col: str, text_col: str,
                       / threshold_den) + 1)
     prefix = (ranked.join(sizes, key_col)
               .filter(F.col("__rk") <= plen)
-              .select(key_col, "g"))
+              .select(key_col, "g", "__n"))
     a, b = prefix.alias("a"), prefix.alias("b")
+    # AllPairs length filter rides the candidate join: J(X,Y) >= n/d
+    # forces d*|X| >= n*|Y| and d*|Y| >= n*|X| (both exact integers),
+    # so size-incompatible prefix collisions never reach the array
+    # re-check join — on Zipf-shingled corpora this drops most of the
+    # candidate mass generated by one shared mid-frequency shingle
     cand = (a.join(b, on=[F.col("a.g") == F.col("b.g"),
-                          F.col(f"a.{key_col}") < F.col(f"b.{key_col}")])
+                          F.col(f"a.{key_col}") < F.col(f"b.{key_col}"),
+                          threshold_den * F.col("a.__n")
+                          >= threshold_num * F.col("b.__n"),
+                          threshold_den * F.col("b.__n")
+                          >= threshold_num * F.col("a.__n")])
             .select(F.col(f"a.{key_col}").alias("key_a"),
                     F.col(f"b.{key_col}").alias("key_b"))
             .distinct())
