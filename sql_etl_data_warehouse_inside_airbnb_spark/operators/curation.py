@@ -1,0 +1,218 @@
+"""Corpus-curation operators: published pre-training quality rules
+(Gopher, C4), corpus-LM familiarity scoring, and a Bloom-filter
+decontamination prefilter.
+
+These extend the reference's cleaning surface (SURVEY §2.8 sanitizers,
+scripts/app/pretreatment.py's keep-list filtering) to the rule sets
+the public LLM-data literature standardized: Rae et al. 2021 (Gopher,
+appendix A1.1) and Raffel et al. 2020 (C4, §2.2). Every rule is a
+column expression; every ratio threshold is rewritten as an
+integer-scaled comparison (mean word length in [3,10] ⟺
+3n ≤ chars ≤ 10n) so keep/drop verdicts are bit-identical across
+engines and partitionings — the same no-division discipline the
+relational registry uses for money aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+    shingles,  # noqa: F401  (re-exported curation surface)
+)
+
+# the Gopher stopword probe set (the paper uses a small fixed list and
+# requires >= 2 hits; 'the'/'a'/... cover the synthetic corpus too)
+GOPHER_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def _tokens(text_col: Column) -> Column:
+    t = F.trim(text_col)
+    return F.when(t == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(t, r"\s+", -1))
+
+
+def gopher_signals(df: DataFrame, key_col: str, text_col: str,
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_len: int = 3, max_mean_len: int = 10,
+                   min_stopwords: int = 2) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, A1.1) as one
+    projection: word count bounds, mean word length bounds, stopword
+    presence. Emits the integer signals plus the keep verdict; the
+    mean-length test is the exact integer rescaling
+    min*n <= sum_chars <= max*n (never a quotient).
+
+    Stateless map over the corpus — no shuffle, no UDF; at 100 TB this
+    is a free rider on whatever scan the pipeline already does."""
+    toks = _tokens(F.col(text_col))
+    n_words = F.size(toks).cast("bigint")
+    sum_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.length(w).cast("bigint"))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(
+        stop_arr, F.lower(w)))).cast("bigint")
+    keep = ((n_words >= min_words) & (n_words <= max_words)
+            & (sum_chars >= min_mean_len * n_words)
+            & (sum_chars <= max_mean_len * n_words)
+            & (n_stop >= min_stopwords))
+    return df.select(
+        F.col(key_col),
+        n_words.alias("n_words"),
+        sum_chars.alias("sum_word_chars"),
+        n_stop.alias("n_stopwords"),
+        keep.alias("keep"))
+
+
+def c4_sentence_filter(df: DataFrame, key_col: str, text_col: str,
+                       min_sentences: int = 3) -> DataFrame:
+    """C4 page-level filters (Raffel et al. 2020, §2.2) over a text
+    whose sentences end in terminal punctuation: keep only sentences
+    that end with . ! or ?, drop the whole document when it has a
+    curly brace (code), contains 'lorem ipsum', or retains fewer than
+    ``min_sentences`` sentences.
+
+    Sentences are split on the terminal marks with lookbehind kept by
+    splitting on the boundary-space after [.!?]; a trailing fragment
+    with no terminal mark is counted and discarded exactly like C4's
+    line rule. One projection, no shuffle."""
+    t = F.trim(F.col(text_col))
+    # split AFTER terminal punctuation: mark boundaries, then split
+    marked = F.regexp_replace(t, r"([.!?])\s+", "$1\x00")
+    sents = F.when(t == "", F.array().cast("array<string>")) \
+             .otherwise(F.split(marked, "\x00", -1))
+    kept = F.filter(sents, lambda s: s.rlike(r"[.!?]$"))
+    n_sentences = F.size(sents).cast("bigint")
+    n_kept = F.size(kept).cast("bigint")
+    has_curly = t.contains("{") | t.contains("}")
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    keep = (~has_curly) & (~has_lorem) & (n_kept >= min_sentences)
+    return df.select(
+        F.col(key_col),
+        n_sentences.alias("n_sentences"),
+        n_kept.alias("n_kept_sentences"),
+        has_curly.alias("has_curly"),
+        has_lorem.alias("has_lorem"),
+        keep.alias("keep"))
+
+
+def char_trigrams(text_col: Column | str) -> Column:
+    """All character trigrams (with repeats) of the lowercased,
+    whitespace-collapsed text, as an array column."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    n = F.length(norm)
+    return F.when(n < 3, F.array().cast("array<string>")) \
+            .otherwise(F.transform(F.sequence(F.lit(1), n - 2),
+                                   lambda i: F.substring(norm, i, 3)
+                                   .cast("string")))
+
+
+def trigram_familiarity(df: DataFrame, key_col: str,
+                        text_col: str) -> DataFrame:
+    """Corpus-LM familiarity: train character-trigram counts on the
+    corpus itself, then score each document by how familiar its
+    trigrams are — the integer-exact core of CCNet's LM-perplexity
+    quality signal. Emits per-doc total trigram occurrences, the SUM
+    of global occurrence counts over the doc's trigrams, and the
+    rarest-trigram count; the float score -avg log p derives from
+    these client-side (log/division are exactly the ops the
+    cross-engine hash can't absorb, so they stay OUT of the compared
+    columns).
+
+    Shape: one explode → count groupBy builds the model (at 100 TB:
+    a few GB of trigram counts — broadcast), one explode + join +
+    re-aggregate scores the corpus. Linear, no pairwise step."""
+    tri = df.select(F.col(key_col),
+                    F.explode(char_trigrams(text_col)).alias("tg"))
+    model = tri.groupBy("tg").agg(F.count("*").alias("tg_count"))
+    return (tri.join(F.broadcast(model), "tg")
+            .groupBy(key_col)
+            .agg(F.count("*").alias("n_trigrams"),
+                 F.sum("tg_count").alias("familiarity_sum"),
+                 F.min("tg_count").alias("rarest_count")))
+
+
+def bloom_decontaminate(df: DataFrame, bench_df: DataFrame,
+                        key_col: str, text_col: str,
+                        bench_text_col: str | None = None,
+                        n: int = 5, m_bits: int = 1 << 20,
+                        n_hashes: int = 3) -> DataFrame:
+    """Bloom-filter decontamination PREFILTER: flag every document
+    sharing an n-gram shingle with the benchmark set, testing
+    membership against an m-bit Bloom bitmap instead of joining the
+    shingle table — no false NEGATIVES (every truly contaminated doc
+    is flagged; guaranteed by Bloom semantics, asserted against the
+    exact join in tests), tunable false-positive rate.
+
+    This is the 100 TB shape of ext_decontaminate: the exact semi
+    join must ship/broadcast the full benchmark shingle SET, while
+    the bitmap is m/8 bytes (128 KiB at the default m=2^20, a few MB
+    for real eval suites) — small enough to ride the closure to every
+    executor and keep the corpus pass a pure stateless map. Survivors
+    of the prefilter (a tiny fraction) re-check against the exact
+    join; the composition never loses a contaminated doc.
+
+    SIZE m FOR THE BENCHMARK SET or the filter saturates into
+    flag-everything: with E distinct benchmark shingles the fill
+    ratio is ~k*E/m and the per-DOC false-positive rate is
+    1-(1-(kE/m)^k)^s over s shingles — k=3, E=14k, m=2^16 measured
+    96% of the corpus flagged, m=2^20 under 1%. Rule of thumb:
+    m >= 20*k*E bits keeps the per-shingle FPR below ~1e-3.
+
+    Mechanics, all column expressions: k=``n_hashes`` positions per
+    shingle via seeded xxhash64 pmod m; the bitmap is built as a
+    (word_index -> 64-bit mask) map aggregated with bit_or, collected
+    once (it is ≤ m/64 rows BY CONSTRUCTION — the one acceptable
+    driver-side collect shape), and broadcast as a literal-sized
+    1-row cross join. Membership tests AND each hash's bit against
+    the map word. Engine-specific hashing (xxhash64) -> rows-only
+    for the driver; the no-false-negative property is the testable
+    contract."""
+    btc = bench_text_col or text_col
+
+    def positions(g: Column, i: int) -> Column:
+        return F.pmod(F.xxhash64(g, F.lit(i)), F.lit(m_bits))
+
+    # shiftleft() takes only literal shift amounts — bit masks for a
+    # COLUMN position come from a 64-entry powers-of-two lookup (bit
+    # 63 wraps to Long.MIN_VALUE, same two's-complement as 1L<<63)
+    pow2 = F.array(*[F.lit((1 << i) if i < 63 else -(1 << 63))
+                     .cast("bigint") for i in range(64)])
+
+    def bit_mask(p: Column) -> Column:
+        return F.element_at(pow2, (p % 64).cast("int") + 1)
+
+    bench_sh = (bench_df.select(F.explode(shingles(btc, n)).alias("g"))
+                .distinct())
+    pos = bench_sh.select(F.explode(F.array(
+        *[positions(F.col("g"), i) for i in range(n_hashes)]))
+        .alias("p"))
+    bitmap_rows = (pos.withColumn("w", (F.col("p") / 64).cast("bigint"))
+                   .withColumn("b", bit_mask(F.col("p")))
+                   .groupBy("w").agg(F.bit_or("b").alias("mask")))
+    bitmap = bitmap_rows.agg(
+        F.map_from_arrays(F.collect_list("w"), F.collect_list("mask"))
+        .alias("__bloom"))
+
+    def maybe_member(g: Column) -> Column:
+        tests = []
+        for i in range(n_hashes):
+            p = positions(g, i)
+            w = (p / 64).cast("bigint")
+            b = bit_mask(p)
+            tests.append(
+                F.coalesce(F.element_at(F.col("__bloom"), w), F.lit(0))
+                .bitwiseAND(b) != 0)
+        out = tests[0]
+        for t in tests[1:]:
+            out = out & t
+        return out
+
+    docs_sh = df.select(F.col(key_col), shingles(text_col, n).alias("sh"))
+    return (docs_sh.join(F.broadcast(bitmap))
+            .select(F.col(key_col),
+                    F.exists("sh", maybe_member).alias("maybe_contaminated"))
+            .filter(F.col("maybe_contaminated"))
+            .select(F.col(key_col).alias("flagged_doc_id")))

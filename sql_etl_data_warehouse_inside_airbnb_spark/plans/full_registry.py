@@ -31,6 +31,7 @@ from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
 )
 
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_adv  # noqa: F401
+import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_curation  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_ext  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_final  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_gaps  # noqa: F401

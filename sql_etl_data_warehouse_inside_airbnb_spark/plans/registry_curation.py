@@ -1,0 +1,188 @@
+"""Corpus-curation registry entries: Gopher / C4 quality rules,
+trigram-LM familiarity, Bloom decontamination (operators/curation.py).
+
+The synthetic documents are punctuation- and newline-free word salad,
+so the C4 entry SYNTHESIZES sentence structure deterministically from
+(doc_id, token stream) — the line_dedup / multimodal fixture pattern —
+and its oracle predicts the parser's outputs ARITHMETICALLY from the
+same recipe: any parsing bug (boundary handling, gluing of
+unterminated fragments, injection placement) breaks the hash without
+the oracle ever running the parser.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sql_etl_data_warehouse_inside_airbnb_spark.operators.curation import (
+    bloom_decontaminate,
+    c4_sentence_filter,
+    gopher_signals,
+    trigram_familiarity,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
+    register,
+    t,
+)
+
+
+@register(
+    "ext_gopher_quality",
+    """SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_words,
+              CAST(len(regexp_replace(trim(text), '\\s+', '', 'g'))
+                   AS BIGINT) AS sum_word_chars,
+              CAST(len(list_filter(toks,
+                   x -> list_contains(['the','a','of','and','to','in'],
+                                      lower(x)))) AS BIGINT)
+                  AS n_stopwords,
+              (len(toks) BETWEEN 30 AND 80
+               AND len(regexp_replace(trim(text), '\\s+', '', 'g'))
+                   >= 3 * len(toks)
+               AND len(regexp_replace(trim(text), '\\s+', '', 'g'))
+                   <= 10 * len(toks)
+               AND len(list_filter(toks,
+                   x -> list_contains(['the','a','of','and','to','in'],
+                                      lower(x)))) >= 2) AS keep
+       FROM (SELECT doc_id, text,
+                    string_split_regex(trim(text), '\\s+') AS toks
+             FROM documents)""",
+    survey="§7.5 text quality (Gopher rules, Rae et al. 2021 A1.1)",
+    note="Gopher document-quality rules as one stateless projection "
+         "(operators/curation.py:gopher_signals): word-count bounds "
+         "[30,80], mean word length in [3,10] tested as the exact "
+         "integer rescaling 3n <= chars <= 10n (never a quotient), "
+         ">= 2 stopword hits. 295/500 docs pass the count bound and "
+         "388 the stopword bound at sf0.01, so keep and drop are "
+         "both populated. No shuffle, no UDF — at 100 TB this rides "
+         "whatever scan the pipeline already does")
+def ext_gopher_quality(spark, sf_dir):
+    return gopher_signals(t(spark, sf_dir, "documents"), "doc_id", "text",
+                          min_words=30, max_words=80)
+
+
+# C4 synthetic-structure recipe, shared by builder and oracle:
+# sentences of 12 tokens; sentence i gets a terminal '.' iff
+# (doc_id + i) % 3 != 0; docs with doc_id%17==0 get a '{ code }.'
+# sentence PREPENDED, doc_id%23==0 a 'Lorem ipsum dolor.' sentence.
+_C4_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok
+  FROM documents),
+ shaped AS (
+  SELECT doc_id,
+         (n_tok + 11) // 12 AS n_sent,
+         CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END
+         + CASE WHEN doc_id % 23 = 0 THEN 1 ELSE 0 END AS inj
+  FROM base),
+ counted AS (
+  SELECT doc_id, n_sent, inj,
+         -- #{i in [0,n_sent): (doc_id+i)%3==0}: i ≡ -doc_id (mod 3)
+         greatest(0, (n_sent - ((3 - doc_id % 3) % 3) + 2) // 3)
+             AS unterm,
+         CASE WHEN (doc_id + n_sent - 1) % 3 = 0 THEN 1 ELSE 0 END
+             AS last_unterm
+  FROM shaped)
+SELECT doc_id,
+       CAST(inj + (n_sent - unterm) + last_unterm AS BIGINT)
+           AS n_sentences,
+       CAST(inj + (n_sent - unterm) AS BIGINT) AS n_kept_sentences,
+       doc_id % 17 = 0 AS has_curly,
+       doc_id % 23 = 0 AS has_lorem,
+       (doc_id % 17 <> 0 AND doc_id % 23 <> 0
+        AND inj + (n_sent - unterm) >= 3) AS keep
+FROM counted
+"""
+
+
+@register(
+    "ext_c4_filters",
+    _C4_ORACLE,
+    survey="§7.5 text quality (C4 page filters, Raffel et al. 2020 §2.2)",
+    note="C4 page-level filters (operators/curation.py:"
+         "c4_sentence_filter): keep sentences ending in terminal "
+         "punctuation, drop pages with curly braces / 'lorem ipsum' / "
+         "< 3 kept sentences. Structure is synthesized "
+         "deterministically (12-token sentences, every third "
+         "unterminated, contaminant sentences prepended by doc_id "
+         "rule) and the document REALLY parsed back — regexp "
+         "boundary split, unterminated fragments gluing into the "
+         "next terminal exactly like C4's retained-line rule; the "
+         "oracle predicts every output arithmetically from the "
+         "recipe, so a parser bug (not an oracle copy of it) breaks "
+         "the hash. Stateless projection, no shuffle")
+def ext_c4_filters(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+", -1)
+    n_sent = F.ceil(F.size(toks) / F.lit(12)).cast("int")
+    d = F.col("doc_id")
+    sents = F.transform(
+        F.sequence(F.lit(0), n_sent - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * 12 + 1, 12), " "),
+            F.when((d + i) % 3 != 0, F.lit(".")).otherwise(F.lit(""))))
+    prefix = F.concat(
+        F.when(d % 17 == 0, F.lit("{ code }. ")).otherwise(F.lit("")),
+        F.when(d % 23 == 0, F.lit("Lorem ipsum dolor. "))
+         .otherwise(F.lit("")))
+    structured = docs.select(
+        "doc_id",
+        F.concat(prefix, F.array_join(sents, " ")).alias("structured"))
+    return c4_sentence_filter(structured, "doc_id", "structured")
+
+
+@register(
+    "ext_trigram_familiarity",
+    """WITH normed AS (
+         SELECT doc_id,
+                lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+                    AS norm
+         FROM documents),
+       tri AS (
+         SELECT doc_id, g.tg
+         FROM normed, LATERAL unnest(
+           list_transform(range(1, len(norm) - 1),
+                          i -> substr(norm, i, 3))) AS g(tg)
+         WHERE len(norm) >= 3),
+       model AS (SELECT tg, count(*) AS c FROM tri GROUP BY tg)
+       SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_trigrams,
+              CAST(sum(c) AS BIGINT) AS familiarity_sum,
+              CAST(min(c) AS BIGINT) AS rarest_count
+       FROM tri JOIN model USING (tg)
+       GROUP BY doc_id""",
+    survey="§7.5 text quality (corpus-LM familiarity, CCNet-style)",
+    note="character-trigram corpus LM (operators/curation.py:"
+         "trigram_familiarity): one explode+groupBy trains the count "
+         "model, one join+re-aggregate scores every document — the "
+         "integer-exact core of CCNet's LM-perplexity signal. The "
+         "compared columns are occurrence counts and count-sums "
+         "(exact); -avg log p derives from them client-side because "
+         "log+division round differently across engines. At 100 TB "
+         "the trigram model is a few GB -> broadcast; scoring stays "
+         "linear, no pairwise step")
+def ext_trigram_familiarity(spark, sf_dir):
+    return trigram_familiarity(
+        t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "ext_decontaminate_bloom", None,
+    survey="§7.5 decontamination (Bloom prefilter scale path)",
+    note="Bloom-bitmap decontamination prefilter (operators/"
+         "curation.py:bloom_decontaminate): same benchmark set as "
+         "ext_decontaminate (doc_id%17==0 docs' 5-gram shingles), "
+         "but membership tests run against a 128 KiB bit array "
+         "(xxhash64 k=3, m=2^20) broadcast as a literal map instead "
+         "of a semi join against the full shingle set. No false "
+         "negatives BY CONSTRUCTION (flagged ⊇ exactly-contaminated "
+         "— asserted against the exact join in tests/"
+         "test_curation.py); false positives re-check downstream. "
+         "rows-only: xxhash64 is engine-specific, so the flag set "
+         "has no cross-engine oracle — the exact-join containment "
+         "IS the testable contract")
+def ext_decontaminate_bloom(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    return bloom_decontaminate(docs, bench, "doc_id", "text", n=5)

@@ -1,0 +1,106 @@
+"""Unit tests for operators/curation.py on constructed corpora, plus
+the Bloom-decontamination containment contract on the real testdata."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sql_etl_data_warehouse_inside_airbnb_spark.operators.curation import (
+    bloom_decontaminate,
+    c4_sentence_filter,
+    gopher_signals,
+    trigram_familiarity,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
+    REGISTRY,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import read_table
+
+
+def test_gopher_signals_hand_checked(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on a mat today fine"),     # 8 words, 2 stops
+         (2, "x " * 40),                             # 40 1-char words
+         (3, "the quick brown fox jumps over a fence near the "
+             "old barn today " + "word " * 20)],     # long enough, stops
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           gopher_signals(df, "doc_id", "text", min_words=5,
+                          max_words=50).collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 8 and r1["n_stopwords"] == 2
+    assert r1["sum_word_chars"] == len("thecatsatonamattodayfine")
+    assert bool(r1["keep"])  # mean len 24/8=3 hits the lower bound
+    r2 = out[2]
+    assert r2["n_words"] == 40 and r2["n_stopwords"] == 0
+    assert not r2["keep"]    # mean word length 1 < 3 AND no stopwords
+    assert bool(out[3]["keep"])
+
+
+def test_c4_filter_hand_checked(spark):
+    df = spark.createDataFrame(
+        [(1, "Good one. Also fine! Really? unterminated tail"),
+         (2, "code here { x } . ok. two. three."),
+         (3, "Lorem Ipsum dolor sit. amet. more. text."),
+         (4, "only. two."),
+         (5, "no terminal at all")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           c4_sentence_filter(df, "doc_id", "text").collect()}
+    r1 = out[1]
+    assert r1["n_sentences"] == 4 and r1["n_kept_sentences"] == 3
+    assert bool(r1["keep"])
+    assert out[2]["has_curly"] and not out[2]["keep"]
+    assert out[3]["has_lorem"] and not out[3]["keep"]
+    # 2 kept < 3 minimum
+    assert out[4]["n_kept_sentences"] == 2 and not out[4]["keep"]
+    # unterminated text = one parsed fragment, zero kept
+    r5 = out[5]
+    assert r5["n_sentences"] == 1 and r5["n_kept_sentences"] == 0
+    assert not r5["keep"]
+
+
+def test_trigram_familiarity_hand_checked(spark):
+    # norm texts: 'aaab' -> trigrams aaa,aab ; 'aaac' -> aaa,aac
+    df = spark.createDataFrame(
+        [(1, "aaab"), (2, "aaac")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           trigram_familiarity(df, "doc_id", "text").collect()}
+    # counts: aaa=2, aab=1, aac=1
+    assert out[1]["n_trigrams"] == 2
+    assert out[1]["familiarity_sum"] == 2 + 1
+    assert out[1]["rarest_count"] == 1
+    assert out[2]["familiarity_sum"] == 2 + 1
+
+
+def test_trigram_counts_repeats(spark):
+    # repeats inside one doc count every occurrence: 'aaaa' -> aaa x2
+    df = spark.createDataFrame([(1, "aaaa")], ["doc_id", "text"])
+    row = trigram_familiarity(df, "doc_id", "text").collect()[0]
+    assert row["n_trigrams"] == 2 and row["familiarity_sum"] == 4
+
+
+def test_bloom_contains_every_exact_contamination(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    flagged = {r[0] for r in
+               bloom_decontaminate(docs, bench, "doc_id", "text", n=5)
+               .collect()}
+    exact = {r[0] for r in
+             REGISTRY["ext_decontaminate"].build(spark, sf_dir).collect()}
+    assert exact <= flagged, exact - flagged  # NO false negatives, ever
+    # false positives exist but stay a small re-check set
+    n_docs = docs.count()
+    assert len(flagged - exact) <= max(5, n_docs // 10)
+
+
+def test_bloom_tiny_filter_degrades_to_superset_only(spark):
+    # pathological m: everything collides -> still a correct superset
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "p q r s t u v w"),
+         (3, "a b c d e f g h")], ["doc_id", "text"])
+    bench = df.filter(F.col("doc_id") == 1)
+    flagged = {r[0] for r in
+               bloom_decontaminate(df, bench, "doc_id", "text", n=5,
+                                   m_bits=64).collect()}
+    assert {1, 3} <= flagged

@@ -38,6 +38,8 @@ NESTED_LOOP_OK = {
     "sq_scalar_threshold": "BroadcastNestedLoopJoin",
     # broadcast 1-row global (sum, n) pair — the q22 avg-rewrite side
     "tpch_q22_global_sales_opportunity": "BroadcastNestedLoopJoin",
+    # broadcast 1-row Bloom bitmap map literal
+    "ext_decontaminate_bloom": "BroadcastNestedLoopJoin",
 }
 ROW_PYTHON_OK = {
     "u6_udtf_tokenize": "BatchEvalPython",
