@@ -649,3 +649,35 @@ def x6_profile_table(spark, sf_dir):
         t(spark, sf_dir, "customer"),
         columns=["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
         approx=False)
+
+
+@register(
+    "stream_static_enrich",
+    """SELECT c_mktsegment, event_type,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+                  AS sum_value
+       FROM events LEFT JOIN customer ON user_id = c_custkey
+       GROUP BY c_mktsegment, event_type""",
+    survey="§2.9/§7.5 streaming (stream-static dimension join)",
+    note="the batch meaning of the stream-static enrichment join "
+         "(streaming/joins.py:static_enrich): events enriched with "
+         "the customer dim (user_id = c_custkey) then rolled up per "
+         "(segment, event_type). The STATELESS streaming join — no "
+         "watermark, no join state, dim broadcast per micro-batch — "
+         "vs stream_interval_join's stateful one; left join so "
+         "dim-miss events survive with a NULL segment group. "
+         "stream==batch pinned in tests/test_streaming_joins.py; the "
+         "value sum rides the exact-decimal rule")
+def stream_static_enrich(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.streaming.joins import (
+        static_enrich,
+    )
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    dim = (t(spark, sf_dir, "customer")
+           .select(F.col("c_custkey").alias("user_id"), "c_mktsegment"))
+    return (static_enrich(ev, dim, "user_id")
+            .groupBy("c_mktsegment", "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                          .cast("double"), 4).alias("sum_value")))

@@ -48,3 +48,25 @@ def interval_join(left: DataFrame, right: DataFrame, key: str,
     joined = left.join(right, cond, "inner")
     # keep ONE key column (either side's works — inner equi on the key)
     return joined.drop(right[key])
+
+
+def static_enrich(events: DataFrame, dim: DataFrame, on,
+                  how: str = "left") -> DataFrame:
+    """Stream-static dimension enrichment: join the (possibly
+    streaming) event frame against a BATCH dimension table.
+
+    This is the one streaming join that needs NO watermark and NO
+    join state: the static side is re-read (or broadcast-cached) per
+    micro-batch and each event row joins and leaves — stateless, so
+    it composes freely before windowed aggregation. At scale the dim
+    broadcasts (the explicit hint here makes it non-negotiable rather
+    than size-threshold luck); a big-big stream-static join would
+    shuffle the stream every micro-batch and deserves a redesign
+    (pre-key the stream, or snapshot-join downstream).
+
+    Left join by default: an event whose key misses the dim survives
+    with nulls — enrichment must not drop facts (the reference's
+    dims-then-facts load order makes the same choice, SURVEY §3.2).
+    Batch/stream equivalence is pinned in tests/test_streaming_joins.py.
+    """
+    return events.join(F.broadcast(dim), on, how)

@@ -83,3 +83,41 @@ def test_stream_interval_join_equals_batch(spark, tmp_path):
     got = {(r.user_id, r.view_id, r.purchase_id)
            for r in spark.sql("SELECT * FROM ssj").collect()}
     assert got == expected
+
+
+def test_stream_static_enrich_equals_batch(spark, tmp_path):
+    from sql_etl_data_warehouse_inside_airbnb_spark.streaming.joins import (
+        static_enrich,
+    )
+    src_dir = str(tmp_path / "ssrc")
+    os.makedirs(src_dir)
+    for i, rows in enumerate([ROWS_BATCH1, ROWS_BATCH2]):
+        stage = os.path.join(str(tmp_path), f"sstage{i}")
+        spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dest = os.path.join(src_dir, f"{i}.parquet")
+        shutil.copyfile(part, dest)
+        os.utime(dest, (1_000_000_000 + i * 100,) * 2)
+
+    # user 3 is missing from the dim: its events must survive w/ nulls
+    dim = spark.createDataFrame(
+        [(1, "GOLD"), (2, "SILVER")], ["user_id", "segment"])
+
+    batch_df = spark.read.parquet(src_dir)
+    expected = {(r.event_id, r.segment)
+                for r in static_enrich(batch_df, dim, "user_id").collect()}
+    assert (6, None) in expected and (1, "GOLD") in expected
+
+    stream = (spark.readStream.schema(batch_df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    q = (static_enrich(stream, dim, "user_id")
+         .writeStream.format("memory").queryName("sse")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "sse_ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(180)
+    got = {(r.event_id, r.segment)
+           for r in spark.sql("SELECT * FROM sse").collect()}
+    assert got == expected
