@@ -12,6 +12,7 @@ the oracle ever running the parser.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from sql_etl_data_warehouse_inside_airbnb_spark.operators.curation import (
@@ -186,3 +187,69 @@ def ext_decontaminate_bloom(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 17 == 0)
     return bloom_decontaminate(docs, bench, "doc_id", "text", n=5)
+
+
+@register(
+    "ext_ann_quantized_topk",
+    """WITH flat AS (
+         SELECT vec_id,
+                generate_subscripts(embedding, 1) AS pos,
+                CAST(unnest(embedding) AS DOUBLE) AS x
+         FROM embeddings),
+       stats AS (
+         SELECT pos, min(x) AS mn, max(x) AS mx FROM flat GROUP BY pos),
+       q AS (
+         SELECT flat.vec_id, flat.pos,
+                CAST(CASE WHEN s.mx = s.mn THEN 0
+                          ELSE floor((flat.x - s.mn) * 255.0
+                                     / (s.mx - s.mn))
+                     END AS BIGINT) - 128 AS c
+         FROM flat JOIN stats s USING (pos)),
+       qv AS (SELECT pos, c AS qc FROM q WHERE vec_id = 0),
+       scored AS (
+         SELECT q.vec_id, sum(q.c * qv.qc) AS qdot
+         FROM q JOIN qv USING (pos)
+         WHERE q.vec_id <> 0
+         GROUP BY q.vec_id)
+       SELECT vec_id, CAST(qdot AS BIGINT) AS qdot,
+              CAST(row_number() OVER (ORDER BY qdot DESC, vec_id) AS INT)
+                  AS rank
+       FROM scored ORDER BY qdot DESC, vec_id LIMIT 5""",
+    survey="§7.5 similarity (quantized serving path)",
+    note="ANN over int8-quantized codes: per-dimension floor-affine "
+         "codes (ext_embedding_quantize's scheme over ALL 64 dims), "
+         "centered to [-128,127], scored by INTEGER dot product — "
+         "bit-exact across engines, no float accumulation anywhere. "
+         "The flat (vec_id,pos,code) layout is the late-"
+         "materialization columnar index scan: the query vector "
+         "broadcasts as 64 rows, scoring is one equi-join on pos + "
+         "one map-side-combinable sum groupBy on vec_id, top-k is "
+         "TakeOrderedAndProject. 4x less memory traffic than fp32 "
+         "brute force; exact fp32 re-rank of the short candidate "
+         "list (ext_ann_brute_topk) restores full precision — the "
+         "standard two-stage quantized serving design")
+def ext_ann_quantized_topk(spark, sf_dir):
+    flat = (t(spark, sf_dir, "embeddings")
+            .select("vec_id", F.posexplode("embedding").alias("pos0", "x"))
+            .select("vec_id", (F.col("pos0") + 1).alias("pos"),
+                    F.col("x").cast("double").alias("x")))
+    stats = flat.groupBy("pos").agg(F.min("x").alias("mn"),
+                                    F.max("x").alias("mx"))
+    code = (F.when(F.col("mx") == F.col("mn"), F.lit(0))
+            .otherwise(F.floor((F.col("x") - F.col("mn")) * 255.0
+                               / (F.col("mx") - F.col("mn"))))
+            .cast("bigint") - 128)
+    q = (flat.join(F.broadcast(stats), "pos")
+         .select("vec_id", "pos", code.alias("c")))
+    qv = (q.filter(F.col("vec_id") == 0)
+          .select("pos", F.col("c").alias("qc")))
+    return (q.filter(F.col("vec_id") != 0)
+            .join(F.broadcast(qv), "pos")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("c") * F.col("qc")).alias("qdot"))
+            .orderBy(F.desc("qdot"), "vec_id")
+            .limit(5)
+            .select("vec_id", "qdot",
+                    F.row_number().over(
+                        Window.orderBy(F.desc("qdot"), "vec_id"))
+                    .cast("int").alias("rank")))

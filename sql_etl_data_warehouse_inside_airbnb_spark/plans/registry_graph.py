@@ -726,3 +726,54 @@ def ext_data_prep_pipeline(spark, sf_dir):
         F.when(m % 100 < 80, "train")
          .when(m % 100 < 90, "val")
          .otherwise("test").alias("split"))
+
+
+@register(
+    "g3_dedup_survivors",
+    f"""WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+         UNION ALL
+         SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 21 = 0)
+       SELECT MIN(doc_id) AS canonical_id,
+              CAST(count(*) AS BIGINT) AS cluster_size,
+              CAST(count(*) - 1 AS BIGINT) AS n_dropped
+       FROM corpus GROUP BY {_FP_SQL}""",
+    survey="\u00a77.5 dedup ext (survivor materialization)",
+    note="the dedup story's final act after g2's cluster assignment: "
+         "materialize ONE canonical row per cluster (min doc_id — the "
+         "policy slot where 'longest doc wins' or quality-score argmax "
+         "plug in via max_by) plus the cluster-size/drop accounting a "
+         "curation report needs. Spark side runs the REAL graph path "
+         "(pair join -> connected components -> per-cluster min/count); "
+         "the oracle collapses to a fingerprint GROUP BY because the "
+         "planted duplicates are exact cliques — near-dup pairs reuse "
+         "the identical Spark lineage where only the closure is "
+         "correct. Dropping N-1 of each cluster is then one "
+         "broadcast-able semi join on canonical_id")
+def g3_dedup_survivors(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+        fingerprint,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.graph import (
+        assign_clusters,
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    c1 = (docs.filter(F.col("doc_id") % 7 == 0)
+          .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    c2 = (docs.filter(F.col("doc_id") % 21 == 0)
+          .select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text"))
+    corpus = docs.unionByName(c1).unionByName(c2)
+    fp = corpus.select("doc_id", fingerprint("text").alias("fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("key_a"),
+                     F.col("b.doc_id").alias("key_b")))
+    return (assign_clusters(corpus, "doc_id", pairs)
+            .groupBy("cluster_id")
+            .agg(F.min("doc_id").alias("canonical_id"),
+                 F.count("*").alias("cluster_size"),
+                 (F.count("*") - 1).alias("n_dropped"))
+            .select("canonical_id", "cluster_size", "n_dropped"))

@@ -104,3 +104,16 @@ def test_bloom_tiny_filter_degrades_to_superset_only(spark):
                bloom_decontaminate(df, bench, "doc_id", "text", n=5,
                                    m_bits=64).collect()}
     assert {1, 3} <= flagged
+
+
+def test_quantized_topk_recall_vs_fp32(spark, sf_dir):
+    # int8 scoring is an approximation: most of its top-5 must sit in
+    # the exact fp32 top-10 (the two-stage design re-ranks the short
+    # list in fp32, so ranking noise inside the list is expected)
+    q5 = [r["vec_id"] for r in
+          REGISTRY["ext_ann_quantized_topk"].build(spark, sf_dir).collect()]
+    brute = [r["vec_id"] for r in
+             REGISTRY["ext_ann_brute_topk"].build(spark, sf_dir).collect()]
+    assert len(q5) == 5
+    assert len(set(q5) & set(brute[:10])) >= 4
+    assert len(set(q5) & set(brute[:5])) >= 2
