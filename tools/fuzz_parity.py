@@ -171,17 +171,42 @@ def gen_rollup_query(rng: random.Random) -> str:
                else f"{op}({a}, {b})"))
 
 
+def gen_star_query(rng: random.Random) -> str:
+    """3-way star join lineitem⋈orders⋈customer with a grouped
+    decimal-exact aggregate and optional HAVING — the TPC-H shape the
+    fixed registry covers with hand-written queries, randomized."""
+    gcol = rng.choice(["c_mktsegment", "o_orderpriority", "o_orderstatus",
+                       "c_nationkey"])
+    num = rng.choice(["l_extendedprice", "l_quantity", "o_totalprice"])
+    pred = ""
+    if rng.random() < 0.6:
+        pred = (f" WHERE l_orderkey % {rng.randint(2, 7)} = 0"
+                + rng.choice(["", " AND l_returnflag = 'R'",
+                              " AND l_linestatus = 'F'"]))
+    having = ""
+    if rng.random() < 0.5:
+        having = f" HAVING COUNT(*) > {rng.randint(1, 2000)}"
+    return (f"SELECT {gcol}, CAST(COUNT(*) AS BIGINT) AS n, "
+            f"ROUND(CAST(SUM(CAST({num} AS DECIMAL(18,6))) AS DOUBLE), 2) "
+            "AS s "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey"
+            f"{pred} GROUP BY {gcol}{having}")
+
+
 def gen_query(rng: random.Random) -> str:
     shape = rng.random()
-    if shape < 0.18:
+    if shape < 0.12:
+        return gen_star_query(rng)
+    if shape < 0.24:
         return gen_join_query(rng)
-    if shape < 0.28:
+    if shape < 0.33:
         return gen_window_query(rng)
-    if shape < 0.34:
+    if shape < 0.39:
         return gen_value_window_query(rng)
-    if shape < 0.41:
+    if shape < 0.46:
         return gen_rollup_query(rng)
-    if shape < 0.48:
+    if shape < 0.52:
         return gen_subquery_query(rng)
     tbl = rng.choice(list(TABLES))
     cols = TABLES[tbl]
