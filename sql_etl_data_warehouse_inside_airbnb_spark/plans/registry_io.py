@@ -197,3 +197,53 @@ def s10_partition_prune_roundtrip(spark, sf_dir):
             .groupBy("o_orderpriority")
             .agg(F.count("*").alias("n_rows"),
                  F.sum("o_orderkey").alias("key_sum")))
+
+
+@register(
+    "s13_schema_evolution_roundtrip",
+    """WITH old_batch AS (
+         SELECT s_suppkey, s_name, CAST(NULL AS DOUBLE) AS s_acctbal
+         FROM supplier WHERE s_suppkey % 2 = 0),
+       new_batch AS (
+         SELECT s_suppkey, s_name, s_acctbal
+         FROM supplier WHERE s_suppkey % 2 = 1),
+       merged AS (SELECT * FROM old_batch UNION ALL
+                  SELECT * FROM new_batch)
+       SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+              CAST(count(s_acctbal) AS BIGINT) AS n_with_acctbal,
+              round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,6)))
+                         AS DOUBLE), 2) AS acctbal_sum
+       FROM merged""",
+    survey="S10 ext (schema evolution on read)",
+    note="schema-drift round trip: an OLD batch written without the "
+         "s_acctbal column and a NEW batch with it land in the same "
+         "directory (the real life of any long-lived ingest layout); "
+         "reading with mergeSchema=true must union the schemas and "
+         "null-fill the old files. The aggregate pins row "
+         "conservation, key checksum, and that EXACTLY the new "
+         "batch's rows carry the evolved column — a reader that "
+         "dropped old files, defaulted the column to 0, or picked one "
+         "file's schema breaks the hash. At 100 TB, mergeSchema=true "
+         "on every read is a footer-scan tax — evolve the TABLE "
+         "schema (Delta/Iceberg metadata) and keep per-read merging "
+         "for backfill audits like this probe")
+def s13_schema_evolution_roundtrip(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        read_format,
+        write_format,
+    )
+    path = os.path.join(_TMP, "s13_evolution", "supplier")
+    supp = t(spark, sf_dir, "supplier")
+    write_format(supp.filter(F.col("s_suppkey") % 2 == 0)
+                 .select("s_suppkey", "s_name"), path)
+    write_format(supp.filter(F.col("s_suppkey") % 2 == 1)
+                 .select("s_suppkey", "s_name", "s_acctbal"),
+                 path, mode="append")
+    rt = read_format(spark, path, mergeSchema="true")
+    return rt.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("s_suppkey").alias("key_sum"),
+        F.count("s_acctbal").alias("n_with_acctbal"),
+        F.round(F.sum(F.col("s_acctbal").cast("decimal(18,6)"))
+                .cast("double"), 2).alias("acctbal_sum"))
