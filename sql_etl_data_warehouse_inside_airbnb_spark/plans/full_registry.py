@@ -19,6 +19,15 @@ which adjudicates ~the first 50 entries per round:
 Entries with a green CORRECTNESS row from r1+r2 move to the back;
 rows-only entries sit behind every oracle-paired one. Every name stays
 present; only dict insertion order changes.
+
+Queries ADDED during round 3 (the adapted TPC-H suite, the curation
+family ext_gopher_quality/ext_c4_filters/ext_trigram_familiarity/
+ext_decontaminate_bloom/ext_ann_quantized_topk, g3_dedup_survivors,
+stream_static_enrich, s13_schema_evolution_roundtrip) land in the
+`mid` block automatically — oracle-paired ahead of rows-only — and
+enter the adjudication window in round 4 behind the round-3 front.
+All are parity-green locally at sf0.01 (and the aggregate-bearing
+ones at sf0.1).
 """
 
 from __future__ import annotations

@@ -301,3 +301,67 @@ def test_line_dedup_idempotent_and_conservative(spark, docs):
     for r in twice.collect():
         assert r.cleaned_text == got[r.doc_id].cleaned_text
         assert r.lines_dropped == 0
+
+
+# -------------------------- curation-rule properties (round 3)
+
+_WORDS = ["the", "a", "spark", "table", "row", "data", "merge", "x",
+          "lorem", "ipsum", "{", "}", "value.", "ok!", "why?"]
+
+doc_batches = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=30)
+    .map(" ".join),
+    min_size=1, max_size=25)
+
+
+def _gopher_model(s, min_words, max_words):
+    toks = s.strip().split() if s.strip() else []
+    n = len(toks)
+    chars = sum(len(w) for w in toks)
+    stops = sum(1 for w in toks
+                if w.lower() in ("the", "a", "of", "and", "to", "in"))
+    keep = (min_words <= n <= max_words and 3 * n <= chars <= 10 * n
+            and stops >= 2)
+    return (n, chars, stops, keep)
+
+
+@SETTINGS
+@given(doc_batches)
+def test_gopher_signals_match_python_model(spark, texts):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.curation import (
+        gopher_signals,
+    )
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_words"], r["sum_word_chars"],
+                         r["n_stopwords"], bool(r["keep"]))
+           for r in gopher_signals(df, "doc_id", "text",
+                                   min_words=2, max_words=20).collect()}
+    for i, s in enumerate(texts):
+        assert got[i] == _gopher_model(s, 2, 20), (i, s)
+
+
+def _c4_model(s, min_sentences=3):
+    t = s.strip()
+    import re
+    segments = re.split(r"(?<=[.!?])\s+", t) if t else []
+    kept = [x for x in segments if re.search(r"[.!?]$", x)]
+    has_curly = "{" in t or "}" in t
+    has_lorem = "lorem ipsum" in t.lower()
+    keep = (not has_curly and not has_lorem
+            and len(kept) >= min_sentences)
+    return (len(segments), len(kept), has_curly, has_lorem, keep)
+
+
+@SETTINGS
+@given(doc_batches)
+def test_c4_filter_matches_python_model(spark, texts):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.curation import (
+        c4_sentence_filter,
+    )
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_sentences"], r["n_kept_sentences"],
+                         bool(r["has_curly"]), bool(r["has_lorem"]),
+                         bool(r["keep"]))
+           for r in c4_sentence_filter(df, "doc_id", "text").collect()}
+    for i, s in enumerate(texts):
+        assert got[i] == _c4_model(s), (i, repr(s))
