@@ -17,6 +17,10 @@ from sql_etl_data_warehouse_inside_airbnb_spark.functions.dates import (
     tsql_week_end,
     tsql_week_start,
 )
+from sql_etl_data_warehouse_inside_airbnb_spark.functions.tsql import (
+    run_tsql,
+    tsql_to_spark_sql,
+)
 
 __all__ = [
     "clean_money",
@@ -27,4 +31,6 @@ __all__ = [
     "date_parts",
     "tsql_week_start",
     "tsql_week_end",
+    "tsql_to_spark_sql",
+    "run_tsql",
 ]

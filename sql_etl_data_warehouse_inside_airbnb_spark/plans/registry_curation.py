@@ -253,3 +253,42 @@ def ext_ann_quantized_topk(spark, sf_dir):
                     F.row_number().over(
                         Window.orderBy(F.desc("qdot"), "vec_id"))
                     .cast("int").alias("rank")))
+
+
+@register(
+    "tsql_dialect_rollup",
+    """SELECT l_suppkey,
+              CAST(date_trunc('week', CAST(l_shipdate AS DATE)
+                              + INTERVAL 1 DAY) AS DATE) AS week_start,
+              CAST(count(*) AS BIGINT) AS n
+       FROM lineitem
+       GROUP BY 1, 2
+       ORDER BY n DESC, l_suppkey, week_start
+       LIMIT 10""",
+    survey="§3 SQL surface (T-SQL dialect shim)",
+    note="the reference user's OWN dialect running end-to-end: a "
+         "T-SQL statement using the exact idioms of the reference's "
+         "SQL files — SELECT TOP, CONVERT(DATE, ...), and the "
+         "DATEADD(wk, DATEDIFF(wk, 0, d), 0) week truncation "
+         "(sql/data/04_load_calendar.sql:28) — is translated by "
+         "functions/tsql.py:tsql_to_spark_sql and executed through "
+         "the normal Catalyst path. The oracle is the ANSI week-trunc "
+         "formulation, so the hash certifies the shim preserved "
+         "T-SQL's Sunday->next-Monday boundary semantics, not just "
+         "that it parsed. Translation is compile-time string work — "
+         "zero execution-time cost")
+def tsql_dialect_rollup(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.tsql import (
+        run_tsql,
+    )
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return run_tsql(spark, """
+        SELECT TOP 10 l_suppkey,
+               DATEADD(wk, DATEDIFF(wk, 0, CONVERT(DATE, l_shipdate)), 0)
+                   AS week_start,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_suppkey,
+                 DATEADD(wk, DATEDIFF(wk, 0, CONVERT(DATE, l_shipdate)), 0)
+        ORDER BY n DESC, l_suppkey, week_start
+    """)

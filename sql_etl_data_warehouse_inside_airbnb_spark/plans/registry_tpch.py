@@ -5,7 +5,8 @@ The reference warehouse (SURVEY §2) is a star-schema ETL whose query
 surface — multi-join rollups over fact tables with dimension filters
 (sql/schema/03_create_views.sql, sql/analysis/*.sql) — is exactly the
 shape the TPC-H suite standardizes. This module re-expresses the
-classic queries against the driver's tables so the judge gets a
+classic queries (17 of 22 expressible, q1-q8, q10, q12-q19, q22)
+against the driver's tables so the judge gets a
 line-by-line-checkable "could a warehouse user run their daily
 queries here" answer with exact DuckDB oracles.
 
@@ -680,3 +681,47 @@ def tpch_q22_global_sales_opportunity(spark, sf_dir):
             .agg(F.count("*").alias("numcust"),
                  F.round(F.sum("bal").cast("double"), 2)
                   .alias("totacctbal")))
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    f"""SELECT l_returnflag, l_linestatus,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+                          AS DOUBLE), 2) AS sum_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                          AS DOUBLE), 2) AS sum_base_price,
+               round(CAST(sum({_REV}) AS DOUBLE), 2) AS sum_disc_price,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   * (1 + l_tax) AS DECIMAL(18,6)))
+                          AS DOUBLE), 2) AS sum_charge,
+               round(CAST(sum(CAST(l_discount AS DECIMAL(18,6)))
+                          AS DOUBLE), 4) AS sum_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus""",
+    survey="A1 (TPC-H Q1, full column set)",
+    note="the complete Q1 pricing summary (a1_pricing_summary is the "
+         "reduced twin): every aggregate including the two derived-"
+         "product sums (disc_price, charge; per-row double products "
+         "are IEEE-deterministic, the decimal cast makes the SUM "
+         "order-independent). The official avg_* columns are "
+         "quotients of these sums and derive client-side (the "
+         "no-division rule); one scan, one map-side-combinable "
+         "shuffle — the canonical aggregation benchmark shape")
+def tpch_q1_pricing_summary(spark, sf_dir):
+    li = (t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") <= _ts("2001-09-02")))
+    price, disc, tax = (F.col("l_extendedprice"), F.col("l_discount"),
+                        F.col("l_tax"))
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(_money(F.col("l_quantity").cast("decimal(18,6)"))
+                 .alias("sum_qty"),
+                 _money(price.cast("decimal(18,6)"))
+                 .alias("sum_base_price"),
+                 _money(_rev_col()).alias("sum_disc_price"),
+                 _money((price * (1 - disc) * (1 + tax))
+                        .cast("decimal(18,6)")).alias("sum_charge"),
+                 F.round(F.sum(disc.cast("decimal(18,6)"))
+                         .cast("double"), 4).alias("sum_disc"),
+                 F.count("*").alias("count_order")))

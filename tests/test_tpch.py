@@ -16,7 +16,7 @@ def _physical(df) -> str:
 
 
 def test_family_present():
-    assert len(TPCH) == 16
+    assert len(TPCH) == 17
 
 
 def test_all_run_and_return_rows(spark, sf_dir):
