@@ -292,3 +292,75 @@ def tsql_dialect_rollup(spark, sf_dir):
                  DATEADD(wk, DATEDIFF(wk, 0, CONVERT(DATE, l_shipdate)), 0)
         ORDER BY n DESC, l_suppkey, week_start
     """)
+
+
+@register(
+    "ext_multimodal_embed_ann",
+    """WITH feats AS (
+         SELECT doc_id AS media_id,
+                doc_id % 3 AS fmt_code,
+                CAST(doc_id % 1000 + 1 AS BIGINT) AS width,
+                CAST(n_chars % 800 + 1 AS BIGINT) AS height,
+                CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 23
+                          ELSE 13 END AS BIGINT) AS n_bytes
+         FROM documents),
+       q AS (SELECT * FROM feats WHERE media_id = 0),
+       scored AS (
+         SELECT f.media_id,
+                CAST(abs(f.width - q.width) + abs(f.height - q.height)
+                     + abs(f.n_bytes - q.n_bytes)
+                     + CASE WHEN f.fmt_code <> q.fmt_code
+                            THEN 10000 ELSE 0 END AS BIGINT) AS l1_dist
+         FROM feats f, q WHERE f.media_id <> 0)
+       SELECT media_id, l1_dist,
+              CAST(row_number() OVER (ORDER BY l1_dist, media_id) AS INT)
+                  AS rank
+       FROM scored ORDER BY l1_dist, media_id LIMIT 10""",
+    survey="§7.5 multimodal x similarity (media feature ANN)",
+    note="the multimodal-to-similarity capstone: synthesized image "
+         "payloads are REALLY parsed back (mapInPandas header decode, "
+         "the ext_multimodal_image_meta stage) into an integer "
+         "feature vector (format, width, height, n_bytes), then "
+         "nearest-neighbor search runs on L1 distance to a query "
+         "image with a format-mismatch penalty — the decode -> "
+         "featurize -> index -> retrieve shape of a media dedup/"
+         "retrieval pipeline, with the feature-extraction kernel "
+         "being the only stub-free real-parse stage this container "
+         "can run. Distances are integers (bit-exact cross-engine); "
+         "the oracle re-derives the features ARITHMETICALLY from the "
+         "synthesis recipe, so a parse bug anywhere in the Arrow "
+         "stage breaks the hash. Payload bytes never shuffle — only "
+         "the 4-int features do; top-k is TakeOrderedAndProject")
+def ext_multimodal_embed_ann(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.multimodal import (
+        build_image_payloads,
+        extract_image_meta,
+    )
+    dims = (t(spark, sf_dir, "documents")
+            .select(F.col("doc_id").alias("media_id"),
+                    (F.col("doc_id") % 1000 + 1).alias("width"),
+                    (F.col("n_chars") % 800 + 1).alias("height")))
+    meta = extract_image_meta(build_image_payloads(dims))
+    fmt_code = (F.when(F.col("format") == "png", 0)
+                .when(F.col("format") == "jpeg", 1).otherwise(2))
+    feats = meta.select("media_id", fmt_code.alias("fmt_code"),
+                        "width", "height", "n_bytes")
+    q = (feats.filter(F.col("media_id") == 0)
+         .select(F.col("fmt_code").alias("q_fmt"),
+                 F.col("width").alias("q_w"),
+                 F.col("height").alias("q_h"),
+                 F.col("n_bytes").alias("q_b")))
+    dist = (F.abs(F.col("width") - F.col("q_w"))
+            + F.abs(F.col("height") - F.col("q_h"))
+            + F.abs(F.col("n_bytes") - F.col("q_b"))
+            + F.when(F.col("fmt_code") != F.col("q_fmt"), 10000)
+               .otherwise(0)).cast("bigint")
+    return (feats.filter(F.col("media_id") != 0)
+            .join(F.broadcast(q))
+            .select("media_id", dist.alias("l1_dist"))
+            .orderBy("l1_dist", "media_id")
+            .limit(10)
+            .select("media_id", "l1_dist",
+                    F.row_number().over(
+                        Window.orderBy("l1_dist", "media_id"))
+                    .cast("int").alias("rank")))

@@ -40,6 +40,8 @@ NESTED_LOOP_OK = {
     "tpch_q22_global_sales_opportunity": "BroadcastNestedLoopJoin",
     # broadcast 1-row Bloom bitmap map literal
     "ext_decontaminate_bloom": "BroadcastNestedLoopJoin",
+    # broadcast 1-row query-image feature vector
+    "ext_multimodal_embed_ann": "BroadcastNestedLoopJoin",
 }
 ROW_PYTHON_OK = {
     "u6_udtf_tokenize": "BatchEvalPython",
@@ -51,6 +53,7 @@ ARROW_PYTHON_OK = {
     "ext_multimodal_image_meta": "MapInPandas",
     "ext_multimodal_audio_meta": "MapInPandas",
     "ext_multimodal_video_meta": "MapInPandas",
+    "ext_multimodal_embed_ann": "MapInPandas",  # real-parse featurize
     "u7_pandas_udaf_maxgap": "ArrowAggregatePython",
 }
 
