@@ -1,5 +1,8 @@
-"""Corpus-curation registry entries: Gopher / C4 quality rules,
-trigram-LM familiarity, Bloom decontamination (operators/curation.py).
+"""Round-3 registry entries: corpus curation (Gopher / C4 quality
+rules, trigram-LM familiarity, Bloom decontamination — see
+operators/curation.py), the int8-quantized ANN serving path, the
+T-SQL dialect execution probe, and the multimodal feature-ANN
+capstone.
 
 The synthetic documents are punctuation- and newline-free word salad,
 so the C4 entry SYNTHESIZES sentence structure deterministically from
