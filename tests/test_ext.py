@@ -231,6 +231,29 @@ def test_ivf_full_probe_equals_brute(spark, sf_dir):
         ivf_topk(emb, q, k=10)
 
 
+def test_ivf_default_probe_recall_floor(spark, sf_dir):
+    """n_probe=4 of 16 clusters must still find most true neighbors
+    (measured 0.58 recall@10 on this corpus; floor well below so
+    KMeans seed jitter can't flake). One offline fit serves all
+    probes — the production shape."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
+        fit_ivf_quantizer,
+        ivf_topk,
+    )
+    emb = read_table(spark, sf_dir, "embeddings")
+    model = fit_ivf_quantizer(emb)
+    tot = hit = 0
+    for qid in [r[0] for r in emb.select("vec_id").limit(5).collect()]:
+        q = emb.filter(F.col("vec_id") == qid)
+        cand = emb.filter(F.col("vec_id") != qid)
+        exact = {r.vec_id for r in brute_force_topk(cand, q, k=10).collect()}
+        got = {r.vec_id for r in ivf_topk(cand, q, k=10,
+                                          model=model).collect()}
+        tot += 10
+        hit += len(exact & got)
+    assert hit / tot >= 0.4, hit / tot
+
+
 def test_frame_sample_and_resize(spark):
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.multimodal import (
         frame_sample,
