@@ -128,7 +128,8 @@ def batch_topk(df: DataFrame, queries: DataFrame, k: int = 10,
                key_col: str = "vec_id", vec_col: str = "embedding",
                query_key: str = "query_id",
                n_planes: int = 0, dim: int = 64,
-               exclude_self: bool = False) -> DataFrame:
+               exclude_self: bool = False,
+               hamming_probes: int = 1) -> DataFrame:
     """Batched top-k: many query vectors at once — the serving shape
     (a single-query plan per lookup would be a driver-side loop).
 
@@ -140,7 +141,11 @@ def batch_topk(df: DataFrame, queries: DataFrame, k: int = 10,
 
     ``n_planes > 0``: LSH — both sides bucket by the same fixed-seed
     hyperplanes and the scoring join becomes a bucket equi-join:
-    cost ∝ Σ bucket overlaps, not |Q|·N. Recall < 1 by construction.
+    cost ∝ Σ bucket overlaps, not |Q|·N. Recall < 1 by construction;
+    ``hamming_probes=1`` (default) multi-probes each query into its
+    bucket plus every Hamming-1 bucket, same recall lift as
+    :func:`lsh_topk` — the probe fan-out rides the broadcast query
+    side only.
 
     Output: (query_id, key, cosine, rank), rank 1..k per query,
     ties broken by key for determinism."""
@@ -149,8 +154,17 @@ def batch_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     data = df.select(F.col(key_col), as_double(F.col(vec_col)).alias("__v"))
     if n_planes:
         planes = _hyperplanes(dim, n_planes)
-        q = q.withColumn("__bucket", lsh_bucket(F.col("__qvec"), planes))
+        qb = lsh_bucket(F.col("__qvec"), planes)
+        probes = [qb]
+        if hamming_probes >= 1:
+            probes += [qb.bitwiseXOR(F.lit(1 << i))
+                       for i in range(n_planes)]
+        q = q.withColumn("__bucket", F.explode(F.array(*probes)))
         data = data.withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
+        # the probe buckets are pairwise DISTINCT by construction
+        # (xor with distinct single bits), and each vector hashes to
+        # exactly one bucket — so a (query, vector) pair meets at most
+        # once and no post-join dedup is needed
         scored = data.join(F.broadcast(q), "__bucket")
     else:
         scored = data.crossJoin(F.broadcast(q))
