@@ -4,6 +4,7 @@ profile raw files before loading (menu option 1).
 
     python -m sql_etl_data_warehouse_inside_airbnb_spark [--incremental] [--reviews-cap] <data_dir> [output_dir]
     python -m sql_etl_data_warehouse_inside_airbnb_spark --profile <file.csv.gz> [...]
+    python -m sql_etl_data_warehouse_inside_airbnb_spark --sql <warehouse_dir> "<query>"
 
 ``--incremental`` re-loads into an existing warehouse at output_dir
 (MERGE listings, append-if-absent reviews/calendar weeks, stable
@@ -11,7 +12,13 @@ date_ids) instead of rebuilding. ``--reviews-cap`` reproduces the
 reference's >200k-row 80% reviews sampling cap (off by default — it
 drops data; see plans/pipeline.py:cap_reviews). ``--profile`` prints
 a per-column EDA profile (nulls, distincts, min/max) of each given
-raw csv.gz, schema-on-read, one Spark job per file.
+raw csv.gz, schema-on-read, one Spark job per file. ``--sql`` queries
+a previously built warehouse (the reference's analysis-script menu
+entries): every dim_*/fact_* parquet directory registers as a view,
+the three vw_* analytical views are created, and the statement runs
+through the T-SQL dialect shim (functions/tsql.py) — so both the
+reference's own T-SQL analysis queries (SELECT TOP, CONVERT,
+DATEADD/DATEDIFF) and plain Spark SQL work unchanged.
 """
 
 from __future__ import annotations
@@ -43,6 +50,39 @@ def main(argv: list[str]) -> int:
             # one output row per COLUMN — show() would cap at 20 and
             # silently hide the rest of a wide listings file
             prof.show(n=10_000, truncate=32)
+        spark.stop()
+        return 0
+
+    if argv[0] == "--sql":
+        if len(argv) != 3:
+            print(__doc__.strip())
+            return 2
+        import os
+
+        from sql_etl_data_warehouse_inside_airbnb_spark.functions.tsql import (
+            run_tsql,
+        )
+        from sql_etl_data_warehouse_inside_airbnb_spark.plans.pipeline import (
+            register_views,
+        )
+        wh, query = argv[1], argv[2]
+        spark = get_spark("sql-etl-dw-inside-airbnb-sql")
+        spark.sparkContext.setLogLevel("ERROR")
+        dim_listings = None
+        for entry in sorted(os.listdir(wh)):
+            path = os.path.join(wh, entry)
+            if not os.path.isdir(path):
+                continue
+            try:
+                df = spark.read.parquet(path)
+            except Exception:  # noqa: BLE001 - non-table dir, skip
+                continue
+            df.createOrReplaceTempView(entry)
+            if entry == "dim_listings":
+                dim_listings = df
+        if dim_listings is not None:
+            register_views(spark, dim_listings)
+        run_tsql(spark, query).show(n=100, truncate=32)
         spark.stop()
         return 0
 
