@@ -367,3 +367,37 @@ def ext_multimodal_embed_ann(spark, sf_dir):
                     F.row_number().over(
                         Window.orderBy("l1_dist", "media_id"))
                     .cast("int").alias("rank")))
+
+
+@register(
+    "stream_dedup_ingest",
+    """WITH dupd AS (
+         SELECT event_id, ts, value FROM events
+         UNION ALL
+         SELECT event_id, ts, value FROM events WHERE event_id % 5 = 0
+         UNION ALL
+         SELECT event_id, ts, value FROM events WHERE event_id % 25 = 0)
+       SELECT event_id,
+              min(ts) AS ts,
+              CAST(count(*) AS BIGINT) AS n_delivered
+       FROM dupd GROUP BY event_id""",
+    survey="§2.9/§7.5 streaming (ingestion dedup)",
+    note="the batch meaning of streaming ingestion dedup "
+         "(streaming/windows.py:dedup_events): a feed with planted "
+         "redeliveries (every 5th event twice, every 25th three "
+         "times) collapses to one row per event_id; n_delivered "
+         "exposes the duplication histogram a pipeline monitors. In "
+         "streaming the SAME intent runs as "
+         "dropDuplicatesWithinWatermark — per-key state bounded by "
+         "the watermark horizon instead of corpus size — with "
+         "stream==batch pinned in tests/test_streaming_dedup.py. "
+         "Here the dedup is expressed as the groupBy itself (min ts, "
+         "count), so the oracle needs no arbitrary-winner rule")
+def stream_dedup_ingest(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    d1 = ev.filter(F.col("event_id") % 5 == 0)
+    d2 = ev.filter(F.col("event_id") % 25 == 0)
+    feed = ev.unionByName(d1).unionByName(d2)
+    return (feed.groupBy("event_id")
+            .agg(F.min("ts").alias("ts"),
+                 F.count("*").alias("n_delivered")))

@@ -115,3 +115,29 @@ def dedup_stream(events: DataFrame, keys: tuple[str, ...] = ("event_id",),
     equivalence is asserted in tests/test_streaming_sinks.py."""
     return (events.withWatermark(ts_col, delay)
             .dropDuplicatesWithinWatermark(list(keys)))
+
+
+def dedup_events(events: DataFrame, key_cols: list[str] | None = None,
+                 streaming: bool = False,
+                 ts_col: str = "ts", delay: str = "1 hour") -> DataFrame:
+    """Ingestion dedup: keep one row per key — the at-least-once ->
+    effectively-once step every event pipeline needs in front of its
+    aggregates (redelivered Kafka batches, retried file drops).
+
+    Batch: plain ``dropDuplicates`` on the keys. Streaming
+    (``streaming=True``): ``dropDuplicatesWithinWatermark`` after
+    watermarking — the operator keeps per-key state only until the
+    watermark passes the key's event time, so duplicates arriving
+    within ``delay`` of the original are dropped and state stays
+    BOUNDED by the watermark horizon, not corpus size. The classic
+    unbounded ``dropDuplicates`` on a stream retains every key
+    forever — the streaming twin of the unpartitioned scan, and the
+    reason this wrapper exists. A duplicate arriving LATER than
+    ``delay`` after the original can re-emit (the at-least-once
+    residue); sinks that must be exact upsert by key, the same
+    discipline as sinks.py:run_stream_upsert_parquet."""
+    keys = key_cols or ["event_id"]
+    if streaming:
+        return with_watermark(events, ts_col, delay) \
+            .dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
