@@ -4,7 +4,7 @@ profile raw files before loading (menu option 1).
 
     python -m sql_etl_data_warehouse_inside_airbnb_spark [--incremental] [--reviews-cap] <data_dir> [output_dir]
     python -m sql_etl_data_warehouse_inside_airbnb_spark --profile <file.csv.gz> [...]
-    python -m sql_etl_data_warehouse_inside_airbnb_spark --sql <warehouse_dir> "<query>"
+    python -m sql_etl_data_warehouse_inside_airbnb_spark --sql [--dialect tsql|spark] <warehouse_dir> "<query>"
 
 ``--incremental`` re-loads into an existing warehouse at output_dir
 (MERGE listings, append-if-absent reviews/calendar weeks, stable
@@ -16,9 +16,13 @@ raw csv.gz, schema-on-read, one Spark job per file. ``--sql`` queries
 a previously built warehouse (the reference's analysis-script menu
 entries): every dim_*/fact_* parquet directory registers as a view,
 the three vw_* analytical views are created, and the statement runs
-through the T-SQL dialect shim (functions/tsql.py) — so both the
-reference's own T-SQL analysis queries (SELECT TOP, CONVERT,
-DATEADD/DATEDIFF) and plain Spark SQL work unchanged.
+in the chosen dialect. The default ``--dialect tsql`` translates the
+reference's own analysis surface (SELECT TOP, CONVERT, LEN, ISNULL,
+DATEADD/DATEDIFF) through functions/tsql.py — T-SQL NAMES get T-SQL
+SEMANTICS there (LEN ignores trailing spaces; 3-arg DATEDIFF counts
+boundary crossings; Spark's own 2-arg datediff passes through), and
+anything outside the shim's scope raises rather than mistranslating.
+Pass ``--dialect spark`` to run untranslated Spark SQL.
 """
 
 from __future__ import annotations
@@ -54,7 +58,15 @@ def main(argv: list[str]) -> int:
         return 0
 
     if argv[0] == "--sql":
-        if len(argv) != 3:
+        args = argv[1:]
+        dialect = "tsql"
+        if args and args[0] == "--dialect":
+            if len(args) < 2 or args[1] not in ("tsql", "spark"):
+                print(__doc__.strip())
+                return 2
+            dialect = args[1]
+            args = args[2:]
+        if len(args) != 2:
             print(__doc__.strip())
             return 2
         import os
@@ -65,7 +77,7 @@ def main(argv: list[str]) -> int:
         from sql_etl_data_warehouse_inside_airbnb_spark.plans.pipeline import (
             register_views,
         )
-        wh, query = argv[1], argv[2]
+        wh, query = args
         spark = get_spark("sql-etl-dw-inside-airbnb-sql")
         spark.sparkContext.setLogLevel("ERROR")
         dim_listings = None
@@ -82,7 +94,9 @@ def main(argv: list[str]) -> int:
                 dim_listings = df
         if dim_listings is not None:
             register_views(spark, dim_listings)
-        run_tsql(spark, query).show(n=100, truncate=32)
+        out = (run_tsql(spark, query) if dialect == "tsql"
+               else spark.sql(query))
+        out.show(n=100, truncate=32)
         spark.stop()
         return 0
 

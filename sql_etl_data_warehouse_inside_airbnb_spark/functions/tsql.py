@@ -22,8 +22,15 @@ T-SQL SEMANTICS preserved — most importantly:
 Scope is the documented reference surface plus the obvious neighbors
 (ISNULL, IIF, NEWID, TRY_CONVERT, CONVERT styles 23/112/120,
 [bracket] identifiers). TOP is supported at the top level of the
-statement (the only place the reference uses it); a nested TOP raises
-rather than silently mistranslating. String ``+`` concatenation is NOT
+statement (the only place the reference uses it); a nested TOP, TOP n
+PERCENT, or WITH TIES raises rather than silently mistranslating.
+String literals are DATA: every rewrite skips matches inside
+single-quoted literals (T-SQL's doubled-'' escape honored), so
+``WHERE note = 'call GETDATE() later'`` survives untouched. Spark's
+own two-arg ``datediff(end, start)`` passes through unchanged — but
+T-SQL NAMES get T-SQL SEMANTICS (``LEN`` ignores trailing spaces);
+run genuinely-Spark SQL without the shim when that matters
+(``--dialect spark`` in the CLI). String ``+`` concatenation is NOT
 rewritten (ambiguous with arithmetic without a type checker) — the
 reference never concatenates with ``+`` in SQL.
 
@@ -70,17 +77,59 @@ def _split_args(argstr: str) -> list[str]:
     return args
 
 
+def _literal_spans(sql: str) -> list[tuple[int, int]]:
+    """[start, end) spans of single-quoted string literals, honoring
+    T-SQL's doubled-quote escape (``'it''s'`` is ONE literal)."""
+    spans, i, n = [], 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, min(j + 1, n)))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
+def _in_literal(spans: list[tuple[int, int]], pos: int) -> bool:
+    return any(a <= pos < b for a, b in spans)
+
+
+def _sub_outside_literals(pattern: str, repl: str, sql: str) -> str:
+    """re.sub that never touches string-literal DATA."""
+    out, last = [], 0
+    spans = _literal_spans(sql)
+    for m in re.finditer(pattern, sql, re.IGNORECASE):
+        if _in_literal(spans, m.start()):
+            continue
+        out.append(sql[last:m.start()])
+        out.append(m.expand(repl))
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
 def _rewrite_calls(sql: str, name: str, fn) -> str:
     """Replace every ``name(args)`` call (case-insensitive, balanced
-    parens) with ``fn(args_list)``. Arguments are translated first
-    (recursion), and scanning resumes AFTER each replacement so the
-    emitted Spark SQL — which may contain the lowercase twin of the
-    same name, e.g. T-SQL DATEDIFF -> Spark datediff — is never
-    re-matched."""
+    parens) with ``fn(args_list)``. Matches inside string literals are
+    DATA and skipped. Arguments are translated first (recursion), and
+    scanning resumes AFTER each replacement so the emitted Spark SQL —
+    which may contain the lowercase twin of the same name, e.g. T-SQL
+    DATEDIFF -> Spark datediff — is never re-matched."""
     pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
     pos = 0
     while True:
+        spans = _literal_spans(sql)
         m = pat.search(sql, pos)
+        while m and _in_literal(spans, m.start()):
+            m = pat.search(sql, m.end())
         if not m:
             return sql
         depth, i = 1, m.end()
@@ -149,6 +198,10 @@ def _dateadd(args: list[str]) -> str:
 
 
 def _datediff(args: list[str]) -> str:
+    if len(args) == 2:
+        # Spark's own two-arg datediff(end, start) — pass through so
+        # plain Spark SQL survives the shim unchanged
+        return f"datediff({args[0]}, {args[1]})"
     if len(args) != 3:
         raise ValueError(f"DATEDIFF takes 3 args, got {args}")
     part = _PARTS.get(args[0].strip().lower())
@@ -214,17 +267,17 @@ def tsql_to_spark_sql(sql: str) -> str:
     """Rewrite a T-SQL statement of the reference's dialect surface to
     semantically identical Spark SQL. Raises on constructs outside the
     documented scope instead of mistranslating."""
-    # [bracket identifiers] -> `backticks` (never inside strings; the
-    # reference quotes no string with brackets)
-    sql = re.sub(r"\[([A-Za-z_][\w .]*)\]", r"`\1`", sql)
+    # [bracket identifiers] -> `backticks`, outside string literals
+    sql = _sub_outside_literals(r"\[([A-Za-z_][\w .]*)\]", r"`\1`", sql)
 
     # TOP n -> LIMIT n, top-level statement only: exactly one TOP,
     # and its SELECT must be the statement's leading keyword (the only
-    # place the reference uses it); anything else raises rather than
-    # mistranslating a subquery TOP into a statement LIMIT
-    tops = list(re.finditer(
-        r"\bSELECT(\s+DISTINCT)?\s+TOP\s+\(?\s*(\d+)\s*\)?\s", sql,
-        re.IGNORECASE))
+    # place the reference uses it); anything else — including the
+    # PERCENT / WITH TIES variants — raises rather than mistranslating
+    tops = [m for m in re.finditer(
+        r"\bSELECT(\s+DISTINCT)?\s+TOP\s+\(?\s*(\d+)\s*\)?\s+"
+        r"(PERCENT\b|WITH\s+TIES\b)?", sql, re.IGNORECASE)
+        if not _in_literal(_literal_spans(sql), m.start())]
     if len(tops) > 1:
         raise ValueError("multiple TOPs are not supported by the shim")
     if tops and tops[0].start() != len(sql) - len(sql.lstrip()):
@@ -232,16 +285,21 @@ def tsql_to_spark_sql(sql: str) -> str:
                          "supported by the shim")
     if tops:
         m = tops[0]
+        if m.group(3):
+            raise ValueError("TOP n PERCENT / WITH TIES is not "
+                             "supported by the shim")
         distinct = m.group(1) or ""
         n = m.group(2)
         sql = sql[:m.start()] + f"SELECT{distinct} " + sql[m.end():]
         if re.search(r"\bLIMIT\s+\d+\s*;?\s*$", sql, re.IGNORECASE):
             raise ValueError("TOP and LIMIT on the same statement")
-        sql = sql.rstrip().rstrip(";") + f" LIMIT {n}"
+        # LIMIT goes on its OWN line: a trailing '-- comment' would
+        # otherwise swallow a same-line LIMIT silently
+        sql = sql.rstrip().rstrip(";") + f"\nLIMIT {n}"
 
-    sql = re.sub(r"\bGETDATE\s*\(\s*\)", "current_timestamp()", sql,
-                 flags=re.IGNORECASE)
-    sql = re.sub(r"\bNEWID\s*\(\s*\)", "uuid()", sql, flags=re.IGNORECASE)
+    sql = _sub_outside_literals(r"\bGETDATE\s*\(\s*\)",
+                                "current_timestamp()", sql)
+    sql = _sub_outside_literals(r"\bNEWID\s*\(\s*\)", "uuid()", sql)
     sql = _rewrite_calls(sql, "ISNULL",
                          lambda a: f"coalesce({', '.join(a)})")
     sql = _rewrite_calls(sql, "IIF", lambda a: f"if({', '.join(a)})")

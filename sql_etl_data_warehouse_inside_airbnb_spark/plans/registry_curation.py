@@ -49,7 +49,11 @@ from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
                    x -> list_contains(['the','a','of','and','to','in'],
                                       lower(x)))) >= 2) AS keep
        FROM (SELECT doc_id, text,
-                    string_split_regex(trim(text), '\\s+') AS toks
+                    -- '' splits to [''] (one phantom token) in DuckDB;
+                    -- the operator's _tokens yields [] — guard to match
+                    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                         ELSE string_split_regex(trim(text), '\\s+')
+                    END AS toks
              FROM documents)""",
     survey="§7.5 text quality (Gopher rules, Rae et al. 2021 A1.1)",
     note="Gopher document-quality rules as one stateless projection "
@@ -72,7 +76,12 @@ def ext_gopher_quality(spark, sf_dir):
 _C4_ORACLE = """
 WITH base AS (
   SELECT doc_id,
-         len(string_split_regex(trim(text), '\\s+')) AS n_tok
+         -- empty/whitespace text has ZERO tokens (string_split_regex
+         -- of '' yields [''], which would count 1) — mirrors the
+         -- builder's empty guard
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END
+             AS n_tok
   FROM documents),
  shaped AS (
   SELECT doc_id,
@@ -85,8 +94,9 @@ WITH base AS (
          -- #{i in [0,n_sent): (doc_id+i)%3==0}: i ≡ -doc_id (mod 3)
          greatest(0, (n_sent - ((3 - doc_id % 3) % 3) + 2) // 3)
              AS unterm,
-         CASE WHEN (doc_id + n_sent - 1) % 3 = 0 THEN 1 ELSE 0 END
-             AS last_unterm
+         -- no body -> no last sentence to leave unterminated
+         CASE WHEN n_sent > 0 AND (doc_id + n_sent - 1) % 3 = 0
+              THEN 1 ELSE 0 END AS last_unterm
   FROM shaped)
 SELECT doc_id,
        CAST(inj + (n_sent - unterm) + last_unterm AS BIGINT)
@@ -118,21 +128,33 @@ FROM counted
          "the hash. Stateless projection, no shuffle")
 def ext_c4_filters(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split(F.trim(F.col("text")), r"\s+", -1)
-    n_sent = F.ceil(F.size(toks) / F.lit(12)).cast("int")
     d = F.col("doc_id")
-    sents = F.transform(
-        F.sequence(F.lit(0), n_sent - 1),
-        lambda i: F.concat(
-            F.array_join(F.slice(toks, i * 12 + 1, 12), " "),
-            F.when((d + i) % 3 != 0, F.lit(".")).otherwise(F.lit(""))))
+    raw = F.trim(F.col("text"))
+
+    # tokens bound ONCE (the shingles() trick): referencing the split
+    # inside the sentence lambda would re-tokenize per sentence —
+    # O(tokens^2) per doc; empty/whitespace text -> zero tokens, zero
+    # sentences (matching the oracle's CASE guard)
+    def body(toks):
+        n_sent = F.ceil(F.size(toks) / F.lit(12)).cast("int")
+        sents = F.when(
+            F.size(toks) == 0, F.array().cast("array<string>")
+        ).otherwise(F.transform(
+            F.sequence(F.lit(0), n_sent - 1),
+            lambda i: F.concat(
+                F.array_join(F.slice(toks, i * 12 + 1, 12), " "),
+                F.when((d + i) % 3 != 0, F.lit(".")).otherwise(F.lit("")))))
+        return F.array_join(sents, " ")
+
+    toks0 = F.when(raw == "", F.array().cast("array<string>")) \
+             .otherwise(F.split(raw, r"\s+", -1))
+    built = F.element_at(F.transform(F.array(toks0), body), 1)
     prefix = F.concat(
         F.when(d % 17 == 0, F.lit("{ code }. ")).otherwise(F.lit("")),
         F.when(d % 23 == 0, F.lit("Lorem ipsum dolor. "))
          .otherwise(F.lit("")))
     structured = docs.select(
-        "doc_id",
-        F.concat(prefix, F.array_join(sents, " ")).alias("structured"))
+        "doc_id", F.concat(prefix, built).alias("structured"))
     return c4_sentence_filter(structured, "doc_id", "structured")
 
 

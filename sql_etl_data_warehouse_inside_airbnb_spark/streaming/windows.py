@@ -135,9 +135,13 @@ def dedup_events(events: DataFrame, key_cols: list[str] | None = None,
     reason this wrapper exists. A duplicate arriving LATER than
     ``delay`` after the original can re-emit (the at-least-once
     residue); sinks that must be exact upsert by key, the same
-    discipline as sinks.py:run_stream_upsert_parquet."""
+    discipline as sinks.py:run_stream_upsert_parquet.
+
+    The streaming branch delegates to :func:`dedup_stream` (the one
+    watermark+dropDuplicatesWithinWatermark composition in this
+    module) — this wrapper just adds the batch twin under one
+    signature."""
     keys = key_cols or ["event_id"]
     if streaming:
-        return with_watermark(events, ts_col, delay) \
-            .dropDuplicatesWithinWatermark(keys)
+        return dedup_stream(events, tuple(keys), ts_col, delay)
     return events.dropDuplicates(keys)

@@ -117,3 +117,45 @@ def test_quantized_topk_recall_vs_fp32(spark, sf_dir):
     assert len(q5) == 5
     assert len(set(q5) & set(brute[:10])) >= 4
     assert len(set(q5) & set(brute[:5])) >= 2
+
+
+def test_oracle_sql_handles_empty_docs_like_operators():
+    """The driver may regenerate testdata with empty/whitespace docs;
+    the C4 and Gopher ORACLES must then still agree with the
+    operators. DuckDB-only check: evaluate the registered oracle SQL
+    over a fixture corpus containing both degenerate shapes and
+    compare with the independent Python models (which the operators
+    are property-tested against)."""
+    import duckdb
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
+        REGISTRY,
+    )
+
+    con = duckdb.connect()
+    con.execute("""CREATE TABLE documents AS SELECT * FROM (VALUES
+        (1, '', 'en', 's', 0),
+        (17, '   ', 'en', 's', 3),
+        (3, 'one two three four five six seven eight nine ten '
+            || 'eleven twelve thirteen', 'en', 's', 80))
+        AS t(doc_id, text, lang, source, n_chars)""")
+
+    gq = {r[0]: r for r in
+          con.execute(REGISTRY["ext_gopher_quality"].oracle).fetchall()}
+    # empty and whitespace-only docs: zero tokens, zero chars, no keep
+    assert gq[1][1:] == (0, 0, 0, False)
+    assert gq[17][1:] == (0, 0, 0, False)
+    assert gq[3][1] == 13  # 13 words
+
+    c4 = {r[0]: r for r in
+          con.execute(REGISTRY["ext_c4_filters"].oracle).fetchall()}
+    # doc 1: empty, no injection -> no sentences at all (doc 0 would
+    # trigger BOTH injections: 0 mod anything == 0)
+    assert c4[1][1:] == (0, 0, False, False, False)
+    # doc 17: whitespace body but the '{ code }.' injection IS a
+    # terminated sentence
+    assert c4[17][1:] == (1, 1, True, False, False)
+    # doc 3: 13 tokens -> 2 sentences; terminal iff (3+i)%3 != 0 ->
+    # i=0 unterminated, i=1 terminated; the unterminated first
+    # sentence glues into the terminated second -> 1 parsed, 1 kept
+    assert c4[3][1:] == (1, 1, False, False, False)

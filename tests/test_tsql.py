@@ -35,10 +35,11 @@ def test_simple_rewrites():
 
 
 def test_top_to_limit():
+    # LIMIT lands on its own line so a trailing -- comment can't eat it
     assert tsql_to_spark_sql("SELECT TOP 20 a FROM t ORDER BY a") \
-        == "SELECT a FROM t ORDER BY a LIMIT 20"
+        == "SELECT a FROM t ORDER BY a\nLIMIT 20"
     assert tsql_to_spark_sql("SELECT DISTINCT TOP (5) a FROM t;") \
-        == "SELECT DISTINCT a FROM t LIMIT 5"
+        == "SELECT DISTINCT a FROM t\nLIMIT 5"
     with pytest.raises(ValueError):
         tsql_to_spark_sql(
             "SELECT a FROM (SELECT TOP 5 a FROM t) q")
@@ -137,3 +138,45 @@ def test_reference_shaped_weekly_rollup(spark, sf_dir):
             .orderBy(F.desc("n"), "l_suppkey", "week_start")
             .limit(10).collect())
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_string_literals_are_data():
+    # rewrites must never touch literal CONTENT (the code-review repro)
+    assert tsql_to_spark_sql("SELECT 'LEN(x)' AS s FROM t") \
+        == "SELECT 'LEN(x)' AS s FROM t"
+    assert tsql_to_spark_sql("SELECT a FROM t WHERE n = 'use GETDATE() now'") \
+        == "SELECT a FROM t WHERE n = 'use GETDATE() now'"
+    # unbalanced parens INSIDE a literal must not break the scanner
+    assert tsql_to_spark_sql("SELECT 'DATEADD(' AS s FROM t") \
+        == "SELECT 'DATEADD(' AS s FROM t"
+    out = tsql_to_spark_sql("SELECT ISNULL(a, 'ISNULL(') FROM t")
+    assert out == "SELECT coalesce(a, 'ISNULL(') FROM t"
+    # doubled-quote escape stays one literal
+    assert tsql_to_spark_sql("SELECT 'it''s LEN(x)' FROM t") \
+        == "SELECT 'it''s LEN(x)' FROM t"
+    # brackets inside literals are data too
+    assert tsql_to_spark_sql("SELECT '[not an ident]' FROM [t]") \
+        == "SELECT '[not an ident]' FROM `t`"
+
+
+def test_top_variants_raise_or_survive_comments():
+    with pytest.raises(ValueError, match="PERCENT"):
+        tsql_to_spark_sql("SELECT TOP 10 PERCENT a FROM t")
+    with pytest.raises(ValueError, match="PERCENT|TIES"):
+        tsql_to_spark_sql("SELECT TOP 5 WITH TIES a FROM t ORDER BY a")
+    # a trailing line comment must not swallow the appended LIMIT
+    out = tsql_to_spark_sql("SELECT TOP 5 a FROM t ORDER BY a -- note")
+    assert out.endswith("\nLIMIT 5")
+
+
+def test_spark_two_arg_datediff_passes_through():
+    assert tsql_to_spark_sql("SELECT DATEDIFF(d2, d1) FROM t") \
+        == "SELECT datediff(d2, d1) FROM t"
+
+
+def test_comment_limit_executes(spark):
+    df = spark.range(10).toDF("a")
+    df.createOrReplaceTempView("t_cl")
+    got = run_tsql(spark,
+                   "SELECT TOP 3 a FROM t_cl ORDER BY a -- top three")
+    assert got.count() == 3
