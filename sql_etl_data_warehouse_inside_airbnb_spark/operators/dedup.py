@@ -338,22 +338,39 @@ def ppjoin_prefix_pairs(df: DataFrame, key_col: str, text_col: str,
                       / threshold_den) + 1)
     prefix = (ranked.join(sizes, key_col)
               .filter(F.col("__rk") <= plen)
-              .select(key_col, "g", "__n"))
+              .select(key_col, "g", "__rk", "__n"))
     a, b = prefix.alias("a"), prefix.alias("b")
     # AllPairs length filter rides the candidate join: J(X,Y) >= n/d
     # forces d*|X| >= n*|Y| and d*|Y| >= n*|X| (both exact integers),
     # so size-incompatible prefix collisions never reach the array
     # re-check join — on Zipf-shingled corpora this drops most of the
     # candidate mass generated by one shared mid-frequency shingle
-    cand = (a.join(b, on=[F.col("a.g") == F.col("b.g"),
-                          F.col(f"a.{key_col}") < F.col(f"b.{key_col}"),
-                          threshold_den * F.col("a.__n")
-                          >= threshold_num * F.col("b.__n"),
-                          threshold_den * F.col("b.__n")
-                          >= threshold_num * F.col("a.__n")])
-            .select(F.col(f"a.{key_col}").alias("key_a"),
-                    F.col(f"b.{key_col}").alias("key_b"))
-            .distinct())
+    matched = (a.join(b, on=[F.col("a.g") == F.col("b.g"),
+                             F.col(f"a.{key_col}") < F.col(f"b.{key_col}"),
+                             threshold_den * F.col("a.__n")
+                             >= threshold_num * F.col("b.__n"),
+                             threshold_den * F.col("b.__n")
+                             >= threshold_num * F.col("a.__n")])
+               .select(F.col(f"a.{key_col}").alias("key_a"),
+                       F.col(f"b.{key_col}").alias("key_b"),
+                       F.col("a.__rk").alias("rk_a"),
+                       F.col("b.__rk").alias("rk_b"),
+                       F.col("a.__n").alias("n_a"),
+                       F.col("b.__n").alias("n_b")))
+    # positional filter (Xiao et al. PPJoin): the FIRST shared prefix
+    # shingle sits at the same point of the global order on both
+    # sides, so every OTHER shared shingle ranks after it in BOTH
+    # docs — overlap <= 1 + min(|X|-i, |Y|-j). The pair-level dedup
+    # (one row per pair, replacing .distinct()) and the bound test
+    # share one groupBy; J >= n/d needs overlap*(n+d) >= n*(|X|+|Y|),
+    # all integers, so the pruning is exact and lossless
+    cand = (matched.groupBy("key_a", "key_b", "n_a", "n_b")
+            .agg(F.min("rk_a").alias("__ia"), F.min("rk_b").alias("__jb"))
+            .filter((1 + F.least(F.col("n_a") - F.col("__ia"),
+                                 F.col("n_b") - F.col("__jb")))
+                    * (threshold_num + threshold_den)
+                    >= threshold_num * (F.col("n_a") + F.col("n_b")))
+            .select("key_a", "key_b"))
     sa = sh.select(F.col(key_col).alias("key_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col(key_col).alias("key_b"), F.col("sh").alias("sh_b"))
     # integer-exact threshold test: inter/union >= num/den iff
