@@ -247,3 +247,40 @@ def s13_schema_evolution_roundtrip(spark, sf_dir):
         F.count("s_acctbal").alias("n_with_acctbal"),
         F.round(F.sum(F.col("s_acctbal").cast("decimal(18,6)"))
                 .cast("double"), 2).alias("acctbal_sum"))
+
+
+@register(
+    "s14_bucketed_join_roundtrip",
+    """SELECT o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n_items,
+              CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority""",
+    survey="S11 ext (bucketed catalog tables, co-located join)",
+    note="bucketed-layout round trip: lineitem and orders persist as "
+         "catalog tables bucketed 8-ways on the join key "
+         "(sources/io.py:write_bucketed), then join WITHOUT a shuffle "
+         "exchange — the fact-x-fact lever when neither side "
+         "broadcasts at 100 TB. The no-Exchange property is plan-"
+         "asserted in tests/test_bucketing.py; this probe pins the "
+         "VALUES surviving the bucketed write+catalog read against "
+         "the oracle's direct join, so a bucketing bug that drops or "
+         "duplicates rows (the classic hash-mismatch failure) breaks "
+         "the hash. Tables are overwritten per build — idempotent "
+         "under the driver's repeated runs")
+def s14_bucketed_join_roundtrip(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        write_bucketed,
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(li, "s14_b_lineitem", ["l_orderkey"], n_buckets=8,
+                   sort_cols=["l_orderkey"])
+    write_bucketed(o, "s14_b_orders", ["o_orderkey"], n_buckets=8,
+                   sort_cols=["o_orderkey"])
+    joined = spark.table("s14_b_lineitem").join(
+        spark.table("s14_b_orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"))
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum("l_orderkey").alias("key_sum")))
