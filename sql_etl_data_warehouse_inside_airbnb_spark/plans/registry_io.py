@@ -284,3 +284,67 @@ def s14_bucketed_join_roundtrip(spark, sf_dir):
     return (joined.groupBy("o_orderpriority")
             .agg(F.count("*").alias("n_items"),
                  F.sum("l_orderkey").alias("key_sum")))
+
+
+def _morton16(a, b):
+    """Interleave the low 16 bits of two integer columns (Morton /
+    Z-order code) with pure column arithmetic — bit i of ``a`` lands
+    at position 2i, bit i of ``b`` at 2i+1."""
+    code = F.lit(0).cast("bigint")
+    for i in range(16):
+        abit = F.shiftright(a.cast("bigint"), i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b.cast("bigint"), i).bitwiseAND(F.lit(1))
+        code = (code
+                + abit * F.lit(1 << (2 * i)).cast("bigint")
+                + bbit * F.lit(1 << (2 * i + 1)).cast("bigint"))
+    return code
+
+
+@register(
+    "s15_zorder_layout_roundtrip",
+    """WITH coded AS (
+         SELECT l_partkey, l_suppkey, l_orderkey,
+                (SELECT sum(
+                     ((l_partkey  // (1 << i.i)) % 2) * (1 << (2 * i.i))
+                   + ((l_suppkey // (1 << i.i)) % 2) * (1 << (2 * i.i + 1)))
+                 FROM range(0, 16) AS i(i)) AS z
+         FROM lineitem)
+       SELECT CAST(count(*) AS BIGINT) AS n_box,
+              CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+              CAST(min(z) AS BIGINT) AS z_min,
+              CAST(max(z) AS BIGINT) AS z_max
+       FROM coded
+       WHERE l_partkey BETWEEN 100 AND 150
+         AND l_suppkey BETWEEN 10 AND 40""",
+    survey="S10/S11 ext (Z-order multi-dimensional layout)",
+    note="Z-order (Morton) clustering probe: the bit-interleaved code "
+         "of (partkey, suppkey) is computed in pure integer column "
+         "arithmetic, the table is written SORTED by it, and a "
+         "two-dimensional box filter reads back through the layout "
+         "with its checksum pinned against the oracle (which "
+         "recomputes the interleave independently via range()-sum "
+         "arithmetic). At 100 TB sorting files by the Z-code makes "
+         "row-group min/max stats selective on BOTH dimensions at "
+         "once — a single-column sort layout prunes only its own "
+         "column, the standard reason engines Z-order their facts. "
+         "The probe's plan is scan -> filter -> agg; the layout's "
+         "pruning effect shows in row-group stats, not the plan shape")
+def s15_zorder_layout_roundtrip(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        read_format,
+        write_format,
+    )
+    path = os.path.join(_TMP, "s15_zorder", "lineitem")
+    li = (t(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey", "l_orderkey")
+          .withColumn("z", _morton16(F.col("l_partkey"),
+                                     F.col("l_suppkey"))))
+    write_format(li.repartitionByRange(8, "z").sortWithinPartitions("z"),
+                 path)
+    rt = read_format(spark, path)
+    return (rt.filter(F.col("l_partkey").between(100, 150)
+                      & F.col("l_suppkey").between(10, 40))
+            .agg(F.count("*").alias("n_box"),
+                 F.sum("l_orderkey").alias("key_sum"),
+                 F.min("z").alias("z_min"),
+                 F.max("z").alias("z_max")))
