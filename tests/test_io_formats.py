@@ -53,3 +53,28 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
     # and the data content survives the round-trip + pruning
     want = orders.filter(F.col("o_orderstatus") == "F").count()
     assert hit.count() == want
+
+
+def test_morton16_hand_checked(spark):
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_io import (
+        _morton16,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)], ["a", "b"])
+    got = [r[0] for r in
+           df.select(_morton16(F.col("a"), F.col("b"))).collect()]
+
+    def model(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    want = [model(a, b) for a, b in
+            [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)]]
+    assert got == want
+    assert want[1] == 1 and want[2] == 2   # bit placement
+    assert want[4] == (1 << 32) - 1        # full 16+16 interleave
