@@ -269,9 +269,23 @@ def s13_schema_evolution_roundtrip(spark, sf_dir):
          "the hash. Tables are overwritten per build — idempotent "
          "under the driver's repeated runs")
 def s14_bucketed_join_roundtrip(spark, sf_dir):
+    import shutil
+
     from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
         write_bucketed,
     )
+
+    # a FRESH session's metastore does not know tables a PREVIOUS
+    # session left in the warehouse directory, and saveAsTable refuses
+    # to reuse the orphaned location — drop what the catalog knows AND
+    # remove the stale directory, so the probe is idempotent across
+    # sessions (the driver starts one per round)
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh_path = wh.removeprefix("file:")
+    for tbl in ("s14_b_lineitem", "s14_b_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(wh_path, tbl), ignore_errors=True)
+
     li = t(spark, sf_dir, "lineitem").select("l_orderkey")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     write_bucketed(li, "s14_b_lineitem", ["l_orderkey"], n_buckets=8,
