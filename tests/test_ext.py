@@ -485,6 +485,41 @@ def test_ppjoin_is_lossless_vs_brute_force(spark, sf_dir):
     assert pp == brute and len(brute) > 0
 
 
+def test_ppjoin_lossless_at_non_representable_threshold(spark, sf_dir):
+    """t = 1/3 has no exact 6dp float form — the rational-threshold
+    integer arithmetic (prefix length, length filter, positional
+    filter, final inter*den >= num*union test) must stay lossless
+    there too, not just at the benign default 1/2."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+        shingles,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.dedup import (
+        ppjoin_prefix_pairs,
+    )
+    docs = (read_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 7 == 0).select("doc_id", "text"))
+    mutated = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                          F.concat("text", F.lit(" qq rr ss tt"))
+                          .alias("text"))
+    corpus = docs.unionByName(mutated)
+    pp = {(r.key_a, r.key_b)
+          for r in ppjoin_prefix_pairs(corpus, "doc_id", "text",
+                                       threshold_num=1,
+                                       threshold_den=3).collect()}
+    sh = (corpus.select("doc_id", shingles("text").alias("sh"))
+          .filter(F.size("sh") > 0))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size("a.sh") + F.size("b.sh") - inter
+    brute = {(r.key_a, r.key_b) for r in
+             (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+              .select(F.col("a.doc_id").alias("key_a"),
+                      F.col("b.doc_id").alias("key_b"),
+                      inter.alias("i"), union.alias("u"))
+              .filter(F.col("i") * 3 >= F.col("u"))).collect()}
+    assert pp == brute and len(brute) > 0
+
+
 def test_wav_header_roundtrip():
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.multimodal import (
         wav_bytes,
