@@ -423,3 +423,52 @@ def stream_dedup_ingest(spark, sf_dir):
     return (feed.groupBy("event_id")
             .agg(F.min("ts").alias("ts"),
                  F.count("*").alias("n_delivered")))
+
+
+@register(
+    "a34_corr_components",
+    """SELECT l_returnflag,
+              CAST(count(*) AS BIGINT) AS n,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+                         AS DOUBLE), 4) AS sum_x,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                         AS DOUBLE), 2) AS sum_y,
+              round(CAST(sum(CAST(l_quantity * l_extendedprice
+                                  AS DECIMAL(28,6))) AS DOUBLE), 2)
+                  AS sum_xy,
+              round(CAST(sum(CAST(l_quantity * l_quantity
+                                  AS DECIMAL(28,6))) AS DOUBLE), 4)
+                  AS sum_x2,
+              round(CAST(sum(CAST(l_extendedprice * l_extendedprice
+                                  AS DECIMAL(28,6))) AS DOUBLE), 2)
+                  AS sum_y2
+       FROM lineitem GROUP BY l_returnflag""",
+    survey="§2.4 ext (correlation / covariance components)",
+    note="Pearson correlation and covariance per group, emitted as "
+         "the SIX algebraic components (n, Σx, Σy, Σxy, Σx², Σy²) "
+         "instead of the finished coefficient: corr/covar are "
+         "quotients of these sums and quotients round differently "
+         "across engines at ties (the registry's no-division rule), "
+         "while the components are exact decimal sums — AND they are "
+         "MERGEABLE, so incremental maintenance (x5's pattern) and "
+         "multi-day rollups compose by adding components. Spark's "
+         "built-in corr()/covar_samp() derive from the same sums; "
+         "one scan, one map-side-combinable shuffle")
+def a34_corr_components(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+
+    def dsum(c, scale, digits):
+        return F.round(F.sum(c.cast(f"decimal(28,{scale})"))
+                       .cast("double"), digits)
+
+    return (li.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(x.cast("decimal(18,6)")).cast("double"), 4)
+                  .alias("sum_x"),
+                 F.round(F.sum(y.cast("decimal(18,6)")).cast("double"), 2)
+                  .alias("sum_y"),
+                 dsum(x * y, 6, 2).alias("sum_xy"),
+                 dsum(x * x, 6, 4).alias("sum_x2"),
+                 dsum(y * y, 6, 2).alias("sum_y2")))
