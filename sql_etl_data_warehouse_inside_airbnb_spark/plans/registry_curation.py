@@ -25,6 +25,7 @@ from sql_etl_data_warehouse_inside_airbnb_spark.operators.curation import (
     trigram_familiarity,
 )
 from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
+    exact_sum,
     register,
     t,
 )
@@ -465,10 +466,8 @@ def a34_corr_components(spark, sf_dir):
 
     return (li.groupBy("l_returnflag")
             .agg(F.count("*").alias("n"),
-                 F.round(F.sum(x.cast("decimal(18,6)")).cast("double"), 4)
-                  .alias("sum_x"),
-                 F.round(F.sum(y.cast("decimal(18,6)")).cast("double"), 2)
-                  .alias("sum_y"),
+                 exact_sum("l_quantity", 4).alias("sum_x"),
+                 exact_sum("l_extendedprice", 2).alias("sum_y"),
                  dsum(x * y, 6, 2).alias("sum_xy"),
                  dsum(x * x, 6, 4).alias("sum_x2"),
                  dsum(y * y, 6, 2).alias("sum_y2")))

@@ -280,8 +280,13 @@ def s14_bucketed_join_roundtrip(spark, sf_dir):
     # to reuse the orphaned location — drop what the catalog knows AND
     # remove the stale directory, so the probe is idempotent across
     # sessions (the driver starts one per round)
+    from urllib.parse import unquote, urlparse
+
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    wh_path = wh.removeprefix("file:")
+    # the conf value is a URI — decode it (a %20 path would make the
+    # rmtree silently no-op and resurrect the location collision)
+    parsed = urlparse(wh)
+    wh_path = unquote(parsed.path) if parsed.scheme else wh
     for tbl in ("s14_b_lineitem", "s14_b_orders"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(os.path.join(wh_path, tbl), ignore_errors=True)
