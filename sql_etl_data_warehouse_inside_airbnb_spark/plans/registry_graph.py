@@ -777,3 +777,40 @@ def g3_dedup_survivors(spark, sf_dir):
                  F.count("*").alias("cluster_size"),
                  (F.count("*") - 1).alias("n_dropped"))
             .select("canonical_id", "cluster_size", "n_dropped"))
+
+
+@register(
+    "e3_event_transitions",
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                    AS prev_type
+         FROM events)
+       SELECT prev_type, event_type AS next_type,
+              CAST(count(*) AS BIGINT) AS n_transitions,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM seq WHERE prev_type IS NOT NULL
+       GROUP BY prev_type, event_type""",
+    survey="§2.5/§7.5 ext (behavioral transition matrix)",
+    note="first-order Markov transition counts over per-user event "
+         "sequences — the behavioral-analytics sibling of e1's funnel "
+         "and e2's cohorts, and the count table a sequence model's "
+         "transition probabilities derive from (probabilities are "
+         "quotients of these counts — derived client-side per the "
+         "no-division rule; the counts themselves are mergeable "
+         "across days). One shuffle on user_id for the lag window "
+         "((ts, event_id) total order), one map-side-combinable "
+         "count groupBy on the (prev, next) pair — at 100 TB the "
+         "pair space is tiny (|event types|^2) so the final "
+         "aggregate is a broadcast-sized table")
+def e3_event_transitions(spark, sf_dir):
+    from pyspark.sql import Window as W
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type",
+                                           "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    return (seq.filter(F.col("prev_type").isNotNull())
+            .groupBy("prev_type", F.col("event_type").alias("next_type"))
+            .agg(F.count("*").alias("n_transitions"),
+                 F.countDistinct("user_id").alias("n_users")))
