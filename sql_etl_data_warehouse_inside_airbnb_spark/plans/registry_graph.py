@@ -814,3 +814,62 @@ def e3_event_transitions(spark, sf_dir):
             .groupBy("prev_type", F.col("event_type").alias("next_type"))
             .agg(F.count("*").alias("n_transitions"),
                  F.countDistinct("user_id").alias("n_users")))
+
+
+@register(
+    "e4_conversion_latency",
+    """WITH firsts AS (
+         SELECT user_id,
+                min(ts) FILTER (WHERE event_type = 'view') AS first_view,
+                min(ts) FILTER (WHERE event_type = 'purchase')
+                    AS first_purchase
+         FROM events GROUP BY user_id),
+       conv AS (
+         SELECT user_id,
+                epoch_us(first_purchase) - epoch_us(first_view)
+                    AS latency_us
+         FROM firsts
+         WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+           AND first_purchase >= first_view)
+       SELECT CAST(count(*) AS BIGINT) AS n_converted,
+              CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_us)
+                   AS BIGINT) AS p50_us,
+              CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY latency_us)
+                   AS BIGINT) AS p90_us,
+              CAST(max(latency_us) AS BIGINT) AS max_us
+       FROM conv""",
+    survey="§2.4/§7.5 ext (conversion-latency distribution)",
+    note="time-to-convert: per user, first 'view' to first subsequent "
+         "'purchase', then the latency distribution — the two-event "
+         "product-analytics shape next to e1's funnel. Latencies are "
+         "exact integer epoch-second diffs and the percentiles are "
+         "percentile_disc (SELECTION of an actual value, no "
+         "interpolation/division), so every compared column is "
+         "bit-deterministic cross-engine (MICROsecond diffs — second-"
+         "granularity epoch()/unix_timestamp truncate sub-second "
+         "parts differently across engines, found at sf0.01). One "
+         "conditional-min groupBy "
+         "on user_id, then a single tiny global aggregate; at 100 TB "
+         "swap percentile_disc for the mergeable approx_percentile "
+         "sketch (a24) with the plan shape unchanged")
+def e4_conversion_latency(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    firsts = (ev.groupBy("user_id")
+              .agg(F.min(F.when(F.col("event_type") == "view",
+                                F.col("ts"))).alias("first_view"),
+                   F.min(F.when(F.col("event_type") == "purchase",
+                                F.col("ts"))).alias("first_purchase")))
+    conv = (firsts
+            .filter(F.col("first_view").isNotNull()
+                    & F.col("first_purchase").isNotNull()
+                    & (F.col("first_purchase") >= F.col("first_view")))
+            .select((F.unix_micros("first_purchase")
+                     - F.unix_micros("first_view"))
+                    .alias("latency_us")))
+    return conv.agg(
+        F.count("*").alias("n_converted"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_us)")
+         .cast("bigint").alias("p50_us"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY latency_us)")
+         .cast("bigint").alias("p90_us"),
+        F.max("latency_us").alias("max_us"))
