@@ -46,6 +46,8 @@ HEADLINE = [
     "stream_stateful_totals",  # custom stateful operator (batch twin)
     "tpch_q3_shipping_priority",   # 3-way join + grouped top-k
     "tpch_q18_large_volume_customer",  # agg-before-join rewrite
+    "tpch_q5_local_supplier_volume",   # 6-table star, one big shuffle
+    "ext_trigram_familiarity",         # corpus-LM train + score
 ]
 
 

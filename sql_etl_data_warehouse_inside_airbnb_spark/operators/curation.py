@@ -99,14 +99,27 @@ def c4_sentence_filter(df: DataFrame, key_col: str, text_col: str,
 
 def char_trigrams(text_col: Column | str) -> Column:
     """All character trigrams (with repeats) of the lowercased,
-    whitespace-collapsed text, as an array column."""
+    whitespace-collapsed text, as an array column.
+
+    Perf: the normalized string is BOUND ONCE per row by routing it
+    through a single-element ``transform`` whose lambda variable holds
+    it — referencing the regexp_replace expression directly inside the
+    per-position lambda re-normalizes the text once per trigram
+    position (no subexpression elimination in lambda bodies), which is
+    O(len²) per document: measured 28 s -> 1.9 s for the corpus-LM
+    scoring pass at sf0.1. The same trap and fix as
+    functions/text.py:shingles."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
-    n = F.length(norm)
-    return F.when(n < 3, F.array().cast("array<string>")) \
-            .otherwise(F.transform(F.sequence(F.lit(1), n - 2),
-                                   lambda i: F.substring(norm, i, 3)
-                                   .cast("string")))
+    norm0 = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+    def grams(norm: Column) -> Column:
+        n = F.length(norm)
+        return F.when(n < 3, F.array().cast("array<string>")) \
+                .otherwise(F.transform(F.sequence(F.lit(1), n - 2),
+                                       lambda i: F.substring(norm, i, 3)
+                                       .cast("string")))
+
+    return F.element_at(F.transform(F.array(norm0), grams), 1)
 
 
 def trigram_familiarity(df: DataFrame, key_col: str,
