@@ -104,3 +104,61 @@ def test_stream_session_windows_equal_batch(spark, tmp_path):
            for r in spark.sql(
                "SELECT * FROM ssw WHERE user_id != 99").collect()}
     assert got == expected
+
+
+def test_stream_sliding_windows_equal_batch(spark, tmp_path):
+    """sliding windows on a watermarked stream == batch sliding_agg,
+    with a cross-micro-batch window (events from both batches land in
+    one overlapping window) and a flush event finalizing them all."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.streaming.windows import (
+        sliding_agg,
+        with_watermark,
+    )
+
+    def t(h, m):
+        return dt.datetime(2024, 3, 1, h, m)
+
+    schema = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    batch1 = [(1, t(1, 0), 1, "view", 1.0, "{}"),
+              (2, t(13, 0), 1, "view", 2.0, "{}")]
+    batch2 = [(3, t(14, 0), 2, "view", 4.0, "{}"),
+              # flush: watermark = 2024-03-03 - 30min closes everything
+              (4, dt.datetime(2024, 3, 3, 0, 0), 99, "view", 0.0, "{}")]
+    src = str(tmp_path / "slide_src")
+    os.makedirs(src)
+    for i, rows in enumerate([batch1, batch2]):
+        stage = os.path.join(str(tmp_path), f"slide_stage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"{i}.parquet")
+        shutil.copyfile(part, dest)
+        os.utime(dest, (1_000_000_000 + i * 100,) * 2)
+
+    batch_df = spark.read.parquet(src)
+    cutoff = dt.datetime(2024, 3, 2, 13, 0)
+    expected = {(r.window_start, r.window_end, r.n_events, r.sum_value)
+                for r in sliding_agg(batch_df).collect()
+                if r.window_end <= cutoff}
+    # events 2+3 share the Mar1-12:00 -> Mar2-12:00 window even though
+    # they arrive in DIFFERENT micro-batches (the state-merge case)
+    assert (t(12, 0), dt.datetime(2024, 3, 2, 12, 0), 2, 6.0) in expected
+
+    stream = (spark.readStream.schema(batch_df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (sliding_agg(with_watermark(stream, delay="30 minutes"))
+         .writeStream.format("memory").queryName("ssl")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ssl_ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(180)
+    got = {(r.window_start, r.window_end, r.n_events, r.sum_value)
+           for r in spark.sql("SELECT * FROM ssl").collect()
+           if r.window_end <= cutoff}
+    assert got == expected
