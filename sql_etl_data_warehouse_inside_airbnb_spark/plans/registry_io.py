@@ -367,3 +367,52 @@ def s15_zorder_layout_roundtrip(spark, sf_dir):
                  F.sum("l_orderkey").alias("key_sum"),
                  F.min("z").alias("z_min"),
                  F.max("z").alias("z_max")))
+
+
+@register(
+    "j22_dynamic_partition_prune",
+    """WITH dim AS (
+         SELECT r_regionkey,
+                (['1-URGENT', '2-HIGH', '3-MEDIUM',
+                  '4-NOT SPECIFIED', '5-LOW'])[r_regionkey + 1]
+                    AS priority
+         FROM region WHERE r_name IN ('ASIA', 'EUROPE'))
+       SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+              CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+                  AS n_priorities
+       FROM orders JOIN dim ON o_orderpriority = dim.priority""",
+    survey="J1/P7 ext (dynamic partition pruning)",
+    note="runtime partition pruning probe: orders is written "
+         "partitioned by o_orderpriority, and the pruning predicate "
+         "is NOT a literal — it comes from a dimension table filtered "
+         "at runtime (region -> priority mapping, 2 of 5 survive), "
+         "exactly the star-join case static pruning can't touch. "
+         "Catalyst plants a DynamicPruningExpression subquery on the "
+         "fact's partition column, so only the dim's surviving "
+         "partitions are read (plan-asserted in tests/test_plans.py); "
+         "the checksum pins the surviving VALUES against the oracle's "
+         "direct join. At 100 TB this is the difference between "
+         "scanning 2 partitions and scanning the table whenever the "
+         "filter lives on the dim side")
+def j22_dynamic_partition_prune(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        read_format,
+        write_format,
+    )
+    path = os.path.join(_TMP, "j22_dpp", "orders")
+    write_format(
+        t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        path, partition_by=["o_orderpriority"])
+    fact = read_format(spark, path)
+    prios = F.array(*[F.lit(p) for p in
+                      ("1-URGENT", "2-HIGH", "3-MEDIUM",
+                       "4-NOT SPECIFIED", "5-LOW")])
+    dim = (t(spark, sf_dir, "region")
+           .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+           .select(F.element_at(prios, F.col("r_regionkey") + 1)
+                   .alias("priority")))
+    return (fact.join(dim, fact.o_orderpriority == dim.priority)
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("o_orderkey").alias("key_sum"),
+                 F.countDistinct("o_orderpriority").alias("n_priorities")))

@@ -253,3 +253,12 @@ def test_partitioned_readback_prunes_partitions(spark, sf_dir):
     assert part_lines, text
     assert any("o_orderpriority" in ln and "IN" in ln.upper()
                for ln in part_lines), part_lines
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """j22: the dim-side filter must become a DynamicPruningExpression
+    on the fact's partition column — runtime pruning, not a full scan
+    plus post-join filter."""
+    df = REGISTRY["j22_dynamic_partition_prune"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
