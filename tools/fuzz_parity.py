@@ -194,8 +194,29 @@ def gen_star_query(rng: random.Random) -> str:
             f"{pred} GROUP BY {gcol}{having}")
 
 
+def gen_date_query(rng: random.Random) -> str:
+    """Date-part group keys over orders/lineitem: year/month/day
+    derivations as GROUP BY columns with decimal-exact sums."""
+    tbl, ts, num = rng.choice([
+        ("orders", "o_orderdate", "o_totalprice"),
+        ("lineitem", "l_shipdate", "l_extendedprice"),
+    ])
+    parts = rng.sample(["year", "month"], rng.randint(1, 2))
+    keys = ", ".join(f"CAST({p}({ts}) AS BIGINT) AS k_{p}" for p in parts)
+    gb = ", ".join(f"{p}({ts})" for p in parts)
+    pred = ""
+    if rng.random() < 0.5:
+        y = rng.randint(1995, 2001)
+        pred = f" WHERE {ts} >= TIMESTAMP '{y}-01-01'"
+    return (f"SELECT {keys}, CAST(COUNT(*) AS BIGINT) AS n, "
+            f"ROUND(CAST(SUM(CAST({num} AS DECIMAL(18,6))) AS DOUBLE), 2)"
+            f" AS s FROM {tbl}{pred} GROUP BY {gb}")
+
+
 def gen_query(rng: random.Random) -> str:
     shape = rng.random()
+    if shape < 0.06:
+        return gen_date_query(rng)
     if shape < 0.12:
         return gen_star_query(rng)
     if shape < 0.24:
