@@ -471,3 +471,36 @@ def a34_corr_components(spark, sf_dir):
                  dsum(x * y, 6, 2).alias("sum_xy"),
                  dsum(x * x, 6, 4).alias("sum_x2"),
                  dsum(y * y, 6, 2).alias("sum_y2")))
+
+
+@register(
+    "x7_freshness_report",
+    """WITH per AS (
+         SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                max(ts) AS latest
+         FROM events GROUP BY event_type),
+       g AS (SELECT max(latest) AS global_latest FROM per)
+       SELECT event_type, n_rows, latest,
+              epoch_us(global_latest) - epoch_us(latest) AS lag_us
+       FROM per, g""",
+    survey="A10/A11 ext (source-freshness monitoring)",
+    note="the staleness dashboard every warehouse runs against its "
+         "feeds (dbt source-freshness shape): per-stream row count + "
+         "latest event time + lag behind the freshest stream, in "
+         "exact integer MICROseconds (second-granularity extraction "
+         "truncates differently across engines — e4's lesson). One "
+         "map-side-combinable groupBy; the global max is a 1-row "
+         "broadcast. At 100 TB this reads the fact's partition-level "
+         "max(ts) stats, not the data, when the table is "
+         "time-partitioned (SCALE.md scans)")
+def x7_freshness_report(spark, sf_dir):
+    per = (t(spark, sf_dir, "events")
+           .groupBy("event_type")
+           .agg(F.count("*").alias("n_rows"),
+                F.max("ts").alias("latest")))
+    g = per.agg(F.max("latest").alias("global_latest"))
+    return (per.join(F.broadcast(g))
+            .select("event_type", "n_rows", "latest",
+                    (F.unix_micros("global_latest")
+                     - F.unix_micros("latest")).alias("lag_us")))

@@ -42,6 +42,8 @@ NESTED_LOOP_OK = {
     "ext_decontaminate_bloom": "BroadcastNestedLoopJoin",
     # broadcast 1-row query-image feature vector
     "ext_multimodal_embed_ann": "BroadcastNestedLoopJoin",
+    # broadcast 1-row global-latest timestamp
+    "x7_freshness_report": "BroadcastNestedLoopJoin",
 }
 ROW_PYTHON_OK = {
     "u6_udtf_tokenize": "BatchEvalPython",
