@@ -48,7 +48,12 @@ TABLES = {
 AGGS = [
     ("count(*)", "CAST(COUNT(*) AS BIGINT) AS agg_n"),
     ("sum", "ROUND(SUM({c}), 4) AS agg_sum"),
-    ("avg", "ROUND(AVG({c}), 6) AS agg_avg"),
+    # AVG is a quotient of an order-dependent double sum: seed 777
+    # case #152 rounded 6dp on opposite sides of a half-ulp across
+    # engines. Same cure as the registry convention — emit the exact
+    # decimal numerator + count and let the mean derive client-side.
+    ("avg", "ROUND(CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE), 4)"
+            " AS agg_avg_num, CAST(COUNT({c}) AS BIGINT) AS agg_avg_den"),
     ("min", "ROUND(MIN({c}), 6) AS agg_min"),
     ("max", "ROUND(MAX({c}), 6) AS agg_max"),
     ("count_distinct", "CAST(COUNT(DISTINCT {c}) AS BIGINT) AS agg_cd"),
