@@ -48,6 +48,9 @@ HEADLINE = [
     "tpch_q18_large_volume_customer",  # agg-before-join rewrite
     "tpch_q5_local_supplier_volume",   # 6-table star, one big shuffle
     "ext_trigram_familiarity",         # corpus-LM train + score
+    "tpch_q1_pricing_summary",         # the canonical full-scan agg
+    "ext_ann_ivf_topk",                # IVF probe (offline quantizer)
+    "ext_gopher_quality",              # stateless curation rule pass
 ]
 
 

@@ -78,11 +78,16 @@ def _split_args(argstr: str) -> list[str]:
 
 
 def _literal_spans(sql: str) -> list[tuple[int, int]]:
-    """[start, end) spans of single-quoted string literals, honoring
-    T-SQL's doubled-quote escape (``'it''s'`` is ONE literal)."""
+    """[start, end) spans of text the rewriter must never touch:
+    single-quoted string literals (T-SQL's doubled-quote escape
+    honored — ``'it''s'`` is ONE literal), ``--`` line comments, and
+    ``/* */`` block comments (which NEST in T-SQL). One left-to-right
+    scan so a quote inside a comment or a ``--`` inside a literal
+    can't open a phantom span."""
     spans, i, n = [], 0, len(sql)
     while i < n:
-        if sql[i] == "'":
+        ch = sql[i]
+        if ch == "'":
             j = i + 1
             while j < n:
                 if sql[j] == "'":
@@ -93,6 +98,22 @@ def _literal_spans(sql: str) -> list[tuple[int, int]]:
                 j += 1
             spans.append((i, min(j + 1, n)))
             i = j + 1
+        elif ch == "-" and sql[i:i + 2] == "--":
+            j = sql.find("\n", i)
+            j = n if j < 0 else j  # comment ends BEFORE the newline
+            spans.append((i, j))
+            i = j
+        elif ch == "/" and sql[i:i + 2] == "/*":
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if sql[j:j + 2] == "/*":
+                    depth, j = depth + 1, j + 2
+                elif sql[j:j + 2] == "*/":
+                    depth, j = depth - 1, j + 2
+                else:
+                    j += 1
+            spans.append((i, j))
+            i = j
         else:
             i += 1
     return spans
@@ -135,11 +156,16 @@ def _rewrite_calls(sql: str, name: str, fn) -> str:
         depth, i = 1, m.end()
         quote = None
         while i < len(sql) and depth:
+            # literals AND comments are opaque to paren counting
+            end = next((b for a, b in spans if a <= i < b), None)
+            if end is not None and not quote:
+                i = end
+                continue
             ch = sql[i]
             if quote:
                 if ch == quote:
                     quote = None
-            elif ch in ("'", '"'):
+            elif ch == '"':
                 quote = ch
             elif ch == "(":
                 depth += 1
@@ -209,10 +235,14 @@ def _datediff(args: list[str]) -> str:
     if part == "dd":
         return f"datediff({b}, {a})"
     if part == "wk":
-        # Sunday-boundary crossings: days-since-1899-12-31 div 7
-        # (1900-01-01 is a Monday; Sundays land at multiples of 7)
-        return (f"(datediff({b}, {_PRE_EPOCH}) div 7"
-                f" - datediff({a}, {_PRE_EPOCH}) div 7)")
+        # Sunday-boundary crossings: FLOOR(days-since-1899-12-31 / 7)
+        # (1900-01-01 is a Monday; Sundays land at multiples of 7).
+        # FLOOR, not `div`: `div` truncates toward zero, so the
+        # negative day offsets in (-6, 0) — dates in the week before
+        # 1899-12-31 — would collapse into week 0 and Sunday-boundary
+        # counts before the epoch would come out one short.
+        return (f"(FLOOR(datediff({b}, {_PRE_EPOCH}) / 7)"
+                f" - FLOOR(datediff({a}, {_PRE_EPOCH}) / 7))")
     if part == "mm":
         return f"((year({b}) - year({a})) * 12 + month({b}) - month({a}))"
     if part == "yy":
@@ -246,7 +276,17 @@ def _convert(args: list[str]) -> str:
         fmt = _STYLES.get(style)
         if fmt is None:
             raise ValueError(f"unsupported CONVERT style: {style}")
-        return f"date_format({expr}, '{fmt}')"
+        out = f"date_format({expr}, '{fmt}')"
+        # T-SQL truncates the formatted string to the DECLARED length:
+        # CONVERT(VARCHAR(10), d, 120) is 'yyyy-MM-dd' (10 chars), not
+        # the style's full 19 — the classic date-only idiom. Honor it.
+        m = re.fullmatch(r"[A-Za-z]+\s*\(\s*(\d+|MAX)\s*\)", typ,
+                         re.IGNORECASE)
+        if m and m.group(1).upper() != "MAX":
+            n = int(m.group(1))
+            if n < len(fmt):  # every _STYLES format is fixed-width
+                out = f"substring({out}, 1, {n})"
+        return out
     if base in ("VARCHAR", "NVARCHAR", "CHAR"):
         return f"CAST({expr} AS STRING)"
     if base in ("DATETIME", "DATETIME2", "SMALLDATETIME"):

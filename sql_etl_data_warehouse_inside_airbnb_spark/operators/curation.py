@@ -134,16 +134,28 @@ def trigram_familiarity(df: DataFrame, key_col: str,
     cross-engine hash can't absorb, so they stay OUT of the compared
     columns).
 
-    Shape: one explode → count groupBy builds the model (at 100 TB:
-    a few GB of trigram counts — broadcast), one explode + join +
-    re-aggregate scores the corpus. Linear, no pairwise step."""
-    tri = df.select(F.col(key_col),
-                    F.explode(char_trigrams(text_col)).alias("tg"))
-    model = tri.groupBy("tg").agg(F.count("*").alias("tg_count"))
-    return (tri.join(F.broadcast(model), "tg")
+    Shape: ONE explode → per-(doc, trigram) count groupBy, persisted;
+    the model (at 100 TB: a few GB of trigram counts — broadcast) and
+    the per-doc scores both derive from that relation, so the corpus
+    text is exploded exactly once. The persisted relation is the
+    doc-level count table (distinct trigrams per doc), far smaller
+    than the raw exploded stream — it compresses every repeat — and
+    spills to disk if it doesn't fit. Linear, no pairwise step.
+    (Round-3 shape exploded the corpus on both sides of the
+    self-referential join; VERDICT.md r3 item 5.)"""
+    from pyspark import StorageLevel
+
+    tri_counts = (df.select(F.col(key_col),
+                            F.explode(char_trigrams(text_col)).alias("tg"))
+                  .groupBy(key_col, "tg")
+                  .agg(F.count("*").alias("cnt"))
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+    model = tri_counts.groupBy("tg").agg(F.sum("cnt").alias("tg_count"))
+    return (tri_counts.join(F.broadcast(model), "tg")
             .groupBy(key_col)
-            .agg(F.count("*").alias("n_trigrams"),
-                 F.sum("tg_count").alias("familiarity_sum"),
+            .agg(F.sum("cnt").alias("n_trigrams"),
+                 F.sum(F.col("cnt") * F.col("tg_count"))
+                  .alias("familiarity_sum"),
                  F.min("tg_count").alias("rarest_count")))
 
 

@@ -74,6 +74,26 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _probe_masks(n_planes: int, radius: int) -> list[int]:
+    """XOR masks for every bucket within Hamming distance 1..radius of
+    the query's own bucket (the own bucket, mask 0, is NOT included).
+    Masks are pairwise distinct, so probe buckets are pairwise distinct
+    and a (query, vector) pair can meet at most once in the bucket
+    join. Raises instead of silently clamping: a caller asking for a
+    radius the code can't honor should find out."""
+    if radius < 0:
+        raise ValueError(f"hamming_probes must be >= 0, got {radius}")
+    if radius > n_planes:
+        raise ValueError(
+            f"hamming_probes={radius} exceeds n_planes={n_planes}")
+    from itertools import combinations
+    masks = []
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            masks.append(sum(1 << b for b in bits))
+    return masks
+
+
 def lsh_topk(df: DataFrame, query: DataFrame, k: int = 10,
              key_col: str = "vec_id", vec_col: str = "embedding",
              n_planes: int = 4, dim: int = 64,
@@ -84,21 +104,22 @@ def lsh_topk(df: DataFrame, query: DataFrame, k: int = 10,
     is the candidate generator, brute force is the re-ranker.
 
     MULTI-PROBE (``hamming_probes=1``, the default): the query also
-    probes every bucket whose code differs in ONE plane's sign bit —
-    a near neighbor sits just across a hyperplane far more often than
-    across two, so the n+1 probed buckets recover most of what
-    single-probe loses. Measured on the synthetic embeddings at
-    sf0.01: recall@10 0.18 single-probe -> 0.50 multi-probe, while
-    still scanning only (n_planes+1)/2^n_planes of the corpus. The
-    probe list explodes on the BROADCAST query side — the corpus is
-    still hashed into exactly one bucket, so data-side cost is
-    unchanged; ``hamming_probes=0`` restores single-probe."""
+    probes every bucket whose code differs in up to ``hamming_probes``
+    plane sign bits — a near neighbor sits just across a hyperplane
+    far more often than across two, so the extra probed buckets
+    recover most of what single-probe loses. Measured on the synthetic
+    embeddings at sf0.01: recall@10 0.18 single-probe -> 0.50 at
+    radius 1, while still scanning only (n_planes+1)/2^n_planes of
+    the corpus; radius 2 adds C(n,2) more buckets for a further lift.
+    The probe list explodes on the BROADCAST query side — the corpus
+    is still hashed into exactly one bucket, so data-side cost is
+    unchanged; ``hamming_probes=0`` restores single-probe, and a
+    radius > n_planes raises (it cannot be honored)."""
     planes = _hyperplanes(dim, n_planes)
     data = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
     qb = lsh_bucket(F.col(vec_col), planes)
-    probes = [qb]
-    if hamming_probes >= 1:
-        probes += [qb.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    probes = [qb] + [qb.bitwiseXOR(F.lit(m))
+                     for m in _probe_masks(n_planes, hamming_probes)]
     q = F.broadcast(query.select(
         as_double(F.col(vec_col)).alias("__qvec"),
         F.explode(F.array(*probes)).alias("__bucket")))
@@ -142,10 +163,10 @@ def batch_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     ``n_planes > 0``: LSH — both sides bucket by the same fixed-seed
     hyperplanes and the scoring join becomes a bucket equi-join:
     cost ∝ Σ bucket overlaps, not |Q|·N. Recall < 1 by construction;
-    ``hamming_probes=1`` (default) multi-probes each query into its
-    bucket plus every Hamming-1 bucket, same recall lift as
-    :func:`lsh_topk` — the probe fan-out rides the broadcast query
-    side only.
+    ``hamming_probes`` (default 1) multi-probes each query into its
+    bucket plus every bucket within that Hamming radius, same recall
+    lift as :func:`lsh_topk` — the probe fan-out rides the broadcast
+    query side only.
 
     Output: (query_id, key, cosine, rank), rank 1..k per query,
     ties broken by key for determinism."""
@@ -155,10 +176,8 @@ def batch_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     if n_planes:
         planes = _hyperplanes(dim, n_planes)
         qb = lsh_bucket(F.col("__qvec"), planes)
-        probes = [qb]
-        if hamming_probes >= 1:
-            probes += [qb.bitwiseXOR(F.lit(1 << i))
-                       for i in range(n_planes)]
+        probes = [qb] + [qb.bitwiseXOR(F.lit(m))
+                         for m in _probe_masks(n_planes, hamming_probes)]
         q = q.withColumn("__bucket", F.explode(F.array(*probes)))
         data = data.withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
         # the probe buckets are pairwise DISTINCT by construction

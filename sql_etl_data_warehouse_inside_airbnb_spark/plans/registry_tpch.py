@@ -5,7 +5,7 @@ The reference warehouse (SURVEY §2) is a star-schema ETL whose query
 surface — multi-join rollups over fact tables with dimension filters
 (sql/schema/03_create_views.sql, sql/analysis/*.sql) — is exactly the
 shape the TPC-H suite standardizes. This module re-expresses the
-classic queries (17 of 22 expressible, q1-q8, q10, q12-q19, q22)
+classic queries (17 of 22 expressible: q1, q3-q8, q10, q12-q19, q22)
 against the driver's tables so the judge gets a
 line-by-line-checkable "could a warehouse user run their daily
 queries here" answer with exact DuckDB oracles.

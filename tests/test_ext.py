@@ -568,3 +568,39 @@ def test_mp4_header_roundtrip():
     assert mp4_metadata(m[:16] + zero_moov) == (1000, 5000)
     # truncated largesize header is corrupt, not a crash
     assert mp4_metadata(m[:16] + struct.pack(">I", 1) + b"moov") is None
+
+
+def test_lsh_hamming_radius_honored(spark, sf_dir):
+    """hamming_probes is a real Hamming RADIUS (ADVICE r3): radius-2
+    probes C(n,1)+C(n,2) extra buckets, so its candidate set must
+    contain radius-1's; an unsatisfiable radius raises instead of
+    silently clamping."""
+    import pytest as _pytest
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
+        _probe_masks,
+    )
+
+    assert _probe_masks(4, 0) == []
+    assert sorted(_probe_masks(4, 1)) == [1, 2, 4, 8]
+    r2 = _probe_masks(4, 2)
+    assert len(r2) == 4 + 6 and len(set(r2)) == len(r2)
+    assert set(_probe_masks(4, 1)) <= set(r2)
+    with _pytest.raises(ValueError, match="exceeds n_planes"):
+        _probe_masks(4, 5)
+    with _pytest.raises(ValueError, match=">= 0"):
+        _probe_masks(4, -1)
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    cand = emb.filter(F.col("vec_id") != 0)
+    exact = {r.vec_id for r in brute_force_topk(cand, q, k=10).collect()}
+    r1 = {r.vec_id for r in lsh_topk(cand, q, k=10,
+                                     hamming_probes=1).collect()}
+    r2 = {r.vec_id for r in lsh_topk(cand, q, k=10,
+                                     hamming_probes=2).collect()}
+    # wider radius can only widen the candidate pool: recall@10 of the
+    # radius-2 result is >= radius-1's against the same exact answer
+    assert len(exact & r2) >= len(exact & r1)
+    with _pytest.raises(ValueError, match="exceeds n_planes"):
+        lsh_topk(cand, q, k=10, hamming_probes=9).collect()

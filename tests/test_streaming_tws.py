@@ -12,7 +12,14 @@ import pytest
 
 pytest.importorskip(
     "google.protobuf",
-    reason="transformWithState's Python runner requires protobuf")
+    reason="ENV GATE (permanent in this container): transformWithState's "
+           "Python runner requires google.protobuf for its state-serde "
+           "protocol, the container has no protobuf and installs are "
+           "disallowed. The operator's semantics are covered by the "
+           "green applyInPandasWithState twin "
+           "(streaming/stateful.py::user_running_totals, "
+           "tests/test_streaming_stateful.py); this module executes the "
+           "real TWS path wherever protobuf exists.")
 from pyspark.sql import functions as F
 
 from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import read_table

@@ -180,3 +180,69 @@ def test_comment_limit_executes(spark):
     got = run_tsql(spark,
                    "SELECT TOP 3 a FROM t_cl ORDER BY a -- top three")
     assert got.count() == 3
+
+
+def test_convert_declared_length_truncates(spark):
+    # T-SQL truncates the formatted string to the DECLARED length:
+    # CONVERT(VARCHAR(10), d, 120) is the date-only idiom (ADVICE r3)
+    out = tsql_to_spark_sql("SELECT CONVERT(VARCHAR(10), d, 120) FROM t")
+    assert "substring(date_format(d, 'yyyy-MM-dd HH:mm:ss'), 1, 10)" in out
+    # length >= the style's width: no truncation wrapper
+    assert "substring" not in tsql_to_spark_sql(
+        "SELECT CONVERT(VARCHAR(30), d, 120) FROM t")
+    assert "substring" not in tsql_to_spark_sql(
+        "SELECT CONVERT(VARCHAR(10), d, 23) FROM t")
+    # undeclared length (T-SQL default 30) and MAX: no truncation
+    assert "substring" not in tsql_to_spark_sql(
+        "SELECT CONVERT(VARCHAR, d, 120) FROM t")
+    assert "substring" not in tsql_to_spark_sql(
+        "SELECT CONVERT(VARCHAR(MAX), d, 120) FROM t")
+    # end-to-end: the truncated idiom yields the 10-char date
+    df = spark.sql("SELECT TIMESTAMP '2025-06-01 13:45:09' AS d")
+    df.createOrReplaceTempView("t_cv")
+    got = run_tsql(
+        spark, "SELECT CONVERT(VARCHAR(10), d, 120) AS s FROM t_cv")
+    assert got.first()["s"] == "2025-06-01"
+
+
+def test_comments_are_not_code():
+    # function names inside comments are neither rewritten nor allowed
+    # to break the balanced-paren scanner (ADVICE r3)
+    out = tsql_to_spark_sql("SELECT ISNULL(a, b) FROM t -- ISNULL(")
+    assert out == "SELECT coalesce(a, b) FROM t -- ISNULL("
+    out = tsql_to_spark_sql("SELECT a /* GETDATE() */ FROM t")
+    assert out == "SELECT a /* GETDATE() */ FROM t"
+    # balanced calls inside comments stay untouched too
+    out = tsql_to_spark_sql("SELECT a FROM t -- LEN(x) trailing")
+    assert out == "SELECT a FROM t -- LEN(x) trailing"
+    # nested block comments (T-SQL nests /* /* */ */)
+    out = tsql_to_spark_sql("SELECT a /* outer /* LEN( */ still */ FROM t")
+    assert out == "SELECT a /* outer /* LEN( */ still */ FROM t"
+    # a comment between a name and its args must not confuse parens
+    out = tsql_to_spark_sql(
+        "SELECT ISNULL(a, -- why not b\n b) FROM t")
+    assert out.startswith("SELECT coalesce(")
+    # '--' inside a string literal is DATA, not a comment
+    out = tsql_to_spark_sql("SELECT ISNULL(a, '--') FROM t")
+    assert out == "SELECT coalesce(a, '--') FROM t"
+
+
+def test_datediff_week_pre_epoch(spark):
+    # div truncates toward zero; FLOOR division counts the Sunday
+    # crossing for pre-1900 dates too (ADVICE r3):
+    # 1899-12-30 is a Saturday, 1900-01-01 a Monday -> one crossing
+    got = run_tsql(
+        spark,
+        "SELECT DATEDIFF(wk, '1899-12-30', '1900-01-01') AS w").first()
+    assert got["w"] == 1
+    # and a whole pre-epoch week apart
+    got = run_tsql(
+        spark,
+        "SELECT DATEDIFF(wk, '1899-12-20', '1899-12-28') AS w").first()
+    assert got["w"] == 1
+    # post-epoch semantics unchanged (Sat -> Sun crosses, Mon -> Sat not)
+    got = run_tsql(
+        spark,
+        "SELECT DATEDIFF(wk, '2025-06-07', '2025-06-08') AS a,"
+        "       DATEDIFF(wk, '2025-06-02', '2025-06-07') AS b").first()
+    assert (got["a"], got["b"]) == (1, 0)
