@@ -241,3 +241,79 @@ def bloom_decontaminate(df: DataFrame, bench_df: DataFrame,
                     F.exists("sh", maybe_member).alias("maybe_contaminated"))
             .filter(F.col("maybe_contaminated"))
             .select(F.col(key_col).alias("flagged_doc_id")))
+
+
+# fasttext-style hashed-linear scorer constants: feature space and a
+# deterministic weight formula standing in for trained weights (at
+# deployment the weights arrive as a broadcast map keyed by bucket;
+# the FORMULA keeps the op oracle-checkable without shipping a model)
+HASH_BUCKETS = 4096
+WEIGHT_MULT = 2_654_435_761  # Knuth multiplicative-hash constant
+WEIGHT_MOD = 1001            # weights span [-500, 500]
+
+
+def hashed_linear_score(df: DataFrame, key_col: str,
+                        text_col: str) -> DataFrame:
+    """Hashed bag-of-words linear classifier scoring — the fasttext
+    shape every large-corpus quality filter uses (CCNet §3.3, C4's
+    badwords pass): token → hash bucket → weight, document score =
+    Σ weights, keep/drop at a threshold.
+
+    Tokens hash by the same base-31 Rabin-Karp fold the fingerprint
+    ladder uses (functions/text.py:rolling_hash), mod ``HASH_BUCKETS``;
+    the bucket's weight is ``((bucket * WEIGHT_MULT) % WEIGHT_MOD) -
+    (WEIGHT_MOD div 2)`` — all int64-exact, so scores compare
+    bit-identically across engines. Everything is one nested
+    transform/aggregate column expression inside whole-stage codegen:
+    no UDF, no shuffle beyond the caller's, and at 100 TB the scorer
+    is a stateless map over the corpus (real weights ride the closure
+    or a broadcast join on bucket id, same plan either way).
+
+    Returns (key, n_tokens, score, verdict) with verdict
+    'keep' when score >= 0 else 'drop'.
+    """
+    c = F.col(text_col)
+    toks = F.filter(F.split(F.lower(F.trim(c)), r"\s+", -1),
+                    lambda t: F.length(t) > 0)
+
+    def tok_hash(tok: Column) -> Column:
+        codes = F.transform(
+            F.sequence(F.lit(1), F.length(tok)),
+            lambda i: F.ascii(F.substring(tok, i, F.lit(1))))
+        return F.aggregate(
+            codes, F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * 31 + x) % 1_000_000_007)
+
+    def weight(tok: Column) -> Column:
+        bucket = tok_hash(tok) % HASH_BUCKETS
+        return (bucket * WEIGHT_MULT) % WEIGHT_MOD - (WEIGHT_MOD // 2)
+
+    score = F.aggregate(toks, F.lit(0).cast("bigint"),
+                        lambda acc, tok: acc + weight(tok))
+    return df.select(
+        F.col(key_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        score.alias("score"),
+        F.when(score >= 0, "keep").otherwise("drop").alias("verdict"))
+
+
+def mixture_sample(df: DataFrame, rates: DataFrame, group_col: str,
+                   key_col: str, rate_col: str = "rate_bp") -> DataFrame:
+    """Deterministic source-mixture sampling: keep each row of group g
+    with probability ``rates[g]`` (in basis points, 0..10000), decided
+    by a multiplicative hash of the row key — the data-mixing step of
+    a training pipeline (choose corpus proportions, e.g. 3x down-weight
+    web crawl vs books).
+
+    Hash-gated, not rand(): the same row always gets the same verdict
+    regardless of partitioning, retries, or cluster size (the
+    cap_reviews xxhash lesson, plans/pipeline.py:220), and the oracle
+    can replay it. ``rates`` is a tiny dim — broadcast join, so the
+    pass over the corpus stays shuffle-free at any scale.
+
+    Returns the kept rows of ``df`` (all original columns).
+    """
+    gate = (F.col(key_col).cast("bigint") * WEIGHT_MULT) % 10_000
+    return (df.join(F.broadcast(rates), group_col)
+            .filter(gate < F.col(rate_col))
+            .drop(rate_col))

@@ -1,0 +1,146 @@
+"""Event-stream batch operators: sessionization, last-touch
+attribution, and time-bucket (OHLC) resampling.
+
+The reference warehouse has no event stream, but its weekly-rollup
+fact build (sql/data/04_load_calendar.sql:24-46 — bucket a timestamp,
+aggregate per bucket) is exactly the resample shape, and a complete
+analytics engine needs the standard product-analytics trio next to
+the funnel/retention/transition family (plans/registry_graph.py
+e1-e4). All three are single-shuffle window/groupBy plans:
+
+- :func:`sessionize` — one shuffle on the user key for the gap
+  window, then a map-side-combinable per-session aggregate. The
+  batch twin of the streaming session window
+  (streaming/windows.py); at 100 TB both partition by user and
+  never materialize cross-user state.
+- :func:`last_touch_attribution` — one shuffle on the user key;
+  the "last non-conversion event before each conversion" carry is a
+  running MAX over an integer encoding (rank * |types| + type_code),
+  not an IGNORE NULLS window (DuckDB 1.0 can't express that), so
+  the same plan is oracle-checkable.
+- :func:`resample_ohlc` — one groupBy on the derived bucket id.
+  open/close are conditional aggregates over a per-bucket
+  row_number, which costs a window before the groupBy; at 100 TB
+  the window and the groupBy share the same bucket-key partitioning
+  (one exchange, reused — Spark plans exactly one shuffle here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+US_PER_MIN = 60_000_000
+
+
+def sessionize(events: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts", id_col: str = "event_id",
+               gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts at a user's
+    first event and whenever the gap since their previous event
+    exceeds ``gap_minutes``. Returns one row per session:
+    (user, session_idx, n_events, duration_us, n_event_types).
+
+    Timestamps diff as ``unix_micros`` (integer, exact) — second-
+    granularity epoch() truncates sub-second parts differently across
+    engines (the e4 lesson). ``(ts, id)`` is the total order, so ties
+    are deterministic. One shuffle: the gap window and the session
+    groupBy both partition by user.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap_us = (F.unix_micros(F.col(ts_col))
+              - F.unix_micros(F.lag(ts_col).over(w)))
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us > gap_minutes * US_PER_MIN), 1
+    ).otherwise(0)
+    run = (events
+           .withColumn("__new", new_sess)
+           .withColumn("__sess", F.sum("__new").over(
+               w.rowsBetween(Window.unboundedPreceding,
+                             Window.currentRow))))
+    return (run.groupBy(F.col(user_col),
+                        F.col("__sess").alias("session_idx"))
+            .agg(F.count("*").alias("n_events"),
+                 (F.max(F.unix_micros(F.col(ts_col)))
+                  - F.min(F.unix_micros(F.col(ts_col))))
+                 .alias("duration_us"),
+                 F.countDistinct("event_type").alias("n_event_types")))
+
+
+def last_touch_attribution(events: DataFrame,
+                           conversion_type: str = "purchase",
+                           type_codes: dict[str, int] | None = None,
+                           user_col: str = "user_id",
+                           ts_col: str = "ts",
+                           id_col: str = "event_id") -> DataFrame:
+    """Last-touch attribution: each conversion event is credited to
+    the user's most recent PRECEDING non-conversion event type (the
+    "channel"). Returns (channel, n_attributed, n_users); conversions
+    with no preceding touch are credited to channel NULL.
+
+    The carry is a running ``max`` over ``rn * K + code`` where
+    ``rn`` is the per-user row_number and ``code`` a dense integer
+    per touch type — an integer-encoded argmax that both Spark and
+    ANSI SQL express without IGNORE-NULLS windows, and that can't
+    overflow (rn is per-user). ``type_codes`` defaults to the sorted
+    distinct non-conversion types; pass it explicitly at scale to
+    avoid the extra distinct pass.
+    """
+    if type_codes is None:
+        rows = (events.select("event_type").distinct().collect())
+        types = sorted(r[0] for r in rows if r[0] != conversion_type)
+        type_codes = {t: i + 1 for i, t in enumerate(types)}
+    k = len(type_codes) + 1
+    code = F.lit(None).cast("bigint")
+    for name, c in sorted(type_codes.items()):
+        code = F.when(F.col("event_type") == name, F.lit(c)).otherwise(code)
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    rn = F.row_number().over(w)
+    touch = F.when(F.col("event_type") != conversion_type,
+                   rn.cast("bigint") * k + code)
+    carry = F.max(touch).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    decoded = carry % k
+    channel = F.lit(None).cast("string")
+    for name, c in sorted(type_codes.items()):
+        channel = F.when(decoded == c, F.lit(name)).otherwise(channel)
+    return (events
+            .withColumn("__channel", channel)
+            .filter(F.col("event_type") == conversion_type)
+            .groupBy(F.col("__channel").alias("channel"))
+            .agg(F.count("*").alias("n_attributed"),
+                 F.countDistinct(user_col).alias("n_users")))
+
+
+def resample_ohlc(events: DataFrame, bucket_minutes: int = 15,
+                  ts_col: str = "ts", id_col: str = "event_id",
+                  value_col: str = "value") -> DataFrame:
+    """Downsample a value stream into fixed time buckets with
+    open/high/low/close, count, and an exact decimal sum — the
+    time-series resample every monitoring/feature pipeline needs.
+    Bucket id is ``unix_micros div bucket`` (integer, exact across
+    engines). open/close SELECT actual values at the per-bucket
+    (ts, id) total-order endpoints — no arithmetic touches them, so
+    doubles compare bit-exactly.
+    """
+    bucket_us = bucket_minutes * US_PER_MIN
+    # integer `div`, never `/`: the double quotient of a micros value
+    # can land a half-ulp below an exact bucket boundary
+    bucket = F.expr(f"unix_micros({ts_col}) div {bucket_us}L")
+    wb = Window.partitionBy("bucket_id").orderBy(ts_col, id_col)
+    n_in_bucket = Window.partitionBy("bucket_id")
+    rows = (events
+            .withColumn("bucket_id", bucket)
+            .withColumn("__rn", F.row_number().over(wb))
+            .withColumn("__n", F.count("*").over(n_in_bucket)))
+    return (rows.groupBy("bucket_id")
+            .agg(F.max(F.when(F.col("__rn") == 1, F.col(value_col)))
+                 .alias("open"),
+                 F.max(value_col).alias("high"),
+                 F.min(value_col).alias("low"),
+                 F.max(F.when(F.col("__rn") == F.col("__n"),
+                              F.col(value_col))).alias("close"),
+                 F.count("*").alias("n_events"),
+                 F.round(F.sum(F.col(value_col).cast("decimal(18,6)"))
+                         .cast("double"), 2).alias("value_sum")))

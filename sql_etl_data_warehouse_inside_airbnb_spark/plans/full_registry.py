@@ -45,6 +45,7 @@ import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_gaps  # noqa: F
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_graph  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_io  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_more  # noqa: F401
+import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r4  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_surface  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_tpch  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_wide  # noqa: F401
@@ -155,7 +156,11 @@ _PRIORITY = [
     "s14_bucketed_join_roundtrip", "s15_zorder_layout_roundtrip",
     "j22_dynamic_partition_prune",
     # ---- position 50 boundary. Below: the rest of the
-    # never-adjudicated surface for the round-5 window.
+    # never-adjudicated surface for the round-5 window, the round-4
+    # additions (event trio + curation pair, registry_r4.py) first.
+    "e5_sessionization", "e6_attribution_last_touch",
+    "ts2_resample_ohlc", "ext_hashed_linear_score",
+    "ext_source_mixture",
     "u6_udtf_tokenize", "u7_pandas_udaf_maxgap",
     "x4_fuzzy_match", "x5_incremental_agg", "ts1_interpolate",
     "m1_frequent_itemsets", "w1_merge_dedup_latest",

@@ -1,0 +1,145 @@
+"""Event-analytics operators (operators/events.py): gap
+sessionization, last-touch attribution, OHLC resample — semantics on
+hand-built frames where every boundary case is visible, plus the
+curation pair from the same batch (hashed linear scoring, mixture
+sampling)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_etl_data_warehouse_inside_airbnb_spark.operators.curation import (
+    hashed_linear_score,
+    mixture_sample,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.operators.events import (
+    last_touch_attribution,
+    resample_ohlc,
+    sessionize,
+)
+
+SCHEMA = "event_id bigint, ts timestamp, user_id bigint, " \
+         "event_type string, value double"
+
+
+def ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, datetime.fromisoformat(ts), u, t, v)
+         for i, (ts, u, t, v) in enumerate(rows)], SCHEMA)
+
+
+def test_sessionize_gap_boundary(spark):
+    # 30:00 exactly is NOT a new session (rule is gap > 30 min);
+    # 30:00.000001 is
+    df = ev(spark, [
+        ("2024-01-01 10:00:00", 1, "view", 1.0),
+        ("2024-01-01 10:30:00", 1, "click", 1.0),          # gap == 30m
+        ("2024-01-01 11:00:00.000001", 1, "view", 1.0),    # gap > 30m
+        ("2024-01-01 09:00:00", 2, "view", 1.0),           # other user
+    ])
+    got = {(r.user_id, r.session_idx): (r.n_events, r.duration_us)
+           for r in sessionize(df).collect()}
+    assert got == {
+        (1, 1): (2, 30 * 60 * 1_000_000),
+        (1, 2): (1, 0),
+        (2, 1): (1, 0),
+    }
+
+
+def test_sessionize_ties_break_on_event_id(spark):
+    # identical timestamps: (ts, event_id) total order keeps the run
+    # deterministic and in one session
+    df = ev(spark, [
+        ("2024-01-01 10:00:00", 1, "view", 1.0),
+        ("2024-01-01 10:00:00", 1, "click", 1.0),
+    ])
+    [r] = sessionize(df).collect()
+    assert (r.n_events, r.n_event_types, r.duration_us) == (2, 2, 0)
+
+
+def test_last_touch_attribution(spark):
+    codes = {"click": 1, "view": 2}
+    df = ev(spark, [
+        ("2024-01-01 10:00:00", 1, "view", 1.0),
+        ("2024-01-01 10:05:00", 1, "click", 1.0),
+        ("2024-01-01 10:10:00", 1, "purchase", 1.0),   # -> click
+        ("2024-01-01 10:20:00", 1, "purchase", 1.0),   # still click
+        ("2024-01-01 09:00:00", 2, "purchase", 1.0),   # no touch -> NULL
+        ("2024-01-01 09:30:00", 2, "view", 1.0),
+        ("2024-01-01 09:40:00", 2, "purchase", 1.0),   # -> view
+    ])
+    got = {r.channel: (r.n_attributed, r.n_users)
+           for r in last_touch_attribution(df, "purchase", codes).collect()}
+    assert got == {"click": (2, 1), "view": (1, 1), None: (1, 1)}
+
+
+def test_last_touch_same_timestamp_orders_by_id(spark):
+    # touch and purchase share a timestamp: the touch has the lower
+    # event_id, so it precedes the purchase in the total order
+    df = ev(spark, [
+        ("2024-01-01 10:00:00", 1, "click", 1.0),
+        ("2024-01-01 10:00:00", 1, "purchase", 1.0),
+    ])
+    got = {r.channel: r.n_attributed
+           for r in last_touch_attribution(
+               df, "purchase", {"click": 1}).collect()}
+    assert got == {"click": 1}
+
+
+def test_resample_ohlc(spark):
+    df = ev(spark, [
+        ("2024-01-01 10:00:00", 1, "view", 5.0),    # bucket A open
+        ("2024-01-01 10:07:00", 1, "view", 9.0),    # bucket A high
+        ("2024-01-01 10:14:59", 1, "view", 2.0),    # bucket A low+close
+        ("2024-01-01 10:15:00", 1, "view", 7.0),    # bucket B (boundary)
+    ])
+    got = sorted(resample_ohlc(df, bucket_minutes=15).collect(),
+                 key=lambda r: r.bucket_id)
+    a, b = got
+    assert (a.open, a.high, a.low, a.close, a.n_events, a.value_sum) \
+        == (5.0, 9.0, 2.0, 2.0, 3, 16.0)
+    assert (b.open, b.close, b.n_events) == (7.0, 7.0, 1)
+    assert b.bucket_id == a.bucket_id + 1  # 10:15 starts the next bucket
+
+
+def test_hashed_linear_score_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, ""), (3, "the quick brown fox"),
+         (4, "   ")],
+        "doc_id bigint, text string")
+    rows = {r.doc_id: r for r in
+            hashed_linear_score(docs, "doc_id", "text").collect()}
+    assert rows[1].score == rows[3].score          # same text, same score
+    assert rows[1].n_tokens == 4
+    assert rows[2].score == 0 and rows[2].n_tokens == 0
+    assert rows[4].score == 0 and rows[4].n_tokens == 0
+    assert rows[2].verdict == "keep"               # score 0 keeps
+    for r in rows.values():
+        assert r.verdict == ("keep" if r.score >= 0 else "drop")
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(f"s{i % 2}", i) for i in range(1000)], "source string, doc_id bigint")
+    rates = spark.createDataFrame(
+        [("s0", 10_000), ("s1", 0)], "source string, rate_bp int")
+    kept = mixture_sample(docs, rates, "source", "doc_id")
+    got = {r.source: r.n for r in
+           kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got == {"s0": 500}                       # 10000bp keeps all, 0bp none
+    # verdicts are partitioning-independent: repartitioned input
+    # keeps the exact same rows
+    ids = {r.doc_id for r in kept.collect()}
+    ids2 = {r.doc_id for r in
+            mixture_sample(docs.repartition(7), rates, "source",
+                           "doc_id").collect()}
+    assert ids == ids2
+    # a mid rate keeps a fraction strictly between the extremes
+    mid = mixture_sample(
+        docs, spark.createDataFrame([("s0", 5_000), ("s1", 5_000)],
+                                    "source string, rate_bp int"),
+        "source", "doc_id").count()
+    assert 0 < mid < 1000
