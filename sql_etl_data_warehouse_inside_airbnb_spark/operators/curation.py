@@ -317,3 +317,40 @@ def mixture_sample(df: DataFrame, rates: DataFrame, group_col: str,
     return (df.join(F.broadcast(rates), group_col)
             .filter(gate < F.col(rate_col))
             .drop(rate_col))
+
+
+def tfidf_top_terms(df: DataFrame, key_col: str, text_col: str,
+                    k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document, ranked by
+    (tf DESC, df ASC, term ASC) — term frequency first, document
+    frequency as the rarity tiebreak. This is TF-IDF's SELECTION
+    semantics with the float score (tf·log(N/df)) kept out of the
+    output: the integer (tf, df) pair orders candidates the same way
+    for fixed tf, every emitted column is int64/string-exact, and the
+    float score derives client-side where cross-engine log/division
+    rounding can't corrupt a comparison.
+
+    Shape: one explode → (doc, term) tf groupBy; df re-aggregates
+    FROM the tf relation (one explode total, the trigram_familiarity
+    lesson); df joins back on term; one per-doc window keeps k rows.
+    At 100 TB the tf relation partitions by (doc, term) hash, df is
+    vocabulary-sized (words, not shingles — it broadcasts), and the
+    top-k window partitions by doc — no global sort anywhere.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+", -1),
+        lambda t: F.length(t) > 0)
+    tf = (df.select(F.col(key_col), F.explode(toks).alias("term"))
+          .groupBy(key_col, "term")
+          .agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col("tf").desc(), F.col("df").asc(),
+                  F.col("term").asc()))
+    return (tf.join(F.broadcast(dfreq), "term")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col(key_col), "term", "tf", "df",
+                    F.col("rank").cast("bigint").alias("rank")))

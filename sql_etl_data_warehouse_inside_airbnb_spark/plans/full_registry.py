@@ -160,7 +160,9 @@ _PRIORITY = [
     # additions (event trio + curation pair, registry_r4.py) first.
     "e5_sessionization", "e6_attribution_last_touch",
     "ts2_resample_ohlc", "ext_hashed_linear_score",
-    "ext_source_mixture",
+    "ext_source_mixture", "j25_grid_distance_join",
+    "x9_integrity_report", "ext_target_encoding",
+    "ext_tfidf_topterms",
     "u6_udtf_tokenize", "u7_pandas_udaf_maxgap",
     "x4_fuzzy_match", "x5_incremental_agg", "ts1_interpolate",
     "m1_frequent_itemsets", "w1_merge_dedup_latest",

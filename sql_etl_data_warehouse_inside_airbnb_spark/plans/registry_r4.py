@@ -1,13 +1,16 @@
 """Fifth coverage batch: product-analytics trio (sessionization,
-last-touch attribution, OHLC resample) and two training-pipeline
-curation ops (hashed-linear quality scoring, deterministic source
-mixing).
+last-touch attribution, OHLC resample), training-pipeline curation
+ops (hashed-linear quality scoring, deterministic source mixing,
+TF-IDF top terms, target encoding), a grid-blocked spatial distance
+join, and a warehouse integrity report.
 
 The event trio completes the behavioral-analytics family started in
 registry_graph.py (e1 funnel, e2 retention, e3 transitions, e4
-latency); the curation pair extends the Gopher/C4/trigram family
-(registry_curation.py) with the classifier-scoring and data-mixing
-steps between filtering and training. Oracle conventions follow
+latency); the curation ops extend the Gopher/C4/trigram family
+(registry_curation.py) with the classifier-scoring, data-mixing, and
+feature-engineering steps between filtering and training; the
+spatial join covers the proximity query the reference's lat/lon
+columns invite. Oracle conventions follow
 plans/registry.py: identical aliases both sides, BIGINT-aligned
 integers, exact decimal sums, integer microsecond diffs (the e4
 lesson: second-granularity epoch() truncates sub-second parts
@@ -220,3 +223,190 @@ def ext_source_mixture(spark, sf_dir):
             .agg(F.count("*").alias("n_kept"),
                  F.min("doc_id").alias("min_doc_id"),
                  F.max("doc_id").alias("max_doc_id")))
+
+
+# ------------------------------------------------- spatial / integrity
+
+@register(
+    "j25_grid_distance_join",
+    """WITH s AS (SELECT s_suppkey, (s_suppkey * 37) % 1000 AS sx,
+                         (s_suppkey * 61) % 1000 AS sy FROM supplier),
+         c AS (SELECT c_custkey, (c_custkey * 41) % 1000 AS cx,
+                      (c_custkey * 53) % 1000 AS cy FROM customer)
+       SELECT s.s_suppkey AS left_s_suppkey,
+              c.c_custkey AS right_c_custkey,
+              CAST((sx - cx) * (sx - cx) + (sy - cy) * (sy - cy)
+                   AS BIGINT) AS dist_sq
+       FROM s, c
+       WHERE (sx - cx) * (sx - cx) + (sy - cy) * (sy - cy) <= 625""",
+    survey="§2.3 ext (spatial distance join)",
+    note="pairs within planar distance 25 on a synthetic 1000x1000 "
+         "integer grid (coordinates derived from keys — the testdata "
+         "has no geo columns; the reference's listings do, and this "
+         "is the lat/lon proximity join its geography columns invite). "
+         "Spark side is the real grid-blocked plan "
+         "(operators/spatial.py:grid_distance_join): 3x3 cell "
+         "neighborhood explode on the small side + cell equi-join + "
+         "exact integer re-check — each true pair meets exactly once, "
+         "never a cross join; the oracle is the naive theta join, "
+         "feasible only at oracle scale")
+def j25_grid_distance_join(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.spatial import (
+        grid_distance_join,
+    )
+    sup = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 37) % 1000).alias("sx"),
+        ((F.col("s_suppkey") * 61) % 1000).alias("sy"))
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 41) % 1000).alias("cx"),
+        ((F.col("c_custkey") * 53) % 1000).alias("cy"))
+    return grid_distance_join(sup, cust, 25,
+                              ("s_suppkey", "sx", "sy"),
+                              ("c_custkey", "cx", "cy"))
+
+
+@register(
+    "x9_integrity_report",
+    """SELECT 'customer_dup_pk' AS check_name,
+              CAST((SELECT count(*) FROM (
+                 SELECT c_custkey FROM customer GROUP BY c_custkey
+                 HAVING count(*) > 1)) AS BIGINT) AS violation_count
+       UNION ALL
+       SELECT 'lineitem_dup_pk',
+              CAST((SELECT count(*) FROM (
+                 SELECT l_orderkey, l_linenumber FROM lineitem
+                 GROUP BY l_orderkey, l_linenumber
+                 HAVING count(*) > 1)) AS BIGINT)
+       UNION ALL
+       SELECT 'lineitem_orphan_orderkey',
+              CAST((SELECT count(*) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = l.l_orderkey))
+                   AS BIGINT)
+       UNION ALL
+       SELECT 'orders_null_custkey',
+              CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+                   AS BIGINT)
+       UNION ALL
+       SELECT 'orders_orphan_custkey',
+              CAST((SELECT count(*) FROM orders o
+                    WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+                      SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)) AS BIGINT)""",
+    survey="§2.4/§7.4 ext (data-contract report)",
+    note="warehouse integrity contract in one long-format report: "
+         "duplicate primary keys, FK orphans (left-anti counts), "
+         "null FKs — the checks the reference runs implicitly through "
+         "its NOT-NULL/FK DDL, surfaced as data because a lake table "
+         "has no enforcing constraint layer. Each check is a "
+         "key-projected anti join or count-having aggregate; at "
+         "100 TB the orphan checks broadcast/shuffle KEYS only "
+         "(the J4 discipline) and the five scans prune to 1-2 "
+         "columns each")
+def x9_integrity_report(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+
+    def one(name, cnt_df):
+        return cnt_df.select(F.lit(name).alias("check_name"),
+                             F.col("cnt").cast("bigint")
+                             .alias("violation_count"))
+
+    cust_dup = (c.groupBy("c_custkey").count()
+                .filter(F.col("count") > 1)
+                .agg(F.count("*").alias("cnt")))
+    li_dup = (li.groupBy("l_orderkey", "l_linenumber").count()
+              .filter(F.col("count") > 1)
+              .agg(F.count("*").alias("cnt")))
+    li_orphan = (li.select("l_orderkey")
+                 .join(o.select(F.col("o_orderkey").alias("l_orderkey")),
+                       "l_orderkey", "left_anti")
+                 .agg(F.count("*").alias("cnt")))
+    o_nullfk = (o.filter(F.col("o_custkey").isNull())
+                .agg(F.count("*").alias("cnt")))
+    o_orphan = (o.filter(F.col("o_custkey").isNotNull())
+                .select("o_custkey")
+                .join(c.select(F.col("c_custkey").alias("o_custkey")),
+                      "o_custkey", "left_anti")
+                .agg(F.count("*").alias("cnt")))
+    return (one("customer_dup_pk", cust_dup)
+            .unionByName(one("lineitem_dup_pk", li_dup))
+            .unionByName(one("lineitem_orphan_orderkey", li_orphan))
+            .unionByName(one("orders_null_custkey", o_nullfk))
+            .unionByName(one("orders_orphan_custkey", o_orphan)))
+
+
+# ------------------------------------------------- feature engineering
+
+@register(
+    "ext_target_encoding",
+    """WITH seg AS (
+         SELECT c.c_mktsegment,
+                CAST(count(*) AS BIGINT) AS seg_n_orders,
+                round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6)))
+                           AS DOUBLE), 2) AS seg_price_sum
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY c.c_mktsegment)
+       SELECT c.c_custkey, c.c_mktsegment, seg.seg_n_orders,
+              seg.seg_price_sum
+       FROM customer c JOIN seg ON c.c_mktsegment = seg.c_mktsegment""",
+    survey="§7.5 ext (target encoding)",
+    note="category-level target statistics joined back onto entities "
+         "— the classic ML feature-encoding join. Encodings are "
+         "(count, exact decimal sum): the target MEAN is their "
+         "client-side quotient (no-division rule), and sums+counts "
+         "stay MERGEABLE across folds/days where means don't. The "
+         "stats table is |categories| rows -> broadcast; at 100 TB "
+         "the entity table never shuffles for the encode join")
+def ext_target_encoding(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    seg = (o.join(c.select("c_custkey", "c_mktsegment"),
+                  o.o_custkey == c.c_custkey)
+           .groupBy("c_mktsegment")
+           .agg(F.count("*").alias("seg_n_orders"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                        .cast("double"), 2).alias("seg_price_sum")))
+    return (c.select("c_custkey", "c_mktsegment")
+            .join(F.broadcast(seg), "c_mktsegment")
+            .select("c_custkey", "c_mktsegment", "seg_n_orders",
+                    "seg_price_sum"))
+
+
+@register(
+    "ext_tfidf_topterms",
+    """WITH toks AS (
+         SELECT doc_id,
+                unnest(list_filter(
+                  regexp_split_to_array(lower(trim(text)), '\\s+'),
+                  x -> length(x) > 0)) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM toks GROUP BY doc_id, term),
+       dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+               FROM tf GROUP BY term),
+       r AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                    row_number() OVER (PARTITION BY tf.doc_id
+                                       ORDER BY tf.tf DESC, dfq.df ASC,
+                                                tf.term ASC) AS rank
+             FROM tf JOIN dfq USING (term))
+       SELECT doc_id, term, tf, df, CAST(rank AS BIGINT) AS rank
+       FROM r WHERE rank <= 3""",
+    survey="§7.5 text ext (tf-idf terms)",
+    note="top-3 characteristic terms per document by (tf DESC, df "
+         "ASC, term ASC) — TF-IDF's selection semantics with the "
+         "float score derived client-side "
+         "(operators/curation.py:tfidf_top_terms): integer (tf, df) "
+         "order the candidates, so the comparison never touches "
+         "log/division. One explode total (df re-aggregates from the "
+         "tf relation); word-level df broadcasts; per-doc top-k "
+         "window, no global sort")
+def ext_tfidf_topterms(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.curation import (
+        tfidf_top_terms,
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)

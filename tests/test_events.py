@@ -143,3 +143,49 @@ def test_mixture_sample_rates_and_determinism(spark):
                                     "source string, rate_bp int"),
         "source", "doc_id").count()
     assert 0 < mid < 1000
+
+
+def test_grid_distance_join_equals_brute_force(spark):
+    """Grid blocking must find EXACTLY the brute-force pair set —
+    including pairs straddling cell boundaries — and never duplicate
+    a pair (each left point explodes to 9 cells, each right point
+    occupies one)."""
+    from itertools import product
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.spatial import (
+        grid_distance_join,
+    )
+
+    lpts = [(i, (i * 13) % 50, (i * 29) % 50) for i in range(40)]
+    rpts = [(j, (j * 17) % 50, (j * 23) % 50) for j in range(60)]
+    R = 7
+    want = {(li, rj, (lx - rx) ** 2 + (ly - ry) ** 2)
+            for (li, lx, ly), (rj, rx, ry) in product(lpts, rpts)
+            if (lx - rx) ** 2 + (ly - ry) ** 2 <= R * R}
+    left = spark.createDataFrame(lpts, "id bigint, x bigint, y bigint")
+    right = spark.createDataFrame(rpts, "id bigint, x bigint, y bigint")
+    rows = grid_distance_join(left, right, R).collect()
+    got = [(r.left_id, r.right_id, r.dist_sq) for r in rows]
+    assert len(got) == len(set(got))          # no pair duplicated
+    assert set(got) == want
+
+
+def test_tfidf_top_terms_ranking(spark):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.curation import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame([
+        (1, "apple apple banana cherry"),   # tf: apple 2
+        (2, "banana banana banana apple"),  # tf: banana 3
+        (3, "cherry date date"),            # date df=1 beats cherry df=2
+    ], "doc_id bigint, text string")
+    got = {(r.doc_id, r.rank): (r.term, r.tf, r.df)
+           for r in tfidf_top_terms(docs, "doc_id", "text", k=2).collect()}
+    assert got[(1, 1)] == ("apple", 2, 2)
+    assert got[(2, 1)] == ("banana", 3, 2)
+    # doc 3: date (tf 2) first, then cherry
+    assert got[(3, 1)] == ("date", 2, 1)
+    assert got[(3, 2)] == ("cherry", 1, 2)
+    # doc 1 rank 2: banana vs cherry tie on tf=1 and df=2 -> term asc
+    assert got[(1, 2)][0] == "banana"

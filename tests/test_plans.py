@@ -262,3 +262,45 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     df = REGISTRY["j22_dynamic_partition_prune"].build(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:3000]
+
+
+def test_sessionization_single_user_shuffle(spark, sf_dir):
+    # the gap window and the session groupBy must share ONE user_id
+    # exchange — a second shuffle here doubles the cost of the most
+    # common event-analytics query at scale
+    plan = _physical(REGISTRY["e5_sessionization"].build(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_resample_window_and_groupby_share_exchange(spark, sf_dir):
+    # row_number + per-bucket count + the OHLC groupBy all partition
+    # by bucket_id: one exchange total
+    plan = _physical(REGISTRY["ts2_resample_ohlc"].build(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_attribution_single_shuffle_then_tiny_agg(spark, sf_dir):
+    # one user_id exchange for the running-argmax window; the channel
+    # groupBy is |types|-sized and may repartition that tiny set, but
+    # the EVENT table must not shuffle twice: the window's exchange
+    # comes first and the aggregate's input is the filtered carry
+    plan = _physical(
+        REGISTRY["e6_attribution_last_touch"].build(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan and "Join" not in plan
+
+
+def test_hashed_linear_score_is_stateless_map(spark, sf_dir):
+    # classifier scoring must stay a pure projection: no shuffle, no
+    # UDF (BatchEvalPython/ArrowEvalPython), nothing but scan+project
+    plan = _physical(
+        REGISTRY["ext_hashed_linear_score"].build(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_source_mixture_broadcasts_rates(spark, sf_dir):
+    # the rates dim rides a broadcast; the corpus side never shuffles
+    plan = _physical(REGISTRY["ext_source_mixture"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
