@@ -50,15 +50,26 @@ _PRE_EPOCH = "DATE '1899-12-31'"
 
 
 def _split_args(argstr: str) -> list[str]:
-    """Split a balanced argument string on top-level commas."""
+    """Split a balanced argument string on top-level commas. Commas
+    and parens inside string literals AND inside comments are data —
+    comment spans are skipped wholesale (kept verbatim in the arg
+    text) so ``ISNULL(a, b) -- f(x, y)`` can't split on the comment's
+    comma."""
+    spans = _literal_spans(argstr)
     args, depth, cur, quote = [], 0, [], None
-    for ch in argstr:
+    i = 0
+    while i < len(argstr):
+        end = next((b for a, b in spans if a <= i < b), None)
+        if end is not None and not quote:
+            cur.append(argstr[i:end])
+            i = end
+            continue
+        ch = argstr[i]
         if quote:
             cur.append(ch)
             if ch == quote:
                 quote = None
-            continue
-        if ch in ("'", '"'):
+        elif ch == '"':
             quote = ch
             cur.append(ch)
         elif ch == "(":
@@ -72,6 +83,7 @@ def _split_args(argstr: str) -> list[str]:
             cur = []
         else:
             cur.append(ch)
+        i += 1
     if cur or args:
         args.append("".join(cur).strip())
     return args

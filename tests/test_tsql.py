@@ -246,3 +246,8 @@ def test_datediff_week_pre_epoch(spark):
         "SELECT DATEDIFF(wk, '2025-06-07', '2025-06-08') AS a,"
         "       DATEDIFF(wk, '2025-06-02', '2025-06-07') AS b").first()
     assert (got["a"], got["b"]) == (1, 0)
+
+
+def test_comment_comma_does_not_split_args():
+    out = tsql_to_spark_sql("SELECT ISNULL(a, -- f(x, y)\n b) FROM t")
+    assert out == "SELECT coalesce(a, -- f(x, y)\n b) FROM t"
