@@ -157,7 +157,9 @@ _PRIORITY = [
     "j22_dynamic_partition_prune",
     # ---- position 50 boundary. Below: the rest of the
     # never-adjudicated surface for the round-5 window, the round-4
-    # additions (event trio + curation pair, registry_r4.py) first.
+    # additions first (the s16 quoting probe leads — it certifies the
+    # round-4 RFC-4180 sink/scan fix; then registry_r4.py's families).
+    "s16_multiline_csv_roundtrip",
     "e5_sessionization", "e6_attribution_last_touch",
     "ts2_resample_ohlc", "ext_hashed_linear_score",
     "ext_source_mixture", "j25_grid_distance_join",

@@ -416,3 +416,44 @@ def j22_dynamic_partition_prune(spark, sf_dir):
             .agg(F.count("*").alias("n_rows"),
                  F.sum("o_orderkey").alias("key_sum"),
                  F.countDistinct("o_orderpriority").alias("n_priorities")))
+
+
+@register(
+    "s16_multiline_csv_roundtrip",
+    """WITH g AS (
+         SELECT s_suppkey,
+                s_name || chr(10) || '"quo|ted"' || chr(10) || 'end\\'
+                    AS gnarly
+         FROM supplier)
+       SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+              CAST(sum(length(gnarly)) AS BIGINT) AS char_sum,
+              CAST(sum(length(gnarly)
+                       - length(replace(gnarly, chr(10), ''))) AS BIGINT)
+                  AS nl_sum
+       FROM g""",
+    survey="S9/S3 ext (RFC-4180 quoting)",
+    note="multiline/quoted-field roundtrip probe: every supplier name "
+         "gets a suffix containing embedded newlines, the pipe "
+         "delimiter, double quotes, and a trailing backslash, goes "
+         "through the pipe-gzip sink and the multiLine no-inference "
+         "scan, and is checksummed (row count, key sum, char count, "
+         "newline count). Real Inside-Airbnb reviews contain all four "
+         "hazards; this probe is what caught the writer default "
+         "(backslash escaping) disagreeing with the RFC-style reader "
+         "— a mismatch shears rows, so a green hash certifies "
+         "sink+scan agree byte-for-byte on the full quoting grammar")
+def s16_multiline_csv_roundtrip(spark, sf_dir):
+    gnarly = F.concat(F.col("s_name"), F.lit('\n"quo|ted"\nend\\'))
+    raw = (t(spark, sf_dir, "supplier")
+           .select(F.col("s_suppkey").cast("string").alias("s_suppkey"),
+                   gnarly.alias("gnarly")))
+    base = os.path.join(_TMP, "s16_multiline")
+    write_pipe_csv(raw, base)
+    rt = read_pipe_csv(spark, base, columns=["s_suppkey", "gnarly"])
+    nl = F.length("gnarly") - F.length(F.regexp_replace("gnarly", "\n", ""))
+    return rt.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("s_suppkey").try_cast("bigint")).alias("key_sum"),
+        F.sum(F.length("gnarly")).cast("bigint").alias("char_sum"),
+        F.sum(nl).cast("bigint").alias("nl_sum"))

@@ -53,10 +53,25 @@ def read_pipe_csv(spark: SparkSession, path: str,
 
 
 def write_pipe_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Cleaned-layer sink: pipe-delimited gzip CSV (S9)."""
+    """Cleaned-layer sink: pipe-delimited gzip CSV (S9).
+
+    ``escape='"'`` makes the writer emit RFC-4180 doubled quotes
+    (an embedded quote becomes two quote chars) instead of Spark's
+    default backslash-escaping — the scans in this module (and the
+    upstream Inside-Airbnb corpus itself) are RFC-style, and a
+    mismatched pair silently corrupts any value with an embedded
+    quote: the reader treats the backslash as data and the quote as
+    a delimiter, shearing the row (caught by the s16 roundtrip
+    probe)."""
     (df.write.mode(mode)
      .option("header", True)
      .option("sep", "|")
+     .option("escape", '"')
+     # the writer TRIMS field whitespace by default — a whitespace-only
+     # value silently collapses to empty (then null on read-back); the
+     # cleaned layer must preserve values byte-for-byte
+     .option("ignoreLeadingWhiteSpace", False)
+     .option("ignoreTrailingWhiteSpace", False)
      .option("compression", "gzip")
      .csv(path))
 

@@ -78,3 +78,31 @@ def test_morton16_hand_checked(spark):
     assert got == want
     assert want[1] == 1 and want[2] == 2   # bit placement
     assert want[4] == (1 << 32) - 1        # full 16+16 interleave
+
+
+def test_pipe_csv_roundtrip_rfc4180_hazards(spark):
+    """Embedded newlines, delimiters, quotes, and backslashes must
+    survive the pipe-gzip sink -> multiLine scan pair byte-for-byte.
+    Spark's CSV writer default (backslash escaping) disagrees with
+    the RFC-style reader and SHEARS rows containing a quote — the
+    writer pins escape='"' so both sides speak RFC-4180 (found via
+    the s16 probe; real Inside-Airbnb reviews carry all four
+    hazards)."""
+    import tempfile
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        read_pipe_csv,
+        write_pipe_csv,
+    )
+
+    vals = ['line1\nline2', 'has "quotes" inside', 'pipe|inside',
+            'quote" and\nnewline', 'plain', 'trailing\\backslash\\',
+            '""', '|', '\n']
+    df = spark.createDataFrame(list(enumerate(vals)),
+                               "id bigint, txt string")
+    d = tempfile.mkdtemp() + "/rfc"
+    write_pipe_csv(df, d)
+    back = {int(r.id): r.txt
+            for r in read_pipe_csv(spark, d, columns=["id", "txt"])
+            .collect()}
+    assert back == dict(enumerate(vals))
