@@ -365,3 +365,73 @@ def test_c4_filter_matches_python_model(spark, texts):
            for r in c4_sentence_filter(df, "doc_id", "text").collect()}
     for i, s in enumerate(texts):
         assert got[i] == _c4_model(s), (i, repr(s))
+
+
+# ------------------------------------------- round-4 event/spatial ops
+
+@given(events=st.lists(
+    st.tuples(st.integers(0, 3),            # user
+              st.integers(0, 10_000),       # offset seconds
+              st.integers(0, 999_999)),     # microsecond part
+    min_size=1, max_size=60))
+@SETTINGS
+def test_sessionize_matches_python_model(spark, events):
+    """Gap sessionization == an independent Python fold over the same
+    (ts, id)-ordered stream: same session count per user, same
+    per-session event counts and integer-microsecond durations."""
+    from datetime import datetime, timedelta
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.events import (
+        sessionize,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [(i, base + timedelta(seconds=sec, microseconds=us), u, "e", 0.0)
+            for i, (u, sec, us) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double")
+    gap_us = 30 * 60 * 1_000_000
+
+    model = {}
+    per_user = {}
+    for eid, ts, u, _, _ in rows:
+        per_user.setdefault(u, []).append((ts, eid))
+    for u, evs in per_user.items():
+        evs.sort()
+        idx, prev = 0, None
+        for ts, _ in evs:
+            t_us = int(round(ts.timestamp() * 1_000_000))
+            if prev is None or t_us - prev > gap_us:
+                idx += 1
+                model[(u, idx)] = [0, t_us, t_us]
+            rec = model[(u, idx)]
+            rec[0] += 1
+            rec[2] = t_us
+            prev = t_us
+    got = {(r.user_id, r.session_idx): (r.n_events, r.duration_us)
+           for r in sessionize(df).collect()}
+    want = {k: (n, last - first) for k, (n, first, last) in model.items()}
+    assert got == want
+
+
+@given(pts=st.lists(st.tuples(st.integers(0, 60), st.integers(0, 60)),
+                    min_size=1, max_size=50),
+       radius=st.integers(1, 12))
+@SETTINGS
+def test_grid_join_property_equals_brute(spark, pts, radius):
+    """For ANY point set and radius, grid blocking emits exactly the
+    brute-force pair set, each pair once (self-join of one cloud)."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.spatial import (
+        grid_distance_join,
+    )
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    want = {(a, b, (xa - xb) ** 2 + (ya - yb) ** 2)
+            for a, xa, ya in rows for b, xb, yb in rows
+            if (xa - xb) ** 2 + (ya - yb) ** 2 <= radius * radius}
+    df = spark.createDataFrame(rows, "id bigint, x bigint, y bigint")
+    out = [(r.left_id, r.right_id, r.dist_sq)
+           for r in grid_distance_join(df, df, radius).collect()]
+    assert len(out) == len(set(out))
+    assert set(out) == want
