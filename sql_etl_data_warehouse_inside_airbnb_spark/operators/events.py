@@ -38,7 +38,12 @@ def sessionize(events: DataFrame, user_col: str = "user_id",
                gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization: a new session starts at a user's
     first event and whenever the gap since their previous event
-    exceeds ``gap_minutes``. Returns one row per session:
+    REACHES ``gap_minutes`` (delta >= gap ⇒ new session — exactly
+    Spark ``session_window``'s rule, which merges an event iff its
+    timestamp is strictly before the previous event + gap; keeping
+    the same boundary convention makes this the bit-exact batch twin
+    of the streaming session window, asserted in tests). Returns one
+    row per session:
     (user, session_idx, n_events, duration_us, n_event_types).
 
     Timestamps diff as ``unix_micros`` (integer, exact) — second-
@@ -51,7 +56,7 @@ def sessionize(events: DataFrame, user_col: str = "user_id",
     gap_us = (F.unix_micros(F.col(ts_col))
               - F.unix_micros(F.lag(ts_col).over(w)))
     new_sess = F.when(
-        gap_us.isNull() | (gap_us > gap_minutes * US_PER_MIN), 1
+        gap_us.isNull() | (gap_us >= gap_minutes * US_PER_MIN), 1
     ).otherwise(0)
     run = (events
            .withColumn("__new", new_sess)

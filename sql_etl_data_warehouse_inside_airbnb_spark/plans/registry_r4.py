@@ -48,7 +48,7 @@ from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
          FROM events),
        s AS (
          SELECT user_id, event_type, ts,
-                SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                SUM(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000
                          THEN 1 ELSE 0 END)
                   OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -63,10 +63,12 @@ from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
     survey="§2.5/§7.5 ext (gap sessionization)",
     note="30-min-gap sessionization (operators/events.py:sessionize) "
          "— the batch twin of the streaming session window "
-         "(stream_session): same session boundaries, derived here by "
-         "a lag-gap window + running sum instead of state. One "
-         "shuffle on user_id shared by the window and the session "
-         "groupBy; duration is an exact integer microsecond diff")
+         "(stream_session): same boundary rule (delta >= gap opens a "
+         "new session, exactly session_window's merge-iff-strictly-"
+         "less), equivalence asserted in tests; derived here by a "
+         "lag-gap window + running sum instead of state. One shuffle "
+         "on user_id shared by the window and the session groupBy; "
+         "duration is an exact integer microsecond diff")
 def e5_sessionization(spark, sf_dir):
     return sessionize(t(spark, sf_dir, "events"), gap_minutes=30)
 

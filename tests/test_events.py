@@ -32,18 +32,18 @@ def ev(spark, rows):
 
 
 def test_sessionize_gap_boundary(spark):
-    # 30:00 exactly is NOT a new session (rule is gap > 30 min);
-    # 30:00.000001 is
+    # the boundary rule is session_window's: delta == gap OPENS a new
+    # session (merge iff strictly less); 29:59.999999 stays in-session
     df = ev(spark, [
         ("2024-01-01 10:00:00", 1, "view", 1.0),
-        ("2024-01-01 10:30:00", 1, "click", 1.0),          # gap == 30m
-        ("2024-01-01 11:00:00.000001", 1, "view", 1.0),    # gap > 30m
+        ("2024-01-01 10:29:59.999999", 1, "click", 1.0),   # gap < 30m
+        ("2024-01-01 10:59:59.999999", 1, "view", 1.0),    # gap == 30m
         ("2024-01-01 09:00:00", 2, "view", 1.0),           # other user
     ])
     got = {(r.user_id, r.session_idx): (r.n_events, r.duration_us)
            for r in sessionize(df).collect()}
     assert got == {
-        (1, 1): (2, 30 * 60 * 1_000_000),
+        (1, 1): (2, 30 * 60 * 1_000_000 - 1),
         (1, 2): (1, 0),
         (2, 1): (1, 0),
     }
@@ -189,3 +189,32 @@ def test_tfidf_top_terms_ranking(spark):
     assert got[(3, 2)] == ("cherry", 1, 2)
     # doc 1 rank 2: banana vs cherry tie on tf=1 and df=2 -> term asc
     assert got[(1, 2)][0] == "banana"
+
+
+def test_sessionize_equals_session_window(spark, sf_dir):
+    """The batch gap-sessionizer and Spark's session_window must carve
+    IDENTICAL sessions from the real event table — same per-user
+    session count, same event counts, same [first-event, last-event]
+    extents (session_window's end is last event + gap). This is the
+    twin contract: a pipeline can switch between the batch operator
+    and the streaming window without moving a single event."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        read_table,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.streaming.windows import (
+        session_agg,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    gap_us = 30 * 60 * 1_000_000
+    batch = {}
+    for r in sessionize(ev, gap_minutes=30).collect():
+        batch.setdefault(r.user_id, []).append((r.n_events, r.duration_us))
+    sw = {}
+    for r in session_agg(ev, gap="30 minutes").collect():
+        start = int(r.session_start.timestamp() * 1_000_000)
+        end = int(r.session_end.timestamp() * 1_000_000)
+        # session_window end = last event + gap -> duration = span - gap
+        sw.setdefault(r.user_id, []).append((r.n_events, end - start - gap_us))
+    assert {u: sorted(v) for u, v in batch.items()} \
+        == {u: sorted(v) for u, v in sw.items()}

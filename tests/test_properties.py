@@ -402,7 +402,7 @@ def test_sessionize_matches_python_model(spark, events):
         idx, prev = 0, None
         for ts, _ in evs:
             t_us = int(round(ts.timestamp() * 1_000_000))
-            if prev is None or t_us - prev > gap_us:
+            if prev is None or t_us - prev >= gap_us:
                 idx += 1
                 model[(u, idx)] = [0, t_us, t_us]
             rec = model[(u, idx)]
