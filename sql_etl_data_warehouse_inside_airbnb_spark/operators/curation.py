@@ -311,9 +311,16 @@ def mixture_sample(df: DataFrame, rates: DataFrame, group_col: str,
     can replay it. ``rates`` is a tiny dim — broadcast join, so the
     pass over the corpus stays shuffle-free at any scale.
 
+    The key folds through ``% 100003`` (prime) BEFORE the Knuth
+    multiply: the raw product overflows int64 for keys past ~3.5e9 —
+    Spark would wrap silently while DuckDB errors, and a 100 TB corpus
+    has keys that large. The fold keeps the product under 2^48 for
+    any bigint key with no loss of gate quality.
+
     Returns the kept rows of ``df`` (all original columns).
     """
-    gate = (F.col(key_col).cast("bigint") * WEIGHT_MULT) % 10_000
+    gate = ((F.col(key_col).cast("bigint") % 100_003)
+            * WEIGHT_MULT) % 10_000
     return (df.join(F.broadcast(rates), group_col)
             .filter(gate < F.col(rate_col))
             .drop(rate_col))

@@ -50,11 +50,16 @@ def grid_distance_join(left: DataFrame, right: DataFrame,
     rid, rx, ry = right_cols
 
     def cell(c: str):
-        # integer `div` truncates toward zero — fine for the
-        # non-negative grids used here; shift negative coordinate
-        # systems to non-negative before calling (a wrong cell for a
-        # negative coordinate silently LOSES pairs)
-        return F.expr(f"CAST({c} AS BIGINT) div {radius}")
+        # FLOOR division, not `div`: `div` truncates toward zero, so
+        # a negative coordinate would land one cell too high and its
+        # pairs would silently vanish. The CASE form is exact integer
+        # floor division for the full bigint range (FLOOR(x/r) on
+        # doubles loses exactness past 2^53).
+        return F.expr(
+            f"CASE WHEN CAST({c} AS BIGINT) >= 0"
+            f" THEN CAST({c} AS BIGINT) div {radius}"
+            f" ELSE -((-CAST({c} AS BIGINT) + {radius} - 1)"
+            f"        div {radius}) END")
 
     neighbors = F.array(*[
         F.struct((cell(lx) + dx).alias("cx"), (cell(ly) + dy).alias("cy"))

@@ -203,7 +203,7 @@ _MIX_BP = {f"src{i}": 10_000 - (i % 5) * 2_000 for i in range(20)}
     "ext_source_mixture",
     """WITH kept AS (
          SELECT source, doc_id FROM documents
-         WHERE (doc_id * 2654435761) % 10000 <
+         WHERE ((doc_id % 100003) * 2654435761) % 10000 <
                10000 - (CAST(substr(source, 4) AS BIGINT) % 5) * 2000)
        SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
               MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id

@@ -218,3 +218,23 @@ def test_sessionize_equals_session_window(spark, sf_dir):
         sw.setdefault(r.user_id, []).append((r.n_events, end - start - gap_us))
     assert {u: sorted(v) for u, v in batch.items()} \
         == {u: sorted(v) for u, v in sw.items()}
+
+
+def test_grid_distance_join_negative_coords(spark):
+    """Cells use floor division: negative coordinates must not lose
+    pairs (toward-zero `div` would shift cell -0.5 to cell 0 and the
+    boundary pair below would vanish)."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.spatial import (
+        grid_distance_join,
+    )
+
+    pts = [(0, -1, -1), (1, 1, 1), (2, -9, 0), (3, 0, 9), (4, -4, -4)]
+    R = 5
+    want = {(a, b, (xa - xb) ** 2 + (ya - yb) ** 2)
+            for a, xa, ya in pts for b, xb, yb in pts
+            if (xa - xb) ** 2 + (ya - yb) ** 2 <= R * R}
+    df = spark.createDataFrame(pts, "id bigint, x bigint, y bigint")
+    got = {(r.left_id, r.right_id, r.dist_sq)
+           for r in grid_distance_join(df, df, R).collect()}
+    assert got == want
+    assert (0, 1, 8) in got  # the pair straddling the origin cells
