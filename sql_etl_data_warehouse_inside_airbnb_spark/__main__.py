@@ -71,6 +71,9 @@ def main(argv: list[str]) -> int:
             return 2
         import os
 
+        from sql_etl_data_warehouse_inside_airbnb_spark.functions.sqlfns import (
+            register_sql_functions,
+        )
         from sql_etl_data_warehouse_inside_airbnb_spark.functions.tsql import (
             run_tsql,
         )
@@ -80,6 +83,7 @@ def main(argv: list[str]) -> int:
         wh, query = args
         spark = get_spark("sql-etl-dw-inside-airbnb-sql")
         spark.sparkContext.setLogLevel("ERROR")
+        register_sql_functions(spark)
         dim_listings = None
         for entry in sorted(os.listdir(wh)):
             path = os.path.join(wh, entry)

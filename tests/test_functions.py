@@ -343,3 +343,60 @@ def test_redact_pii_and_repetition(spark):
     assert "bob" not in out[1].red and "900123" not in out[1].red
     assert out[2].bp == 2500       # 1 distinct of 4
     assert out[3].bp == 10000
+
+
+def test_sql_functions_mirror_column_builders(spark):
+    """The SQL-UDF surface (functions/sqlfns.py) must agree with the
+    Column builders on the messy alphabet — same nulls, same decimals,
+    same week Sundays — so the two surfaces cannot drift."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.cleaning import (
+        TRUTHY_LOADER,
+        TRUTHY_SQL,
+        clean_money,
+        norm_bool,
+        sanitize_numstr,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.dates import (
+        tsql_week_end,
+        tsql_week_start,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.sqlfns import (
+        register_sql_functions,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+        fingerprint,
+        token_count,
+    )
+
+    names = register_sql_functions(spark)
+    assert "clean_money" in names
+
+    messy = ["$1,234.00\r", " $5.50 ", "", "junk", None, "12.0", " 7 ",
+             "t", "TRUE ", "yes", "n", "0", "  a  b\tc ", "x\ny"]
+    df = spark.createDataFrame([(s,) for s in messy], "s string")
+    df.createOrReplaceTempView("messy_fixture")
+
+    col_side = df.select(
+        clean_money("s").alias("m"),
+        sanitize_numstr("s").alias("n"),
+        norm_bool("s", TRUTHY_LOADER).alias("bl"),
+        norm_bool("s", TRUTHY_SQL).alias("bs"),
+        token_count("s").alias("tc"),
+        fingerprint("s").alias("fp")).collect()
+    sql_side = spark.sql(
+        "SELECT clean_money(s) AS m, sanitize_numstr(s) AS n, "
+        "norm_bool_loader(s) AS bl, norm_bool_sql(s) AS bs, "
+        "token_count(s) AS tc, doc_fingerprint(s) AS fp "
+        "FROM messy_fixture").collect()
+    assert [tuple(r) for r in col_side] == [tuple(r) for r in sql_side]
+
+    # week functions over a Sunday-spanning range (the #1 trap)
+    dates = spark.sql(
+        "SELECT sequence(DATE '2025-05-26', DATE '2025-06-10') AS ds") \
+        .selectExpr("explode(ds) AS d")
+    dates.createOrReplaceTempView("dates_fixture")
+    cs = dates.select(tsql_week_start("d").alias("ws"),
+                      tsql_week_end("d").alias("we")).collect()
+    ss = spark.sql("SELECT tsql_week_start(d) AS ws, tsql_week_end(d) AS we "
+                   "FROM dates_fixture").collect()
+    assert [tuple(r) for r in cs] == [tuple(r) for r in ss]
