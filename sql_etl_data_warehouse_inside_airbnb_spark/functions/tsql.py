@@ -92,14 +92,21 @@ def _split_args(argstr: str) -> list[str]:
 def _literal_spans(sql: str) -> list[tuple[int, int]]:
     """[start, end) spans of text the rewriter must never touch:
     single-quoted string literals (T-SQL's doubled-quote escape
-    honored — ``'it''s'`` is ONE literal), ``--`` line comments, and
-    ``/* */`` block comments (which NEST in T-SQL). One left-to-right
-    scan so a quote inside a comment or a ``--`` inside a literal
-    can't open a phantom span."""
+    honored — ``'it''s'`` is ONE literal), double-quoted
+    strings/identifiers (QUOTED_IDENTIFIER), ``--`` line comments,
+    and ``/* */`` block comments (which NEST in T-SQL). One
+    left-to-right scan so a quote inside a comment — or an apostrophe
+    inside a double-quoted string — can't open a phantom span that
+    swallows the rest of the statement."""
     spans, i, n = [], 0, len(sql)
     while i < n:
         ch = sql[i]
-        if ch == "'":
+        if ch == '"':
+            j = sql.find('"', i + 1)
+            j = n - 1 if j < 0 else j
+            spans.append((i, j + 1))
+            i = j + 1
+        elif ch == "'":
             j = i + 1
             while j < n:
                 if sql[j] == "'":

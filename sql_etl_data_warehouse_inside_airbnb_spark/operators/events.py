@@ -35,7 +35,8 @@ US_PER_MIN = 60_000_000
 
 def sessionize(events: DataFrame, user_col: str = "user_id",
                ts_col: str = "ts", id_col: str = "event_id",
-               gap_minutes: int = 30) -> DataFrame:
+               gap_minutes: int = 30,
+               type_col: str | None = "event_type") -> DataFrame:
     """Gap-based sessionization: a new session starts at a user's
     first event and whenever the gap since their previous event
     REACHES ``gap_minutes`` (delta >= gap ⇒ new session — exactly
@@ -44,7 +45,9 @@ def sessionize(events: DataFrame, user_col: str = "user_id",
     the same boundary convention makes this the bit-exact batch twin
     of the streaming session window, asserted in tests). Returns one
     row per session:
-    (user, session_idx, n_events, duration_us, n_event_types).
+    (user, session_idx, n_events, duration_us[, n_event_types]) —
+    the last column only when the table has a ``type_col`` (pass
+    ``type_col=None`` for logs without one).
 
     Timestamps diff as ``unix_micros`` (integer, exact) — second-
     granularity epoch() truncates sub-second parts differently across
@@ -63,13 +66,14 @@ def sessionize(events: DataFrame, user_col: str = "user_id",
            .withColumn("__sess", F.sum("__new").over(
                w.rowsBetween(Window.unboundedPreceding,
                              Window.currentRow))))
+    aggs = [F.count("*").alias("n_events"),
+            (F.max(F.unix_micros(F.col(ts_col)))
+             - F.min(F.unix_micros(F.col(ts_col)))).alias("duration_us")]
+    if type_col is not None:
+        aggs.append(F.countDistinct(type_col).alias("n_event_types"))
     return (run.groupBy(F.col(user_col),
                         F.col("__sess").alias("session_idx"))
-            .agg(F.count("*").alias("n_events"),
-                 (F.max(F.unix_micros(F.col(ts_col)))
-                  - F.min(F.unix_micros(F.col(ts_col))))
-                 .alias("duration_us"),
-                 F.countDistinct("event_type").alias("n_event_types")))
+            .agg(*aggs))
 
 
 def last_touch_attribution(events: DataFrame,
@@ -96,6 +100,12 @@ def last_touch_attribution(events: DataFrame,
         types = sorted(r[0] for r in rows if r[0] != conversion_type)
         type_codes = {t: i + 1 for i, t in enumerate(types)}
     k = len(type_codes) + 1
+    # the rn*k+code encoding is only an argmax when codes are dense
+    # 1..k-1: a code >= k would overlap later rows' encodings and
+    # decode to garbage SILENTLY — fail loudly instead
+    if sorted(type_codes.values()) != list(range(1, k)):
+        raise ValueError(
+            f"type_codes must be dense 1..{k - 1}, got {type_codes}")
     code = F.lit(None).cast("bigint")
     for name, c in sorted(type_codes.items()):
         code = F.when(F.col("event_type") == name, F.lit(c)).otherwise(code)
@@ -130,9 +140,16 @@ def resample_ohlc(events: DataFrame, bucket_minutes: int = 15,
     doubles compare bit-exactly.
     """
     bucket_us = bucket_minutes * US_PER_MIN
-    # integer `div`, never `/`: the double quotient of a micros value
-    # can land a half-ulp below an exact bucket boundary
-    bucket = F.expr(f"unix_micros({ts_col}) div {bucket_us}L")
+    # exact integer FLOOR division, never `/` or `div`: the double
+    # quotient of a micros value can land a half-ulp below an exact
+    # boundary, and toward-zero `div` would collapse pre-1970
+    # timestamps into a double-width bucket 0 and misalign every
+    # negative bucket (the same defect class as spatial.cell)
+    bucket = F.expr(
+        f"CASE WHEN unix_micros({ts_col}) >= 0"
+        f" THEN unix_micros({ts_col}) div {bucket_us}L"
+        f" ELSE -((-unix_micros({ts_col}) + {bucket_us - 1}L)"
+        f"        div {bucket_us}L) END")
     wb = Window.partitionBy("bucket_id").orderBy(ts_col, id_col)
     n_in_bucket = Window.partitionBy("bucket_id")
     rows = (events

@@ -46,6 +46,11 @@ def grid_distance_join(left: DataFrame, right: DataFrame,
     ``left`` is the exploded (9×) side — pass the smaller table
     first. One shuffle per side on the composite cell key.
     """
+    if radius < 1:
+        # radius 0 would put `div 0` in every cell key: ANSI mode
+        # fails mid-job, non-ANSI silently returns ZERO pairs (NULL
+        # cells never equi-join) — fail loudly at plan time instead
+        raise ValueError(f"radius must be >= 1, got {radius}")
     lid, lx, ly = left_cols
     rid, rx, ry = right_cols
 

@@ -120,13 +120,17 @@ def e6_attribution_last_touch(spark, sf_dir):
 @register(
     "ts2_resample_ohlc",
     """WITH b AS (
-         SELECT epoch_us(ts) // 900000000 AS bucket_id, value,
-                row_number() OVER (
-                    PARTITION BY epoch_us(ts) // 900000000
-                    ORDER BY ts, event_id) AS rn,
-                count(*) OVER (
-                    PARTITION BY epoch_us(ts) // 900000000) AS n
-         FROM events)
+         SELECT CASE WHEN epoch_us(ts) >= 0
+                     THEN epoch_us(ts) // 900000000
+                     ELSE -((-epoch_us(ts) + 899999999) // 900000000)
+                END AS bucket_id, value, ts, event_id
+         FROM events),
+       r AS (
+         SELECT bucket_id, value,
+                row_number() OVER (PARTITION BY bucket_id
+                                   ORDER BY ts, event_id) AS rn,
+                count(*) OVER (PARTITION BY bucket_id) AS n
+         FROM b)
        SELECT CAST(bucket_id AS BIGINT) AS bucket_id,
               max(CASE WHEN rn = 1 THEN value END) AS open,
               max(value) AS high,
@@ -135,13 +139,15 @@ def e6_attribution_last_touch(spark, sf_dir):
               CAST(count(*) AS BIGINT) AS n_events,
               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
                   AS value_sum
-       FROM b GROUP BY bucket_id""",
+       FROM r GROUP BY bucket_id""",
     survey="§2.4/§7.5 ext (time-bucket resample)",
     note="15-minute OHLC downsample of the event value stream "
          "(operators/events.py:resample_ohlc) — the weekly-rollup "
-         "shape (A7) at stream granularity. Bucket id is integer "
-         "`div` of unix micros (a double quotient can land a half-ulp "
-         "under an exact boundary); open/close SELECT raw values at "
+         "shape (A7) at stream granularity. Bucket id is exact "
+         "integer FLOOR division of unix micros (a double quotient "
+         "can land a half-ulp under a boundary; toward-zero div "
+         "would collapse pre-1970 buckets); open/close SELECT raw "
+         "values at "
          "the (ts,event_id) order endpoints so doubles compare "
          "bit-exactly; the window and groupBy share one bucket-key "
          "exchange")

@@ -238,3 +238,58 @@ def test_grid_distance_join_negative_coords(spark):
            for r in grid_distance_join(df, df, R).collect()}
     assert got == want
     assert (0, 1, 8) in got  # the pair straddling the origin cells
+
+
+def test_mixture_sample_negative_keys_respect_rates(spark):
+    # Spark % keeps the dividend sign; the gate must still land in
+    # [0, 10000) so rate 0 drops negative-keyed rows too
+    docs = spark.createDataFrame(
+        [("s0", -i) for i in range(1, 501)] + [("s1", -i) for i in range(1, 501)],
+        "source string, doc_id bigint")
+    rates = spark.createDataFrame(
+        [("s0", 0), ("s1", 10_000)], "source string, rate_bp int")
+    kept = mixture_sample(docs, rates, "source", "doc_id")
+    got = {r.source: r.n for r in
+           kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got == {"s1": 500}
+
+
+def test_resample_pre_epoch_buckets_floor(spark):
+    # pre-1970 timestamps must not collapse into a double-width
+    # bucket 0 (toward-zero div) — floor division keeps every bucket
+    # exactly bucket_minutes wide
+    df = ev(spark, [
+        ("1969-12-31 23:53:00", 1, "view", 1.0),   # epoch_us < 0
+        ("1970-01-01 00:07:00", 1, "view", 2.0),   # epoch_us > 0
+    ])
+    got = sorted(resample_ohlc(df, bucket_minutes=15).collect(),
+                 key=lambda r: r.bucket_id)
+    assert len(got) == 2
+    assert got[0].bucket_id == -1 and got[1].bucket_id == 0
+    assert got[0].n_events == 1 and got[1].n_events == 1
+
+
+def test_last_touch_rejects_sparse_codes(spark):
+    df = ev(spark, [("2024-01-01 10:00:00", 1, "click", 1.0)])
+    with pytest.raises(ValueError, match="dense"):
+        last_touch_attribution(df, "purchase", {"click": 5})
+    with pytest.raises(ValueError, match="dense"):
+        last_touch_attribution(df, "purchase", {"click": 1, "view": 3})
+
+
+def test_sessionize_without_type_column(spark):
+    df = spark.createDataFrame(
+        [(1, datetime.fromisoformat("2024-01-01 10:00:00"), 7)],
+        "event_id bigint, ts timestamp, user_id bigint")
+    [r] = sessionize(df, type_col=None).collect()
+    assert (r.n_events, r.duration_us) == (1, 0)
+    assert "n_event_types" not in r.asDict()
+
+
+def test_grid_join_rejects_zero_radius(spark):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.spatial import (
+        grid_distance_join,
+    )
+    df = spark.createDataFrame([(1, 0, 0)], "id bigint, x bigint, y bigint")
+    with pytest.raises(ValueError, match="radius"):
+        grid_distance_join(df, df, 0)

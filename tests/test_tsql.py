@@ -251,3 +251,17 @@ def test_datediff_week_pre_epoch(spark):
 def test_comment_comma_does_not_split_args():
     out = tsql_to_spark_sql("SELECT ISNULL(a, -- f(x, y)\n b) FROM t")
     assert out == "SELECT coalesce(a, -- f(x, y)\n b) FROM t"
+
+
+def test_apostrophe_inside_double_quoted_string():
+    # an apostrophe inside a double-quoted string/identifier must not
+    # open a phantom literal span (code-review regression)
+    out = tsql_to_spark_sql("SELECT DATEDIFF(dd, \"col's\", d2) FROM t")
+    assert out == 'SELECT datediff(d2, "col\'s") FROM t'
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.tsql import (
+        _split_args,
+    )
+    assert _split_args("\"it's\", x") == ['"it\'s"', "x"]
+    # and '--' inside a double-quoted string is not a comment
+    out = tsql_to_spark_sql('SELECT ISNULL(a, "x--y") FROM t')
+    assert out == 'SELECT coalesce(a, "x--y") FROM t'
