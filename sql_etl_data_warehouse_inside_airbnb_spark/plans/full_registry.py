@@ -164,7 +164,8 @@ _PRIORITY = [
     "ts2_resample_ohlc", "ext_hashed_linear_score",
     "ext_source_mixture", "j25_grid_distance_join",
     "x9_integrity_report", "ext_target_encoding",
-    "ext_tfidf_topterms",
+    "ext_tfidf_topterms", "g4_dedup_survivors_argmax",
+    "ext_contamination_matrix",
     "u6_udtf_tokenize", "u7_pandas_udaf_maxgap",
     "x4_fuzzy_match", "x5_incremental_agg", "ts1_interpolate",
     "m1_frequent_itemsets", "w1_merge_dedup_latest",

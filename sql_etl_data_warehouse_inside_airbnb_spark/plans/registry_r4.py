@@ -418,3 +418,121 @@ def ext_tfidf_topterms(spark, sf_dir):
     )
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+# ------------------------------------------------- dedup / hygiene
+
+# integer survivor-policy encoding: longest text wins, ties to the
+# LOWEST doc_id (originals beat their planted clones). length(text)
+# <= ~1e4 and doc_id < 3e6, so len*1e7 - doc_id is unique and int64-safe
+_SURVIVOR_ORD = "CAST(length(text) AS BIGINT) * 10000000 - doc_id"
+
+
+@register(
+    "g4_dedup_survivors_argmax",
+    f"""WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+         UNION ALL
+         SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 21 = 0)
+       SELECT arg_max(doc_id, {_SURVIVOR_ORD}) AS canonical_id,
+              CAST(count(*) AS BIGINT) AS cluster_size,
+              CAST(count(*) - 1 AS BIGINT) AS n_dropped
+       FROM corpus
+       GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))""",
+    survey="§7.5 dedup ext (survivor policy argmax)",
+    note="g3's canonical-row materialization with the OTHER survivor "
+         "policy slot filled: max_by over an integer policy encoding "
+         "(longest text wins, ties to the lowest doc_id — so planted "
+         "clones never displace originals) instead of min-key. The "
+         "policy is one argmax aggregate swapped into the identical "
+         "cluster groupBy — quality-score argmax or newest-version "
+         "plug in the same way; everything else (pair join, connected "
+         "components, one semi join to keep survivors) is unchanged "
+         "and unchanged-cost")
+def g4_dedup_survivors_argmax(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+        fingerprint,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.graph import (
+        assign_clusters,
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    c1 = (docs.filter(F.col("doc_id") % 7 == 0)
+          .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    c2 = (docs.filter(F.col("doc_id") % 21 == 0)
+          .select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text"))
+    corpus = docs.unionByName(c1).unionByName(c2)
+    fp = corpus.select("doc_id", "text", fingerprint("text").alias("fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("key_a"),
+                     F.col("b.doc_id").alias("key_b")))
+    ord_ = (F.length("text").cast("bigint") * 10_000_000
+            - F.col("doc_id"))
+    return (assign_clusters(corpus, "doc_id", pairs)
+            .groupBy("cluster_id")
+            .agg(F.expr(f"max_by(doc_id, {_SURVIVOR_ORD})")
+                 .alias("canonical_id"),
+                 F.count("*").alias("cluster_size"),
+                 (F.count("*") - 1).alias("n_dropped"))
+            .select("canonical_id", "cluster_size", "n_dropped"))
+
+
+@register(
+    "ext_contamination_matrix",
+    None,  # oracle attached below (needs the shared shingle twin)
+    survey="§7.5 ext (contamination matrix)",
+    note="eval-hygiene REPORT shape on top of ext_decontaminate: per "
+         "(corpus source, eval suite) count of contaminated documents "
+         "— the table a curation run publishes so each eval suite's "
+         "blast radius per source is visible before training. Eval "
+         "suites are proxied by the planted eval set's lang. Same "
+         "linear shingle-join plan as decontamination (broadcast eval "
+         "shingles, no pairwise step), one extra distinct on (source, "
+         "suite, doc) so a doc sharing many shingles counts once per "
+         "suite")
+def ext_contamination_matrix(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+        shingles,
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang",
+                                                "source", "text")
+    eval_sh = (docs.filter(F.col("doc_id") % 17 == 0)
+               .select(F.col("lang").alias("eval_suite"),
+                       F.explode(shingles("text", 5)).alias("sh"))
+               .distinct())
+    corpus_sh = docs.select("doc_id", "source",
+                            F.explode(shingles("text", 5)).alias("sh"))
+    hits = (corpus_sh.join(F.broadcast(eval_sh), "sh")
+            .select("source", "eval_suite", "doc_id").distinct())
+    return (hits.groupBy("source", "eval_suite")
+            .agg(F.count("*").alias("n_contaminated")))
+
+
+# oracle for ext_contamination_matrix, reusing the engine-portable
+# 5-gram shingle twin from the decontamination entry
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (  # noqa: E402
+    REGISTRY as _REG,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_graph import (  # noqa: E402
+    _SHINGLE5_SQL,
+)
+
+_REG["ext_contamination_matrix"].oracle = f"""
+    WITH eval_sh AS (
+      SELECT DISTINCT lang AS eval_suite, g.sh
+      FROM documents, LATERAL unnest({_SHINGLE5_SQL}) AS g(sh)
+      WHERE doc_id % 17 = 0
+        AND len(string_split_regex(trim(text), '\\s+')) >= 5),
+    corpus_sh AS (
+      SELECT doc_id, source, g.sh
+      FROM documents, LATERAL unnest({_SHINGLE5_SQL}) AS g(sh)
+      WHERE len(string_split_regex(trim(text), '\\s+')) >= 5),
+    hits AS (
+      SELECT DISTINCT c.source, e.eval_suite, c.doc_id
+      FROM corpus_sh c JOIN eval_sh e ON c.sh = e.sh)
+    SELECT source, eval_suite, CAST(count(*) AS BIGINT) AS n_contaminated
+    FROM hits GROUP BY source, eval_suite"""
