@@ -64,6 +64,9 @@ HEADLINE = [
     "tpch_q1_pricing_summary",         # the canonical full-scan agg
     "ext_ann_ivf_topk",                # IVF probe (offline quantizer)
     "ext_gopher_quality",              # stateless curation rule pass
+    "e5_sessionization",               # gap window + session groupBy
+    "j25_grid_distance_join",          # cell-blocked spatial join
+    "ext_tfidf_topterms",              # explode + df join + topk window
 ]
 
 
