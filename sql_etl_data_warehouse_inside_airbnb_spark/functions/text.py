@@ -219,9 +219,11 @@ ROLLING_HASH_BASE = 31
 ROLLING_HASH_MOD = 1_000_000_007
 
 
-def rolling_hash(col: Column | str, prefix_len: int = 64) -> Column:
+def rolling_hash(col: Column | str,
+                 prefix_len: int | None = 64) -> Column:
     """Rabin-Karp polynomial rolling hash of the first ``prefix_len``
-    characters: fold (acc * 31 + codepoint) % (1e9+7) left-to-right.
+    characters (``None`` = the whole string): fold
+    (acc * 31 + codepoint) % (1e9+7) left-to-right.
     BIGINT, 0 for empty text.
 
     Pure column expression — ``transform(sequence(...))`` builds the
@@ -235,7 +237,7 @@ def rolling_hash(col: Column | str, prefix_len: int = 64) -> Column:
     fingerprinter would extend window-by-window.
     """
     c = F.col(col) if isinstance(col, str) else col
-    s = F.substring(c, 1, prefix_len)
+    s = c if prefix_len is None else F.substring(c, 1, prefix_len)
     codes = F.transform(
         F.sequence(F.lit(1), F.length(s)),
         lambda i: F.ascii(F.substring(s, i, F.lit(1))))

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+    rolling_hash,
     shingles,  # noqa: F401  (re-exported curation surface)
 )
 
@@ -284,16 +285,11 @@ def hashed_linear_score(df: DataFrame, key_col: str,
     toks = F.filter(F.split(F.lower(F.trim(c)), r"\s+", -1),
                     lambda t: F.length(t) > 0)
 
-    def tok_hash(tok: Column) -> Column:
-        codes = F.transform(
-            F.sequence(F.lit(1), F.length(tok)),
-            lambda i: F.ascii(F.substring(tok, i, F.lit(1))))
-        return F.aggregate(
-            codes, F.lit(0).cast("bigint"),
-            lambda acc, x: (acc * 31 + x) % 1_000_000_007)
-
     def weight(tok: Column) -> Column:
-        bucket = tok_hash(tok) % HASH_BUCKETS
+        # same base-31 mod-1e9+7 fold as the fingerprint ladder —
+        # reused from functions/text.py so the hash family has ONE
+        # definition (prefix_len=None: tokens hash in full)
+        bucket = rolling_hash(tok, prefix_len=None) % HASH_BUCKETS
         return (bucket * WEIGHT_MULT) % WEIGHT_MOD - (WEIGHT_MOD // 2)
 
     score = F.aggregate(toks, F.lit(0).cast("bigint"),

@@ -389,12 +389,19 @@ def ppjoin_prefix_pairs(df: DataFrame, key_col: str, text_col: str,
 
 def winnow_fingerprints(df: DataFrame, key_col: str, text_col: str,
                         k: int = 5, window: int = 4,
-                        prefix_len: int = 64) -> DataFrame:
+                        prefix_len: int | None = 64) -> DataFrame:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     hash every k-gram of the text, slide a ``window``-wide window over
     the hash sequence, keep each window's minimum — the classic
     plagiarism/near-dup fingerprint that guarantees any match of
     length >= window+k-1 shares a fingerprint.
+
+    The guarantee holds over the fingerprinted SPAN: by default only
+    the first ``prefix_len`` characters are hashed (a cost bound — the
+    explode is ~prefix_len rows/doc), so a passage shared only beyond
+    that prefix is NOT detected. Pass ``prefix_len=None`` to
+    fingerprint the full text and recover the unconditional SIGMOD'03
+    guarantee at ~len(text) exploded rows per document.
 
     Returns the DISTINCT (key, fp) fingerprint set per document.
 
@@ -406,7 +413,8 @@ def winnow_fingerprints(df: DataFrame, key_col: str, text_col: str,
     md5 — engine-portable (unlike xxhash64), which keeps the operator
     oracle-checkable.
     """
-    s = F.substring(F.col(text_col), 1, prefix_len)
+    s = (F.col(text_col) if prefix_len is None
+         else F.substring(F.col(text_col), 1, prefix_len))
     grams = df.select(
         F.col(key_col),
         F.explode(F.sequence(

@@ -97,7 +97,10 @@ def last_touch_attribution(events: DataFrame,
     """
     if type_codes is None:
         rows = (events.select("event_type").distinct().collect())
-        types = sorted(r[0] for r in rows if r[0] != conversion_type)
+        # NULL event types can never be a channel (their touch
+        # encoding is NULL), and None breaks sorted() — skip them
+        types = sorted(r[0] for r in rows
+                       if r[0] is not None and r[0] != conversion_type)
         type_codes = {t: i + 1 for i, t in enumerate(types)}
     k = len(type_codes) + 1
     # the rn*k+code encoding is only an argmax when codes are dense

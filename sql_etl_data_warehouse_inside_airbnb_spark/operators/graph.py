@@ -19,10 +19,11 @@ Components in MapReduce and Beyond", SoCC'14):
 * then labels are shortcut one level (node -> label(label(node))) —
   pointer halving, which collapses label chains geometrically, so
   convergence needs O(log diameter) rounds, not O(diameter);
-* iterate to fixpoint. Min-propagation is monotone (labels only
-  decrease), so the fixpoint test is cheap: the SUM of all labels
-  strictly decreases until converged — one scalar aggregate per round,
-  no row-by-row old-vs-new join.
+* iterate to fixpoint. The fixpoint test is exact and type-agnostic:
+  join the new label relation to the previous one on the node key and
+  probe for ANY changed label (``limit(1)``). Node ids may be strings
+  (URLs, md5 fingerprints) or numbers — min-propagation only needs the
+  label type to be orderable, and the change probe never casts.
 
 Every round's result is localCheckpoint()ed: iterative DataFrame
 algorithms otherwise double their lineage each round and the planner
@@ -56,10 +57,9 @@ def connected_components(edges: DataFrame, src: str = "src",
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .withColumn("comp", F.col("node"))
               .localCheckpoint(eager=True))
-    prev_sum = labels.agg(
-        F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
 
     for _ in range(max_iterations):
+        prev = labels
         prop = (sym.join(labels, sym["a"] == labels["node"])
                 .select(F.col("b").alias("node"), F.col("comp")))
         cand = (labels.unionByName(prop)
@@ -73,11 +73,19 @@ def connected_components(edges: DataFrame, src: str = "src",
                                   F.coalesce("c_comp", "comp"))
                           .alias("comp"))
                   .localCheckpoint(eager=True))
-        cur_sum = labels.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
-        if cur_sum == prev_sum:  # monotone => fixpoint
+        # exact, type-agnostic fixpoint probe: any label changed? Both
+        # sides are checkpointed label relations (node set identical),
+        # so this is one hash join + limit(1) — cheap next to the
+        # propagate join, and it never casts the id type (a decimal
+        # fingerprint would crash on string ids under ANSI mode, or
+        # NULL out and false-converge with ANSI off).
+        changed = (labels.join(
+            prev.select("node", F.col("comp").alias("__prev_comp")),
+            "node")
+            .filter(F.col("comp") != F.col("__prev_comp"))
+            .limit(1).count())
+        if changed == 0:  # fixpoint
             return labels.select("node", F.col("comp").alias("component"))
-        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} "
         "iterations; raise max_iterations (diameter too large for the "

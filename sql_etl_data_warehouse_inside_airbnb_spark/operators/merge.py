@@ -88,15 +88,23 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
     (the reference re-loads full files and MERGEs; SURVEY §3.2).
     """
     cols = compare_cols or [c for c in old.columns if c != key]
-    o = old.select(key, *cols).alias("o")
-    n = new.select(key, *cols).alias("n")
+    # explicit presence markers, not key-isNull tests: a NULL-keyed
+    # row's stored key IS NULL, so isNull() would misclassify an
+    # old-only NULL-keyed row as 'insert'. The null-safe join also
+    # lets NULL-keyed rows pair with each other (NULL is a key value
+    # for CDC purposes), still a plain equi-join to the planner.
+    o = (old.select(key, *cols)
+         .withColumn("__o_present", F.lit(True)).alias("o"))
+    n = (new.select(key, *cols)
+         .withColumn("__n_present", F.lit(True)).alias("n"))
     same = F.struct(*[F.col(f"o.{c}") for c in cols]).eqNullSafe(
         F.struct(*[F.col(f"n.{c}") for c in cols]))
-    change = (F.when(F.col(f"o.{key}").isNull(), F.lit("insert"))
-              .when(F.col(f"n.{key}").isNull(), F.lit("delete"))
+    change = (F.when(F.col("__o_present").isNull(), F.lit("insert"))
+              .when(F.col("__n_present").isNull(), F.lit("delete"))
               .when(~same, F.lit("update"))
               .otherwise(F.lit("unchanged")))
-    out = (o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    out = (o.join(n, F.col(f"o.{key}").eqNullSafe(F.col(f"n.{key}")),
+                  "full_outer")
            .select(F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}"))
                    .alias(key),
                    change.alias("change_type")))

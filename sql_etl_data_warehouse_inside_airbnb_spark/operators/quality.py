@@ -118,9 +118,13 @@ def expectation_report(df: DataFrame, row_checks: dict[str, Column],
             [], list(row_checks), "check_name", "n_violations"))
 
     for name, cols in (unique or {}).items():
+        # COUNT(DISTINCT struct(cols)), not COUNT(DISTINCT cols...):
+        # the multi-arg form skips rows where ANY column is NULL,
+        # which would inflate n_violations on nullable keys — the
+        # struct is never NULL, so NULL patterns count as values.
         parts.append(df.agg(
             (F.count(F.lit(1))
-             - F.countDistinct(*[F.col(c) for c in cols]))
+             - F.countDistinct(F.struct(*[F.col(c) for c in cols])))
             .cast("long").alias("n_violations"))
             .select(F.lit(name).alias("check_name"), "n_violations"))
 
@@ -133,6 +137,9 @@ def expectation_report(df: DataFrame, row_checks: dict[str, Column],
             F.count(F.lit(1)).cast("long").alias("n_violations"))
             .select(F.lit(name).alias("check_name"), "n_violations"))
 
+    if not parts:  # no checks supplied: empty report, not IndexError
+        return spark.createDataFrame(
+            [], "check_name string, n_violations long")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

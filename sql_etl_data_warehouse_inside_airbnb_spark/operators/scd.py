@@ -46,20 +46,29 @@ def scd2_apply(current: DataFrame, changes: DataFrame, key: str,
     Returns the new full history with the same schema as ``current``.
     """
     closed = current.filter(~F.col(flag_col))
-    open_ = current.filter(F.col(flag_col))
+    # presence marker, not key-isNull: a NULL business key is a stored
+    # value, and testing the key column would classify a NULL-keyed
+    # open row as BOTH left-only and right-only, injecting spurious
+    # all-NULL rows into the dimension on every batch
+    open_ = (current.filter(F.col(flag_col))
+             .withColumn("__cur_present", F.lit(True)))
 
     ch = changes.select(
         F.col(key).alias("_k"), F.col(change_ts).alias("_ts"),
-        *[F.col(a).alias(f"_n_{a}") for a in attrs])
+        *[F.col(a).alias(f"_n_{a}") for a in attrs],
+        F.lit(True).alias("__chg_present"))
 
-    j = open_.join(ch, open_[key] == ch["_k"], "full_outer")
+    # null-safe key match so a NULL-keyed open row pairs with a
+    # NULL-keyed change row (still an equi-join to the planner)
+    j = open_.join(ch, open_[key].eqNullSafe(ch["_k"]), "full_outer")
 
     unchanged_cond = reduce(
         lambda x, y: x & y,
         [_same(F.col(a), F.col(f"_n_{a}")) for a in attrs])
-    matched = open_[key].isNotNull() & F.col("_k").isNotNull()
-    left_only = F.col("_k").isNull()
-    right_only = open_[key].isNull()
+    matched = (F.col("__cur_present").isNotNull()
+               & F.col("__chg_present").isNotNull())
+    left_only = F.col("__chg_present").isNull()
+    right_only = F.col("__cur_present").isNull()
 
     # open rows that survive as-is: untouched keys + unchanged matches
     keep_open = (j.filter(left_only | (matched & unchanged_cond))

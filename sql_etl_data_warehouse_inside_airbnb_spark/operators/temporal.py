@@ -56,6 +56,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     if value_cols is None:
         value_cols = [c for c in right.columns
                       if c not in keys and c != right_time]
+    # refuse to silently overwrite a left column with the carried
+    # right value (pandas merge_asof suffixes; we make the caller
+    # choose — a suffix or an explicit value_cols list)
+    clobbered = [c for c in value_cols if c + suffix in left.columns]
+    if clobbered:
+        raise ValueError(
+            f"asof_join output column(s) {clobbered} would overwrite "
+            "left-side columns; pass suffix= or narrow value_cols=")
     # side sort-order decides whether a right row at the exact same
     # timestamp is visible to the left row (<=) or not (<)
     right_rank, left_rank = (0, 1) if allow_exact_matches else (1, 0)
@@ -103,16 +111,24 @@ def range_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     if bucket_seconds is None:
         bucket_seconds = max(upper_seconds - lower_seconds, 1)
 
+    # microsecond-exact bounds: unix_timestamp() truncates to whole
+    # seconds, which would admit sub-second timestamps up to ~1s
+    # OUTSIDE the declared inclusive window (same defect class
+    # events.py avoids with unix_micros)
+    us = 1_000_000
+    bucket_us = bucket_seconds * us
     l2 = (left
-          .withColumn(_LB, F.unix_timestamp(F.col(left_time)) + lower_seconds)
-          .withColumn(_UB, F.unix_timestamp(F.col(left_time)) + upper_seconds)
+          .withColumn(_LB, F.unix_micros(F.col(left_time))
+                      + lower_seconds * us)
+          .withColumn(_UB, F.unix_micros(F.col(left_time))
+                      + upper_seconds * us)
           .withColumn(_BUCKET, F.explode(F.sequence(
-              F.floor(F.col(_LB) / bucket_seconds),
-              F.floor(F.col(_UB) / bucket_seconds)))))
+              F.floor(F.col(_LB) / bucket_us),
+              F.floor(F.col(_UB) / bucket_us)))))
     r2 = right.withColumn(_BUCKET, F.floor(
-        F.unix_timestamp(F.col(right_time)) / bucket_seconds))
+        F.unix_micros(F.col(right_time)) / bucket_us))
 
-    rt = F.unix_timestamp(F.col(right_time))
+    rt = F.unix_micros(F.col(right_time))
     return (l2.join(r2, keys + [_BUCKET], "inner")
             .filter((rt >= F.col(_LB)) & (rt <= F.col(_UB)))
             .drop(_LB, _UB, _BUCKET))
