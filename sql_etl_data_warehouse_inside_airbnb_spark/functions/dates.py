@@ -42,7 +42,7 @@ def date_parts(col: Column | str) -> list[Column]:
     ]
 
 
-def date_dimension(spark, min_date: Column, max_date: Column, src_df):
+def date_dimension(min_date: Column, max_date: Column, src_df):
     """Build a gap-free dim_dates between the min/max of a source column
     via ``sequence`` + ``explode`` — replaces the reference's driver-side
     ``timedelta`` loop (modules/data_loader.py:492-498) with a fully

@@ -56,23 +56,18 @@ def _split_args(argstr: str) -> list[str]:
     text) so ``ISNULL(a, b) -- f(x, y)`` can't split on the comment's
     comma."""
     spans = _literal_spans(argstr)
-    args, depth, cur, quote = [], 0, [], None
+    args, depth, cur = [], 0, []
     i = 0
     while i < len(argstr):
+        # _literal_spans already covers single-quoted, double-quoted,
+        # bracketed, and comment spans — no second quote tracker
         end = next((b for a, b in spans if a <= i < b), None)
-        if end is not None and not quote:
+        if end is not None:
             cur.append(argstr[i:end])
             i = end
             continue
         ch = argstr[i]
-        if quote:
-            cur.append(ch)
-            if ch == quote:
-                quote = None
-        elif ch == '"':
-            quote = ch
-            cur.append(ch)
-        elif ch == "(":
+        if ch == "(":
             depth += 1
             cur.append(ch)
         elif ch == ")":
@@ -173,20 +168,15 @@ def _rewrite_calls(sql: str, name: str, fn) -> str:
         if not m:
             return sql
         depth, i = 1, m.end()
-        quote = None
         while i < len(sql) and depth:
-            # literals AND comments are opaque to paren counting
+            # literals (single- AND double-quoted), brackets, and
+            # comments are opaque to paren counting via spans
             end = next((b for a, b in spans if a <= i < b), None)
-            if end is not None and not quote:
+            if end is not None:
                 i = end
                 continue
             ch = sql[i]
-            if quote:
-                if ch == quote:
-                    quote = None
-            elif ch == '"':
-                quote = ch
-            elif ch == "(":
+            if ch == "(":
                 depth += 1
             elif ch == ")":
                 depth -= 1
@@ -317,8 +307,12 @@ def _try_convert(args: list[str]) -> str:
     if len(args) != 2:
         raise ValueError(f"TRY_CONVERT takes 2 args, got {args}")
     typ = re.sub(r"\(.*\)", "", args[0]).strip().upper()
-    typ = {"DATETIME": "TIMESTAMP", "VARCHAR": "STRING",
-           "NVARCHAR": "STRING"}.get(typ, typ)
+    # mirror _convert's type map exactly — a mapping present only on
+    # the CONVERT side would make valid T-SQL (TRY_CONVERT(DATETIME2,
+    # x)) emit invalid Spark SQL
+    typ = {"DATETIME": "TIMESTAMP", "DATETIME2": "TIMESTAMP",
+           "SMALLDATETIME": "TIMESTAMP", "VARCHAR": "STRING",
+           "NVARCHAR": "STRING", "CHAR": "STRING"}.get(typ, typ)
     return f"try_cast({args[1]} AS {typ})"
 
 

@@ -164,7 +164,7 @@ def build_dim_dates(*date_frames: DataFrame) -> DataFrame:
     for df in date_frames:
         d = df.select(F.try_to_date("date").alias("d")).filter("d IS NOT NULL")
         dates = d if dates is None else dates.unionByName(d)
-    return date_dimension(dates.sparkSession, F.col("d"), F.col("d"), dates)
+    return date_dimension(F.col("d"), F.col("d"), dates)
 
 
 def build_fact_calendar(calendar_raw: DataFrame,

@@ -105,8 +105,14 @@ def normalize_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
             continue
         kind = f_.dataType.simpleString()
         if kind == "bigint":
+            # FLOOR division, integer-exact: `div` truncates toward
+            # zero, shifting pre-epoch nano timestamps +1us; and `/`
+            # promotes to DOUBLE where ulp(1.7e18) = 256ns. Subtract
+            # pmod (always non-negative) so the quotient is exact and
+            # trunc == floor.
             df = df.withColumn(
-                ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+                ts_col, F.timestamp_micros(F.expr(
+                    f"({ts_col} - pmod({ts_col}, 1000)) div 1000")))
         elif kind == "timestamp_ntz":
             df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
@@ -122,8 +128,11 @@ def split_quarantine(df: DataFrame, key: str,
     Single-pass friendly: both branches share the scan; Catalyst pushes
     the complementary predicates down to it.
     """
+    # try_cast(...).isNotNull() is a non-nullable boolean (NULL keys
+    # cast to NULL -> isNotNull false), so good/quarantine are exact
+    # complements — no extra isNull disjunct needed
     castable = F.col(key).try_cast(target_type).isNotNull()
-    return df.filter(castable), df.filter(~castable | F.col(key).isNull())
+    return df.filter(castable), df.filter(~castable)
 
 
 def write_bucketed(df, table_name: str, keys: list[str],
@@ -191,11 +200,14 @@ def compact_parquet(spark: SparkSession, path: str,
     ceil(bytes / target), rewrite atomically (temp dir + rename), so
     readers never observe a half-written table.
 
-    ``partition_cols`` preserves hive partitioning: each partition is
-    rewritten with files sized by ITS bytes (repartition by partition
-    key + within-partition file count), not a global count — a global
-    coalesce across partitions would interleave partition values into
-    every task and defeat partition pruning's file-level locality.
+    ``partition_cols`` preserves hive partitioning: rows are
+    repartitioned on (partition key, salt) so each hive partition's
+    rewrite parallelizes across ~bytes/target tasks instead of
+    serializing into one, and ``maxRecordsPerFile`` (derived from the
+    measured average row size) caps every output file at ~target_mb
+    even for skewed hot partitions — a global coalesce across
+    partitions would interleave partition values into every task and
+    defeat partition pruning's file-level locality.
 
     Returns {"files_before", "files_after", "bytes"} for the caller's
     maintenance log. On real object storage this job is IO-bound and
@@ -217,19 +229,45 @@ def compact_parquet(spark: SparkSession, path: str,
                     total += os.path.getsize(os.path.join(root, n))
         return files, total
 
+    backup = path.rstrip("/") + "._compact_old"
+    # recovery from an interrupted prior run: the swap below only
+    # ever leaves (a) backup+path both present (died before cleanup —
+    # drop the stale backup) or (b) backup without path (died between
+    # the two renames — the backup IS the table, restore it)
+    if os.path.isdir(backup):
+        if os.path.isdir(path):
+            shutil.rmtree(backup)
+        else:
+            os.rename(backup, path)
+
     files_before, total_bytes = _stats(path)
     n_files = max(1, math.ceil(total_bytes / (target_file_mb << 20)))
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "._compact_tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # leftover staging from a killed write
     if partition_cols:
-        # spread within each hive partition; file count per partition
-        # is driven by maxRecordsPerFile-style sizing via repartition
-        (df.repartition(n_files, *partition_cols)
-         .write.mode("overwrite").partitionBy(*partition_cols)
+        # repartition on the partition key ALONE would hash every row
+        # of one hive partition into a single task and emit exactly
+        # one file per value regardless of size. A salt spreads each
+        # value over ~its-bytes/target tasks (average-based), and
+        # maxRecordsPerFile (from measured avg row size) hard-caps
+        # file size even when one partition is far above average.
+        n_rows = df.count()
+        n_values = max(1, df.select(*partition_cols).distinct().count())
+        n_salt = max(1, math.ceil(total_bytes / n_values
+                                  / (target_file_mb << 20)))
+        rpf = max(1, int(n_rows * (target_file_mb << 20)
+                         / max(total_bytes, 1)))
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                      F.lit(n_salt))
+        (df.repartition(max(n_files, n_values), *partition_cols, salt)
+         .write.mode("overwrite")
+         .option("maxRecordsPerFile", rpf)
+         .partitionBy(*partition_cols)
          .parquet(tmp))
     else:
         df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
-    backup = path.rstrip("/") + "._compact_old"
     os.rename(path, backup)
     os.rename(tmp, path)
     shutil.rmtree(backup)

@@ -38,8 +38,22 @@ def upsert_batch_to_parquet(batch_df: DataFrame, target_path: str,
     or updated window needs. The swap is write-staging-then-rename so
     a reader never sees a half-written target (the local stand-in for
     a table-format transactional commit).
+
+    Crash safety: the old target is RENAMED aside (never rmtree'd
+    before the new one is in place), so a kill at any point leaves the
+    merged history recoverable — the next invocation's recovery
+    preamble restores it and the checkpointed foreachBatch retry
+    re-merges the batch. (A rmtree-then-rename swap would make a
+    retried first batch take the "first write" branch and silently
+    drop all previously merged keys.)
     """
     spark = batch_df.sparkSession
+    backup = target_path.rstrip("/") + "._upsert_old"
+    if os.path.isdir(backup):
+        if os.path.isdir(target_path):
+            shutil.rmtree(backup)            # died after swap: stale
+        else:
+            os.rename(backup, target_path)   # died mid-swap: restore
     if os.path.isdir(target_path):
         target = spark.read.parquet(target_path)
         merged = merge_upsert(target, batch_df, key,
@@ -51,8 +65,10 @@ def upsert_batch_to_parquet(batch_df: DataFrame, target_path: str,
     # materialize BEFORE touching the target: merged still reads it
     merged.write.mode("overwrite").parquet(staging)
     if os.path.isdir(target_path):
-        shutil.rmtree(target_path)
+        os.rename(target_path, backup)
     os.rename(staging, target_path)
+    if os.path.isdir(backup):
+        shutil.rmtree(backup)
 
 
 def run_stream_upsert_parquet(stream_df: DataFrame, target_path: str,

@@ -70,11 +70,18 @@ def _update_user(key: tuple[Any, ...],
     for pdf in pdfs:
         n += len(pdf)
         s += float(pdf["value"].fillna(0.0).sum())
-        batch_max_us = pdf["ts"].max().value // 1_000
-        last_us = max(last_us, batch_max_us)
+        # dropna: an all-NULL-ts batch would yield NaT, whose .value
+        # is the int64 MIN sentinel — not a timestamp
+        valid_ts = pdf["ts"].dropna()
+        if len(valid_ts):
+            last_us = max(last_us, valid_ts.max().value // 1_000)
     state.update((n, s, last_us))
-    # idle users expire one hour past the watermark
-    state.setTimeoutTimestamp(last_us // 1_000 + 3_600_000)
+    # idle users expire one hour past their last event — floored at
+    # the CURRENT watermark: a new key whose events are all NULL-ts
+    # (last_us=0) or >1h late would otherwise register an expired
+    # timeout, which Spark rejects and the query dies
+    base_ms = max(last_us // 1_000, state.getCurrentWatermarkMs())
+    state.setTimeoutTimestamp(base_ms + 3_600_000)
     yield pd.DataFrame({
         "user_id": [user_id], "n_events": [n], "sum_value": [s],
         "last_seen": [pd.Timestamp(last_us, unit="us")],

@@ -74,9 +74,16 @@ class UserTotalsProcessor(StatefulProcessor):
         for pdf in rows:
             n += len(pdf)
             s += float(pdf["value"].fillna(0.0).sum())
-            last_us = max(last_us, pdf["ts"].max().value // 1_000)
+            # dropna: NaT.value is the int64 MIN sentinel
+            valid_ts = pdf["ts"].dropna()
+            if len(valid_ts):
+                last_us = max(last_us, valid_ts.max().value // 1_000)
         self._totals.update((n, s, last_us))
-        self._handle.registerTimer(last_us // 1_000 + IDLE_TIMEOUT_MS)
+        # floor at the current watermark so an all-NULL-ts or >idle-
+        # late key can't register an already-expired timer
+        base_ms = max(last_us // 1_000,
+                      timerValues.getCurrentWatermarkInMs())
+        self._handle.registerTimer(base_ms + IDLE_TIMEOUT_MS)
         yield self._row(user_id, n, s, last_us, False)
 
     def handleExpiredTimer(self, key: Any, timerValues, expiredTimerInfo

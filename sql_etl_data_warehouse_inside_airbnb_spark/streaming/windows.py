@@ -93,15 +93,25 @@ def stream_events(spark: SparkSession, sf_dir: str,
 
 
 def run_stream_to_memory(stream_df: DataFrame, query_name: str,
-                         timeout_sec: int = 120) -> None:
+                         timeout_sec: int = 120,
+                         output_mode: str = "complete") -> None:
     """Drive a streaming plan to completion into an in-memory sink
-    (test/demo harness; production sinks are kafka/delta/parquet)."""
+    (test/demo harness; production sinks are kafka/delta/parquet).
+    Raises TimeoutError if the availableNow run doesn't finish within
+    ``timeout_sec`` — silently returning would hand the caller a
+    partially-populated memory table. Non-aggregating plans (e.g.
+    ``dedup_stream``) need ``output_mode="append"``."""
     q = (stream_df.writeStream.format("memory")
          .queryName(query_name)
-         .outputMode("complete")
+         .outputMode(output_mode)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"stream '{query_name}' still running after {timeout_sec}s;"
+            " memory table would be incomplete")
 
 
 def dedup_stream(events: DataFrame, keys: tuple[str, ...] = ("event_id",),
