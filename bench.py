@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -76,7 +77,10 @@ def materialize(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # parse the sf<number> suffix defensively: a non-conforming dir
+    # must not crash the final print AFTER minutes of measured passes
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = m.group(1) if m else None
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -110,7 +114,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf),
+        "sf": float(sf) if sf is not None else None,
         "cold_total_sec": round(cold, 3),
     }))
     spark.stop()

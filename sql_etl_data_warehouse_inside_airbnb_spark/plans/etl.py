@@ -80,10 +80,24 @@ CORE_TABLES = ("dim_listings", "dim_listing_id_map", "dim_hosts",
 
 def _load_existing(spark: SparkSession,
                    output_dir: str) -> dict[str, DataFrame] | None:
-    """Prior warehouse state from a previous run's output, or None."""
+    """Prior warehouse state from a previous run's output, or None.
+
+    Recovery preamble: a run killed inside the table swap leaves
+    ``<name>.__old`` (the live table renamed aside) — restore it
+    rather than treating the warehouse as absent, which would
+    silently full-rebuild from whatever partial data_dir the retry
+    was given."""
+    import shutil
+
     prior: dict[str, DataFrame] = {}
     for name in CORE_TABLES:
         path = os.path.join(output_dir, name)
+        old_path = path + ".__old"
+        if os.path.exists(old_path):
+            if os.path.exists(path):
+                shutil.rmtree(old_path)      # died after swap: stale
+            else:
+                os.rename(old_path, path)    # died mid-swap: restore
         if not os.path.exists(path):
             return None
         df = spark.read.parquet(path)
@@ -131,11 +145,18 @@ def run_pipeline(spark: SparkSession, data_dir: str,
                                  F.lit("listing_id_cast_failed"))
 
     merge_res, id_map = build_dim_listings(
-        cleaned, existing=prior["dim_listings"] if prior else None)
+        cleaned, existing=prior["dim_listings"] if prior else None,
+        count_actions=False)
     # post-load enrichment (the reference's pretreatment UPDATEs):
     # US-state -> country fix + is_local_host, recomputed every run
     dim_listings = pretreat_listings(merge_res.df)
     if prior:
+        # the id map is a per-LOAD audit trail (reference inserts one
+        # row per source row every batch, data_loader.py:292-300), so
+        # a re-sent listing in a new batch appends by design — unlike
+        # the PK-keyed facts, which dedupe. Same-batch retries are
+        # handled upstream: the crash-safe table swap restores the
+        # pre-crash warehouse rather than replaying onto merged state.
         id_map = prior["dim_listing_id_map"].unionByName(id_map)
     dim_hosts = pretreat_hosts(build_dim_hosts(dim_listings))
 
@@ -163,9 +184,22 @@ def run_pipeline(spark: SparkSession, data_dir: str,
     else:
         reviews_raw = _union("reviews")
 
+    # empty placeholders carry the REAL table schemas: a 2-column
+    # stand-in, once persisted, poisons the next incremental run's
+    # unionByName and breaks queries against the documented columns
+    EMPTY_DIM_DATES = ("date_id int, full_date date, year int, "
+                       "quarter int, month int, month_name string, "
+                       "day int, day_name string, is_weekend boolean")
     date_sources = [d for d in (calendar_raw, reviews_raw) if d is not None]
-    dim_dates = (build_dim_dates(*date_sources) if date_sources
-                 else spark.createDataFrame([], "date_id int, full_date date"))
+    if date_sources:
+        dim_dates = build_dim_dates(*date_sources)
+    elif prior:
+        # no date-bearing files this run: KEEP the accumulated date
+        # dimension (overwriting it with an empty frame would orphan
+        # every date_id FK in fact_reviews)
+        dim_dates = prior["dim_dates"]
+    else:
+        dim_dates = spark.createDataFrame([], EMPTY_DIM_DATES)
     if prior and date_sources:
         # IDENTITY semantics: existing date_ids are frozen; only dates
         # the prior dimension lacks get new ids, numbered past its max
@@ -190,12 +224,19 @@ def run_pipeline(spark: SparkSession, data_dir: str,
     fact_calendar = (build_fact_calendar(calendar_raw, dim_listings)
                      if calendar_raw is not None
                      else spark.createDataFrame(
-                         [], "listing_id long, week_start_date date"))
+                         [], "listing_id bigint, week_start_date date, "
+                             "week_end_date date, "
+                             "avg_price_per_week decimal(10,2), "
+                             "available_days_per_week int"))
     fact_reviews = (build_fact_reviews(
                         reviews_raw, dim_listings, dim_dates,
                         existing=prior["fact_reviews"] if prior else None)
                     if reviews_raw is not None
-                    else spark.createDataFrame([], "review_id long"))
+                    else spark.createDataFrame(
+                        [], "review_id bigint, listing_id bigint, "
+                            "date_id int, reviewer_id bigint, "
+                            "reviewer_name string, comments string, "
+                            "review_date date"))
     if prior:
         if calendar_raw is not None:
             # insert-if-absent on the (listing_id, week_start_date) PK —
@@ -239,37 +280,56 @@ def run_pipeline(spark: SparkSession, data_dir: str,
         # to a temp dir first, and only then swap them all in.
         import shutil
 
+        def _has_parquet(p: str) -> bool:
+            for root, _dirs, names in os.walk(p):
+                if any(n.endswith(".parquet") for n in names):
+                    return True
+            return False
+
         suffix = ".__tmp" if prior is not None else ""
         for name in CORE_TABLES:
             df = getattr(tables, name)
-            is_empty = not df.take(1)
-            if is_empty:
-                # zero-partition (or dynamic-partitioned) empty writes
-                # emit no parquet footer; one empty task + no
-                # partitionBy keeps the schema readable on round-trip
-                df = df.repartition(1)
-            spec = part_col.get(name)
-            if not is_empty and spec is not None and spec[0] in df.columns:
-                src, _ = spec
-                df = df.withColumn("part_month",
-                                   F.date_format(F.col(src), "yyyy-MM"))
-                writer = df.write.mode("overwrite").partitionBy("part_month")
-            else:
-                writer = df.write.mode("overwrite")
             tmp_path = os.path.join(output_dir, name) + suffix
             if suffix:
                 shutil.rmtree(tmp_path, ignore_errors=True)
-            writer.parquet(tmp_path)
+            spec = part_col.get(name)
+            if spec is not None and spec[0] in df.columns:
+                src, _ = spec
+                df = df.withColumn("part_month",
+                                   F.date_format(F.col(src), "yyyy-MM"))
+                df.write.mode("overwrite").partitionBy("part_month") \
+                    .parquet(tmp_path)
+            else:
+                df.write.mode("overwrite").parquet(tmp_path)
+            # empty detection from the WRITTEN output (a pre-write
+            # take(1) would execute every full plan twice): dynamic-
+            # partitioned empty writes emit no parquet footer, so
+            # rewrite with one empty task to keep the schema readable
+            if not _has_parquet(tmp_path):
+                df.drop("part_month").repartition(1) \
+                    .write.mode("overwrite").parquet(tmp_path)
+        # rejects are a cumulative audit log (append per load, like
+        # the reference's skipped-rows csv) — but the STAT reports
+        # THIS run's rejects, not the directory total, so per-run
+        # monitoring doesn't over-report on day 2+
+        rejects_dir = os.path.join(output_dir, "rejects_listings")
         reject_mode = "append" if prior is not None else "overwrite"
-        rejects.write.mode(reject_mode).parquet(
-            os.path.join(output_dir, "rejects_listings"))
-        tables.stats["rejects_listings"] = spark.read.parquet(
-            os.path.join(output_dir, "rejects_listings")).count()
+        rejects.write.mode(reject_mode).parquet(rejects_dir)
+        tables.stats["rejects_listings"] = rejects.count()
         for name in CORE_TABLES:
             final_path = os.path.join(output_dir, name)
             if suffix:
-                shutil.rmtree(final_path, ignore_errors=True)
+                # crash-safe swap: rename the live table aside, move
+                # the staged one in, then drop the backup. A kill in
+                # the window leaves <name>.__old, which _load_existing
+                # restores — never an rmtree'd hole that would silently
+                # trigger a full rebuild over a partial data_dir.
+                old_path = final_path + ".__old"
+                shutil.rmtree(old_path, ignore_errors=True)
+                if os.path.exists(final_path):
+                    os.rename(final_path, old_path)
                 os.replace(final_path + suffix, final_path)
+                shutil.rmtree(old_path, ignore_errors=True)
             # rebind to the persisted layer: the in-flight lineage may
             # reference pre-swap files (incremental), and re-reading
             # parquet beats recomputing the whole plan downstream

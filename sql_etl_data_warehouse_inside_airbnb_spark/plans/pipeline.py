@@ -108,7 +108,8 @@ def type_listings(cleaned: DataFrame) -> DataFrame:
 
 
 def build_dim_listings(cleaned: DataFrame,
-                       existing: DataFrame | None = None
+                       existing: DataFrame | None = None,
+                       count_actions: bool = True
                        ) -> tuple[MergeResult, DataFrame]:
     """Staging → dim_listings MERGE + dim_listing_id_map, one lineage.
 
@@ -132,8 +133,13 @@ def build_dim_listings(cleaned: DataFrame,
                    .withColumn("updated_date", F.current_timestamp()))
     if existing is None:
         existing = audited.limit(0)
+    # count_actions=False skips the OUTPUT $action counts, which cost
+    # three eager re-executions of the whole clean+type lineage (every
+    # gzip file re-scanned) — run_pipeline passes False since it never
+    # reads them
     res = merge_upsert(existing, audited, "listing_id",
-                       order_by=[F.col("updated_date").desc()])
+                       order_by=[F.col("updated_date").desc()],
+                       count_actions=count_actions)
     return res, id_map
 
 
@@ -254,8 +260,10 @@ def build_fact_reviews(reviews_raw: DataFrame, dim_listings: DataFrame,
     listed = dated.join(
         F.broadcast(dim_listings.select("listing_id").distinct()),
         "listing_id", "inner")
+    # review_date rides along so the persisted fact can partition by
+    # month (date-range pruning at scale); date_id stays the FK
     out = listed.select("review_id", "listing_id", "date_id", "reviewer_id",
-                        "reviewer_name", "comments")
+                        "reviewer_name", "comments", "review_date")
     if existing is not None:
         out = out.join(existing.select("review_id"), "review_id", "left_anti")
     return out
