@@ -104,3 +104,110 @@ def assign_clusters(df: DataFrame, key_col: str, pairs: DataFrame,
             .select(*[df[c] for c in df.columns],
                     F.coalesce(F.col("component"), df[key_col])
                     .alias(cluster_col)))
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Global triangle count of the undirected graph — 1 row
+    ``(n_triangles BIGINT)``.
+
+    Triangles measure how clique-like a near-dup similarity graph is
+    (a cluster whose pairs are mutually similar vs a chain stitched
+    by borderline pairs) — the standard health check before trusting
+    transitive-closure dedup clusters.
+
+    Algorithm: the degree-ordering formulation (Suri/Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11).
+    Each undirected edge is directed from its lower-(degree, id)
+    endpoint to the higher one, making the graph a DAG where every
+    out-degree is O(sqrt(m)); a triangle is then exactly one
+    wedge a->b->c closed by a->c, so two equi-joins count each
+    triangle once. At 100 TB this bounds the worst reducer: the
+    naive a<b<c 3-way self-join explodes on hub nodes, the
+    degree-ordered one cannot.
+    """
+    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+           .filter(F.col("u") != F.col("v")))
+    und = (sym.select(F.least("u", "v").alias("u"),
+                      F.greatest("u", "v").alias("v"))
+           .distinct())
+    deg = (und.select(F.col("u").alias("n"))
+           .unionAll(und.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ranked = (und.join(du, "u").join(dv, "v")
+              .select(
+                  F.when((F.col("du") < F.col("dv"))
+                         | ((F.col("du") == F.col("dv"))
+                            & (F.col("u") < F.col("v"))),
+                         F.col("u")).otherwise(F.col("v")).alias("a"),
+                  F.when((F.col("du") < F.col("dv"))
+                         | ((F.col("du") == F.col("dv"))
+                            & (F.col("u") < F.col("v"))),
+                         F.col("v")).otherwise(F.col("u")).alias("b")))
+    e1 = ranked.select(F.col("a"), F.col("b"))
+    e2 = ranked.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = e1.join(e2, "b").select("a", "b", "c")
+    closing = ranked.select(F.col("a"), F.col("b").alias("c"))
+    tri = wedges.join(closing, ["a", "c"], "inner")
+    return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             damping: float = 0.85, max_iterations: int = 30,
+             tol: float = 1e-6) -> DataFrame:
+    """PageRank over the DIRECTED edge list — (node, rank DOUBLE),
+    ranks summing to ~1.
+
+    The canonical iterative-join workload (Page/Brin '98; the
+    Pregel-style Spark formulation): each round one shuffle join
+    (rank/out_degree contributions onto edges) + one aggregate by
+    destination; dangling mass is redistributed uniformly so ranks
+    stay a distribution. Rounds localCheckpoint like
+    :func:`connected_components` (lineage would otherwise double per
+    round); convergence = L1 delta < ``tol``, one scalar aggregate
+    per round. Float-iterative, so oracle checking is rows-only; the
+    pytest pins a hand-solvable graph and the Σrank=1 invariant.
+    """
+    sym = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+           .filter(F.col("s").isNotNull() & F.col("d").isNotNull()))
+    nodes = (sym.select(F.col("s").alias("node"))
+             .unionAll(sym.select(F.col("d").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("outd"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(max_iterations):
+        with_deg = (ranks.join(outdeg, ranks["node"] == outdeg["s"],
+                               "left")
+                    .select("node", "rank", "outd"))
+        # dangling nodes (no out-edges) spread their mass uniformly
+        dangling = (with_deg.filter(F.col("outd").isNull())
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                    .collect()[0][0])
+        contrib = (sym.join(with_deg.filter(F.col("outd").isNotNull()),
+                            sym["s"] == F.col("node"))
+                   .select(F.col("d").alias("node"),
+                           (F.col("rank") / F.col("outd"))
+                           .alias("c")))
+        base = (1.0 - damping) / n + damping * dangling / n
+        new_ranks = (nodes.join(
+            contrib.groupBy("node").agg(F.sum("c").alias("cs")),
+            "node", "left")
+            .select("node",
+                    (F.lit(base)
+                     + F.lit(damping) * F.coalesce("cs", F.lit(0.0)))
+                    .alias("rank"))
+            .localCheckpoint(eager=True))
+        delta = (new_ranks.join(
+            ranks.select("node", F.col("rank").alias("prev")), "node")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))))
+            .collect()[0][0])
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+    return ranks

@@ -1,0 +1,170 @@
+"""Full-text retrieval primitives: inverted index, conjunctive
+keyword search, and BM25 ranking.
+
+The reference has no text-retrieval surface at all (its only text
+predicates are LIKE filters, SURVEY §2.2 P11); a training-data
+pipeline needs one constantly — "find the documents mentioning X"
+over a 100 TB corpus is the everyday triage query, and BM25 is the
+standard lexical ranker (Robertson/Spärck Jones; the Lucene/Okapi
+formulation below is the public textbook form).
+
+Scale shape, all three operators:
+- tokenization is a column expression (split + filter inside
+  whole-stage codegen), never a Python UDF;
+- the per-(doc, term) counts come from ONE explode + hash aggregate —
+  map-side combinable, one shuffle on (doc, term);
+- query terms ride the plan as a broadcast literal IN-list, so the
+  corpus scan prunes to matching tokens before the explode fan-out
+  reaches the shuffle;
+- corpus-level constants (N, avgdl) are a 1-row broadcast cross join,
+  the same pattern as ext_label_balance — no driver collect in the
+  lineage.
+
+Determinism: keyword_search emits only integer counts (oracle-exact
+across engines); bm25_topk emits a double score (ln-based idf), so it
+is pytest-pinned against an independent Python model instead of the
+cross-engine oracle harness (quotients/logs round differently across
+engines on ties — see tools/parity.py notes).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(text_col: Column | str) -> Column:
+    """Lowercased whitespace tokens, empties dropped — the same
+    tokenization the curation/quality ladder uses, expressed so the
+    DuckDB oracle can mirror it with string_split_regex."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(F.lower(F.trim(c)), r"\s+", -1),
+                    lambda t: F.length(t) > 0)
+
+
+def term_frequencies(df: DataFrame, key_col: str,
+                     text_col: str) -> DataFrame:
+    """(key, term, tf) — one row per (document, distinct term)."""
+    return (df.select(F.col(key_col),
+                      F.explode(tokens(text_col)).alias("term"))
+            .groupBy(key_col, "term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+
+
+def build_inverted_index(df: DataFrame, key_col: str,
+                         text_col: str) -> DataFrame:
+    """Term-level index statistics: (term, doc_freq, total_tf,
+    first_doc, last_doc).
+
+    The postings themselves stay where a 100 TB engine keeps them — as
+    the (term-shuffled) (key, term, tf) relation from
+    :func:`term_frequencies`; this aggregate is the index's term
+    dictionary, the piece that must fit per-term on one reducer. One
+    explode + two map-side-combinable aggregates, both shuffles on
+    bounded keys (doc then term)."""
+    tf = term_frequencies(df, key_col, text_col)
+    return (tf.groupBy("term")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
+                 F.sum("tf").cast("bigint").alias("total_tf"),
+                 F.min(key_col).alias("first_doc"),
+                 F.max(key_col).alias("last_doc")))
+
+
+def keyword_search(df: DataFrame, key_col: str, text_col: str,
+                   terms: list[str], k: int = 10) -> DataFrame:
+    """Conjunctive (AND) keyword search: documents containing EVERY
+    query term, ranked by total query-term frequency (desc), key asc
+    as the deterministic tiebreak; top ``k``.
+
+    Returns (key, score) with score = Σ tf over the query terms —
+    integer-exact, so the ranking is engine-portable. The token filter
+    runs INSIDE the array before the explode, so only query-term
+    occurrences ever reach the shuffle (at 100 TB the explode fan-out
+    is |matches|, not |corpus tokens|)."""
+    if not terms:
+        raise ValueError("keyword_search needs at least one term")
+    toks = tokens(text_col)
+    hits = F.filter(toks, lambda t: t.isin([x.lower() for x in terms]))
+    tf = (df.select(F.col(key_col), F.explode(hits).alias("term"))
+          .groupBy(key_col, "term")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    return (tf.groupBy(key_col)
+            .agg(F.countDistinct("term").alias("__n_terms"),
+                 F.sum("tf").cast("bigint").alias("score"))
+            .filter(F.col("__n_terms") == len(set(t.lower()
+                                                  for t in terms)))
+            .select(key_col, "score")
+            .orderBy(F.desc("score"), F.col(key_col))
+            .limit(k))
+
+
+def bm25_topk(df: DataFrame, key_col: str, text_col: str,
+              terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Okapi BM25 top-k (disjunctive — any matching term scores):
+
+        score(D) = Σ_t idf(t) * tf * (k1+1) / (tf + k1*(1-b+b*|D|/avgdl))
+        idf(t)   = ln( (N - df_t + 0.5) / (df_t + 0.5) + 1 )   [Lucene form]
+
+    Returns (key, score DOUBLE) ordered score desc, key asc.
+
+    Plan: one pass computes per-doc lengths; one pass computes
+    (doc, term, tf) for query-term hits only; df_t comes from a
+    groupBy over those hits (query-term cardinality — tiny) joined
+    back broadcast; N and avgdl ride a 1-row broadcast cross join.
+    Everything JVM-side; the only corpus-sized shuffle is the (doc,
+    term) aggregate."""
+    if not terms:
+        raise ValueError("bm25_topk needs at least one term")
+    qterms = sorted(set(t.lower() for t in terms))
+    toks = tokens(text_col)
+    base = df.select(F.col(key_col),
+                     F.size(toks).cast("bigint").alias("__dl"),
+                     F.filter(toks, lambda t: t.isin(qterms))
+                     .alias("__hits"))
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_docs"),
+        F.avg("__dl").alias("__avgdl"))
+    tf = (base.select(key_col, "__dl", F.explode("__hits").alias("term"))
+          .groupBy(key_col, "__dl", "term")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    dfreq = (tf.groupBy("term")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("df_t")))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(stats)))
+    idf = F.log((F.col("__n_docs") - F.col("df_t") + F.lit(0.5))
+                / (F.col("df_t") + F.lit(0.5)) + F.lit(1.0))
+    denom = (F.col("tf")
+             + F.lit(k1) * (F.lit(1.0 - b)
+                            + F.lit(b) * F.col("__dl") / F.col("__avgdl")))
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    return (scored
+            .groupBy(key_col)
+            .agg(F.sum(contrib).alias("score"))
+            .orderBy(F.desc("score"), F.col(key_col))
+            .limit(k))
+
+
+def bm25_score_py(docs: dict, terms: list[str],
+                  k1: float = 1.2, b: float = 0.75) -> dict:
+    """Independent pure-Python BM25 model for pinning the Spark plan
+    in tests (same tokenization: lower + whitespace split)."""
+    tok = {d: [t for t in text.lower().split() if t] for d, text in docs.items()}
+    n = len(tok)
+    avgdl = sum(len(v) for v in tok.values()) / n
+    qterms = sorted(set(t.lower() for t in terms))
+    dfreq = {t: sum(1 for v in tok.values() if t in v) for t in qterms}
+    out = {}
+    for d, v in tok.items():
+        s = 0.0
+        for t in qterms:
+            tf = v.count(t)
+            if not tf or not dfreq[t]:
+                continue
+            idf = math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        if s > 0.0:
+            out[d] = s
+    return out

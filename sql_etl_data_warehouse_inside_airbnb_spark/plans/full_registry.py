@@ -46,6 +46,7 @@ import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_graph  # noqa: 
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_io  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_more  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r4  # noqa: F401
+import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_search  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_surface  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_tpch  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_wide  # noqa: F401
@@ -160,6 +161,7 @@ _PRIORITY = [
     # additions first (the s16 quoting probe leads — it certifies the
     # round-4 RFC-4180 sink/scan fix; then registry_r4.py's families).
     "s16_multiline_csv_roundtrip",
+    "ext_keyword_search", "ext_inverted_index", "g5_triangle_count",
     "e5_sessionization", "e6_attribution_last_touch",
     "ts2_resample_ohlc", "ext_hashed_linear_score",
     "ext_source_mixture", "j25_grid_distance_join",
@@ -177,8 +179,9 @@ _PRIORITY = [
     "ext_multimodal_embed_ann", "stream_dedup_ingest",
     "stream_static_enrich", "a34_corr_components",
     # rows-only entries last (engine-specific hashes / library paths /
-    # sketch internals)
+    # sketch internals / float-iterative)
     "ext_dedup_minhash", "ext_dedup_simhash", "ext_ann_ivf_topk",
+    "ext_bm25_topk", "g6_pagerank",
 ]
 
 

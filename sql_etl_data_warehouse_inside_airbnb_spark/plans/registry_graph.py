@@ -50,8 +50,8 @@ _FP_SQL = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
          "with pointer halving (O(log diameter) rounds, each one "
          "equi-join + one map-side-combinable min agg, "
          "localCheckpoint'd to stop lineage blowup); convergence is "
-         "detected by the monotone label-sum, one scalar agg per "
-         "round. The oracle is the transitive-closure recursive CTE — "
+         "an exact type-agnostic changed-label probe (join + limit 1) "
+         "per round. The oracle is the transitive-closure recursive CTE — "
          "O(component²) row pairs, fine at test scale, exactly what "
          "the distributed formulation avoids at 100 TB. Edge "
          "derivation is an equi-join on doc_id+1, not a global-order "

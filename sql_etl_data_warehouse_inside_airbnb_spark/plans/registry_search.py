@@ -1,0 +1,155 @@
+"""Text-retrieval and graph-analytics queries (round 4): inverted
+index, conjunctive keyword search, BM25 ranking, triangle counting,
+and PageRank.
+
+The reference's only text predicate is LIKE (P11, SURVEY §2.2); a
+training-data platform needs lexical retrieval over the corpus
+(triage queries, decontamination lookups, eval-set mining) and graph
+health metrics over the similarity graphs its dedup stage produces.
+Integer-exact operators (keyword search, index stats, triangle count)
+are oracle-paired; the float-iterative/log-based ones (BM25,
+PageRank) are rows-only and pinned against independent Python models
+in tests/test_search_graph2.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sql_etl_data_warehouse_inside_airbnb_spark.operators.graph import (
+    pagerank,
+    triangle_count,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.operators.search import (
+    bm25_topk,
+    build_inverted_index,
+    keyword_search,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
+    register,
+    t,
+)
+
+# shared DuckDB tokenization mirror of operators/search.py:tokens
+_TOK_SQL = """
+  SELECT doc_id, tt.term
+  FROM documents, UNNEST(string_split_regex(lower(trim(text)), '\\s+'))
+       AS tt(term)
+  WHERE tt.term <> ''"""
+
+
+@register(
+    "ext_keyword_search",
+    f"""WITH tok AS ({_TOK_SQL} AND tt.term IN ('spark','window','merge')),
+       tf AS (SELECT doc_id, term, count(*) AS tf
+              FROM tok GROUP BY doc_id, term)
+       SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score
+       FROM tf GROUP BY doc_id
+       HAVING count(DISTINCT term) = 3
+       ORDER BY score DESC, doc_id LIMIT 20""",
+    survey="§7.5 retrieval ext (beyond P11 LIKE)",
+    note="conjunctive AND keyword search, ranked by total query-term "
+         "frequency (integer-exact, engine-portable) with doc_id "
+         "tiebreak (operators/search.py:keyword_search). The term "
+         "filter runs INSIDE the token array before the explode, so "
+         "shuffle fan-out is |matches| not |corpus tokens|; one "
+         "map-side-combinable (doc,term) aggregate + a grouped "
+         "conjunction test; top-k is TakeOrderedAndProject")
+def ext_keyword_search(spark, sf_dir):
+    return keyword_search(t(spark, sf_dir, "documents"), "doc_id",
+                          "text", ["spark", "window", "merge"], k=20)
+
+
+@register(
+    "ext_inverted_index",
+    f"""WITH tok AS ({_TOK_SQL}),
+       tf AS (SELECT doc_id, term, count(*) AS tf
+              FROM tok GROUP BY doc_id, term)
+       SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
+              CAST(sum(tf) AS BIGINT) AS total_tf,
+              min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       FROM tf GROUP BY term""",
+    survey="§7.5 retrieval ext",
+    note="inverted-index term dictionary: doc_freq/total_tf/posting "
+         "bounds per term (operators/search.py:build_inverted_index). "
+         "The postings relation itself is the (doc,term,tf) "
+         "intermediate, kept term-shuffled — the dictionary is the "
+         "part that must fit per-term on one reducer; two "
+         "map-side-combinable aggregates, no UDF")
+def ext_inverted_index(spark, sf_dir):
+    return build_inverted_index(t(spark, sf_dir, "documents"),
+                                "doc_id", "text")
+
+
+@register(
+    "ext_bm25_topk", None,
+    survey="§7.5 retrieval ext",
+    note="Okapi BM25 top-20 (operators/search.py:bm25_topk), Lucene "
+         "idf form; ln-based scores are engine-specific so the "
+         "driver check is rows-only — the exact scores are pinned "
+         "against an independent Python model in "
+         "tests/test_search_graph2.py:test_bm25_matches_independent_"
+         "model. N/avgdl ride a 1-row broadcast cross join "
+         "(plan-audit allowlisted), df_t a broadcast join on the "
+         "query-term dictionary; the one corpus-sized shuffle is the "
+         "(doc,term) aggregate")
+def ext_bm25_topk(spark, sf_dir):
+    out = bm25_topk(t(spark, sf_dir, "documents"), "doc_id", "text",
+                    ["spark", "window", "merge"], k=20)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "g5_triangle_count",
+    """WITH e AS (
+         SELECT a.doc_id AS u, b.doc_id AS v
+         FROM documents a JOIN documents b
+           ON (b.doc_id = a.doc_id + 1 OR b.doc_id = a.doc_id + 2)
+          AND b.lang = a.lang),
+       und AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+               FROM e WHERE u <> v)
+       SELECT CAST(count(*) AS BIGINT) AS n_triangles
+       FROM und e1
+       JOIN und e2 ON e2.u = e1.v
+       JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v""",
+    survey="§7.5 graph ext (dedup-cluster health)",
+    note="global triangle count via the Suri/Vassilvitskii degree-"
+         "ordered DAG (operators/graph.py:triangle_count): every "
+         "edge directed low->high (degree, id), wedges a->b->c "
+         "closed by a->c — two equi-joins, worst reducer bounded "
+         "O(sqrt(m)) instead of hub-degree^2. Edges: same-lang "
+         "doc_id+1/+2 successors, so same-lang runs of >=3 docs "
+         "form triangles (non-vacuous). Oracle is the canonical "
+         "a<b<c 3-way join — fine at test scale, exactly the "
+         "hub-explosive plan the Spark side avoids")
+def g5_triangle_count(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    a, b = d.alias("a"), d.alias("b")
+    edges = (a.join(b, ((F.col("b.doc_id") == F.col("a.doc_id") + 1)
+                        | (F.col("b.doc_id") == F.col("a.doc_id") + 2))
+                    & (F.col("b.lang") == F.col("a.lang")))
+             .select(F.col("a.doc_id").alias("src"),
+                     F.col("b.doc_id").alias("dst")))
+    return triangle_count(edges)
+
+
+@register(
+    "g6_pagerank", None,
+    survey="§7.5 graph ext (iterative)",
+    note="PageRank (operators/graph.py:pagerank) over the same-lang "
+         "successor graph — the canonical iterative-join workload: "
+         "per round one contributions join + one destination "
+         "aggregate, dangling mass redistributed, rounds "
+         "localCheckpoint'd, L1-delta convergence. Float-iterative "
+         "=> rows-only driver check; a hand-solvable 2-cycle/star "
+         "and the sum(rank)=1 invariant are pinned in "
+         "tests/test_search_graph2.py:test_pagerank_cycle_and_star")
+def g6_pagerank(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    a, b = d.alias("a"), d.alias("b")
+    edges = (a.join(b, (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+                    & (F.col("b.lang") == F.col("a.lang")))
+             .select(F.col("a.doc_id").alias("src"),
+                     F.col("b.doc_id").alias("dst")))
+    out = pagerank(edges, max_iterations=20)
+    return out.select("node", F.round("rank", 8).alias("rank"))

@@ -44,6 +44,8 @@ NESTED_LOOP_OK = {
     "ext_multimodal_embed_ann": "BroadcastNestedLoopJoin",
     # broadcast 1-row global-latest timestamp
     "x7_freshness_report": "BroadcastNestedLoopJoin",
+    # broadcast 1-row (N, avgdl) corpus stats for BM25
+    "ext_bm25_topk": "BroadcastNestedLoopJoin",
 }
 ROW_PYTHON_OK = {
     "u6_udtf_tokenize": "BatchEvalPython",

@@ -1,0 +1,100 @@
+"""Retrieval operators (inverted index / keyword search / BM25) and
+the round-4 graph additions (triangle count, PageRank)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_etl_data_warehouse_inside_airbnb_spark.operators.graph import (
+    pagerank,
+    triangle_count,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.operators.search import (
+    bm25_score_py,
+    bm25_topk,
+    build_inverted_index,
+    keyword_search,
+)
+
+DOCS = [
+    (1, "spark joins data with spark shuffles"),
+    (2, "spark window functions over data"),
+    (3, "window data data data"),
+    (4, "nothing relevant here"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_keyword_search_conjunctive_exact(spark):
+    got = keyword_search(_docs(spark), "doc_id", "text",
+                         ["spark", "data"]).collect()
+    # doc 1: spark*2 + data*1 = 3; doc 2: 1+1 = 2; doc 3 lacks spark
+    assert [(r.doc_id, r.score) for r in got] == [(1, 3), (2, 2)]
+    # single-term search includes doc 3, ranked by tf then id
+    got2 = keyword_search(_docs(spark), "doc_id", "text", ["data"])
+    assert [(r.doc_id, r.score) for r in got2.collect()] \
+        == [(3, 3), (1, 1), (2, 1)]
+    with pytest.raises(ValueError):
+        keyword_search(_docs(spark), "doc_id", "text", [])
+
+
+def test_inverted_index_stats(spark):
+    idx = {r.term: r for r in
+           build_inverted_index(_docs(spark), "doc_id", "text").collect()}
+    assert (idx["spark"].doc_freq, idx["spark"].total_tf) == (2, 3)
+    assert (idx["data"].doc_freq, idx["data"].total_tf) == (3, 5)
+    assert (idx["data"].first_doc, idx["data"].last_doc) == (1, 3)
+
+
+def test_bm25_matches_independent_model(spark):
+    docs = {d: t for d, t in DOCS}
+    want = bm25_score_py(docs, ["spark", "data"])
+    got = {r.doc_id: r.score for r in
+           bm25_topk(_docs(spark), "doc_id", "text",
+                     ["spark", "data"], k=10).collect()}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-9)
+    # ranking: doc1 (spark twice) above doc2; doc3 matches data only
+    order = [r.doc_id for r in
+             bm25_topk(_docs(spark), "doc_id", "text",
+                       ["spark", "data"], k=2).collect()]
+    assert order[0] == 1 and len(order) == 2
+
+
+def _tri(spark, edge_list):
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    return triangle_count(edges).collect()[0].n_triangles
+
+
+def test_triangle_count_shapes(spark):
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert _tri(spark, k4) == 4
+    square = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    assert _tri(spark, square) == 0
+    assert _tri(spark, square + [(0, 2)]) == 2
+    # duplicate/reversed/self-loop edges don't inflate the count
+    messy = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (0, 1)]
+    assert _tri(spark, messy) == 1
+
+
+def test_pagerank_cycle_and_star(spark):
+    # 2-cycle: symmetric, each rank 0.5
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(cyc).collect()}
+    assert got[1] == pytest.approx(0.5, abs=1e-4)
+    assert got[2] == pytest.approx(0.5, abs=1e-4)
+
+    # star into a hub (+ dangling hub): hub must outrank the leaves,
+    # ranks sum to 1
+    star = spark.createDataFrame([(i, 0) for i in range(1, 5)],
+                                 "src long, dst long")
+    ranks = {r.node: r.rank for r in pagerank(star).collect()}
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-6)
+    assert ranks[0] > max(ranks[i] for i in range(1, 5))
+    leaf = [ranks[i] for i in range(1, 5)]
+    assert max(leaf) - min(leaf) < 1e-9
