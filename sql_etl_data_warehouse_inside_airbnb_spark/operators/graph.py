@@ -147,6 +147,12 @@ def triangle_count(edges: DataFrame, src: str = "src",
                          | ((F.col("du") == F.col("dv"))
                             & (F.col("u") < F.col("v"))),
                          F.col("v")).otherwise(F.col("u")).alias("b")))
+    # the directed edge relation feeds THREE join inputs — persist it
+    # so the edge-derivation subtree (dedup + two degree joins) runs
+    # once, not three times (.explain showed triple recomputation)
+    from pyspark import StorageLevel
+
+    ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
     e1 = ranked.select(F.col("a"), F.col("b"))
     e2 = ranked.select(F.col("a").alias("b"), F.col("b").alias("c"))
     wedges = e1.join(e2, "b").select("a", "b", "c")
@@ -172,14 +178,16 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     pytest pins a hand-solvable graph and the Σrank=1 invariant.
     """
     sym = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-           .filter(F.col("s").isNotNull() & F.col("d").isNotNull()))
+           .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+           .localCheckpoint(eager=True))  # re-joined every round
     nodes = (sym.select(F.col("s").alias("node"))
              .unionAll(sym.select(F.col("d").alias("node")))
              .distinct().localCheckpoint(eager=True))
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    outdeg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("outd"))
+    outdeg = (sym.groupBy("s").agg(F.count(F.lit(1)).alias("outd"))
+              .localCheckpoint(eager=True))  # re-joined every round
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(max_iterations):
         with_deg = (ranks.join(outdeg, ranks["node"] == outdeg["s"],
