@@ -149,16 +149,25 @@ def triangle_count(edges: DataFrame, src: str = "src",
                          F.col("v")).otherwise(F.col("u")).alias("b")))
     # the directed edge relation feeds THREE join inputs — persist it
     # so the edge-derivation subtree (dedup + two degree joins) runs
-    # once, not three times (.explain showed triple recomputation)
+    # once, not three times (.explain showed triple recomputation).
+    # The result is one scalar, so compute it EAGERLY and unpersist:
+    # returning a lazy plan over the cache would leak an |edges|-sized
+    # block per invocation with no caller handle to release it.
     from pyspark import StorageLevel
 
     ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
-    e1 = ranked.select(F.col("a"), F.col("b"))
-    e2 = ranked.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    wedges = e1.join(e2, "b").select("a", "b", "c")
-    closing = ranked.select(F.col("a"), F.col("b").alias("c"))
-    tri = wedges.join(closing, ["a", "c"], "inner")
-    return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    try:
+        e1 = ranked.select(F.col("a"), F.col("b"))
+        e2 = ranked.select(F.col("a").alias("b"),
+                           F.col("b").alias("c"))
+        wedges = e1.join(e2, "b").select("a", "b", "c")
+        closing = ranked.select(F.col("a"), F.col("b").alias("c"))
+        tri = wedges.join(closing, ["a", "c"], "inner")
+        n_tri = tri.agg(F.count(F.lit(1)).alias("n")).collect()[0][0]
+    finally:
+        ranked.unpersist()
+    spark = edges.sparkSession
+    return spark.createDataFrame([(int(n_tri),)], "n_triangles bigint")
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -190,27 +199,35 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
               .localCheckpoint(eager=True))  # re-joined every round
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(max_iterations):
+        # checkpointed once per round: both the dangling aggregate and
+        # the contributions join read it, and checkpointing keeps the
+        # ranks-outdeg join from evaluating twice
         with_deg = (ranks.join(outdeg, ranks["node"] == outdeg["s"],
                                "left")
-                    .select("node", "rank", "outd"))
-        # dangling nodes (no out-edges) spread their mass uniformly
-        dangling = (with_deg.filter(F.col("outd").isNull())
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                    .collect()[0][0])
+                    .select("node", "rank", "outd")
+                    .localCheckpoint(eager=True))
+        # dangling nodes (no out-edges) spread their mass uniformly —
+        # folded into the lineage as a 1-row broadcast (the bm25 N/
+        # avgdl pattern), NOT a driver collect per round
+        dang = (with_deg.filter(F.col("outd").isNull())
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                     .alias("__dang")))
         contrib = (sym.join(with_deg.filter(F.col("outd").isNotNull()),
                             sym["s"] == F.col("node"))
                    .select(F.col("d").alias("node"),
                            (F.col("rank") / F.col("outd"))
                            .alias("c")))
-        base = (1.0 - damping) / n + damping * dangling / n
         new_ranks = (nodes.join(
             contrib.groupBy("node").agg(F.sum("c").alias("cs")),
             "node", "left")
+            .crossJoin(F.broadcast(dang))
             .select("node",
-                    (F.lit(base)
+                    (F.lit((1.0 - damping) / n)
+                     + F.lit(damping) * F.col("__dang") / F.lit(float(n))
                      + F.lit(damping) * F.coalesce("cs", F.lit(0.0)))
                     .alias("rank"))
             .localCheckpoint(eager=True))
+        # the one scalar action per round: L1 convergence probe
         delta = (new_ranks.join(
             ranks.select("node", F.col("rank").alias("prev")), "node")
             .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))))

@@ -35,12 +35,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# Java regex \s is exactly [ \t\n\x0B\f\r]; RE2 (the DuckDB oracle
+# engine) \s EXCLUDES \x0B — spell the class out so both engines
+# tokenize identically by construction (a \x0B in a document would
+# otherwise split on one side only and flip the oracle row set)
+WHITESPACE_RE = "[ \\t\\n\\x0B\\f\\r]+"
+
+
 def tokens(text_col: Column | str) -> Column:
-    """Lowercased whitespace tokens, empties dropped — the same
-    tokenization the curation/quality ladder uses, expressed so the
-    DuckDB oracle can mirror it with string_split_regex."""
+    """Lowercased whitespace tokens, empties dropped, using the
+    engine-portable explicit whitespace class ``WHITESPACE_RE`` so
+    the DuckDB oracle can mirror it with string_split_regex."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.filter(F.split(F.lower(F.trim(c)), r"\s+", -1),
+    return F.filter(F.split(F.lower(F.trim(c)), WHITESPACE_RE, -1),
                     lambda t: F.length(t) > 0)
 
 

@@ -29,6 +29,27 @@ from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
 _FP_SQL = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
 
 
+def successor_edges(d, steps=(1,)):
+    """Same-lang successor edges (doc_id -> doc_id + step), derived as
+    ONE equi-join whose keys are (doc_id + step, lang) — the step
+    explodes on the probe side so Catalyst extracts a full composite
+    hash key. Never write this as an OR of doc_id equalities: the OR
+    can't be extracted as an equi-key and the join degrades to a hash
+    join on bare low-cardinality ``lang`` with the doc_id test as a
+    residual — O((N/|langs|)²) probe work, the exact hot-key shape the
+    plan audit's bucketing note forbids."""
+    a = d.select(F.col("doc_id"), F.col("lang"),
+                 F.explode(F.array(*[F.lit(int(s)) for s in steps]))
+                 .alias("__step"))
+    b = d.select(F.col("doc_id").alias("__dst_id"),
+                 F.col("lang").alias("__dst_lang"))
+    return (a.join(b, (F.col("__dst_id")
+                       == F.col("doc_id") + F.col("__step"))
+                   & (F.col("__dst_lang") == F.col("lang")))
+            .select(F.col("doc_id").alias("src"),
+                    F.col("__dst_id").alias("dst")))
+
+
 @register(
     "g1_connected_components",
     """WITH RECURSIVE e AS (
@@ -61,12 +82,7 @@ def g1_connected_components(spark, sf_dir):
         connected_components,
     )
     d = t(spark, sf_dir, "documents").select("doc_id", "lang")
-    a, b = d.alias("a"), d.alias("b")
-    edges = (a.join(b, (F.col("b.doc_id") == F.col("a.doc_id") + 1)
-                    & (F.col("b.lang") == F.col("a.lang")))
-             .select(F.col("a.doc_id").alias("src"),
-                     F.col("b.doc_id").alias("dst")))
-    return connected_components(edges)
+    return connected_components(successor_edges(d))
 
 
 @register(

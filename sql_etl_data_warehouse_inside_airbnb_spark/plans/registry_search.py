@@ -30,11 +30,14 @@ from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
     t,
 )
 
-# shared DuckDB tokenization mirror of operators/search.py:tokens
+# shared DuckDB tokenization mirror of operators/search.py:tokens —
+# the explicit [ \t\n\x0B\f\r] class, NOT '\s' (Java \s matches \x0B,
+# RE2 \s does not; the class makes both engines identical)
 _TOK_SQL = """
   SELECT doc_id, tt.term
-  FROM documents, UNNEST(string_split_regex(lower(trim(text)), '\\s+'))
-       AS tt(term)
+  FROM documents,
+       UNNEST(string_split_regex(lower(trim(text)),
+                                 '[ \\t\\n\\x0b\\f\\r]+')) AS tt(term)
   WHERE tt.term <> ''"""
 
 
@@ -123,14 +126,11 @@ def ext_bm25_topk(spark, sf_dir):
          "a<b<c 3-way join — fine at test scale, exactly the "
          "hub-explosive plan the Spark side avoids")
 def g5_triangle_count(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_graph \
+        import successor_edges
+
     d = t(spark, sf_dir, "documents").select("doc_id", "lang")
-    a, b = d.alias("a"), d.alias("b")
-    edges = (a.join(b, ((F.col("b.doc_id") == F.col("a.doc_id") + 1)
-                        | (F.col("b.doc_id") == F.col("a.doc_id") + 2))
-                    & (F.col("b.lang") == F.col("a.lang")))
-             .select(F.col("a.doc_id").alias("src"),
-                     F.col("b.doc_id").alias("dst")))
-    return triangle_count(edges)
+    return triangle_count(successor_edges(d, steps=(1, 2)))
 
 
 @register(
@@ -145,11 +145,9 @@ def g5_triangle_count(spark, sf_dir):
          "and the sum(rank)=1 invariant are pinned in "
          "tests/test_search_graph2.py:test_pagerank_cycle_and_star")
 def g6_pagerank(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_graph \
+        import successor_edges
+
     d = t(spark, sf_dir, "documents").select("doc_id", "lang")
-    a, b = d.alias("a"), d.alias("b")
-    edges = (a.join(b, (F.col("b.doc_id") == F.col("a.doc_id") + 1)
-                    & (F.col("b.lang") == F.col("a.lang")))
-             .select(F.col("a.doc_id").alias("src"),
-                     F.col("b.doc_id").alias("dst")))
-    out = pagerank(edges, max_iterations=20)
+    out = pagerank(successor_edges(d), max_iterations=20)
     return out.select("node", F.round("rank", 8).alias("rank"))
