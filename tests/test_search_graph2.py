@@ -98,3 +98,29 @@ def test_pagerank_cycle_and_star(spark):
     assert ranks[0] > max(ranks[i] for i in range(1, 5))
     leaf = [ranks[i] for i in range(1, 5)]
     assert max(leaf) - min(leaf) < 1e-9
+
+
+def test_successor_edges_composite_join_key(spark, sf_dir):
+    """The edge derivation must join on the COMPOSITE (doc_id + step,
+    lang) key. If the doc_id arithmetic ever regresses into a residual
+    filter (e.g. an OR of equalities), the join degrades to a hash
+    join on bare low-cardinality lang — O((N/|langs|)^2) probe work at
+    scale (the round-4 review finding)."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_graph \
+        import successor_edges
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        read_table,
+    )
+    import re
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    plan = (successor_edges(d, steps=(1, 2))
+            ._jdf.queryExecution().executedPlan().toString())
+    joins = [ln for ln in plan.splitlines() if "HashJoin" in ln
+             or "SortMergeJoin" in ln]
+    assert joins, plan
+    m = re.search(r"Join \[([^\]]*)\], \[([^\]]*)\]", joins[0])
+    assert m, joins[0]
+    left_cols = set(re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+",
+                               m.group(1)))
+    assert "doc_id" in left_cols and "lang" in left_cols, joins[0]
