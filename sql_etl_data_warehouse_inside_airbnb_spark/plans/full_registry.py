@@ -162,6 +162,7 @@ _PRIORITY = [
     # round-4 RFC-4180 sink/scan fix; then registry_r4.py's families).
     "s16_multiline_csv_roundtrip",
     "ext_keyword_search", "ext_inverted_index", "g5_triangle_count",
+    "stream_interval_join_outer",
     "e5_sessionization", "e6_attribution_last_touch",
     "ts2_resample_ohlc", "ext_hashed_linear_score",
     "ext_source_mixture", "j25_grid_distance_join",

@@ -431,6 +431,43 @@ def stream_interval_join(spark, sf_dir):
 
 
 @register(
+    "stream_interval_join_outer",
+    """SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id
+       FROM (SELECT * FROM events WHERE event_type = 'view') a
+       LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+         ON a.user_id = b.user_id
+        AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR""",
+    survey="§2.9/§7.5 streaming (outer stream-stream join)",
+    note="left-outer variant of the stream-stream interval join "
+         "(streaming/joins.py:interval_join how='left_outer'): views "
+         "with NO purchase inside the hour survive with NULL "
+         "purchase_id. In streaming, outer rows emit only when the "
+         "watermark passes view_ts + span (no partner can still "
+         "arrive) — the state-eviction semantics that distinguish "
+         "this operator class from the inner join; stream==batch "
+         "equivalence incl. the NULL rows is pinned in "
+         "tests/test_streaming_joins.py. The right key renames before "
+         "the join: in a self-join drop(right[key]) can resolve to "
+         "the LEFT attribute and silently keep the NULL-for-unmatched "
+         "right key (found by the outer-join test)")
+def stream_interval_join_outer(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.streaming.joins import (
+        interval_join,
+    )
+    ev = t(spark, sf_dir, "events")
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts")))
+    return (interval_join(views, purchases, key="user_id",
+                          left_ts="view_ts", right_ts="purchase_ts",
+                          max_span="1 hour", how="left_outer")
+            .select("user_id", "view_id", "purchase_id"))
+
+
+@register(
     "j19_star_join_rollup",
     """SELECT r.r_name AS region, CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
               CAST(COUNT(*) AS BIGINT) AS n_items,

@@ -32,22 +32,35 @@ from pyspark.sql import functions as F
 
 def interval_join(left: DataFrame, right: DataFrame, key: str,
                   left_ts: str, right_ts: str,
-                  max_span: str = "1 hour") -> DataFrame:
-    """Inner interval join: ``right_ts`` in ``[left_ts, left_ts+span)``.
+                  max_span: str = "1 hour",
+                  how: str = "inner") -> DataFrame:
+    """Interval join: ``right_ts`` in ``[left_ts, left_ts+span)``.
 
     ``left`` and ``right`` must not share column names other than
     ``key`` (rename timestamps/payloads first) — the survivor columns
     of both sides are returned.
+
+    ``how="left_outer"`` keeps unmatched left rows with NULL right
+    columns. In streaming mode this is the join whose semantics the
+    watermark defines: an unmatched left row is emitted only once the
+    watermark passes ``left_ts + span`` (no partner can still arrive),
+    so the outer rows trail the inner ones by the watermark delay —
+    batch equivalence still holds once the stream drains (pinned in
+    tests/test_streaming_joins.py).
     """
     overlap = set(left.columns) & set(right.columns) - {key}
     if overlap:
         raise ValueError(f"disambiguate shared columns first: {overlap}")
-    cond = ((left[key] == right[key]) &
-            (right[right_ts] >= left[left_ts]) &
-            (right[right_ts] < left[left_ts] + F.expr(f"INTERVAL {max_span}")))
-    joined = left.join(right, cond, "inner")
-    # keep ONE key column (either side's works — inner equi on the key)
-    return joined.drop(right[key])
+    # rename the right key BEFORE joining: both sides often derive
+    # from the same source (self-join), where drop(right[key]) can
+    # resolve to the left attribute and silently keep the RIGHT key —
+    # NULL for unmatched outer rows. A renamed column is unambiguous.
+    rkey = "__ij_rkey"
+    r2 = right.withColumnRenamed(key, rkey)
+    cond = ((F.col(key) == F.col(rkey)) &
+            (r2[right_ts] >= left[left_ts]) &
+            (r2[right_ts] < left[left_ts] + F.expr(f"INTERVAL {max_span}")))
+    return left.join(r2, cond, how).drop(rkey)
 
 
 def static_enrich(events: DataFrame, dim: DataFrame, on,

@@ -121,3 +121,72 @@ def test_stream_static_enrich_equals_batch(spark, tmp_path):
     got = {(r.event_id, r.segment)
            for r in spark.sql("SELECT * FROM sse").collect()}
     assert got == expected
+
+
+def test_stream_interval_join_left_outer_equals_batch(spark, tmp_path):
+    """Left-outer stream-stream interval join: unmatched views emit
+    with NULL purchase_id once the watermark passes view_ts + span.
+    A far-future sentinel event advances the watermark past every
+    view under test so the outer rows flush before the stream ends."""
+    def _outer(events):
+        views = (events.filter(F.col("event_type") == "view")
+                 .select("user_id", F.col("event_id").alias("view_id"),
+                         F.col("ts").alias("view_ts")))
+        purchases = (events.filter(F.col("event_type") == "purchase")
+                     .select("user_id",
+                             F.col("event_id").alias("purchase_id"),
+                             F.col("ts").alias("purchase_ts")))
+        return interval_join(
+            with_watermark(views, "view_ts", "30 minutes"),
+            with_watermark(purchases, "purchase_ts", "30 minutes"),
+            key="user_id", left_ts="view_ts", right_ts="purchase_ts",
+            max_span="1 hour", how="left_outer")
+
+    rows_b3 = [(99, _t(23, 0), 99, "view", 0.0, "{}")]  # watermark push
+    src_dir = str(tmp_path / "osrc")
+    os.makedirs(src_dir)
+    for i, rows in enumerate([ROWS_BATCH1, ROWS_BATCH2, rows_b3]):
+        stage = os.path.join(str(tmp_path), f"ostage{i}")
+        spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dest = os.path.join(src_dir, f"{i}.parquet")
+        shutil.copyfile(part, dest)
+        os.utime(dest, (1_000_000_000 + i * 100,) * 2)
+
+    batch_df = spark.read.parquet(src_dir).filter("user_id != 99")
+    expected = {(r.user_id, r.view_id, r.purchase_id)
+                for r in _outer(batch_df).collect()}
+    # the three matches plus NO unmatched views in this fixture —
+    # every view has a partner; make sure the fixture isn't vacuous
+    # by checking a view-only user appears with NULL purchase
+    assert expected == {(1, 1, 2), (2, 4, 5), (3, 6, 7)}
+
+    # add an unmatched view for user 4 (no purchase ever)
+    extra = [(9, _t(10, 10), 4, "view", 1.0, "{}")]
+    stage = os.path.join(str(tmp_path), "ostage_x")
+    spark.createDataFrame(extra, SCHEMA).coalesce(1) \
+        .write.mode("overwrite").parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    dest = os.path.join(src_dir, "0b.parquet")
+    shutil.copyfile(part, dest)
+    os.utime(dest, (1_000_000_050,) * 2)
+
+    batch_df = spark.read.parquet(src_dir).filter("user_id != 99")
+    expected = {(r.user_id, r.view_id, r.purchase_id)
+                for r in _outer(batch_df).collect()}
+    assert (4, 9, None) in expected
+
+    stream = (spark.readStream.schema(spark.read.parquet(src_dir).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    q = (_outer(stream)
+         .writeStream.format("memory").queryName("ssjo")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ockpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(180)
+    got = {(r.user_id, r.view_id, r.purchase_id)
+           for r in spark.sql(
+               "SELECT * FROM ssjo WHERE user_id != 99").collect()}
+    assert got == expected
