@@ -307,3 +307,136 @@ def ivf_topk(df: DataFrame, query: DataFrame, k: int = 10,
             .select(F.col(key_col), sim.alias("cosine"))
             .orderBy(F.col("cosine").desc(), F.col(key_col))
             .limit(k))
+
+
+def fit_pq_codebooks(df: DataFrame, vec_col: str = "embedding",
+                     m: int = 8, n_codes: int = 16, seed: int = 42,
+                     sample_rows: int = 4096, iters: int = 12):
+    """Train product-quantization codebooks OFFLINE: split the vector
+    into ``m`` contiguous subspaces and k-means each to ``n_codes``
+    centroids (Jégou/Douze/Schmid, "Product Quantization for Nearest
+    Neighbor Search", TPAMI'11).
+
+    Training runs seeded Lloyd iterations on a driver-side sample
+    (``sample_rows`` rows) — codebooks are a few KB and PQ training on
+    a sample is the published practice; like the IVF quantizer, the
+    fit is an INDEX BUILD and must never sit on the query path.
+    Vectors are L2-normalized before subspace split so the ADC inner
+    product approximates cosine. Returns a plain nested list
+    ``codebooks[m][n_codes][dim/m]`` — broadcastable, no model object.
+    """
+    import numpy as np
+
+    rows = (df.select(as_double(F.col(vec_col)).alias("v"))
+            .limit(sample_rows).collect())
+    x = np.array([r.v for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    x = x / norms
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for j in range(m):
+        xs = x[:, j * sub:(j + 1) * sub]
+        cent = xs[rng.choice(len(xs), size=n_codes, replace=False)]
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = xs[mask].mean(axis=0)
+        books.append(cent.tolist())
+    return books
+
+
+def pq_encode(df: DataFrame, key_col: str, vec_col: str,
+              codebooks) -> DataFrame:
+    """Encode every vector to its ``m`` nearest-subspace-centroid code
+    (key, codes array<int>) — 64-dim float32 becomes m small ints,
+    the ~16-64x memory compression that makes a 100 TB embedding
+    table probe-able from RAM.
+
+    Arrow-vectorized pandas UDF (numpy argmin per subspace batch);
+    the codebooks ride the closure (a few KB). Vectors L2-normalize
+    before encoding, matching the fit."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    books = np.array(codebooks, dtype=np.float64)  # m x n_codes x sub
+    m, _, sub = books.shape
+
+    def _enc_batch(vs):
+        x = np.array(vs.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        x = x / norms
+        out = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            xs = x[:, j * sub:(j + 1) * sub]
+            d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(out))
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pyspark can't resolve function-local `pd`
+    _enc = pandas_udf(_enc_batch, "array<int>")
+
+    return df.select(F.col(key_col),
+                     _enc(as_double(F.col(vec_col))).alias("codes"))
+
+
+def pq_topk(df: DataFrame, query: DataFrame, codebooks, k: int = 10,
+            key_col: str = "vec_id", vec_col: str = "embedding",
+            rerank: int = 0, codes: DataFrame | None = None) -> DataFrame:
+    """PQ asymmetric-distance top-k: the query stays EXACT, each
+    corpus vector is its code word, and the score is a table lookup —
+    ``score(D) = Σ_j LUT[j][code_j]`` where ``LUT[j][c] = q_j · C[j][c]``
+    (inner product against the L2-normalized reconstruction ≈ cosine).
+
+    The LUT (m × n_codes doubles) compiles into the plan as a literal
+    nested array, so scoring is one ``aggregate`` column expression
+    inside whole-stage codegen over the codes table — no vectors are
+    read at probe time at all. ``rerank=N`` takes the top N by ADC and
+    exact-cosine re-ranks them against the raw vectors (the standard
+    two-stage probe); 0 returns pure ADC order. Pass a pre-encoded
+    ``codes`` frame to skip re-encoding (the production shape: encode
+    once at ingest, probe many)."""
+    import math as _math
+
+    books = codebooks
+    m = len(books)
+    if codes is None:
+        codes = pq_encode(df, key_col, vec_col, books)
+
+    qv = query.select(as_double(F.col(vec_col)).alias("q")).first()["q"]
+    qn = _math.sqrt(sum(x * x for x in qv)) or 1.0
+    sub = len(qv) // m
+    lut = F.array(*[
+        F.array(*[
+            F.lit(sum(qv[j * sub + t] * c[t] for t in range(sub)) / qn)
+            for c in books[j]])
+        for j in range(m)])
+
+    score = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)), F.lit(0.0),
+        lambda acc, i: acc + F.element_at(
+            F.element_at(lut, i.cast("int")),
+            F.element_at(F.col("codes"), i.cast("int")) + F.lit(1)))
+    adc = (codes.select(F.col(key_col), score.alias("adc"))
+           .orderBy(F.desc("adc"), F.col(key_col)))
+    if not rerank:
+        return adc.limit(k)
+    cand = adc.limit(max(rerank, k)).select(key_col, "adc")
+    vecs = df.select(F.col(key_col),
+                     as_double(F.col(vec_col)).alias("__v"))
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    exact = (cand.join(vecs, key_col)
+             .select(F.col(key_col),
+                     F.round(cosine(F.col("__v"), qlit), 6)
+                     .alias("cosine")))
+    return exact.orderBy(F.desc("cosine"), F.col(key_col)).limit(k)

@@ -182,7 +182,7 @@ _PRIORITY = [
     # rows-only entries last (engine-specific hashes / library paths /
     # sketch internals / float-iterative)
     "ext_dedup_minhash", "ext_dedup_simhash", "ext_ann_ivf_topk",
-    "ext_bm25_topk", "g6_pagerank",
+    "ext_bm25_topk", "g6_pagerank", "ext_ann_pq_topk",
 ]
 
 

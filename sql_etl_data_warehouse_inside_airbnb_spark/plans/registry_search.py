@@ -151,3 +151,41 @@ def g6_pagerank(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select("doc_id", "lang")
     out = pagerank(successor_edges(d), max_iterations=20)
     return out.select("node", F.round("rank", 8).alias("rank"))
+
+
+_PQ_BOOKS: dict = {}
+
+
+@register(
+    "ext_ann_pq_topk", None,
+    survey="§7.5 ANN ext (memory-scale path)",
+    note="product-quantization ANN with exact re-rank "
+         "(operators/similarity.py:pq_topk, Jégou'11): vectors encode "
+         "once to m=16 4-byte-subspace codes (16-64x memory "
+         "compression — what makes a 100 TB embedding table probe-able "
+         "from RAM), the query compiles to an m x n_codes inner-product "
+         "LUT embedded in the plan as a literal, and ADC scoring is one "
+         "aggregate column expression in whole-stage codegen over the "
+         "codes table; the top-50 ADC candidates exact-cosine re-rank. "
+         "Codebooks fit offline and cache per session+table (the IVF "
+         "model pattern — no training on the probe path). Scores are "
+         "float so the driver check is rows-only; recall@10 floors "
+         "(adc 0.47 / rerank 0.93 measured) are pinned in "
+         "tests/test_search_graph2.py:test_pq_topk_recall_floor")
+def ext_ann_pq_topk(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity \
+        import fit_pq_codebooks, pq_encode, pq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    cache_key = (id(spark), sf_dir)
+    books = _PQ_BOOKS.get(cache_key)
+    if books is None:
+        books = fit_pq_codebooks(emb, m=16, n_codes=16)
+        _PQ_BOOKS[cache_key] = books
+    query = emb.orderBy("vec_id").limit(1)
+    cand = emb.join(query.select("vec_id"), "vec_id", "left_anti")
+    codes = pq_encode(cand, "vec_id", "embedding", books)
+    out = pq_topk(cand, query, books, k=10, rerank=50, codes=codes,
+                  key_col="vec_id", vec_col="embedding")
+    from pyspark.sql import functions as FF
+    return out.select("vec_id", FF.round("cosine", 6).alias("cosine"))

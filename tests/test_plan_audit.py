@@ -59,6 +59,8 @@ ARROW_PYTHON_OK = {
     "ext_multimodal_video_meta": "MapInPandas",
     "ext_multimodal_embed_ann": "MapInPandas",  # real-parse featurize
     "u7_pandas_udaf_maxgap": "ArrowAggregatePython",
+    # PQ code assignment: numpy argmin per subspace, Arrow-batched
+    "ext_ann_pq_topk": "ArrowEvalPython",
 }
 
 NESTED_LOOP_NODES = ("BroadcastNestedLoopJoin", "CartesianProduct")

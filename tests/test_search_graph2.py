@@ -124,3 +124,45 @@ def test_successor_edges_composite_join_key(spark, sf_dir):
     left_cols = set(re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+",
                                m.group(1)))
     assert "doc_id" in left_cols and "lang" in left_cols, joins[0]
+
+
+def test_pq_topk_recall_floor(spark, sf_dir):
+    """Product quantization: ADC top-10 must recall most true cosine
+    neighbors, and ADC+exact-rerank must recall at least as many.
+    Also pins encode shape (m codes in [0, n_codes))."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity \
+        import fit_pq_codebooks, pq_encode, pq_topk
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity \
+        import brute_force_topk
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        read_table,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    # m=16 (4-dim subspaces) measured adc 0.47 / rerank 0.93 recall@10
+    # on this corpus; floors sit well below for kmeans seed jitter
+    books = fit_pq_codebooks(emb, m=16, n_codes=16)
+    assert len(books) == 16 and len(books[0]) == 16
+
+    enc = pq_encode(emb, "vec_id", "embedding", books)
+    row = enc.first()
+    assert len(row.codes) == 16
+    assert all(0 <= c < 16 for c in row.codes)
+
+    tot = adc_hit = rr_hit = 0
+    qids = [r[0] for r in emb.select("vec_id").limit(4).collect()]
+    for qid in qids:
+        q = emb.filter(F.col("vec_id") == qid)
+        cand = emb.filter(F.col("vec_id") != qid)
+        exact = {r.vec_id for r in
+                 brute_force_topk(cand, q, k=10).collect()}
+        adc = {r.vec_id for r in
+               pq_topk(cand, q, books, k=10).collect()}
+        rr = {r.vec_id for r in
+              pq_topk(cand, q, books, k=10, rerank=50).collect()}
+        tot += 10
+        adc_hit += len(exact & adc)
+        rr_hit += len(exact & rr)
+    assert adc_hit / tot >= 0.3, adc_hit / tot
+    assert rr_hit >= adc_hit
+    assert rr_hit / tot >= 0.7, rr_hit / tot
