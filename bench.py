@@ -68,6 +68,8 @@ HEADLINE = [
     "e5_sessionization",               # gap window + session groupBy
     "j25_grid_distance_join",          # cell-blocked spatial join
     "ext_tfidf_topterms",              # explode + df join + topk window
+    "ext_keyword_search",              # conjunctive retrieval (r4)
+    "ext_bm25_topk",                   # BM25 LUT scoring (r4)
 ]
 
 
