@@ -147,27 +147,21 @@ def triangle_count(edges: DataFrame, src: str = "src",
                          | ((F.col("du") == F.col("dv"))
                             & (F.col("u") < F.col("v"))),
                          F.col("v")).otherwise(F.col("u")).alias("b")))
-    # the directed edge relation feeds THREE join inputs — persist it
-    # so the edge-derivation subtree (dedup + two degree joins) runs
-    # once, not three times (.explain showed triple recomputation).
-    # The result is one scalar, so compute it EAGERLY and unpersist:
-    # returning a lazy plan over the cache would leak an |edges|-sized
-    # block per invocation with no caller handle to release it.
-    from pyspark import StorageLevel
-
-    ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        e1 = ranked.select(F.col("a"), F.col("b"))
-        e2 = ranked.select(F.col("a").alias("b"),
-                           F.col("b").alias("c"))
-        wedges = e1.join(e2, "b").select("a", "b", "c")
-        closing = ranked.select(F.col("a"), F.col("b").alias("c"))
-        tri = wedges.join(closing, ["a", "c"], "inner")
-        n_tri = tri.agg(F.count(F.lit(1)).alias("n")).collect()[0][0]
-    finally:
-        ranked.unpersist()
-    spark = edges.sparkSession
-    return spark.createDataFrame([(int(n_tri),)], "n_triangles bigint")
+    # the directed edge relation feeds THREE join inputs — LAZY
+    # localCheckpoint so the edge-derivation subtree (dedup + two
+    # degree joins) runs once at first action, not three times
+    # (.explain showed triple recomputation). Lazy keeps the wedge/
+    # closing joins visible to plan-only callers (the registry-wide
+    # physical-plan audit) and runs no job at build time; the
+    # checkpoint blocks are released when the RDD is GC'd — the same
+    # lifecycle as connected_components' per-round checkpoints.
+    ranked = ranked.localCheckpoint(eager=False)
+    e1 = ranked.select(F.col("a"), F.col("b"))
+    e2 = ranked.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = e1.join(e2, "b").select("a", "b", "c")
+    closing = ranked.select(F.col("a"), F.col("b").alias("c"))
+    tri = wedges.join(closing, ["a", "c"], "inner")
+    return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",

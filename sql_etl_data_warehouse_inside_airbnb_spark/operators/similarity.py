@@ -328,7 +328,13 @@ def fit_pq_codebooks(df: DataFrame, vec_col: str = "embedding",
     import numpy as np
 
     rows = (df.select(as_double(F.col(vec_col)).alias("v"))
+            .filter(F.col(vec_col).isNotNull())
             .limit(sample_rows).collect())
+    if len(rows) < n_codes:
+        raise ValueError(
+            f"fit_pq_codebooks: n_codes={n_codes} centroids need at "
+            f"least that many sample vectors, got {len(rows)} — "
+            "lower n_codes or supply more data")
     x = np.array([r.v for r in rows], dtype=np.float64)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0
@@ -371,16 +377,27 @@ def pq_encode(df: DataFrame, key_col: str, vec_col: str,
     m, _, sub = books.shape
 
     def _enc_batch(vs):
-        x = np.array(vs.tolist(), dtype=np.float64)
-        norms = np.linalg.norm(x, axis=1, keepdims=True)
-        norms[norms == 0.0] = 1.0
-        x = x / norms
-        out = np.empty((len(x), m), dtype=np.int32)
-        for j in range(m):
-            xs = x[:, j * sub:(j + 1) * sub]
-            d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-            out[:, j] = d2.argmin(axis=1)
-        return pd.Series(list(out))
+        # NULL embeddings encode to NULL codes (their ADC score is
+        # then NULL and sorts last, matching the other ANN paths'
+        # NULL-cosine degradation) instead of crashing the Arrow batch
+        valid = vs.notna()
+        vals = vs[valid]
+        result = pd.Series([None] * len(vs), index=vs.index,
+                           dtype=object)
+        if len(vals):
+            x = np.array(vals.tolist(), dtype=np.float64)
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            x = x / norms
+            out = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                xs = x[:, j * sub:(j + 1) * sub]
+                d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2) \
+                    .sum(axis=2)
+                out[:, j] = d2.argmin(axis=1)
+            result.loc[vals.index] = pd.Series(
+                [row for row in out], index=vals.index, dtype=object)
+        return result
 
     # no type hints: `from __future__ import annotations` stringifies
     # them and pyspark can't resolve function-local `pd`

@@ -177,7 +177,9 @@ def ext_ann_pq_topk(spark, sf_dir):
         import fit_pq_codebooks, pq_encode, pq_topk
 
     emb = t(spark, sf_dir, "embeddings")
-    cache_key = (id(spark), sf_dir)
+    # keyed like _IVF_MODELS: applicationId, not id(spark) — object
+    # ids recycle across garbage-collected sessions
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
     books = _PQ_BOOKS.get(cache_key)
     if books is None:
         books = fit_pq_codebooks(emb, m=16, n_codes=16)
@@ -187,5 +189,4 @@ def ext_ann_pq_topk(spark, sf_dir):
     codes = pq_encode(cand, "vec_id", "embedding", books)
     out = pq_topk(cand, query, books, k=10, rerank=50, codes=codes,
                   key_col="vec_id", vec_col="embedding")
-    from pyspark.sql import functions as FF
-    return out.select("vec_id", FF.round("cosine", 6).alias("cosine"))
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))

@@ -48,6 +48,10 @@ def interval_join(left: DataFrame, right: DataFrame, key: str,
     batch equivalence still holds once the stream drains (pinned in
     tests/test_streaming_joins.py).
     """
+    supported = ("inner", "left_outer", "right_outer", "full_outer")
+    if how not in supported:
+        raise ValueError(
+            f"interval_join supports {supported}, got {how!r}")
     overlap = set(left.columns) & set(right.columns) - {key}
     if overlap:
         raise ValueError(f"disambiguate shared columns first: {overlap}")
@@ -60,7 +64,11 @@ def interval_join(left: DataFrame, right: DataFrame, key: str,
     cond = ((F.col(key) == F.col(rkey)) &
             (r2[right_ts] >= left[left_ts]) &
             (r2[right_ts] < left[left_ts] + F.expr(f"INTERVAL {max_span}")))
-    return left.join(r2, cond, how).drop(rkey)
+    # coalesce keeps right-only rows' key (right/full outer) — a bare
+    # drop would discard the only non-NULL key for those rows
+    return (left.join(r2, cond, how)
+            .withColumn(key, F.coalesce(F.col(key), F.col(rkey)))
+            .drop(rkey))
 
 
 def static_enrich(events: DataFrame, dim: DataFrame, on,

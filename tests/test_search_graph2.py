@@ -166,3 +166,63 @@ def test_pq_topk_recall_floor(spark, sf_dir):
     assert adc_hit / tot >= 0.3, adc_hit / tot
     assert rr_hit >= adc_hit
     assert rr_hit / tot >= 0.7, rr_hit / tot
+
+
+def test_interval_join_full_outer_keeps_right_key(spark):
+    """Right-only rows must keep their key via the coalesce (a bare
+    drop discarded the only non-NULL key); unsupported join types
+    raise instead of silently corrupting."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.streaming.joins \
+        import interval_join
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10), "L1")],
+        "k int, lt timestamp, lv string")
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 30), "R1"),
+         (2, dt.datetime(2024, 1, 1, 9), "R2")],
+        "k int, rt timestamp, rv string")
+    out = interval_join(left, right, key="k", left_ts="lt",
+                        right_ts="rt", max_span="1 hour",
+                        how="full_outer")
+    got = {(r.k, r.lv, r.rv) for r in out.collect()}
+    assert got == {(1, "L1", "R1"), (2, None, "R2")}
+    with _pytest.raises(ValueError, match="supports"):
+        interval_join(left, right, key="k", left_ts="lt",
+                      right_ts="rt", how="left_semi")
+
+
+def test_pq_null_embedding_and_small_sample(spark):
+    import pytest as _pytest
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity \
+        import fit_pq_codebooks, pq_encode
+
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, None), (3, [0.5] * 8), (4, [2.0] * 8)],
+        "vec_id int, embedding array<double>")
+    with _pytest.raises(ValueError, match="n_codes"):
+        fit_pq_codebooks(emb, m=2, n_codes=16)
+    books = fit_pq_codebooks(emb, m=2, n_codes=2)
+    enc = {r.vec_id: r.codes
+           for r in pq_encode(emb, "vec_id", "embedding",
+                              books).collect()}
+    assert enc[2] is None              # NULL in, NULL codes out
+    assert enc[1] is not None and len(enc[1]) == 2
+
+
+def test_triangle_count_plan_stays_auditable(spark, sf_dir):
+    """triangle_count must return a LAZY plan whose wedge/closing
+    joins are visible to the registry-wide physical-plan audit — an
+    eager builder would reduce the audited plan to a LocalTableScan
+    and make the nested-loop/Python guard vacuous for g5."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry \
+        import REGISTRY
+
+    plan = (REGISTRY["g5_triangle_count"].build(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" in plan, plan[:500]
