@@ -26,6 +26,11 @@ Entries with a green CORRECTNESS row from r1+r2+r3 move to the back;
 within the remaining never-checked tail, oracle-paired entries sit
 ahead of rows-only ones. Every name stays present; only dict
 insertion order changes.
+
+Queries ADDED during round 4 (retrieval family, triangle count,
+PageRank, PQ ANN, the outer stream-stream interval join) sit in the
+round-5 block after the position-50 boundary, so the round-4
+adjudication window stayed fixed while they were built.
 """
 
 from __future__ import annotations
