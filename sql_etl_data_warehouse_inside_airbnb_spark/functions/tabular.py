@@ -31,13 +31,15 @@ class TokenizeUdtf:
     def eval(self, text: str):  # noqa: D102 - interface method
         if text is None:
             return
-        stripped = text.strip().lower()
-        if not stripped:
-            # split('\s+') on an empty string yields one empty token
-            # in both Spark and DuckDB; mirror that exactly
-            yield ("", 1)
-            return
-        for i, tok in enumerate(re.split(r"\s+", stripped)):
+        # mirror SQL trim()/Java \s EXACTLY: SQL trim strips only
+        # spaces (Python .strip() would also eat \t/\n and shift
+        # positions vs the oracle), and Java \s is the explicit
+        # [ \t\n\x0B\f\r] class (Python \s would add Unicode spaces).
+        # re.split of "" yields [""] — same one-empty-token result as
+        # split('\s+') on both engines, no special case needed.
+        stripped = text.strip(" ").lower()
+        for i, tok in enumerate(
+                re.split(r"[ \t\n\x0B\f\r]+", stripped)):
             yield (tok, i + 1)
 
 

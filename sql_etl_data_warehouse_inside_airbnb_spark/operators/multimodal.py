@@ -446,3 +446,59 @@ def resize_stub(payload: bytes, width: int, height: int,
     target = max(width * height, 1)
     reps = (target + max(len(payload), 1) - 1) // max(len(payload), 1)
     return (payload * reps)[:target]
+
+
+def build_wav_payloads(dims: DataFrame) -> DataFrame:
+    """mapInPandas stage synthesizing one REAL RIFF/WAVE payload per
+    row of ``dims`` (media_id, rate, channels, n_samples) — the audio
+    twin of build_image_payloads, kept here so all payload builders
+    live at one altitude and share unit tests."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [wav_bytes(int(r), int(c), 16, int(ns))
+                        for r, c, ns in zip(pdf["rate"], pdf["channels"],
+                                            pdf["n_samples"])]
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "payload": payloads})
+
+    schema = StructType([StructField("media_id", LongType(), False),
+                         StructField("payload", BinaryType(), True)])
+    return dims.mapInPandas(run, schema=schema)
+
+
+def extract_video_meta(dims: DataFrame) -> DataFrame:
+    """mapInPandas stage synthesizing a REAL MP4 container per row of
+    ``dims`` (media_id, ts, dur) and decoding it back through
+    :func:`mp4_metadata` — the video twin of extract_image_meta.
+    Nullable Int64 arrays carry decode failures as NULLs (the
+    null-on-failure spine)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            tss, durs = [], []
+            for ts, dur in zip(pdf["ts"], pdf["dur"]):
+                meta = mp4_metadata(mp4_bytes(int(ts), int(dur)))
+                tss.append(meta[0] if meta else None)
+                durs.append(meta[1] if meta else None)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "timescale": pd.array(tss, dtype="Int64"),
+                "duration_ms": pd.array(durs, dtype="Int64"),
+            })
+
+    schema = StructType([StructField("media_id", LongType(), False),
+                         StructField("timescale", LongType(), True),
+                         StructField("duration_ms", LongType(), True)])
+    return dims.mapInPandas(run, schema=schema)

@@ -236,9 +236,9 @@ def j13_asof_join(spark, sf_dir):
        FROM events e
        JOIN events p
          ON p.user_id = e.user_id
-        AND CAST(floor(epoch(p.ts)) AS BIGINT)
-            BETWEEN CAST(floor(epoch(e.ts)) AS BIGINT) - 1800
-                AND CAST(floor(epoch(e.ts)) AS BIGINT) - 1
+        AND epoch_us(p.ts)
+            BETWEEN epoch_us(e.ts) - 1800000000
+                AND epoch_us(e.ts) - 1000000
        WHERE e.event_type = 'error'
        GROUP BY e.event_id, e.user_id""",
     survey="§2.3 ext (range join), P8",

@@ -60,6 +60,7 @@ _LANGID_SQL_SCORES = {
 _LANGID_SQL = f"""
     SELECT doc_id,
            CASE
+             WHEN text IS NULL THEN 'und'
              WHEN greatest({_LANGID_SQL_SCORES['en']}, {_LANGID_SQL_SCORES['es']},
                            {_LANGID_SQL_SCORES['de']}, {_LANGID_SQL_SCORES['fr']}) = 0
                THEN 'und'
@@ -187,18 +188,14 @@ def ext_fingerprint(spark, sf_dir):
 def ext_dedup_exact(spark, sf_dir):
     return exact_dedup(t(spark, sf_dir, "documents"))
 
+# ---- shared dedup-oracle fragments ------------------------------------
+# ONE definition each, interpolated into every dedup oracle below, so
+# the shingle semantics / planted-mutation corpus can never drift per
+# entry (they must stay in lockstep with functions/text.py:shingles
+# and the Spark-side corpus builders).
 
-@register(
-    "ext_dedup_ngram_jaccard",
-    """WITH base AS (
-         SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 = 0),
-       corpus AS (
-         SELECT doc_id, lang, text FROM base
-         UNION ALL
-         SELECT doc_id + 10000000, lang, text || ' mutation' FROM base),
-       d AS (
-         SELECT doc_id, lang,
-                CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 3
+# DuckDB mirror of functions/text.py:shingles(): DISTINCT word 3-grams
+_SHINGLE_SQL = """CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 3
                      THEN []::VARCHAR[]
                      ELSE list_distinct(list_transform(
                        generate_series(1,
@@ -206,7 +203,30 @@ def ext_dedup_exact(spark, sf_dir):
                        i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
                             string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
                             string_split_regex(trim(text), '\\s+')[i+2]))
-                END AS sh
+                END"""
+
+# planted-mutation corpus: 10% sample + ' mutation' variants keyed
+# +10000000 (the known-answer near-dup workload)
+_PLANT_SQL = """base AS (
+         SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+       corpus AS (
+         SELECT doc_id, text FROM base
+         UNION ALL
+         SELECT doc_id + 10000000, text || ' mutation' FROM base)"""
+_PLANT_LANG_SQL = """base AS (
+         SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 = 0),
+       corpus AS (
+         SELECT doc_id, lang, text FROM base
+         UNION ALL
+         SELECT doc_id + 10000000, lang, text || ' mutation' FROM base)"""
+
+
+@register(
+    "ext_dedup_ngram_jaccard",
+    f"""WITH {_PLANT_LANG_SQL},
+       d AS (
+         SELECT doc_id, lang,
+                {_SHINGLE_SQL} AS sh
          FROM corpus),
        d2 AS (
          SELECT doc_id, lang, sh,
@@ -400,7 +420,7 @@ def ext_ann_lsh_topk(spark, sf_dir):
                   AS window_end,
               event_type,
               count(*) AS n_events,
-              round(sum(value), 4) AS sum_value
+              round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
        FROM events GROUP BY 1, 2, 3""",
     survey="§2.9/§7.5 streaming",
     note="tumbling window agg — unified API: same plan batch & stream")
@@ -416,7 +436,7 @@ def stream_tumbling(spark, sf_dir):
               time_bucket(INTERVAL '12 hours', ts) - off + INTERVAL '1 day'
                   AS window_end,
               count(*) AS n_events,
-              round(sum(value), 4) AS sum_value
+              round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
        FROM events, offs GROUP BY 1, 2""",
     survey="§2.9/§7.5 streaming",
     note="sliding windows (1 day / 12 h): every event in 2 windows")
@@ -442,7 +462,7 @@ def stream_sliding(spark, sf_dir):
               min(ts) AS session_start,
               max(ts) + INTERVAL '2 hours' AS session_end,
               count(*) AS n_events,
-              round(sum(value), 4) AS sum_value
+              round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
        FROM sess GROUP BY user_id, session_no""",
     survey="§2.9/§7.5 streaming",
     note="session windows (2 h gap) per user; oracle is the "
@@ -730,7 +750,7 @@ def ext_source_stats(spark, sf_dir):
          SELECT doc_id, lang,
                 CAST(row_number() OVER (
                      PARTITION BY lang
-                     ORDER BY (doc_id * 2654435761) % 1000000007, doc_id)
+                     ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id)
                      AS BIGINT) AS rk
          FROM documents)
        SELECT doc_id, lang, rk
@@ -746,7 +766,11 @@ def ext_source_stats(spark, sf_dir):
          "global sort exists — each stratum sorts independently")
 def ext_stratified_sample(spark, sf_dir):
     from pyspark.sql import Window as W
-    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)
+    # pre-mod the key: a raw 64-bit multiply overflows for
+    # doc_id > ~3.47e9 (web-corpus key spaces) — Spark would
+    # silently wrap while DuckDB raises; (k % p) * c stays < 2^62
+    h = ((F.col("doc_id") % F.lit(1000000007))
+         * F.lit(2654435761)) % F.lit(1000000007)
     w = W.partitionBy("lang").orderBy(h, "doc_id")
     return (t(spark, sf_dir, "documents")
             .select("doc_id", "lang")
@@ -975,11 +999,10 @@ def ext_chunk_pack_pipeline(spark, sf_dir):
          "basis points keep it engine-exact; docs with <3 tokens emit "
          "no grams and are absent (both engines)")
 def ext_dup_ngram_fraction(spark, sf_dir):
-    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
-        shingles,
-    )
-    # positional (non-distinct) 3-grams: fraction is over gram
-    # OCCURRENCES, so repeated local grams count every time
+    # positional (non-distinct) 3-grams built inline ON PURPOSE —
+    # functions.text.shingles is distinct-set semantics; the fraction
+    # here is over gram OCCURRENCES, so repeated local grams count
+    # every time
     d = t(spark, sf_dir, "documents")
     toks = F.split(F.trim("text"), r"\s+", -1)
     idx = F.sequence(F.lit(1), F.size(toks) - F.lit(2))
@@ -1095,23 +1118,10 @@ def ext_filter_funnel(spark, sf_dir):
 
 @register(
     "ext_dedup_ppjoin",
-    """WITH base AS (
-         SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-       corpus AS (
-         SELECT doc_id, text FROM base
-         UNION ALL
-         SELECT doc_id + 10000000, text || ' mutation' FROM base),
+    f"""WITH {_PLANT_SQL},
        d AS (
          SELECT doc_id,
-                CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 3
-                     THEN []::VARCHAR[]
-                     ELSE list_distinct(list_transform(
-                       generate_series(1,
-                         len(string_split_regex(trim(text), '\\s+')) - 2),
-                       i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
-                            string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
-                            string_split_regex(trim(text), '\\s+')[i+2]))
-                END AS sh
+                {_SHINGLE_SQL} AS sh
          FROM corpus),
        s AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
        flat AS (
@@ -1248,23 +1258,10 @@ def ext_line_dedup(spark, sf_dir):
 
 @register(
     "ext_dedup_minhash_banded",
-    """WITH base AS (
-         SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-       corpus AS (
-         SELECT doc_id, text FROM base
-         UNION ALL
-         SELECT doc_id + 10000000, text || ' mutation' FROM base),
+    f"""WITH {_PLANT_SQL},
        d AS (
          SELECT doc_id,
-                CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 3
-                     THEN []::VARCHAR[]
-                     ELSE list_distinct(list_transform(
-                       generate_series(1,
-                         len(string_split_regex(trim(text), '\\s+')) - 2),
-                       i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
-                            string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
-                            string_split_regex(trim(text), '\\s+')[i+2]))
-                END AS sh
+                {_SHINGLE_SQL} AS sh
          FROM corpus),
        s AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
        sig AS (
@@ -1381,8 +1378,8 @@ def ext_embedding_quantize(spark, sf_dir):
                 CASE WHEN trim(text) = '' THEN 0
                      ELSE len(string_split_regex(trim(text), '\\s+'))
                 END::BIGINT AS n_tokens,
-                CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-                     WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                CASE WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 80 THEN 'train'
+                     WHEN ((doc_id % 1000000007) * 2654435761) % 100 < 90 THEN 'val'
                      ELSE 'test' END AS split
          FROM documents)
        SELECT q.doc_id, q.lang, q.split, q.n_tokens,
@@ -1405,7 +1402,8 @@ def ext_training_manifest(spark, sf_dir):
         as_double,
         l2_norm,
     )
-    m = F.col("doc_id") * F.lit(2654435761)
+    # pre-mod: see ext_stratified_sample overflow note
+    m = (F.col("doc_id") % F.lit(1000000007)) * F.lit(2654435761)
     docs = (t(spark, sf_dir, "documents")
             .select("doc_id", "lang",
                     token_count("text").alias("n_tokens"),
@@ -1521,17 +1519,9 @@ def ext_label_balance(spark, sf_dir):
          "the oracle recomputes the expectations arithmetically so "
          "any chunk-walk bug breaks the hash")
 def ext_multimodal_audio_meta(spark, sf_dir):
-    from collections.abc import Iterator
-
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.multimodal import (
+        build_wav_payloads,
         extract_audio_meta,
-        wav_bytes,
-    )
-    from pyspark.sql.types import (
-        BinaryType,
-        LongType,
-        StructField,
-        StructType,
     )
 
     dims = (t(spark, sf_dir, "documents")
@@ -1541,20 +1531,7 @@ def ext_multimodal_audio_meta(spark, sf_dir):
                      .otherwise(48000).alias("rate"),
                     (F.col("doc_id") % 2 + 1).alias("channels"),
                     (F.col("n_chars") % 2000 + 1).alias("n_samples")))
-
-    def build(batches: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in batches:
-            payloads = [wav_bytes(int(r), int(c), 16, int(ns))
-                        for r, c, ns in zip(pdf["rate"], pdf["channels"],
-                                            pdf["n_samples"])]
-            yield pd.DataFrame({"media_id": pdf["media_id"],
-                                "payload": payloads})
-
-    schema = StructType([StructField("media_id", LongType(), False),
-                         StructField("payload", BinaryType(), True)])
-    return extract_audio_meta(dims.mapInPandas(build, schema=schema))
+    return extract_audio_meta(build_wav_payloads(dims))
 
 
 @register(
@@ -1575,17 +1552,8 @@ def ext_multimodal_audio_meta(spark, sf_dir):
          "(timescale, duration_ms); the oracle recomputes both "
          "arithmetically so any box-walk bug breaks the hash")
 def ext_multimodal_video_meta(spark, sf_dir):
-    from collections.abc import Iterator
-
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.multimodal import (
-        mp4_bytes,
-        mp4_metadata,
-    )
-    from pyspark.sql.types import (
-        BinaryType,
-        LongType,
-        StructField,
-        StructType,
+        extract_video_meta,
     )
 
     dims = (t(spark, sf_dir, "documents")
@@ -1594,23 +1562,4 @@ def ext_multimodal_video_meta(spark, sf_dir):
                      .when(F.col("doc_id") % 3 == 1, 1000)
                      .otherwise(90000).alias("ts"),
                     (F.col("n_chars") % 36000 + 1).alias("dur")))
-
-    def run(batches: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in batches:
-            tss, durs = [], []
-            for ts, dur in zip(pdf["ts"], pdf["dur"]):
-                meta = mp4_metadata(mp4_bytes(int(ts), int(dur)))
-                tss.append(meta[0] if meta else None)
-                durs.append(meta[1] if meta else None)
-            yield pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "timescale": pd.array(tss, dtype="Int64"),
-                "duration_ms": pd.array(durs, dtype="Int64"),
-            })
-
-    schema = StructType([StructField("media_id", LongType(), False),
-                         StructField("timescale", LongType(), True),
-                         StructField("duration_ms", LongType(), True)])
-    return dims.mapInPandas(run, schema=schema)
+    return extract_video_meta(dims)

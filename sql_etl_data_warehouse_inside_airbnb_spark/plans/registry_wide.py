@@ -72,14 +72,20 @@ def ext_rolling_hash_fingerprint(spark, sf_dir):
                  F.max("fp").alias("max_fp")))
 
 
-@register(
-    "ext_winnow_fingerprint",
-    """WITH s AS (SELECT doc_id, substr(text, 1, 64) AS s FROM documents),
-       g AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+# DuckDB mirror of operators/dedup.py:winnow_fingerprints' k-gram
+# hash stage (k=5, first-8-hex-md5) — ONE definition shared by both
+# winnowing oracles so the gram semantics can't drift per entry
+_WINNOW_GRAMS_SQL = """g AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
                     substr(md5(substr(s, CAST(u.i AS INTEGER), 5)), 1, 8)
                       AS gram_hash
              FROM s, LATERAL unnest(
-               range(1, greatest(length(s) - 4, 1) + 1)) AS u(i)),
+               range(1, greatest(length(s) - 4, 1) + 1)) AS u(i))"""
+
+
+@register(
+    "ext_winnow_fingerprint",
+    f"""WITH s AS (SELECT doc_id, substr(text, 1, 64) AS s FROM documents),
+       {_WINNOW_GRAMS_SQL},
        w AS (SELECT doc_id,
                     min(gram_hash) OVER (PARTITION BY doc_id ORDER BY pos
                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
@@ -281,7 +287,7 @@ def f21_string_ladder(spark, sf_dir):
 
 @register(
     "ext_dedup_winnow_pairs",
-    """WITH base AS (SELECT doc_id, text FROM documents
+    f"""WITH base AS (SELECT doc_id, text FROM documents
                      WHERE doc_id % 10 = 0),
        corpus AS (
          SELECT doc_id, text FROM base
@@ -290,11 +296,7 @@ def f21_string_ladder(spark, sf_dir):
                 substr(text, 1, 30) || 'XYZQW' || substr(text, 36)
          FROM base),
        s AS (SELECT doc_id, substr(text, 1, 64) AS s FROM corpus),
-       g AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
-                    substr(md5(substr(s, CAST(u.i AS INTEGER), 5)), 1, 8)
-                      AS gram_hash
-             FROM s, LATERAL unnest(
-               range(1, greatest(length(s) - 4, 1) + 1)) AS u(i)),
+       {_WINNOW_GRAMS_SQL},
        w AS (SELECT DISTINCT doc_id,
                     min(gram_hash) OVER (PARTITION BY doc_id ORDER BY pos
                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp

@@ -27,7 +27,8 @@ def tumbling_agg(events: DataFrame, size: str = "1 day",
     w = F.window(ts_col, size)
     return (events.groupBy(w.alias("w"), "event_type")
             .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 4).alias("sum_value"))
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                          .cast("double"), 4).alias("sum_value"))
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
                     "event_type", "n_events", "sum_value"))
@@ -39,7 +40,8 @@ def sliding_agg(events: DataFrame, size: str = "1 day",
     w = F.window(ts_col, size, slide)
     return (events.groupBy(w.alias("w"))
             .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 4).alias("sum_value"))
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                          .cast("double"), 4).alias("sum_value"))
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
                     "n_events", "sum_value"))
@@ -53,7 +55,8 @@ def session_agg(events: DataFrame, gap: str = "2 hours",
     w = F.session_window(ts_col, gap)
     return (events.groupBy(w.alias("w"), "user_id")
             .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 4).alias("sum_value"))
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                          .cast("double"), 4).alias("sum_value"))
             .select("user_id",
                     F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"),
