@@ -252,7 +252,8 @@ def a15_two_stage_salted_agg(spark, sf_dir):
     "stream_stateful_totals",
     """SELECT user_id,
               CAST(COUNT(*) AS BIGINT) AS n_events,
-              ROUND(SUM(value), 4) AS sum_value,
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+                AS sum_value,
               MAX(ts) AS last_seen
        FROM events GROUP BY user_id""",
     survey="§7.5 streaming (applyInPandasWithState)",

@@ -111,5 +111,9 @@ def user_totals_batch(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     """The batch-mode meaning of ``user_running_totals``' final state."""
     return (events.groupBy("user_id")
             .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 4).alias("sum_value"),
+                 # exact-decimal sum, the registry convention: raw
+                 # double sums are partition-order noisy at rounding
+                 # boundaries (see plans/registry.py:exact_sum)
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                          .cast("double"), 4).alias("sum_value"),
                  F.max(ts_col).alias("last_seen")))
