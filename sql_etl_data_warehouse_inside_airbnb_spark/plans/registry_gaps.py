@@ -401,7 +401,13 @@ def u7_pandas_udaf_maxgap(spark, sf_dir):
     # pandas + unstringified annotations (see memory: pandas_udf trap)
     @pandas_udf("long", PandasUDFType.GROUPED_AGG)
     def max_gap_days(d):
-        days = d.sort_values().diff().dt.days.dropna()
+        # normalize to midnight so the gap counts DAY-BOUNDARY
+        # CROSSINGS like the oracle's date_diff('day') — a raw
+        # elapsed-time .dt.days would truncate a 23:00->01:00 pair
+        # to 0 where the oracle says 1 (latent until non-midnight
+        # timestamps appear in the data)
+        days = (d.sort_values().dt.normalize().diff()
+                .dt.days.dropna())
         return 0 if days.empty else int(days.max())
 
     return (t(spark, sf_dir, "orders")

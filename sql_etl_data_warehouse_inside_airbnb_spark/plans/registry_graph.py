@@ -744,6 +744,35 @@ def ext_data_prep_pipeline(spark, sf_dir):
          .otherwise("test").alias("split"))
 
 
+def planted_clone_clusters(spark, sf_dir):
+    """Shared known-answer dedup workload for the survivor-policy
+    entries (g3 min-key, g4 argmax): plant +1M/+2M exact clones of
+    the %7/%21 docs, pair them by md5-fingerprint self-join, run
+    connected components, and return the corpus with ``cluster_id``
+    attached (doc_id, text, cluster_id). ONE definition so the two
+    policies can't silently diverge on the clone-planting or pair
+    predicate."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+        fingerprint,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.graph import (
+        assign_clusters,
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    c1 = (docs.filter(F.col("doc_id") % 7 == 0)
+          .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    c2 = (docs.filter(F.col("doc_id") % 21 == 0)
+          .select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text"))
+    corpus = docs.unionByName(c1).unionByName(c2)
+    fp = corpus.select("doc_id", fingerprint("text").alias("fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("key_a"),
+                     F.col("b.doc_id").alias("key_b")))
+    return assign_clusters(corpus, "doc_id", pairs)
+
+
 @register(
     "g3_dedup_survivors",
     f"""WITH corpus AS (
@@ -769,25 +798,7 @@ def ext_data_prep_pipeline(spark, sf_dir):
          "correct. Dropping N-1 of each cluster is then one "
          "broadcast-able semi join on canonical_id")
 def g3_dedup_survivors(spark, sf_dir):
-    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
-        fingerprint,
-    )
-    from sql_etl_data_warehouse_inside_airbnb_spark.operators.graph import (
-        assign_clusters,
-    )
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    c1 = (docs.filter(F.col("doc_id") % 7 == 0)
-          .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
-    c2 = (docs.filter(F.col("doc_id") % 21 == 0)
-          .select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text"))
-    corpus = docs.unionByName(c1).unionByName(c2)
-    fp = corpus.select("doc_id", fingerprint("text").alias("fp"))
-    a, b = fp.alias("a"), fp.alias("b")
-    pairs = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("key_a"),
-                     F.col("b.doc_id").alias("key_b")))
-    return (assign_clusters(corpus, "doc_id", pairs)
+    return (planted_clone_clusters(spark, sf_dir)
             .groupBy("cluster_id")
             .agg(F.min("doc_id").alias("canonical_id"),
                  F.count("*").alias("cluster_size"),

@@ -32,8 +32,13 @@ from sql_etl_data_warehouse_inside_airbnb_spark.operators.events import (
     sessionize,
 )
 from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
+    exact_sum,
     register,
     t,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_graph import (
+    _SHINGLE5_SQL,
+    planted_clone_clusters,
 )
 
 # ------------------------------------------------- event analytics
@@ -376,8 +381,7 @@ def ext_target_encoding(spark, sf_dir):
                   o.o_custkey == c.c_custkey)
            .groupBy("c_mktsegment")
            .agg(F.count("*").alias("seg_n_orders"),
-                F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
-                        .cast("double"), 2).alias("seg_price_sum")))
+                exact_sum("o_totalprice", 2).alias("seg_price_sum")))
     return (c.select("c_custkey", "c_mktsegment")
             .join(F.broadcast(seg), "c_mktsegment")
             .select("c_custkey", "c_mktsegment", "seg_n_orders",
@@ -452,27 +456,7 @@ _SURVIVOR_ORD = "CAST(length(text) AS BIGINT) * 10000000 - doc_id"
          "components, one semi join to keep survivors) is unchanged "
          "and unchanged-cost")
 def g4_dedup_survivors_argmax(spark, sf_dir):
-    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
-        fingerprint,
-    )
-    from sql_etl_data_warehouse_inside_airbnb_spark.operators.graph import (
-        assign_clusters,
-    )
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    c1 = (docs.filter(F.col("doc_id") % 7 == 0)
-          .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
-    c2 = (docs.filter(F.col("doc_id") % 21 == 0)
-          .select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text"))
-    corpus = docs.unionByName(c1).unionByName(c2)
-    fp = corpus.select("doc_id", "text", fingerprint("text").alias("fp"))
-    a, b = fp.alias("a"), fp.alias("b")
-    pairs = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("key_a"),
-                     F.col("b.doc_id").alias("key_b")))
-    ord_ = (F.length("text").cast("bigint") * 10_000_000
-            - F.col("doc_id"))
-    return (assign_clusters(corpus, "doc_id", pairs)
+    return (planted_clone_clusters(spark, sf_dir)
             .groupBy("cluster_id")
             .agg(F.expr(f"max_by(doc_id, {_SURVIVOR_ORD})")
                  .alias("canonical_id"),
@@ -481,9 +465,26 @@ def g4_dedup_survivors_argmax(spark, sf_dir):
             .select("canonical_id", "cluster_size", "n_dropped"))
 
 
+_CONTAM_ORACLE = f"""
+    WITH eval_sh AS (
+      SELECT DISTINCT lang AS eval_suite, g.sh
+      FROM documents, LATERAL unnest({_SHINGLE5_SQL}) AS g(sh)
+      WHERE doc_id % 17 = 0
+        AND len(string_split_regex(trim(text), '\\s+')) >= 5),
+    corpus_sh AS (
+      SELECT doc_id, source, g.sh
+      FROM documents, LATERAL unnest({_SHINGLE5_SQL}) AS g(sh)
+      WHERE len(string_split_regex(trim(text), '\\s+')) >= 5),
+    hits AS (
+      SELECT DISTINCT c.source, e.eval_suite, c.doc_id
+      FROM corpus_sh c JOIN eval_sh e ON c.sh = e.sh)
+    SELECT source, eval_suite, CAST(count(*) AS BIGINT) AS n_contaminated
+    FROM hits GROUP BY source, eval_suite"""
+
+
 @register(
     "ext_contamination_matrix",
-    None,  # oracle attached below (needs the shared shingle twin)
+    _CONTAM_ORACLE,
     survey="§7.5 ext (contamination matrix)",
     note="eval-hygiene REPORT shape on top of ext_decontaminate: per "
          "(corpus source, eval suite) count of contaminated documents "
@@ -510,29 +511,3 @@ def ext_contamination_matrix(spark, sf_dir):
             .select("source", "eval_suite", "doc_id").distinct())
     return (hits.groupBy("source", "eval_suite")
             .agg(F.count("*").alias("n_contaminated")))
-
-
-# oracle for ext_contamination_matrix, reusing the engine-portable
-# 5-gram shingle twin from the decontamination entry
-from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (  # noqa: E402
-    REGISTRY as _REG,
-)
-from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_graph import (  # noqa: E402
-    _SHINGLE5_SQL,
-)
-
-_REG["ext_contamination_matrix"].oracle = f"""
-    WITH eval_sh AS (
-      SELECT DISTINCT lang AS eval_suite, g.sh
-      FROM documents, LATERAL unnest({_SHINGLE5_SQL}) AS g(sh)
-      WHERE doc_id % 17 = 0
-        AND len(string_split_regex(trim(text), '\\s+')) >= 5),
-    corpus_sh AS (
-      SELECT doc_id, source, g.sh
-      FROM documents, LATERAL unnest({_SHINGLE5_SQL}) AS g(sh)
-      WHERE len(string_split_regex(trim(text), '\\s+')) >= 5),
-    hits AS (
-      SELECT DISTINCT c.source, e.eval_suite, c.doc_id
-      FROM corpus_sh c JOIN eval_sh e ON c.sh = e.sh)
-    SELECT source, eval_suite, CAST(count(*) AS BIGINT) AS n_contaminated
-    FROM hits GROUP BY source, eval_suite"""
