@@ -277,7 +277,7 @@ def j7_agg_join(spark, sf_dir):
                 round(c_acctbal + 100.0, 2) AS c_acctbal, c_mktsegment
          FROM customer WHERE c_custkey % 7 = 0
          UNION ALL
-         SELECT c_custkey + 1000000, c_name || '_n', c_nationkey,
+         SELECT c_custkey + 10000000000, c_name || '_n', c_nationkey,
                 round(c_acctbal, 2), c_mktsegment
          FROM customer WHERE c_custkey % 11 = 0)
        SELECT * FROM (
@@ -297,7 +297,7 @@ def j8_merge_upsert(spark, sf_dir):
                .withColumn("c_name", F.concat("c_name", F.lit("_u")))
                .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 100.0, 2)))
     inserts = (cust.filter(F.col("c_custkey") % 11 == 0)
-               .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+               .withColumn("c_custkey", F.col("c_custkey") + 10_000_000_000)
                .withColumn("c_name", F.concat("c_name", F.lit("_n"))))
     delta = updates.unionByName(inserts)
     return merge_upsert(cust, delta, "c_custkey", count_actions=False).df
@@ -745,16 +745,19 @@ def f3_truncate_substr(spark, sf_dir):
               count(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1)
                     AS DECIMAL(10,2))) AS n_castable,
               round(CAST(sum(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1)
-                    AS DECIMAL(10,2))) AS DOUBLE)
-                    / count(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1)
-                      AS DECIMAL(10,2))), 4) AS avg_k
+                    AS DECIMAL(10,2))) AS DOUBLE), 2) AS sum_k
        FROM events GROUP BY event_type""",
-    survey="F15/F14/P4", note="try_cast-to-decimal ladder with null-on-failure")
+    survey="F15/F14/P4",
+    note="try_cast-to-decimal ladder with null-on-failure. Compared "
+         "columns are count + exact decimal SUM — not the mean: a "
+         "rounded quotient in a compared column is the forbidden "
+         "cross-engine trap (Spark and DuckDB round(double) disagree "
+         "on tie-landing quotients; module docstring), and the mean "
+         "derives from (sum, count) outside the hash")
 def f15_trycast_decimal(spark, sf_dir):
     k = (F.regexp_extract("props", r'"k": (\d+)', 1)
          .try_cast("decimal(10,2)"))
     return (t(spark, sf_dir, "events")
             .groupBy("event_type")
             .agg(F.count(k).alias("n_castable"),
-                 F.round(F.sum(k).cast("double") / F.count(k), 4)
-                  .alias("avg_k")))
+                 F.round(F.sum(k).cast("double"), 2).alias("sum_k")))

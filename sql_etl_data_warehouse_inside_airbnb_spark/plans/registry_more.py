@@ -150,37 +150,50 @@ def a13_merge_action_counts(spark, sf_dir):
     """SELECT o_orderpriority,
               count(*) AS n,
               round(count(*) * 8.0 / 1024, 6) AS pseudo_mb,
-              round(100.0 * count(*) / (SELECT count(*) FROM orders), 6)
-                  AS pct
+              CAST((100000000 * count(*))
+                   // (SELECT count(*) FROM orders) AS BIGINT) AS pct_ppm
        FROM orders GROUP BY o_orderpriority""",
     survey="F16/A11",
-    note="metadata math: size/percentage arithmetic over counts")
+    note="metadata math: size/percentage arithmetic over counts. "
+         "pseudo_mb's n/128 is binary-EXACT (safe to round); the "
+         "share is integer parts-per-million via floor division — a "
+         "rounded double quotient is the cross-engine tie trap. The "
+         "corpus total comes from a window sum over the 5-row "
+         "aggregate, not a second full scan + driver count()")
 def f16_metadata_math(spark, sf_dir):
-    orders = t(spark, sf_dir, "orders")
-    total = orders.count()
-    return (orders.groupBy("o_orderpriority")
-            .agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+    agg = (t(spark, sf_dir, "orders")
+           .groupBy("o_orderpriority")
+           .agg(F.count("*").alias("n")))
+    total = F.sum("n").over(Window.partitionBy())
+    return (agg
             .select("o_orderpriority", "n",
                     F.round(F.col("n") * 8.0 / 1024, 6).alias("pseudo_mb"),
-                    F.round(100.0 * F.col("n") / F.lit(float(total)), 6)
-                     .alias("pct")))
+                    total.alias("__total"))
+            .select("o_orderpriority", "n", "pseudo_mb",
+                    F.expr("(100000000 * n) div __total")
+                    .cast("bigint").alias("pct_ppm")))
 
 
 @register(
     "sql_surface_view_query",
     """SELECT n.n_name, count(*) AS n_customers,
-              round(sum(c.c_acctbal), 2) AS total_acctbal
+              round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,6)))
+                    AS DOUBLE), 2) AS total_acctbal
        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
        GROUP BY n.n_name""",
     survey="§3 spark.sql surface / A1 / vw_* shape",
     note="the spark.sql(text) surface: temp views + SQL string, same "
-         "engine path as the reference's CREATE VIEW layer")
+         "engine path as the reference's CREATE VIEW layer; the "
+         "compared balance sum follows the exact-decimal convention "
+         "(raw double sums are partition-order noisy)")
 def sql_surface_view_query(spark, sf_dir):
     t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
     t(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
     return spark.sql("""
         SELECT n.n_name, count(*) AS n_customers,
-               round(sum(c.c_acctbal), 2) AS total_acctbal
+               round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,6)))
+                     AS DOUBLE), 2) AS total_acctbal
         FROM customer_v c JOIN nation_v n ON c.c_nationkey = n.n_nationkey
         GROUP BY n.n_name""")
 

@@ -138,7 +138,8 @@ def split_quarantine(df: DataFrame, key: str,
 def write_bucketed(df, table_name: str, keys: list[str],
                    n_buckets: int = 32,
                    sort_cols: list[str] | None = None,
-                   mode: str = "overwrite") -> None:
+                   mode: str = "overwrite",
+                   overwrite_location: bool = False) -> None:
     """Persist as a bucketed (+optionally sorted) catalog table.
 
     Co-location contract: two tables bucketed by the same keys into the
@@ -146,7 +147,29 @@ def write_bucketed(df, table_name: str, keys: list[str],
     recurring fact⋈fact join from the dominant exchange into a local
     zip of pre-sorted buckets. Buckets only apply via saveAsTable (the
     bucket metadata lives in the catalog, not the parquet files).
+
+    ``overwrite_location=True`` also reclaims an ORPHANED warehouse
+    directory: a fresh session's metastore does not know tables a
+    previous session left behind, and saveAsTable refuses to reuse
+    the location — this drops whatever the catalog knows AND removes
+    the stale directory first (the saveAsTable contract lives here,
+    so every bucketed-table writer gets the idempotence fix, not just
+    the probe that discovered it).
     """
+    if overwrite_location:
+        import os
+        import shutil
+        from urllib.parse import unquote, urlparse
+
+        spark = df.sparkSession
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        # the conf value is a URI — decode it (a %20 path would make
+        # the rmtree silently no-op and resurrect the collision)
+        parsed = urlparse(wh)
+        wh_path = unquote(parsed.path) if parsed.scheme else wh
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        shutil.rmtree(os.path.join(wh_path, table_name),
+                      ignore_errors=True)
     w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *keys)
     if sort_cols:
         w = w.sortBy(*sort_cols)
