@@ -457,3 +457,88 @@ def pq_topk(df: DataFrame, query: DataFrame, codebooks, k: int = 10,
                      F.round(cosine(F.col("__v"), qlit), 6)
                      .alias("cosine")))
     return exact.orderBy(F.desc("cosine"), F.col(key_col)).limit(k)
+
+
+def semantic_dedup(df: DataFrame, key_col: str = "vec_id",
+                   vec_col: str = "embedding", model=None,
+                   n_clusters: int = 16, threshold: float = 0.95,
+                   seed: int = 42,
+                   allow_inline_fit: bool = False) -> DataFrame:
+    """SemDeDup: semantic (embedding-space) deduplication via
+    cluster-bounded pairwise cosine (Abbas et al., "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication",
+    arXiv:2303.09540).
+
+    The published recipe, re-expressed as DataFrame ops:
+
+    1. assign every vector to its nearest KMeans centroid (the same
+       offline coarse quantizer IVF uses — pass ``model`` from
+       :func:`fit_ivf_quantizer`; fitting inline on the query path
+       raises unless ``allow_inline_fit=True``);
+    2. WITHIN each cluster only, find pairs with cosine >=
+       ``threshold`` (:func:`pairwise_cosine_dups` blocked on the
+       cluster id — the cluster bound is what makes this
+       sub-quadratic: k ~ sqrt(N) clusters caps every pairwise block);
+    3. close the pairs transitively (connected components — the paper's
+       duplicate groups) and keep ONE point per group: the paper's
+       policy, the point with the LOWEST cosine to its cluster
+       centroid (keeps the least prototypical exemplar), ties broken
+       by min key.
+
+    Returns every input row flagged: (key, cluster, centroid_sim,
+    group_id, is_survivor). Filter ``is_survivor`` for the kept set;
+    the flagged form keeps the drop auditable. Deterministic given the
+    model (seeded fit) — the pairwise step, CC, and the survivor
+    window use total-order tiebreaks.
+
+    100 TB: the quantizer is fit offline on a sample; assignment is a
+    broadcast of k centroids; the pairwise step shuffles once on
+    (cluster, sign-bucket); CC rounds are two shuffles each over the
+    (tiny) duplicate-pair graph. Nothing is ever all-pairs.
+    """
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.graph import (
+        connected_components,
+    )
+    from pyspark.ml.functions import array_to_vector
+
+    if model is None:
+        if not allow_inline_fit:
+            raise ValueError(
+                "semantic_dedup: no quantizer model supplied. Fit one "
+                "offline with fit_ivf_quantizer(df) and pass model=...; "
+                "inline fitting is opt-in via allow_inline_fit=True "
+                "(small-data/test convenience only).")
+        model = fit_ivf_quantizer(df, vec_col, n_clusters, seed)
+
+    base = (df.select(F.col(key_col),
+                      as_double(F.col(vec_col)).alias("__v"))
+            .withColumn("__fv", array_to_vector("__v")))
+    assigned = (model.transform(base)
+                .select(key_col, "__v", F.col("__cluster").alias("cluster")))
+
+    # k centroids -> literal broadcast join; no second model.transform
+    centers = [(int(i), [float(x) for x in c])
+               for i, c in enumerate(model.clusterCenters())]
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(centers, "cluster int, __c array<double>")
+    scored = (assigned.join(F.broadcast(cdf), "cluster")
+              .select(F.col(key_col), F.col("cluster"), F.col("__v"),
+                      F.round(cosine(F.col("__v"), F.col("__c")), 6)
+                      .alias("centroid_sim")))
+
+    pairs = pairwise_cosine_dups(
+        scored, key_col=key_col, vec_col="__v", block_col="cluster",
+        threshold=threshold)
+    comp = connected_components(pairs, src="key_a", dst="key_b")
+
+    flagged = (scored.join(comp, scored[key_col] == comp["node"], "left")
+               .select(F.col(key_col), F.col("cluster"),
+                       F.col("centroid_sim"),
+                       F.coalesce(F.col("component"), F.col(key_col))
+                       .alias("group_id")))
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("centroid_sim").asc_nulls_last(), F.col(key_col).asc())
+    return (flagged
+            .withColumn("is_survivor", F.row_number().over(w) == 1)
+            .select(key_col, "cluster", "centroid_sim", "group_id",
+                    "is_survivor"))

@@ -272,6 +272,22 @@ def stream_stateful_totals(spark, sf_dir):
 _IVF_MODELS: dict = {}
 
 
+def ivf_model(spark, sf_dir, emb, n_clusters: int = 16):
+    """The session-cached offline coarse quantizer for ``embeddings``
+    — shared by every registry entry that needs cluster assignment
+    (IVF probe, semantic dedup) so no entry ever fits on its own
+    query path."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
+        fit_ivf_quantizer,
+    )
+    cache_key = (spark.sparkContext.applicationId, sf_dir, n_clusters)
+    model = _IVF_MODELS.get(cache_key)
+    if model is None:
+        model = fit_ivf_quantizer(emb, n_clusters=n_clusters)
+        _IVF_MODELS[cache_key] = model
+    return model
+
+
 @register(
     "ext_ann_ivf_topk", None,
     survey="§7.5 similarity (IVF scale path)",
@@ -283,15 +299,10 @@ _IVF_MODELS: dict = {}
          "equivalence asserted in tests")
 def ext_ann_ivf_topk(spark, sf_dir):
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
-        fit_ivf_quantizer,
         ivf_topk,
     )
     emb = t(spark, sf_dir, "embeddings")
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
-    model = _IVF_MODELS.get(cache_key)
-    if model is None:
-        model = fit_ivf_quantizer(emb, n_clusters=16)
-        _IVF_MODELS[cache_key] = model
+    model = ivf_model(spark, sf_dir, emb, n_clusters=16)
     q = emb.filter(F.col("vec_id") == 0)
     return ivf_topk(emb, q, k=10, model=model, n_probe=4)
 

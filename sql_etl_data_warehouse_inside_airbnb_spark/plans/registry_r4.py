@@ -511,3 +511,45 @@ def ext_contamination_matrix(spark, sf_dir):
             .select("source", "eval_suite", "doc_id").distinct())
     return (hits.groupBy("source", "eval_suite")
             .agg(F.count("*").alias("n_contaminated")))
+
+
+@register(
+    "ext_semantic_dedup", None,
+    survey="§7.5 dedup ext (semantic / SemDeDup)",
+    note="SemDeDup (Abbas et al., arXiv:2303.09540): KMeans-cluster "
+         "the embedding space (the SAME session-cached offline "
+         "quantizer the IVF probe uses — no fit on the query path), "
+         "pairwise cosine WITHIN clusters only (sub-quadratic by the "
+         "cluster bound), transitive closure into duplicate groups, "
+         "keep the group member LEAST similar to its cluster centroid "
+         "(the paper's survivor policy, min-key tiebreak). The driver "
+         "corpus is near-orthogonal random vectors (max pairwise "
+         "cosine ~0.51), so — same device as g4's planted clones — "
+         "every vec_id % 7 == 0 row is cloned under id+1000000 with a "
+         "deterministic ~0.1% multiplicative perturbation (cosine to "
+         "its original > 0.999); the quantizer is the session-cached "
+         "offline fit on the BASE corpus (clones assign to their "
+         "original's centroid — the production shape: the index "
+         "predates the near-dup ingest). KMeans init is "
+         "engine-specific -> rows-only; the invariants (partition "
+         "into groups, one survivor each, no surviving near-dup "
+         "pair, threshold monotonicity) are property-tested in "
+         "tests/test_semantic_dedup.py")
+def ext_semantic_dedup(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_gaps import (
+        ivf_model,
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    clones = (emb.filter(F.col("vec_id") % 7 == 0)
+              .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                      F.expr("transform(embedding, (x, i) -> "
+                             "CAST(x * (1.0d + 0.001d * cos(CAST(i AS "
+                             "DOUBLE) + CAST(vec_id AS DOUBLE))) AS "
+                             "FLOAT))").alias("embedding"),
+                      F.col("label")))
+    corpus = emb.unionByName(clones)
+    model = ivf_model(spark, sf_dir, emb, n_clusters=16)
+    return semantic_dedup(corpus, model=model, threshold=0.95)
