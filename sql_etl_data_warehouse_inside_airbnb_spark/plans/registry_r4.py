@@ -553,3 +553,98 @@ def ext_semantic_dedup(spark, sf_dir):
     corpus = emb.unionByName(clones)
     model = ivf_model(spark, sf_dir, emb, n_clusters=16)
     return semantic_dedup(corpus, model=model, threshold=0.95)
+
+
+# ------------------------------------------------ stats / diagnostics
+
+_HIST_BOUNDS = """SELECT
+         percentile_disc(0.125) WITHIN GROUP (ORDER BY o_totalprice) AS q1,
+         percentile_disc(0.250) WITHIN GROUP (ORDER BY o_totalprice) AS q2,
+         percentile_disc(0.375) WITHIN GROUP (ORDER BY o_totalprice) AS q3,
+         percentile_disc(0.500) WITHIN GROUP (ORDER BY o_totalprice) AS q4,
+         percentile_disc(0.625) WITHIN GROUP (ORDER BY o_totalprice) AS q5,
+         percentile_disc(0.750) WITHIN GROUP (ORDER BY o_totalprice) AS q6,
+         percentile_disc(0.875) WITHIN GROUP (ORDER BY o_totalprice) AS q7"""
+
+_HIST_BUCKET = ("1 + CASE WHEN o_totalprice > b.q1 THEN 1 ELSE 0 END"
+                + "".join(f" + CASE WHEN o_totalprice > b.q{i} "
+                          f"THEN 1 ELSE 0 END" for i in range(2, 8)))
+
+
+@register(
+    "a35_equidepth_histogram",
+    f"""WITH b AS (SELECT
+           quantile_disc(o_totalprice, 0.125) AS q1,
+           quantile_disc(o_totalprice, 0.250) AS q2,
+           quantile_disc(o_totalprice, 0.375) AS q3,
+           quantile_disc(o_totalprice, 0.500) AS q4,
+           quantile_disc(o_totalprice, 0.625) AS q5,
+           quantile_disc(o_totalprice, 0.750) AS q6,
+           quantile_disc(o_totalprice, 0.875) AS q7
+         FROM orders)
+       SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+              min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+              round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                         AS DOUBLE), 2) AS price_sum
+       FROM (SELECT o_totalprice, {_HIST_BUCKET} AS bucket
+             FROM orders CROSS JOIN b)
+       GROUP BY bucket""",
+    survey="§2.4 ext (equi-depth histogram)",
+    note="8-bucket equi-depth histogram of order value — the optimizer-"
+         "statistics shape (count/min/max/exact-sum per depth bucket). "
+         "Boundaries are percentile_disc VALUES (actual rows — exact "
+         "cross-engine, no interpolation) collected into ONE row and "
+         "cross-joined back (the allowlisted 1-row-broadcast global "
+         "pattern; plan-audited); bucket assignment is value-based "
+         "(ties never split, unlike a global ntile window, and there "
+         "is NO single-partition global sort in the plan — the 100 TB "
+         "shape). Depth skew at boundary ties is the designed "
+         "semantics of a value-based cut")
+def a35_equidepth_histogram(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_a35")
+    return spark.sql(
+        f"""WITH b AS ({_HIST_BOUNDS} FROM orders_a35)
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+                   min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                              AS DOUBLE), 2) AS price_sum
+            FROM (SELECT o_totalprice, {_HIST_BUCKET} AS bucket
+                  FROM orders_a35 CROSS JOIN b)
+            GROUP BY bucket""")
+
+
+@register(
+    "x10_skew_report",
+    """WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+                  FROM orders GROUP BY o_custkey)
+       SELECT CAST(count(*) AS BIGINT) AS n_keys,
+              CAST(sum(cnt) AS BIGINT) AS total_rows,
+              CAST(max(cnt) AS BIGINT) AS max_cnt,
+              CAST(quantile_disc(cnt, 0.50) AS BIGINT) AS p50_cnt,
+              CAST(quantile_disc(cnt, 0.90) AS BIGINT) AS p90_cnt,
+              CAST(quantile_disc(cnt, 0.99) AS BIGINT) AS p99_cnt
+       FROM c""",
+    survey="§7.5 ext (skew diagnostics)",
+    note="join/agg-key skew report: per-key cardinality quantiles + "
+         "max for orders.o_custkey, the measurement that DECIDES "
+         "whether a key needs the salted twin (j12/a15) before the "
+         "shuffle is launched. Two map-side-combinable aggregates "
+         "(count per key, then moments over counts — second input is "
+         "|keys| rows, tiny); percentile_disc picks actual count "
+         "values so every column is an exact BIGINT. The p99/max gap "
+         "is the skew signal: max_cnt >> p99_cnt means salt that key")
+def x10_skew_report(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_x10")
+    return spark.sql(
+        """WITH c AS (SELECT o_custkey, count(*) AS cnt
+                      FROM orders_x10 GROUP BY o_custkey)
+           SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                  CAST(sum(cnt) AS BIGINT) AS total_rows,
+                  CAST(max(cnt) AS BIGINT) AS max_cnt,
+                  CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY cnt)
+                       AS BIGINT) AS p50_cnt,
+                  CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY cnt)
+                       AS BIGINT) AS p90_cnt,
+                  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt)
+                       AS BIGINT) AS p99_cnt
+           FROM c""")

@@ -46,6 +46,8 @@ NESTED_LOOP_OK = {
     "x7_freshness_report": "BroadcastNestedLoopJoin",
     # broadcast 1-row (N, avgdl) corpus stats for BM25
     "ext_bm25_topk": "BroadcastNestedLoopJoin",
+    # broadcast 1-row percentile-boundary vector for the histogram cut
+    "a35_equidepth_histogram": "BroadcastNestedLoopJoin",
 }
 ROW_PYTHON_OK = {
     "u6_udtf_tokenize": "BatchEvalPython",
