@@ -70,6 +70,7 @@ HEADLINE = [
     "ext_tfidf_topterms",              # explode + df join + topk window
     "ext_keyword_search",              # conjunctive retrieval (r4)
     "ext_bm25_topk",                   # BM25 LUT scoring (r4)
+    "ext_semantic_dedup",              # SemDeDup cluster-bounded (r4)
 ]
 
 
