@@ -447,3 +447,80 @@ def s16_multiline_csv_roundtrip(spark, sf_dir):
         F.sum(F.col("s_suppkey").try_cast("bigint")).alias("key_sum"),
         F.sum(F.length("gnarly")).cast("bigint").alias("char_sum"),
         F.sum(nl).cast("bigint").alias("nl_sum"))
+
+
+@register(
+    "s17_key_erasure_roundtrip",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_keys,
+              CAST(sum(o_custkey) AS BIGINT) AS key_sum,
+              round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                         AS DOUBLE), 2) AS price_sum,
+              CAST(0 AS BIGINT) AS n_leaked
+       FROM orders WHERE o_custkey >= 100""",
+    survey="§2.1 ext (key-scoped deletion / right-to-be-forgotten)",
+    note="GDPR-erasure probe: write orders partitioned by a custkey "
+         "bucket (key div 100 — erasure locality BY LAYOUT), erase "
+         "one tenant's keys (o_custkey < 100) with "
+         "sources/io.py:erase_keys — broadcast anti join, "
+         "partition-pruned rename-atomic rewrite — then read the "
+         "table back and checksum the survivors against the oracle's "
+         "direct filter. The probe additionally raises unless (a) "
+         "EXACTLY the one affected partition was rewritten and (b) "
+         "every untouched partition's files are byte-identical "
+         "(name+size+mtime) — deletion must not churn data it "
+         "doesn't touch. n_leaked counts erased keys still present "
+         "post-rewrite; the oracle pins it to literal 0")
+def s17_key_erasure_roundtrip(spark, sf_dir):
+    import shutil
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        erase_keys,
+    )
+
+    path = os.path.join(_TMP, "s17_erasure", "orders")
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        (F.col("o_custkey") - F.pmod("o_custkey", F.lit(100)))
+        .alias("cust_bucket"))
+    orders.write.mode("overwrite").partitionBy("cust_bucket").parquet(path)
+
+    def _layout(p):
+        out = {}
+        for root, _dirs, names in os.walk(p):
+            for n in names:
+                if n.endswith(".parquet"):
+                    fp = os.path.join(root, n)
+                    st = os.stat(fp)
+                    out[os.path.relpath(fp, p)] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = _layout(path)
+    tenant = (t(spark, sf_dir, "orders")
+              .filter(F.col("o_custkey") < 100)
+              .select("o_custkey").distinct())
+    stats = erase_keys(spark, path, "o_custkey", tenant,
+                       partition_cols=["cust_bucket"])
+    # not assert: python -O would compile these away and a pruning
+    # regression would pass on data checksums alone
+    if stats["partitions_rewritten"] != 1:
+        raise RuntimeError(f"expected 1 rewritten partition: {stats}")
+    after = _layout(path)
+    untouched_before = {k: v for k, v in before.items()
+                        if not k.startswith("cust_bucket=0/")}
+    untouched_after = {k: v for k, v in after.items()
+                       if not k.startswith("cust_bucket=0/")}
+    if untouched_before != untouched_after:
+        raise RuntimeError("erasure churned untouched partitions")
+
+    rt = spark.read.parquet(path)
+    return rt.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_keys"),
+        F.sum("o_custkey").cast("bigint").alias("key_sum"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .cast("double"), 2).alias("price_sum"),
+        F.sum((F.col("o_custkey") < 100).cast("bigint"))
+        .cast("bigint").alias("n_leaked"))

@@ -297,3 +297,109 @@ def compact_parquet(spark: SparkSession, path: str,
     files_after, _ = _stats(path)
     return {"files_before": files_before, "files_after": files_after,
             "bytes": total_bytes}
+
+
+def erase_keys(spark: SparkSession, path: str, key_col: str,
+               keys: DataFrame,
+               partition_cols: list[str] | None = None) -> dict:
+    """Key-scoped deletion over a parquet table — the right-to-be-
+    forgotten maintenance job (GDPR Art. 17 / CCPA): remove every row
+    whose ``key_col`` appears in ``keys``, rewriting as little of the
+    table as possible.
+
+    Plain parquet has no row-level delete, so erasure is a rewrite —
+    the whole game at 100 TB is bounding WHAT gets rewritten:
+
+    - ``partition_cols`` set (the production shape): a semi join of
+      the table against the (broadcast — erasure batches are small)
+      key set finds the AFFECTED partitions; only those directories
+      are rewritten, each through the same temp-dir + rename-atomic
+      swap compaction uses, and every untouched partition's files are
+      left byte-identical (asserted by the s17 probe). Cost ∝ data
+      under affected partitions, not table size. Partitioning the
+      table by a key bucket (e.g. ``key div N``) makes erasure's
+      rewrite set minimal BY LAYOUT — the same locality argument as
+      partition pruning for reads.
+    - no ``partition_cols``: whole-table anti-join rewrite behind one
+      atomic swap (small tables / the fallback).
+
+    The anti join broadcasts the key set; nothing shuffles the table.
+    Returns {"rows_erased", "partitions_rewritten"} for the erasure
+    audit log the regulation requires. Lakehouse formats express the
+    same job as DELETE WHERE + VACUUM; this is the engine-neutral
+    form over plain parquet (files rewritten immediately — no
+    tombstoned copies linger, which IS the compliance semantics).
+    """
+    import os
+    import shutil
+
+    # recovery from an interrupted prior run (compact_parquet's
+    # discipline): a *._erase_old whose target is missing IS the data
+    # (the run died between the two renames) — restore it; one whose
+    # target exists is stale — drop it. Backups live next to the
+    # table root or next to a partition child.
+    suffix = "._erase_old"
+    scan = [path.rstrip("/") + suffix]
+    if os.path.isdir(path):
+        scan += [os.path.join(path, d) for d in os.listdir(path)
+                 if d.endswith(suffix)]
+    for backup in scan:
+        if not os.path.isdir(backup):
+            continue
+        target = backup[:-len(suffix)]
+        if os.path.isdir(target):
+            shutil.rmtree(backup)
+        else:
+            os.rename(backup, target)
+
+    kdf = keys.select(F.col(keys.columns[0]).alias("__erase_key"))
+
+    def _swap_in(kept, kept_cnt, target):
+        """Replace ``target`` with ``kept`` behind a rename-atomic
+        swap; a FULLY-erased target is removed outright (hive
+        semantics: an empty partition has no directory — and an
+        empty parquet dir cannot even be re-read)."""
+        backup = target.rstrip("/") + "._erase_old"
+        if os.path.isdir(backup):
+            shutil.rmtree(backup)
+        if kept_cnt == 0:
+            os.rename(target, backup)
+            shutil.rmtree(backup)
+            return
+        tmp = target.rstrip("/") + "._erase_tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        kept.write.mode("overwrite").parquet(tmp)
+        os.rename(target, backup)
+        os.rename(tmp, target)
+        shutil.rmtree(backup)
+
+    if not partition_cols:
+        df = spark.read.parquet(path)
+        before = df.count()
+        kept = df.join(F.broadcast(kdf),
+                       df[key_col] == kdf["__erase_key"], "left_anti")
+        kept_cnt = kept.count()
+        _swap_in(kept, kept_cnt, path)
+        return {"rows_erased": before - kept_cnt,
+                "partitions_rewritten": -1}
+
+    df = spark.read.parquet(path)
+    affected = [tuple(r) for r in
+                (df.join(F.broadcast(kdf),
+                         df[key_col] == kdf["__erase_key"], "left_semi")
+                 .select(*partition_cols).distinct().collect())]
+    rows_erased = 0
+    for values in affected:
+        # hive layout: path/col1=v1/col2=v2
+        sub = os.path.join(path, *[f"{c}={v}" for c, v in
+                                   zip(partition_cols, values)])
+        part = spark.read.parquet(sub)
+        before = part.count()
+        kept = part.join(F.broadcast(kdf),
+                         part[key_col] == kdf["__erase_key"], "left_anti")
+        kept_cnt = kept.count()
+        _swap_in(kept, kept_cnt, sub)
+        rows_erased += before - kept_cnt
+    return {"rows_erased": rows_erased,
+            "partitions_rewritten": len(affected)}

@@ -1,0 +1,97 @@
+"""erase_keys (sources/io.py) — key-scoped deletion mechanics.
+
+The s17 probe drives the partitioned happy path against the oracle;
+these tests pin the branches the probe can't see: the unpartitioned
+fallback, the fully-erased-partition edge (the directory must GO, not
+become an unreadable empty parquet dir), crash recovery from an
+interrupted swap, and the no-op erase (no matching keys → nothing
+rewritten, layout byte-identical).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import erase_keys
+
+_TMP = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".tmp_probe", "erasure_tests")
+
+
+def _fresh(spark, name, partitioned):
+    path = os.path.join(_TMP, name)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        (F.col("id") - F.pmod("id", F.lit(50))).alias("bucket"))
+    w = df.write.mode("overwrite")
+    if partitioned:
+        w = w.partitionBy("bucket")
+    w.parquet(path)
+    return path
+
+
+def _layout(p):
+    out = {}
+    for root, _dirs, names in os.walk(p):
+        for n in names:
+            if n.endswith(".parquet"):
+                fp = os.path.join(root, n)
+                st = os.stat(fp)
+                out[os.path.relpath(fp, p)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_unpartitioned_erase(spark):
+    path = _fresh(spark, "flat", partitioned=False)
+    keys = spark.range(0, 10).select(F.col("id").alias("k"))
+    stats = erase_keys(spark, path, "k", keys)
+    assert stats == {"rows_erased": 10, "partitions_rewritten": -1}
+    rt = spark.read.parquet(path)
+    assert rt.count() == 90
+    assert rt.filter(F.col("k") < 10).count() == 0
+
+
+def test_fully_erased_partition_directory_removed(spark):
+    path = _fresh(spark, "full", partitioned=True)
+    keys = spark.range(0, 50).select(F.col("id").alias("k"))
+    stats = erase_keys(spark, path, "k", keys,
+                       partition_cols=["bucket"])
+    assert stats == {"rows_erased": 50, "partitions_rewritten": 1}
+    assert not os.path.isdir(os.path.join(path, "bucket=0"))
+    rt = spark.read.parquet(path)
+    assert rt.count() == 50 and rt.filter(F.col("k") < 50).count() == 0
+
+
+def test_noop_erase_touches_nothing(spark):
+    path = _fresh(spark, "noop", partitioned=True)
+    before = _layout(path)
+    keys = spark.range(1000, 1010).select(F.col("id").alias("k"))
+    stats = erase_keys(spark, path, "k", keys,
+                       partition_cols=["bucket"])
+    assert stats == {"rows_erased": 0, "partitions_rewritten": 0}
+    assert _layout(path) == before
+
+
+def test_crash_recovery_restores_backup(spark):
+    path = _fresh(spark, "crash", partitioned=True)
+    sub = os.path.join(path, "bucket=0")
+    # simulate dying between the two renames: target gone, backup holds
+    # the data
+    os.rename(sub, sub + "._erase_old")
+    keys = spark.range(1000, 1001).select(F.col("id").alias("k"))
+    stats = erase_keys(spark, path, "k", keys,
+                       partition_cols=["bucket"])
+    assert stats["rows_erased"] == 0
+    assert os.path.isdir(sub) and not os.path.isdir(sub + "._erase_old")
+    assert spark.read.parquet(path).count() == 100
+    # stale backup next to a PRESENT target is dropped
+    shutil.copytree(sub, sub + "._erase_old")
+    erase_keys(spark, path, "k", keys, partition_cols=["bucket"])
+    assert not os.path.isdir(sub + "._erase_old")
+    assert spark.read.parquet(path).count() == 100
