@@ -371,3 +371,64 @@ def tfidf_top_terms(df: DataFrame, key_col: str, text_col: str,
             .filter(F.col("rank") <= k)
             .select(F.col(key_col), "term", "tf", "df",
                     F.col("rank").cast("bigint").alias("rank")))
+
+
+def dsir_components(df: DataFrame, key_col: str, text_col: str,
+                    target: Column, n_buckets: int = HASH_BUCKETS,
+                    cache: bool = True) -> DataFrame:
+    """DSIR importance weighting (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    score every document by how much more likely its hashed bag of
+    tokens is under the TARGET distribution than under the rest of
+    the corpus — the principled replacement for a hand-tuned quality
+    threshold when "quality" means "looks like this target set".
+
+    Mechanics, all relational: tokens hash into ``n_buckets`` by the
+    repo's one rolling-hash family; per-(doc, bucket) counts are
+    computed once and persisted (the trigram_familiarity shape); the
+    target/source bucket-count model derives from that relation with
+    one more groupBy and broadcasts back onto it (≤ n_buckets rows —
+    at any corpus size the model is bounded by the hash space, which
+    is what makes DSIR tractable at web scale); per-doc aggregates
+    close the score. Linear, no pairwise step, explode runs once.
+
+    Returns (key, is_target, n_tokens, sum_ct, sum_cs, log_weight):
+    the integer components are exact (mergeable — the a34 component
+    convention, and what the oracle compares; log/division stay out
+    of compared columns), and ``log_weight`` = Σ_tokens
+    log((ct[h]+1)/(cs[h]+1)) is the client-facing importance
+    log-weight — equal to the paper's log p_target/p_source up to
+    the corpus-constant normalizer log((Cs+B)/(Ct+B)) per token,
+    which shifts every document equally and cancels in resampling.
+    Docs with no tokens have no bag to weigh and drop out (same on
+    both engines).
+    """
+    from pyspark import StorageLevel
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.search import (
+        tokens,
+    )
+
+    h = rolling_hash(F.col("__term"), prefix_len=None) % n_buckets
+    per = (df.select(F.col(key_col), target.alias("is_target"),
+                     F.explode(tokens(text_col)).alias("__term"))
+           .select(key_col, "is_target", h.alias("h"))
+           .groupBy(key_col, "is_target", "h")
+           .agg(F.count("*").alias("cnt")))
+    if cache:
+        per = per.persist(StorageLevel.MEMORY_AND_DISK)
+    model = per.groupBy("h").agg(
+        F.coalesce(F.sum(F.when(F.col("is_target"), F.col("cnt"))),
+                   F.lit(0)).cast("bigint").alias("ct"),
+        F.coalesce(F.sum(F.when(~F.col("is_target"), F.col("cnt"))),
+                   F.lit(0)).cast("bigint").alias("cs"))
+    ratio = F.log(F.col("ct") + F.lit(1.0)) - F.log(F.col("cs") + F.lit(1.0))
+    return (per.join(F.broadcast(model), "h")
+            .groupBy(key_col, "is_target")
+            .agg(F.sum("cnt").cast("bigint").alias("n_tokens"),
+                 F.sum(F.col("cnt") * F.col("ct")).cast("bigint")
+                 .alias("sum_ct"),
+                 F.sum(F.col("cnt") * F.col("cs")).cast("bigint")
+                 .alias("sum_cs"),
+                 F.round(F.sum(F.col("cnt") * ratio), 6)
+                 .alias("log_weight")))

@@ -185,7 +185,7 @@ _PRIORITY = [
     "ext_multimodal_embed_ann", "stream_dedup_ingest",
     "stream_static_enrich", "a34_corr_components",
     "a35_equidepth_histogram", "x10_skew_report",
-    "s17_key_erasure_roundtrip",
+    "s17_key_erasure_roundtrip", "ext_dsir_components",
     # rows-only entries last (engine-specific hashes / library paths /
     # sketch internals / float-iterative)
     "ext_dedup_minhash", "ext_dedup_simhash", "ext_ann_ivf_topk",

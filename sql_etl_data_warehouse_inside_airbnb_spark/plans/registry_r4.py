@@ -648,3 +648,57 @@ def x10_skew_report(spark, sf_dir):
                   CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt)
                        AS BIGINT) AS p99_cnt
            FROM c""")
+
+
+_DSIR_BUCKET = """list_reduce(
+      list_transform(range(1, length(term) + 1),
+        i -> CAST(ascii(substr(term, CAST(i AS INTEGER), 1)) AS BIGINT)),
+      (a, b) -> (a * 31 + b) % 1000000007) % 4096"""
+
+
+@register(
+    "ext_dsir_components",
+    f"""WITH tok AS (
+         SELECT doc_id, lang = 'en' AS is_target, tt.term
+         FROM documents,
+              UNNEST(string_split_regex(lower(trim(text)),
+                                        '[ \\t\\n\\x0b\\f\\r]+')) AS tt(term)
+         WHERE tt.term <> ''),
+       b AS (SELECT doc_id, is_target, {_DSIR_BUCKET} AS h FROM tok),
+       per AS (SELECT doc_id, is_target, h,
+                      CAST(count(*) AS BIGINT) AS cnt
+               FROM b GROUP BY doc_id, is_target, h),
+       model AS (SELECT h,
+                 CAST(coalesce(sum(CASE WHEN is_target THEN cnt END), 0)
+                      AS BIGINT) AS ct,
+                 CAST(coalesce(sum(CASE WHEN NOT is_target THEN cnt END), 0)
+                      AS BIGINT) AS cs
+                 FROM per GROUP BY h)
+       SELECT doc_id, is_target,
+              CAST(sum(cnt) AS BIGINT) AS n_tokens,
+              CAST(sum(cnt * ct) AS BIGINT) AS sum_ct,
+              CAST(sum(cnt * cs) AS BIGINT) AS sum_cs
+       FROM per JOIN model USING (h)
+       GROUP BY doc_id, is_target""",
+    survey="§7.5 curation ext (DSIR importance weighting)",
+    note="DSIR (Xie et al., arXiv:2302.03169): hashed-bag importance "
+         "weights p_target/p_source with target = the English slice "
+         "(operators/curation.py:dsir_components) — the principled "
+         "domain-matching data selector. One explode (persisted "
+         "per-(doc,bucket) counts, the trigram shape); the "
+         "target/source model is ≤4096 rows AT ANY CORPUS SIZE "
+         "(bounded by the hash space — DSIR's web-scale trick) and "
+         "broadcasts back. Compared columns are the exact integer "
+         "components (the a34 convention); the float log-weight "
+         "derives from the same relation client-side and stays out "
+         "of the hash. Tokens/buckets share the ONE portable "
+         "rolling-hash family (functions/text.py:rolling_hash == the "
+         "oracle's BIGINT list_reduce fold)")
+def ext_dsir_components(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.curation import (
+        dsir_components,
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return dsir_components(
+        docs, "doc_id", "text",
+        target=(F.col("lang") == "en")).drop("log_weight")

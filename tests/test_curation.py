@@ -159,3 +159,57 @@ def test_oracle_sql_handles_empty_docs_like_operators():
     # i=0 unterminated, i=1 terminated; the unterminated first
     # sentence glues into the terminated second -> 1 parsed, 1 kept
     assert c4[3][1:] == (1, 1, False, False, False)
+
+
+def test_dsir_components_match_python_model(spark):
+    """dsir_components vs an independent pure-Python DSIR model on a
+    constructed corpus: exact integer components AND the float
+    log-weight (within fp tolerance)."""
+    import math
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.curation import (
+        HASH_BUCKETS,
+        dsir_components,
+    )
+
+    rows = [(1, "alpha beta beta gamma", True),
+            (2, "alpha alpha delta", True),
+            (3, "beta beta beta epsilon", False),
+            (4, "gamma delta delta zeta zeta", False),
+            (5, "   ", False)]           # no tokens -> drops out
+    df = spark.createDataFrame(rows, ["doc_id", "text", "tgt"])
+    out = {r["doc_id"]: r for r in
+           dsir_components(df, "doc_id", "text",
+                           target=F.col("tgt")).collect()}
+    assert set(out) == {1, 2, 3, 4}
+
+    def bucket(tok: str) -> int:
+        acc = 0
+        for ch in tok:
+            acc = (acc * 31 + ord(ch)) % 1000000007
+        return acc % HASH_BUCKETS
+
+    ct: dict = {}
+    cs: dict = {}
+    docs = {}
+    for doc_id, text, tgt in rows:
+        toks = [w for w in text.lower().strip().split() if w]
+        hs = [bucket(w) for w in toks]
+        docs[doc_id] = (tgt, hs)
+        for h in hs:
+            d = ct if tgt else cs
+            d[h] = d.get(h, 0) + 1
+    for doc_id, (tgt, hs) in docs.items():
+        if not hs:
+            assert doc_id not in out
+            continue
+        r = out[doc_id]
+        assert r["is_target"] == tgt
+        assert r["n_tokens"] == len(hs)
+        assert r["sum_ct"] == sum(ct.get(h, 0) for h in hs)
+        assert r["sum_cs"] == sum(cs.get(h, 0) for h in hs)
+        want = sum(math.log(ct.get(h, 0) + 1) - math.log(cs.get(h, 0) + 1)
+                   for h in hs)
+        assert abs(r["log_weight"] - round(want, 6)) < 1e-5
+    # the target docs should out-weigh the source docs they don't share
+    assert out[1]["log_weight"] > out[4]["log_weight"]
