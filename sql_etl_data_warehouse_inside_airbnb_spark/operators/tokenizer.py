@@ -1,0 +1,122 @@
+"""Distributed BPE tokenizer training (SURVEY §7.5 ext).
+
+Byte-pair encoding (Sennrich et al., "Neural Machine Translation of
+Rare Words with Subword Units", arXiv:1508.07909) is the tokenizer-
+training step of every LLM data pipeline. The reference has no
+tokenizer surface at all; this is the Spark-first formulation of the
+standard algorithm:
+
+* the corpus collapses to a WORD-FREQUENCY vocabulary first (the
+  classical trick: merges depend only on (word, count), so every
+  subsequent round runs over |distinct words| rows, not corpus rows —
+  at 100 TB the vocab is millions of rows where the corpus is
+  trillions);
+* each round counts adjacent symbol pairs weighted by word count (one
+  explode + one map-side-combinable groupBy over the vocab), takes the
+  single most frequent pair with a total-order tiebreak
+  (count DESC, left ASC, right ASC — deterministic on any engine or
+  partitioning), and rewrites the symbol arrays with a pure column-
+  expression greedy merge fold (no UDF);
+* every round localCheckpoint()s the vocab — the connected-components
+  lineage discipline; per-round driver traffic is ONE row (the chosen
+  pair), the CC fixpoint-probe pattern.
+
+The merge fold is exactly greedy left-to-right BPE: fold symbols into
+an accumulator, replacing the accumulator's last element ``a`` with
+``a+b`` when the current symbol is ``b``. A just-merged ``a+b`` can
+never re-merge as ``a`` (``b`` is non-empty), which is precisely the
+skip-ahead rule of the sequential algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"
+
+
+def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus → (word, cnt) frequency vocabulary, words split on the
+    engine-portable whitespace class, lowercased."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.search import (
+        tokens,
+    )
+    return (df.select(F.explode(tokens(text_col)).alias("w"))
+            .groupBy("w").agg(F.count("*").alias("cnt")))
+
+
+def _initial_symbols(word: Column) -> Column:
+    """word → [c1, c2, ..., cn, '</w>'] (character symbols plus the
+    end-of-word marker, per the paper)."""
+    chars = F.filter(F.split(word, ""), lambda c: F.length(c) > 0)
+    return F.concat(chars, F.array(F.lit(END_OF_WORD)))
+
+
+def _apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of adjacent (left, right) → left+right,
+    as a pure aggregate fold (see module docstring for why the fold is
+    exactly the sequential greedy rule)."""
+    merged = left + right
+    return F.aggregate(
+        syms, F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            # try_element_at: -1 on the empty initial accumulator is
+            # NULL (→ no merge), where element_at raises under ANSI
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                     F.array(F.lit(merged))))
+        .otherwise(F.concat(acc, F.array(x))))
+
+
+def bpe_train(df: DataFrame, text_col: str, n_merges: int = 16,
+              min_pair_count: int = 2):
+    """Learn ``n_merges`` BPE merges from the corpus. Returns
+    ``(merges, vocab)``: ``merges`` is the ordered merge table
+    [(rank, left, right, merged, pair_count)] as a list of tuples (the
+    model artifact — ship it to the encoder), ``vocab`` the final
+    symbolized word-frequency DataFrame.
+
+    Stops early when no pair reaches ``min_pair_count`` (merging a
+    pair seen once memorizes a single word — the paper's stopping
+    criterion in spirit). Deterministic: integer counts with a
+    total-order pair tiebreak, no floats anywhere.
+    """
+    spark = df.sparkSession
+    vocab = (word_vocab(df, text_col)
+             .select(_initial_symbols(F.col("w")).alias("syms"),
+                     F.col("cnt"))
+             .localCheckpoint(eager=True))
+    merges: list[tuple] = []
+    for rank in range(n_merges):
+        n = F.size("syms")
+        pairs = (vocab
+                 .filter(n >= 2)
+                 .select("cnt", F.explode(F.arrays_zip(
+                     F.slice("syms", F.lit(1), n - 1).alias("l"),
+                     F.slice("syms", F.lit(2), n - 1).alias("r")))
+                     .alias("p"))
+                 .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                 .agg(F.sum("cnt").alias("pc"))
+                 .orderBy(F.desc("pc"), "l", "r")
+                 .limit(1).collect())
+        if not pairs or pairs[0]["pc"] < min_pair_count:
+            break
+        left, right, pc = pairs[0]["l"], pairs[0]["r"], int(pairs[0]["pc"])
+        merges.append((rank, left, right, left + right, pc))
+        vocab = (vocab.select(
+            _apply_merge(F.col("syms"), left, right).alias("syms"),
+            F.col("cnt"))
+            .localCheckpoint(eager=True))
+    # spark unused beyond session ownership; kept for API symmetry
+    del spark
+    return merges, vocab
+
+
+def merges_df(spark, merges: list[tuple]) -> DataFrame:
+    """Merge list → DataFrame (rank, left, right, merged, pair_count)
+    — the model artifact as a relation."""
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, "
+                "pair_count bigint")

@@ -702,3 +702,29 @@ def ext_dsir_components(spark, sf_dir):
     return dsir_components(
         docs, "doc_id", "text",
         target=(F.col("lang") == "en")).drop("log_weight")
+
+
+@register(
+    "ext_bpe_train_merges", None,
+    survey="§7.5 tokenizer ext (BPE training)",
+    note="distributed BPE tokenizer training (Sennrich et al., "
+         "arXiv:1508.07909; operators/tokenizer.py:bpe_train): corpus "
+         "collapses to the word-frequency vocab FIRST (merges depend "
+         "only on (word,count) — every round runs over |distinct "
+         "words|, not corpus rows), then each round is one explode + "
+         "combinable pair-count groupBy + a 1-row top-pair collect "
+         "(the CC scalar-probe pattern) + a pure column-expression "
+         "greedy merge fold, localCheckpoint()ed per round. "
+         "Deterministic (integer counts, total-order pair tiebreak) "
+         "but iterative -> no SQL oracle, rows-only; the merge table "
+         "is asserted EQUAL to an independent pure-Python BPE in "
+         "tests/test_tokenizer.py (incl. the canonical "
+         "low/lower/newest/widest example)")
+def ext_bpe_train_merges(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.tokenizer import (
+        bpe_train,
+        merges_df,
+    )
+    docs = t(spark, sf_dir, "documents").select("text")
+    merges, _vocab = bpe_train(docs, "text", n_merges=8)
+    return merges_df(spark, merges)

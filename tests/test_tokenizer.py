@@ -1,0 +1,90 @@
+"""bpe_train (operators/tokenizer.py) vs an independent pure-Python
+BPE implementation: identical merge tables (order, symbols, counts)
+on constructed corpora, plus the stopping criterion and determinism.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sql_etl_data_warehouse_inside_airbnb_spark.operators.tokenizer import (
+    END_OF_WORD,
+    bpe_train,
+    merges_df,
+)
+
+
+def _python_bpe(texts, n_merges, min_pair_count=2):
+    """Reference BPE (Sennrich et al.): dict-of-tuples vocab, greedy
+    left-to-right merge, (count DESC, left ASC, right ASC) tiebreak."""
+    vocab: dict = {}
+    for t in texts:
+        for w in t.lower().strip().split():
+            syms = tuple(list(w) + [END_OF_WORD])
+            vocab[syms] = vocab.get(syms, 0) + 1
+    merges = []
+    for rank in range(n_merges):
+        pairs: dict = {}
+        for syms, cnt in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + cnt
+        if not pairs:
+            break
+        (a, b), pc = min(pairs.items(),
+                         key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if pc < min_pair_count:
+            break
+        merges.append((rank, a, b, a + b, pc))
+        new_vocab: dict = {}
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
+CORPORA = [
+    ["low low low low low lower lower newest newest newest newest "
+     "newest newest widest widest widest"],
+    ["aaa aaa aa a aaaa"],                      # overlap-greedy edge
+    ["ab ab ab abc abc bc", "ba ba cab"],       # competing pairs
+    ["x"],                                      # single char + </w> only
+]
+
+
+@pytest.mark.parametrize("texts", CORPORA)
+def test_matches_python_reference(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["id", "text"])
+    got, _ = bpe_train(df, "text", n_merges=8)
+    want = _python_bpe(texts, 8)
+    assert got == want
+
+
+def test_stops_below_min_pair_count(spark):
+    df = spark.createDataFrame([(1, "ab cd ef")], ["id", "text"])
+    # every adjacent pair occurs once -> nothing reaches the floor
+    got, _ = bpe_train(df, "text", n_merges=5, min_pair_count=2)
+    assert got == []
+
+
+def test_deterministic_and_df_artifact(spark):
+    texts = CORPORA[2]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["id", "text"])
+    a, _ = bpe_train(df, "text", n_merges=6)
+    b, _ = bpe_train(df, "text", n_merges=6)
+    assert a == b
+    mdf = merges_df(spark, a)
+    assert mdf.columns == ["rank", "left", "right", "merged",
+                           "pair_count"]
+    assert mdf.count() == len(a)
