@@ -71,6 +71,7 @@ HEADLINE = [
     "ext_keyword_search",              # conjunctive retrieval (r4)
     "ext_bm25_topk",                   # BM25 LUT scoring (r4)
     "ext_semantic_dedup",              # SemDeDup cluster-bounded (r4)
+    "ext_dsir_components",             # DSIR importance weights (r4)
 ]
 
 
