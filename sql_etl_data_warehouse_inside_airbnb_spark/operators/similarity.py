@@ -462,7 +462,8 @@ def pq_topk(df: DataFrame, query: DataFrame, codebooks, k: int = 10,
 def semantic_dedup(df: DataFrame, key_col: str = "vec_id",
                    vec_col: str = "embedding", model=None,
                    n_clusters: int = 16, threshold: float = 0.95,
-                   seed: int = 42,
+                   seed: int = 42, sign_bits: int = 0,
+                   cache: bool = True,
                    allow_inline_fit: bool = False) -> DataFrame:
     """SemDeDup: semantic (embedding-space) deduplication via
     cluster-bounded pairwise cosine (Abbas et al., "SemDeDup: Data-
@@ -478,7 +479,10 @@ def semantic_dedup(df: DataFrame, key_col: str = "vec_id",
     2. WITHIN each cluster only, find pairs with cosine >=
        ``threshold`` (:func:`pairwise_cosine_dups` blocked on the
        cluster id — the cluster bound is what makes this
-       sub-quadratic: k ~ sqrt(N) clusters caps every pairwise block);
+       sub-quadratic: k ∝ N clusters caps every pairwise block;
+       ``sign_bits`` > 0 additionally composes a sign-LSH bucket into
+       the block key, the escape hatch for a degenerate oversized
+       cluster);
     3. close the pairs transitively (connected components — the paper's
        duplicate groups) and keep ONE point per group: the paper's
        policy, the point with the LOWEST cosine to its cluster
@@ -492,12 +496,17 @@ def semantic_dedup(df: DataFrame, key_col: str = "vec_id",
     window use total-order tiebreaks.
 
     100 TB: the quantizer is fit offline on a sample; assignment is a
-    broadcast of k centroids; the pairwise step shuffles once on
-    (cluster, sign-bucket); CC rounds are two shuffles each over the
-    (tiny) duplicate-pair graph. Nothing is ever all-pairs.
+    broadcast of k centroids; the pairwise step shuffles once on the
+    (cluster[, sign-bucket]) block key; CC rounds are two shuffles
+    each over the (tiny) duplicate-pair graph. Nothing is ever
+    all-pairs. ``cache=True`` persists the scored relation (one
+    KMeans-transform pass feeds the self-join's both sides, CC, and
+    the output — the trigram_familiarity lineage discipline).
     """
+    from pyspark import StorageLevel
+
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.graph import (
-        connected_components,
+        assign_clusters,
     )
     from pyspark.ml.functions import array_to_vector
 
@@ -525,17 +534,15 @@ def semantic_dedup(df: DataFrame, key_col: str = "vec_id",
               .select(F.col(key_col), F.col("cluster"), F.col("__v"),
                       F.round(cosine(F.col("__v"), F.col("__c")), 6)
                       .alias("centroid_sim")))
+    if cache:
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
 
     pairs = pairwise_cosine_dups(
         scored, key_col=key_col, vec_col="__v", block_col="cluster",
-        threshold=threshold)
-    comp = connected_components(pairs, src="key_a", dst="key_b")
-
-    flagged = (scored.join(comp, scored[key_col] == comp["node"], "left")
-               .select(F.col(key_col), F.col("cluster"),
-                       F.col("centroid_sim"),
-                       F.coalesce(F.col("component"), F.col(key_col))
-                       .alias("group_id")))
+        threshold=threshold, sign_bits=sign_bits)
+    flagged = assign_clusters(
+        scored.select(key_col, "cluster", "centroid_sim"),
+        key_col, pairs, cluster_col="group_id")
     w = Window.partitionBy("group_id").orderBy(
         F.col("centroid_sim").asc_nulls_last(), F.col(key_col).asc())
     return (flagged

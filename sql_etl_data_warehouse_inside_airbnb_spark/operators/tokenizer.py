@@ -83,7 +83,6 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 16,
     criterion in spirit). Deterministic: integer counts with a
     total-order pair tiebreak, no floats anywhere.
     """
-    spark = df.sparkSession
     vocab = (word_vocab(df, text_col)
              .select(_initial_symbols(F.col("w")).alias("syms"),
                      F.col("cnt"))
@@ -109,8 +108,6 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 16,
             _apply_merge(F.col("syms"), left, right).alias("syms"),
             F.col("cnt"))
             .localCheckpoint(eager=True))
-    # spark unused beyond session ownership; kept for API symmetry
-    del spark
     return merges, vocab
 
 

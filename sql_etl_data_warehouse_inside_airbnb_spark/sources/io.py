@@ -333,15 +333,24 @@ def erase_keys(spark: SparkSession, path: str, key_col: str,
     import os
     import shutil
 
-    # recovery from an interrupted prior run (compact_parquet's
-    # discipline): a *._erase_old whose target is missing IS the data
-    # (the run died between the two renames) — restore it; one whose
-    # target exists is stale — drop it. Backups live next to the
-    # table root or next to a partition child.
+    root = path.rstrip("/")
+    stage = root + "._erase_stage"   # OUTSIDE the table root: partition
+    # discovery must never see half-written staging files as data
+    # (compact_parquet's discipline). Stale staging from a killed run
+    # is discardable — the data is still in the target or its backup.
+    if os.path.isdir(stage):
+        shutil.rmtree(stage)
+
+    # recovery from an interrupted prior run: a *._erase_old whose
+    # target is missing IS the data (the run died between the two
+    # renames) — restore it; one whose target exists is stale — drop
+    # it. Backups sit next to the table root or next to a partition
+    # directory at ANY nesting depth (multi-column partitioning), so
+    # the scan walks the whole tree.
     suffix = "._erase_old"
-    scan = [path.rstrip("/") + suffix]
-    if os.path.isdir(path):
-        scan += [os.path.join(path, d) for d in os.listdir(path)
+    scan = [root + suffix]
+    for walk_root, dirs, _files in os.walk(path):
+        scan += [os.path.join(walk_root, d) for d in dirs
                  if d.endswith(suffix)]
     for backup in scan:
         if not os.path.isdir(backup):
@@ -354,21 +363,19 @@ def erase_keys(spark: SparkSession, path: str, key_col: str,
 
     kdf = keys.select(F.col(keys.columns[0]).alias("__erase_key"))
 
-    def _swap_in(kept, kept_cnt, target):
-        """Replace ``target`` with ``kept`` behind a rename-atomic
-        swap; a FULLY-erased target is removed outright (hive
-        semantics: an empty partition has no directory — and an
-        empty parquet dir cannot even be re-read)."""
-        backup = target.rstrip("/") + "._erase_old"
+    def _swap_in(kept, kept_cnt, target, tmp):
+        """Replace ``target`` with ``kept`` (staged at ``tmp``, outside
+        the table root) behind a rename-atomic swap; a FULLY-erased
+        target is removed outright (hive semantics: an empty partition
+        has no directory — and an empty parquet dir cannot even be
+        re-read)."""
+        backup = target.rstrip("/") + suffix
         if os.path.isdir(backup):
             shutil.rmtree(backup)
         if kept_cnt == 0:
             os.rename(target, backup)
             shutil.rmtree(backup)
             return
-        tmp = target.rstrip("/") + "._erase_tmp"
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)
         kept.write.mode("overwrite").parquet(tmp)
         os.rename(target, backup)
         os.rename(tmp, target)
@@ -380,26 +387,58 @@ def erase_keys(spark: SparkSession, path: str, key_col: str,
         kept = df.join(F.broadcast(kdf),
                        df[key_col] == kdf["__erase_key"], "left_anti")
         kept_cnt = kept.count()
-        _swap_in(kept, kept_cnt, path)
+        if kept_cnt == before:          # no key present: true no-op,
+            return {"rows_erased": 0,   # zero IO, layout untouched
+                    "partitions_rewritten": -1}
+        _swap_in(kept, kept_cnt, root, stage)
         return {"rows_erased": before - kept_cnt,
                 "partitions_rewritten": -1}
+
+    def _hive_seg(c, v):
+        # Spark/Hadoop partition-path encoding: NULL →
+        # __HIVE_DEFAULT_PARTITION__; special chars percent-escaped
+        # (Hadoop's escapePathName set — the characters unsafe in a
+        # path segment or ambiguous in key=value parsing)
+        if v is None:
+            return f"{c}=__HIVE_DEFAULT_PARTITION__"
+        out = []
+        for ch in str(v):
+            if ch in '"#%\'*/:=?\\{[]^' or ord(ch) < 0x20 \
+                    or ord(ch) == 0x7F:
+                out.append(f"%{ord(ch):02X}")
+            else:
+                out.append(ch)
+        return f"{c}={''.join(out)}"
 
     df = spark.read.parquet(path)
     affected = [tuple(r) for r in
                 (df.join(F.broadcast(kdf),
                          df[key_col] == kdf["__erase_key"], "left_semi")
                  .select(*partition_cols).distinct().collect())]
-    rows_erased = 0
+    subs = []
     for values in affected:
-        # hive layout: path/col1=v1/col2=v2
-        sub = os.path.join(path, *[f"{c}={v}" for c, v in
+        sub = os.path.join(path, *[_hive_seg(c, v) for c, v in
                                    zip(partition_cols, values)])
+        # pre-validate EVERY path before mutating ANY partition: a
+        # value whose on-disk encoding we failed to reproduce must
+        # fail the whole call cleanly, never mid-loop after some
+        # partitions were already rewritten
+        if not os.path.isdir(sub):
+            raise ValueError(
+                f"erase_keys: derived partition path does not exist: "
+                f"{sub} (partition value encoding mismatch?)")
+        subs.append(sub)
+    rows_erased = 0
+    for values, sub in zip(affected, subs):
         part = spark.read.parquet(sub)
         before = part.count()
         kept = part.join(F.broadcast(kdf),
                          part[key_col] == kdf["__erase_key"], "left_anti")
         kept_cnt = kept.count()
-        _swap_in(kept, kept_cnt, sub)
+        tmp = os.path.join(stage, os.path.relpath(sub, path))
+        _swap_in(kept, kept_cnt, sub, tmp)
         rows_erased += before - kept_cnt
+    if os.path.isdir(stage):
+        shutil.rmtree(stage)
     return {"rows_erased": rows_erased,
             "partitions_rewritten": len(affected)}

@@ -95,3 +95,60 @@ def test_crash_recovery_restores_backup(spark):
     erase_keys(spark, path, "k", keys, partition_cols=["bucket"])
     assert not os.path.isdir(sub + "._erase_old")
     assert spark.read.parquet(path).count() == 100
+
+
+def test_unpartitioned_noop_touches_nothing(spark):
+    path = _fresh(spark, "flat_noop", partitioned=False)
+    before = _layout(path)
+    keys = spark.range(1000, 1010).select(F.col("id").alias("k"))
+    stats = erase_keys(spark, path, "k", keys)
+    assert stats == {"rows_erased": 0, "partitions_rewritten": -1}
+    assert _layout(path) == before
+
+
+def test_nested_partition_crash_recovery(spark):
+    """Multi-column partitioning: a backup at depth 2 must be found
+    and restored by the recovery walk."""
+    path = os.path.join(_TMP, "nested")
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        (F.col("id") - F.pmod("id", F.lit(20))).alias("a"),
+        F.pmod("id", F.lit(2)).alias("b"))
+    df.write.mode("overwrite").partitionBy("a", "b").parquet(path)
+    sub = os.path.join(path, "a=0", "b=1")
+    os.rename(sub, sub + "._erase_old")
+    keys = spark.range(1000, 1001).select(F.col("id").alias("k"))
+    stats = erase_keys(spark, path, "k", keys, partition_cols=["a", "b"])
+    assert stats["rows_erased"] == 0
+    assert os.path.isdir(sub) and not os.path.isdir(sub + "._erase_old")
+    assert spark.read.parquet(path).count() == 40
+
+
+def test_stale_stage_dir_cleared_and_never_read_as_data(spark):
+    path = _fresh(spark, "stage", partitioned=True)
+    stage = path + "._erase_stage"
+    os.makedirs(os.path.join(stage, "bucket=0"), exist_ok=True)
+    keys = spark.range(0, 10).select(F.col("id").alias("k"))
+    stats = erase_keys(spark, path, "k", keys, partition_cols=["bucket"])
+    assert stats["rows_erased"] == 10
+    assert not os.path.isdir(stage)
+    rt = spark.read.parquet(path)
+    assert rt.count() == 90
+    # partition column stayed numeric: no phantom string partition
+    assert dict(rt.dtypes)["bucket"] in ("int", "bigint")
+
+
+def test_null_partition_value_hive_encoding(spark):
+    path = os.path.join(_TMP, "nullpart")
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, None), (4, None)], ["k", "g"])
+    df.write.mode("overwrite").partitionBy("g").parquet(path)
+    keys = spark.createDataFrame([(3,)], ["k"])
+    stats = erase_keys(spark, path, "k", keys, partition_cols=["g"])
+    assert stats == {"rows_erased": 1, "partitions_rewritten": 1}
+    rt = spark.read.parquet(path)
+    assert sorted(r.k for r in rt.collect()) == [1, 2, 4]
