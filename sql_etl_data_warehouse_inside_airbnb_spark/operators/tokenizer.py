@@ -117,3 +117,41 @@ def merges_df(spark, merges: list[tuple]) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, "
                 "pair_count bigint")
+
+
+def bpe_encode_counts(df: DataFrame, key_col: str, text_col: str,
+                      merges: list[tuple]) -> DataFrame:
+    """Apply a trained merge table to the corpus and count BPE tokens
+    per document — the token-budget accounting step between tokenizer
+    training and packing.
+
+    The vocabulary trick again, in reverse: merges apply to DISTINCT
+    words (the full merge cascade — one nested column-expression fold
+    per merge — runs over |vocab| rows), then a plain equi-join maps
+    word → token count back onto the corpus occurrences and a groupBy
+    closes the per-doc totals. At 100 TB the distinct-word relation is
+    millions of rows against a corpus of trillions; AQE picks a
+    broadcast when the vocab fits, a shuffle join otherwise — either
+    way the merge cascade itself never touches corpus-sized data.
+    Docs with no tokens have nothing to encode and drop out (the DSIR
+    convention).
+
+    Returns (key, n_words, n_bpe_tokens): ``n_bpe_tokens`` is the
+    symbol count after greedy application of every merge in rank
+    order — asserted equal to the sequential Python encoder in
+    tests/test_tokenizer.py.
+    """
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.search import (
+        tokens,
+    )
+
+    occ = df.select(F.col(key_col), F.explode(tokens(text_col)).alias("w"))
+    syms = _initial_symbols(F.col("w"))
+    for _rank, left, right, _merged, _pc in merges:
+        syms = _apply_merge(syms, left, right)
+    enc = occ.select("w").distinct().select(
+        "w", F.size(syms).alias("n_sym"))
+    return (occ.join(enc, "w")
+            .groupBy(key_col)
+            .agg(F.count("*").alias("n_words"),
+                 F.sum("n_sym").cast("bigint").alias("n_bpe_tokens")))

@@ -191,6 +191,7 @@ _PRIORITY = [
     "ext_dedup_minhash", "ext_dedup_simhash", "ext_ann_ivf_topk",
     "ext_bm25_topk", "g6_pagerank", "ext_ann_pq_topk",
     "ext_semantic_dedup", "ext_bpe_train_merges",
+    "ext_bpe_encode_counts",
 ]
 
 

@@ -728,3 +728,35 @@ def ext_bpe_train_merges(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").select("text")
     merges, _vocab = bpe_train(docs, "text", n_merges=8)
     return merges_df(spark, merges)
+
+
+# Trained-merge cache: the BPE fit is an offline build artifact (the
+# IVF-quantizer convention) — one merge table per (session, table).
+_BPE_MERGES: dict = {}
+
+
+@register(
+    "ext_bpe_encode_counts", None,
+    survey="§7.5 tokenizer ext (BPE encode / token budget)",
+    note="per-document token-budget accounting under the TRAINED BPE "
+         "tokenizer (operators/tokenizer.py:bpe_encode_counts): the "
+         "8-merge table from ext_bpe_train_merges (session-cached — "
+         "training is an offline artifact, never the query path) "
+         "applies to DISTINCT words only (the vocabulary trick in "
+         "reverse; the merge cascade never touches corpus-sized "
+         "data), then an equi-join + groupBy closes per-doc (n_words, "
+         "n_bpe_tokens). Deterministic but model-dependent -> "
+         "rows-only; the encoder is asserted equal to a sequential "
+         "Python BPE encoder in tests/test_tokenizer.py")
+def ext_bpe_encode_counts(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.tokenizer import (
+        bpe_encode_counts,
+        bpe_train,
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    merges = _BPE_MERGES.get(cache_key)
+    if merges is None:
+        merges, _vocab = bpe_train(docs, "text", n_merges=8)
+        _BPE_MERGES[cache_key] = merges
+    return bpe_encode_counts(docs, "doc_id", "text", merges)

@@ -88,3 +88,51 @@ def test_deterministic_and_df_artifact(spark):
     assert mdf.columns == ["rank", "left", "right", "merged",
                            "pair_count"]
     assert mdf.count() == len(a)
+
+
+def test_encode_counts_match_python_encoder(spark):
+    texts = CORPORA[0]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["id", "text"])
+    merges, _ = bpe_train(df, "text", n_merges=6)
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.tokenizer import (
+        bpe_encode_counts,
+    )
+    got = {r["id"]: r for r in
+           bpe_encode_counts(df, "id", "text", merges).collect()}
+
+    def encode(word):
+        syms = list(word) + [END_OF_WORD]
+        for _r, a, b, _m, _pc in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for i, t in enumerate(texts):
+        words = [w for w in t.lower().strip().split() if w]
+        want_tokens = sum(len(encode(w)) for w in words)
+        assert got[i]["n_words"] == len(words)
+        assert got[i]["n_bpe_tokens"] == want_tokens
+    # merges compress: fewer tokens than raw chars+markers
+    raw = sum(len(w) + 1 for t in texts
+              for w in t.lower().strip().split() if w)
+    assert got[0]["n_bpe_tokens"] < raw
+
+
+def test_encode_empty_doc_drops_out(spark):
+    df = spark.createDataFrame([(1, "ab ab"), (2, "   ")], ["id", "text"])
+    merges, _ = bpe_train(df, "text", n_merges=2)
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.tokenizer import (
+        bpe_encode_counts,
+    )
+    out = {r["id"] for r in
+           bpe_encode_counts(df, "id", "text", merges).collect()}
+    assert out == {1}
