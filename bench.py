@@ -72,6 +72,7 @@ HEADLINE = [
     "ext_bm25_topk",                   # BM25 LUT scoring (r4)
     "ext_semantic_dedup",              # SemDeDup cluster-bounded (r4)
     "ext_dsir_components",             # DSIR importance weights (r4)
+    "ext_bpe_encode_counts",           # trained-BPE token budgets (r4)
 ]
 
 
