@@ -281,9 +281,13 @@ def hashed_linear_score(df: DataFrame, key_col: str,
     Returns (key, n_tokens, score, verdict) with verdict
     'keep' when score >= 0 else 'drop'.
     """
-    c = F.col(text_col)
-    toks = F.filter(F.split(F.lower(F.trim(c)), r"\s+", -1),
-                    lambda t: F.length(t) > 0)
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.search import (
+        tokens,
+    )
+
+    toks = tokens(text_col)   # explicit whitespace class: Java \s and
+    # RE2 \s disagree on \x0B, so oracle-paired tokenizers share
+    # search.py's [ \t\n\x0B\f\r]+ on BOTH sides
 
     def weight(tok: Column) -> Column:
         # same base-31 mod-1e9+7 fold as the fingerprint ladder —
@@ -302,7 +306,8 @@ def hashed_linear_score(df: DataFrame, key_col: str,
 
 
 def mixture_sample(df: DataFrame, rates: DataFrame, group_col: str,
-                   key_col: str, rate_col: str = "rate_bp") -> DataFrame:
+                   key_col: str, rate_col: str = "rate_bp",
+                   on_missing: str = "error") -> DataFrame:
     """Deterministic source-mixture sampling: keep each row of group g
     with probability ``rates[g]`` (in basis points, 0..10000), decided
     by a multiplicative hash of the row key — the data-mixing step of
@@ -323,13 +328,37 @@ def mixture_sample(df: DataFrame, rates: DataFrame, group_col: str,
     negative and pass EVERY rate including 0. The fold keeps the
     product under 2^48 and the gate in [0, 10000) for any bigint key.
 
+    A group present in ``df`` but absent from ``rates`` has no
+    declared proportion — that is a configuration error, and an inner
+    join would silently drop the whole source from the mix. The
+    default ``on_missing='error'`` eagerly checks the (tiny) distinct
+    group set against ``rates`` and raises, naming the orphans;
+    ``on_missing='drop'`` opts into the silent-drop semantics,
+    ``on_missing='keep'`` passes unrated groups through unsampled.
+
     Returns the kept rows of ``df`` (all original columns).
     """
+    if on_missing not in ("error", "drop", "keep"):
+        raise ValueError(f"on_missing must be error|drop|keep, "
+                         f"got {on_missing!r}")
+    if on_missing == "error":
+        orphans = [r[0] for r in
+                   (df.select(group_col).distinct()
+                    .join(F.broadcast(rates.select(group_col)),
+                          group_col, "left_anti")
+                    .collect())]
+        if orphans:
+            raise ValueError(
+                f"mixture_sample: no rate declared for group(s) "
+                f"{sorted(map(str, orphans))[:10]} — add them to "
+                f"rates or pass on_missing='drop'/'keep'")
     gate = (F.pmod(F.col(key_col).cast("bigint"), F.lit(100_003))
             * WEIGHT_MULT) % 10_000
-    return (df.join(F.broadcast(rates), group_col)
-            .filter(gate < F.col(rate_col))
-            .drop(rate_col))
+    how = "left" if on_missing == "keep" else "inner"
+    out = (df.join(F.broadcast(rates), group_col, how)
+           .filter(F.col(rate_col).isNull() | (gate < F.col(rate_col)))
+           .drop(rate_col))
+    return out
 
 
 def tfidf_top_terms(df: DataFrame, key_col: str, text_col: str,
@@ -355,9 +384,11 @@ def tfidf_top_terms(df: DataFrame, key_col: str, text_col: str,
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+", -1),
-        lambda t: F.length(t) > 0)
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.search import (
+        tokens,
+    )
+
+    toks = tokens(text_col)   # the one portable whitespace class
     tf = (df.select(F.col(key_col), F.explode(toks).alias("term"))
           .groupBy(key_col, "term")
           .agg(F.count("*").alias("tf"))

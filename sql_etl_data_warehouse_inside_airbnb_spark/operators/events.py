@@ -142,17 +142,16 @@ def resample_ohlc(events: DataFrame, bucket_minutes: int = 15,
     (ts, id) total-order endpoints — no arithmetic touches them, so
     doubles compare bit-exactly.
     """
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.numeric import (
+        exact_floordiv_sql,
+    )
+
     bucket_us = bucket_minutes * US_PER_MIN
-    # exact integer FLOOR division, never `/` or `div`: the double
-    # quotient of a micros value can land a half-ulp below an exact
-    # boundary, and toward-zero `div` would collapse pre-1970
-    # timestamps into a double-width bucket 0 and misalign every
-    # negative bucket (the same defect class as spatial.cell)
-    bucket = F.expr(
-        f"CASE WHEN unix_micros({ts_col}) >= 0"
-        f" THEN unix_micros({ts_col}) div {bucket_us}L"
-        f" ELSE -((-unix_micros({ts_col}) + {bucket_us - 1}L)"
-        f"        div {bucket_us}L) END")
+    # exact integer FLOOR division (shared idiom — see
+    # functions/numeric.py for why neither `/` nor bare `div` is safe
+    # on pre-1970 micros)
+    bucket = F.expr(exact_floordiv_sql(f"unix_micros({ts_col})",
+                                       bucket_us))
     wb = Window.partitionBy("bucket_id").orderBy(ts_col, id_col)
     n_in_bucket = Window.partitionBy("bucket_id")
     rows = (events

@@ -430,9 +430,19 @@ def pq_topk(df: DataFrame, query: DataFrame, codebooks, k: int = 10,
     if codes is None:
         codes = pq_encode(df, key_col, vec_col, books)
 
-    qv = query.select(as_double(F.col(vec_col)).alias("q")).first()["q"]
+    qrow = query.select(as_double(F.col(vec_col)).alias("q")).first()
+    if qrow is None:
+        raise ValueError("pq_topk: query frame is empty")
+    qv = qrow["q"]
     qn = _math.sqrt(sum(x * x for x in qv)) or 1.0
-    sub = len(qv) // m
+    # subspace width comes from the CODEBOOKS (the trained artifact),
+    # never the query: a query of the wrong dimensionality must fail
+    # loudly, not silently build a misaligned LUT
+    sub = len(books[0][0])
+    if len(qv) != sub * m:
+        raise ValueError(
+            f"pq_topk: query dim {len(qv)} != codebook layout "
+            f"{m} x {sub}")
     lut = F.array(*[
         F.array(*[
             F.lit(sum(qv[j * sub + t] * c[t] for t in range(sub)) / qn)

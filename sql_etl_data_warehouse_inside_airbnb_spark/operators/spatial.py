@@ -55,16 +55,14 @@ def grid_distance_join(left: DataFrame, right: DataFrame,
     rid, rx, ry = right_cols
 
     def cell(c: str):
-        # FLOOR division, not `div`: `div` truncates toward zero, so
-        # a negative coordinate would land one cell too high and its
-        # pairs would silently vanish. The CASE form is exact integer
-        # floor division for the full bigint range (FLOOR(x/r) on
-        # doubles loses exactness past 2^53).
-        return F.expr(
-            f"CASE WHEN CAST({c} AS BIGINT) >= 0"
-            f" THEN CAST({c} AS BIGINT) div {radius}"
-            f" ELSE -((-CAST({c} AS BIGINT) + {radius} - 1)"
-            f"        div {radius}) END")
+        # FLOOR division via the shared exact idiom (functions/
+        # numeric.py): toward-zero `div` would land a negative
+        # coordinate one cell too high and its pairs would silently
+        # vanish; FLOOR(x/r) on doubles loses exactness past 2^53.
+        from sql_etl_data_warehouse_inside_airbnb_spark.functions.numeric import (
+            exact_floordiv_sql,
+        )
+        return F.expr(exact_floordiv_sql(f"CAST({c} AS BIGINT)", radius))
 
     neighbors = F.array(*[
         F.struct((cell(lx) + dx).alias("cx"), (cell(ly) + dy).alias("cy"))

@@ -78,17 +78,53 @@ CORE_TABLES = ("dim_listings", "dim_listing_id_map", "dim_hosts",
                "dim_dates", "fact_calendar", "fact_reviews")
 
 
+_SWAP_JOURNAL = ".__swap_pending"
+
+
+def _roll_forward_swaps(output_dir: str) -> None:
+    """Complete a swap a previous run started but didn't finish.
+
+    The journal file is written AFTER every staged table is fully
+    materialized and removed only after every swap lands — so its
+    presence means all ``.__tmp`` dirs are complete and committing is
+    always the right move. Rolling FORWARD (not back) keeps the batch
+    atomic: without it, a kill mid-loop leaves a MIXED warehouse
+    (some tables new, some old), and a retry would replay the batch's
+    id-map/reject appends onto already-merged state."""
+    import shutil
+
+    journal = os.path.join(output_dir, _SWAP_JOURNAL)
+    if not os.path.exists(journal):
+        return
+    with open(journal) as f:
+        names = [ln.strip() for ln in f if ln.strip()]
+    for name in names:
+        path = os.path.join(output_dir, name)
+        tmp, old = path + ".__tmp", path + ".__old"
+        if os.path.exists(tmp):
+            if os.path.exists(path):
+                shutil.rmtree(old, ignore_errors=True)
+                os.rename(path, old)
+            os.replace(tmp, path)
+        elif not os.path.exists(path) and os.path.exists(old):
+            # died between the two renames of this table's swap
+            os.rename(old, path)
+        shutil.rmtree(old, ignore_errors=True)
+    os.remove(journal)
+
+
 def _load_existing(spark: SparkSession,
                    output_dir: str) -> dict[str, DataFrame] | None:
     """Prior warehouse state from a previous run's output, or None.
 
-    Recovery preamble: a run killed inside the table swap leaves
-    ``<name>.__old`` (the live table renamed aside) — restore it
-    rather than treating the warehouse as absent, which would
-    silently full-rebuild from whatever partial data_dir the retry
-    was given."""
+    Recovery preamble: a journaled half-finished swap is rolled
+    FORWARD first (_roll_forward_swaps); a ``<name>.__old`` without a
+    journal (legacy state) is restored — never treated as an absent
+    warehouse, which would silently full-rebuild from whatever
+    partial data_dir the retry was given."""
     import shutil
 
+    _roll_forward_swaps(output_dir)
     prior: dict[str, DataFrame] = {}
     for name in CORE_TABLES:
         path = os.path.join(output_dir, name)
@@ -155,8 +191,12 @@ def run_pipeline(spark: SparkSession, data_dir: str,
         # row per source row every batch, data_loader.py:292-300), so
         # a re-sent listing in a new batch appends by design — unlike
         # the PK-keyed facts, which dedupe. Same-batch retries are
-        # handled upstream: the crash-safe table swap restores the
-        # pre-crash warehouse rather than replaying onto merged state.
+        # handled upstream: the journaled all-or-nothing swap
+        # (_roll_forward_swaps) means a crashed run either committed
+        # the WHOLE batch (journal present → rolled forward) or none
+        # of it — a retry never replays appends onto a half-merged
+        # warehouse. Deliberately re-running a committed batch is a
+        # new load and appends again, the reference's own semantics.
         id_map = prior["dim_listing_id_map"].unionByName(id_map)
     dim_hosts = pretreat_hosts(build_dim_hosts(dim_listings))
 
@@ -308,14 +348,34 @@ def run_pipeline(spark: SparkSession, data_dir: str,
             if not _has_parquet(tmp_path):
                 df.drop("part_month").repartition(1) \
                     .write.mode("overwrite").parquet(tmp_path)
-        # rejects are a cumulative audit log (append per load, like
+        # rejects are a cumulative audit log (one slice per load, like
         # the reference's skipped-rows csv) — but the STAT reports
         # THIS run's rejects, not the directory total, so per-run
-        # monitoring doesn't over-report on day 2+
+        # monitoring doesn't over-report on day 2+. The cumulative log
+        # goes through the SAME staging+journal swap as the core
+        # tables (a bare append would replay on a crash retry).
         rejects_dir = os.path.join(output_dir, "rejects_listings")
-        reject_mode = "append" if prior is not None else "overwrite"
-        rejects.write.mode(reject_mode).parquet(rejects_dir)
         tables.stats["rejects_listings"] = rejects.count()
+        if prior is not None and os.path.exists(rejects_dir):
+            cumulative = (spark.read.parquet(rejects_dir)
+                          .unionByName(rejects, allowMissingColumns=True))
+        else:
+            cumulative = rejects
+        cumulative.write.mode("overwrite").parquet(rejects_dir + suffix)
+        if not _has_parquet(rejects_dir + suffix):
+            cumulative.repartition(1).write.mode("overwrite") \
+                .parquet(rejects_dir + suffix)
+        swap_names = list(CORE_TABLES) + ["rejects_listings"]
+        if suffix:
+            # journal AFTER all staging is materialized, BEFORE the
+            # first swap: its presence promises every .__tmp is
+            # complete, so recovery always rolls FORWARD (atomic
+            # batch commit — see _roll_forward_swaps)
+            journal = os.path.join(output_dir, _SWAP_JOURNAL)
+            with open(journal, "w") as jf:
+                jf.write("\n".join(swap_names) + "\n")
+        # (suffix == "": the cumulative write above already landed in
+        # place, no swap needed)
         for name in CORE_TABLES:
             final_path = os.path.join(output_dir, name)
             if suffix:
@@ -339,5 +399,15 @@ def run_pipeline(spark: SparkSession, data_dir: str,
             setattr(tables, name, persisted)
             persisted.createOrReplaceTempView(name)
             tables.stats[name] = persisted.count()
+        if suffix:
+            # the rejects log swaps last, then the journal clears —
+            # the batch is now atomically committed
+            old_rej = rejects_dir + ".__old"
+            shutil.rmtree(old_rej, ignore_errors=True)
+            if os.path.exists(rejects_dir):
+                os.rename(rejects_dir, old_rej)
+            os.replace(rejects_dir + suffix, rejects_dir)
+            shutil.rmtree(old_rej, ignore_errors=True)
+            os.remove(os.path.join(output_dir, _SWAP_JOURNAL))
         register_views(spark, tables.dim_listings)
     return tables

@@ -174,7 +174,7 @@ _TOK_HASH = """((list_reduce(
     f"""WITH toks AS (
          SELECT doc_id,
                 list_filter(
-                  regexp_split_to_array(lower(trim(text)), '\\s+'),
+                  regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
                   x -> length(x) > 0) AS tks
          FROM documents)
        SELECT doc_id,
@@ -393,7 +393,7 @@ def ext_target_encoding(spark, sf_dir):
     """WITH toks AS (
          SELECT doc_id,
                 unnest(list_filter(
-                  regexp_split_to_array(lower(trim(text)), '\\s+'),
+                  regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
                   x -> length(x) > 0)) AS term
          FROM documents),
        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf

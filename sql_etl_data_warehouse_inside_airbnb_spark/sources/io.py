@@ -110,9 +110,12 @@ def normalize_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
             # promotes to DOUBLE where ulp(1.7e18) = 256ns. Subtract
             # pmod (always non-negative) so the quotient is exact and
             # trunc == floor.
+            from sql_etl_data_warehouse_inside_airbnb_spark.functions.numeric import (
+                exact_floordiv_sql,
+            )
             df = df.withColumn(
                 ts_col, F.timestamp_micros(F.expr(
-                    f"({ts_col} - pmod({ts_col}, 1000)) div 1000")))
+                    exact_floordiv_sql(ts_col, 1000))))
         elif kind == "timestamp_ntz":
             df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
@@ -276,8 +279,13 @@ def compact_parquet(spark: SparkSession, path: str,
         # value over ~its-bytes/target tasks (average-based), and
         # maxRecordsPerFile (from measured avg row size) hard-caps
         # file size even when one partition is far above average.
-        n_rows = df.count()
-        n_values = max(1, df.select(*partition_cols).distinct().count())
+        # one aggregate pass yields both stats (row count + distinct
+        # partition values) instead of two full-table actions
+        stats_row = (df.groupBy(*partition_cols).count()
+                     .agg(F.sum("count").alias("__rows"),
+                          F.count("*").alias("__vals")).first())
+        n_rows = stats_row["__rows"] or 0
+        n_values = max(1, stats_row["__vals"])
         n_salt = max(1, math.ceil(total_bytes / n_values
                                   / (target_file_mb << 20)))
         rpf = max(1, int(n_rows * (target_file_mb << 20)

@@ -90,4 +90,14 @@ def run_stream_upsert_parquet(stream_df: DataFrame, target_path: str,
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        # a partially-merged target is strictly worse than no answer:
+        # stop the query and fail loudly (the run_stream_to_memory
+        # contract) instead of returning a directory the background
+        # query is still mutating
+        q.stop()
+        raise TimeoutError(
+            f"stream upsert did not finish within {timeout_sec}s; "
+            f"target {target_path} is partial (checkpoint at "
+            f"{checkpoint_dir} resumes it)")

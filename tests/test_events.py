@@ -293,3 +293,23 @@ def test_grid_join_rejects_zero_radius(spark):
     df = spark.createDataFrame([(1, 0, 0)], "id bigint, x bigint, y bigint")
     with pytest.raises(ValueError, match="radius"):
         grid_distance_join(df, df, 0)
+
+
+def test_mixture_sample_missing_group_contract(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, "web" if i % 2 else "books") for i in range(20)],
+        ["doc_id", "source"])
+    rates = spark.createDataFrame([("web", 10000)],
+                                  ["source", "rate_bp"])
+    # default: a group with no declared rate is a config error
+    with pytest.raises(ValueError, match="books"):
+        mixture_sample(docs, rates, "source", "doc_id")
+    # explicit opt-ins
+    dropped = mixture_sample(docs, rates, "source", "doc_id",
+                             on_missing="drop").collect()
+    assert {r.source for r in dropped} == {"web"} and len(dropped) == 10
+    kept = mixture_sample(docs, rates, "source", "doc_id",
+                          on_missing="keep").collect()
+    assert len(kept) == 20   # unrated group passes through unsampled

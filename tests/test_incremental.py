@@ -148,3 +148,76 @@ def test_reject_sink(spark, tmp_path):
     row = rej.collect()[0]
     assert row.id == "not-an-id"
     assert row.reject_reason == "listing_id_cast_failed"
+
+
+def test_mid_swap_crash_rolls_forward_without_replay(spark, tmp_path):
+    """A run killed mid-swap (journal present, some tables swapped,
+    some still staged) must roll FORWARD to the complete new state on
+    the next pipeline call — no mixed warehouse, and a retried batch
+    never replays id-map/reject appends onto half-merged state."""
+    import shutil
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.etl import (
+        _SWAP_JOURNAL,
+        CORE_TABLES,
+    )
+
+    day1 = tmp_path / "day1"
+    day2 = tmp_path / "day2"
+    out = tmp_path / "wh"
+    day1.mkdir(), day2.mkdir()
+    _wgz(day1, "France_Paris_listings_2025-06-01.csv.gz", LISTING_COLS, [
+        [101, 9001, "Ana", "Paris, France", "Marais", "48.85", "2.35",
+         "$100.00", "10", "4.50", "2"],
+        ["bad_id", 9002, "Bob", "Lyon, France", "Opera", "48.87",
+         "2.33", "$80.00", "5", "4.00", "1"],
+    ])
+    run_pipeline(spark, str(day1), str(out))
+
+    _wgz(day2, "France_Paris_listings_2025-06-08.csv.gz", LISTING_COLS, [
+        [103, 9003, "Cal", "Nice, France", "Port", "43.70", "7.26",
+         "$60.00", "0", "", "1"],
+        ["also_bad", 9004, "Dee", "Nice, France", "Port", "43.71",
+         "7.27", "$61.00", "1", "", "1"],
+    ])
+    t2 = run_pipeline(spark, str(day2), str(out), incremental=True)
+    want_idmap = t2.stats["dim_listing_id_map"]
+    want_rejects_total = spark.read.parquet(
+        str(out / "rejects_listings")).count()
+    assert want_rejects_total == 2    # one bad row per day
+
+    # reconstruct the mid-swap crash: day-2 state becomes the staged
+    # .__tmp for SOME tables while others are already swapped; the
+    # journal says the batch was fully staged
+    committed = {n: str(out / n) for n in CORE_TABLES}
+    committed["rejects_listings"] = str(out / "rejects_listings")
+    names = list(committed)
+    for i, n in enumerate(names):
+        if i % 2 == 0:
+            continue                      # these "already swapped"
+        live = committed[n]
+        shutil.move(live, live + ".__tmp")       # staged, not landed
+        # the pre-batch live table is irrelevant for roll-forward;
+        # simulate it renamed aside already for one of them
+        if i == 1:
+            os.makedirs(live + ".__old")
+    with open(out / _SWAP_JOURNAL, "w") as f:
+        f.write("\n".join(names) + "\n")
+
+    # a NO-OP day-3 run (re-reads day2 dir but the journal fires
+    # first): recovery must complete the swap, then load the fully
+    # committed day-2 warehouse as prior
+    t3 = run_pipeline(spark, str(day2), str(out), incremental=True)
+    assert not os.path.exists(out / _SWAP_JOURNAL)
+    for n in names:
+        assert os.path.exists(committed[n])
+        assert not os.path.exists(committed[n] + ".__tmp")
+        assert not os.path.exists(committed[n] + ".__old")
+    # day-3 re-ran the same batch over the COMMITTED day-2 state: the
+    # PK-keyed tables stay deduped, and the per-load audit trails grow
+    # by exactly one more load's worth (reference semantics), never by
+    # a partial-replay amount
+    assert t3.stats["dim_listings"] == 2
+    assert t3.stats["dim_listing_id_map"] == want_idmap + 2
+    assert spark.read.parquet(
+        str(out / "rejects_listings")).count() == want_rejects_total + 1

@@ -226,3 +226,23 @@ def test_triangle_count_plan_stays_auditable(spark, sf_dir):
     plan = (REGISTRY["g5_triangle_count"].build(spark, sf_dir)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Join" in plan, plan[:500]
+
+
+def test_pq_topk_rejects_mismatched_query_dim(spark, sf_dir):
+    import pytest
+    from pyspark.sql import functions as F
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity \
+        import fit_pq_codebooks, pq_topk
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        read_table,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = fit_pq_codebooks(emb, m=8, n_codes=8)
+    bad_q = emb.filter(F.col("vec_id") == 0).select(
+        "vec_id", F.expr("slice(embedding, 1, 60)").alias("embedding"))
+    with pytest.raises(ValueError, match="query dim"):
+        pq_topk(emb, bad_q, books, k=5)
+    empty_q = emb.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty"):
+        pq_topk(emb, empty_q, books, k=5)
