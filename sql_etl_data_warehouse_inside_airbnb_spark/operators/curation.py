@@ -331,8 +331,11 @@ def mixture_sample(df: DataFrame, rates: DataFrame, group_col: str,
     A group present in ``df`` but absent from ``rates`` has no
     declared proportion — that is a configuration error, and an inner
     join would silently drop the whole source from the mix. The
-    default ``on_missing='error'`` eagerly checks the (tiny) distinct
-    group set against ``rates`` and raises, naming the orphans;
+    default ``on_missing='error'`` eagerly checks the distinct group
+    set against ``rates`` and raises, naming the orphans — note this
+    costs one extra one-column distinct pass over ``df`` per call
+    (map-side-combinable, but a full scan at corpus scale: callers
+    that validated rates upstream should pass ``'drop'``);
     ``on_missing='drop'`` opts into the silent-drop semantics,
     ``on_missing='keep'`` passes unrated groups through unsampled.
 
@@ -354,11 +357,16 @@ def mixture_sample(df: DataFrame, rates: DataFrame, group_col: str,
                 f"rates or pass on_missing='drop'/'keep'")
     gate = (F.pmod(F.col(key_col).cast("bigint"), F.lit(100_003))
             * WEIGHT_MULT) % 10_000
+    keep_pred = gate < F.col(rate_col)
+    if on_missing == "keep":
+        # ONLY the left join's unmatched rows ride the NULL escape; a
+        # NULL rate VALUE in the dim under error/drop mode must keep
+        # its old keep-nothing semantics, not silently become 100%
+        keep_pred = F.col(rate_col).isNull() | keep_pred
     how = "left" if on_missing == "keep" else "inner"
-    out = (df.join(F.broadcast(rates), group_col, how)
-           .filter(F.col(rate_col).isNull() | (gate < F.col(rate_col)))
-           .drop(rate_col))
-    return out
+    return (df.join(F.broadcast(rates), group_col, how)
+            .filter(keep_pred)
+            .drop(rate_col))
 
 
 def tfidf_top_terms(df: DataFrame, key_col: str, text_col: str,

@@ -434,6 +434,8 @@ def pq_topk(df: DataFrame, query: DataFrame, codebooks, k: int = 10,
     if qrow is None:
         raise ValueError("pq_topk: query frame is empty")
     qv = qrow["q"]
+    if qv is None:
+        raise ValueError("pq_topk: query embedding is NULL")
     qn = _math.sqrt(sum(x * x for x in qv)) or 1.0
     # subspace width comes from the CODEBOOKS (the trained artifact),
     # never the query: a query of the wrong dimensionality must fail

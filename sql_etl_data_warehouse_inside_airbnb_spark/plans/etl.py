@@ -165,6 +165,12 @@ def run_pipeline(spark: SparkSession, data_dir: str,
         raise FileNotFoundError(
             f"no '*_listings_*.csv.gz' files under {data_dir}")
 
+    if output_dir:
+        # a journaled half-swap from a crashed run is completed FIRST
+        # on every persisted run — including non-incremental rebuilds,
+        # where a surviving stale journal + .__tmp dirs would clobber
+        # the fresh rebuild on the NEXT incremental call
+        _roll_forward_swaps(output_dir)
     prior = (_load_existing(spark, output_dir)
              if incremental and output_dir else None)
 
@@ -348,34 +354,41 @@ def run_pipeline(spark: SparkSession, data_dir: str,
             if not _has_parquet(tmp_path):
                 df.drop("part_month").repartition(1) \
                     .write.mode("overwrite").parquet(tmp_path)
-        # rejects are a cumulative audit log (one slice per load, like
-        # the reference's skipped-rows csv) — but the STAT reports
-        # THIS run's rejects, not the directory total, so per-run
-        # monitoring doesn't over-report on day 2+. The cumulative log
-        # goes through the SAME staging+journal swap as the core
-        # tables (a bare append would replay on a crash retry).
+        # rejects are a cumulative audit log of per-load SLICES (the
+        # reference's skipped-rows csv), stored as one hive
+        # subdirectory per load keyed by a DETERMINISTIC batch id
+        # (md5 of the input file names): a crash retry of the same
+        # batch overwrites its own slice instead of appending a
+        # duplicate — idempotent without journal protection, and each
+        # load writes only its delta (never a rewrite of the whole
+        # log). The STAT reports THIS run's rejects, so per-run
+        # monitoring doesn't over-report on day 2+.
+        import hashlib
+
         rejects_dir = os.path.join(output_dir, "rejects_listings")
+        batch_id = hashlib.md5("\n".join(
+            os.path.basename(p) for k in sorted(files)
+            for p, _, _ in files[k]).encode()).hexdigest()[:16]
+        slice_dir = os.path.join(rejects_dir, f"load_batch={batch_id}")
         tables.stats["rejects_listings"] = rejects.count()
-        if prior is not None and os.path.exists(rejects_dir):
-            cumulative = (spark.read.parquet(rejects_dir)
-                          .unionByName(rejects, allowMissingColumns=True))
-        else:
-            cumulative = rejects
-        cumulative.write.mode("overwrite").parquet(rejects_dir + suffix)
-        if not _has_parquet(rejects_dir + suffix):
-            cumulative.repartition(1).write.mode("overwrite") \
-                .parquet(rejects_dir + suffix)
-        swap_names = list(CORE_TABLES) + ["rejects_listings"]
+        rejects.write.mode("overwrite").parquet(slice_dir)
+        if not _has_parquet(slice_dir):
+            rejects.repartition(1).write.mode("overwrite") \
+                .parquet(slice_dir)
         if suffix:
             # journal AFTER all staging is materialized, BEFORE the
             # first swap: its presence promises every .__tmp is
             # complete, so recovery always rolls FORWARD (atomic
-            # batch commit — see _roll_forward_swaps)
+            # batch commit — see _roll_forward_swaps). Written
+            # atomically (temp + fsync + rename): a torn journal
+            # would roll forward only a PREFIX of the batch — the
+            # exact mixed state the mechanism exists to prevent.
             journal = os.path.join(output_dir, _SWAP_JOURNAL)
-            with open(journal, "w") as jf:
-                jf.write("\n".join(swap_names) + "\n")
-        # (suffix == "": the cumulative write above already landed in
-        # place, no swap needed)
+            with open(journal + ".tmp", "w") as jf:
+                jf.write("\n".join(CORE_TABLES) + "\n")
+                jf.flush()
+                os.fsync(jf.fileno())
+            os.replace(journal + ".tmp", journal)
         for name in CORE_TABLES:
             final_path = os.path.join(output_dir, name)
             if suffix:
@@ -400,14 +413,7 @@ def run_pipeline(spark: SparkSession, data_dir: str,
             persisted.createOrReplaceTempView(name)
             tables.stats[name] = persisted.count()
         if suffix:
-            # the rejects log swaps last, then the journal clears —
-            # the batch is now atomically committed
-            old_rej = rejects_dir + ".__old"
-            shutil.rmtree(old_rej, ignore_errors=True)
-            if os.path.exists(rejects_dir):
-                os.rename(rejects_dir, old_rej)
-            os.replace(rejects_dir + suffix, rejects_dir)
-            shutil.rmtree(old_rej, ignore_errors=True)
+            # all core swaps landed: the batch is committed
             os.remove(os.path.join(output_dir, _SWAP_JOURNAL))
         register_views(spark, tables.dim_listings)
     return tables

@@ -231,7 +231,11 @@ def ext_source_mixture(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").select("source", "doc_id")
     rates = docs.sparkSession.createDataFrame(
         sorted(_MIX_BP.items()), "source string, rate_bp int")
-    kept = mixture_sample(docs, rates, "source", "doc_id")
+    # rates are derived from the corpus's own distinct sources two
+    # lines up — complete by construction, so skip the eager orphan
+    # scan (the error contract is pinned in tests/test_events.py)
+    kept = mixture_sample(docs, rates, "source", "doc_id",
+                          on_missing="drop")
     return (kept.groupBy("source")
             .agg(F.count("*").alias("n_kept"),
                  F.min("doc_id").alias("min_doc_id"),

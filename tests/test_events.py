@@ -313,3 +313,15 @@ def test_mixture_sample_missing_group_contract(spark):
     kept = mixture_sample(docs, rates, "source", "doc_id",
                           on_missing="keep").collect()
     assert len(kept) == 20   # unrated group passes through unsampled
+
+
+def test_mixture_sample_null_rate_keeps_nothing(spark):
+    """A NULL rate VALUE is not a missing group: under error/drop it
+    must keep ZERO rows of that group (gate < NULL is never true),
+    never silently behave as rate 10000."""
+    docs = spark.createDataFrame(
+        [(i, "web") for i in range(10)], ["doc_id", "source"])
+    rates = spark.createDataFrame([("web", None)],
+                                  "source string, rate_bp int")
+    kept = mixture_sample(docs, rates, "source", "doc_id").collect()
+    assert kept == []

@@ -190,7 +190,6 @@ def test_mid_swap_crash_rolls_forward_without_replay(spark, tmp_path):
     # .__tmp for SOME tables while others are already swapped; the
     # journal says the batch was fully staged
     committed = {n: str(out / n) for n in CORE_TABLES}
-    committed["rejects_listings"] = str(out / "rejects_listings")
     names = list(committed)
     for i, n in enumerate(names):
         if i % 2 == 0:
@@ -219,5 +218,8 @@ def test_mid_swap_crash_rolls_forward_without_replay(spark, tmp_path):
     # a partial-replay amount
     assert t3.stats["dim_listings"] == 2
     assert t3.stats["dim_listing_id_map"] == want_idmap + 2
+    # rejects are per-load SLICES keyed by a deterministic batch id:
+    # re-running the same batch overwrites its own slice, so the
+    # audit log never grows from retries
     assert spark.read.parquet(
-        str(out / "rejects_listings")).count() == want_rejects_total + 1
+        str(out / "rejects_listings")).count() == want_rejects_total
