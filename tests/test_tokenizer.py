@@ -58,6 +58,11 @@ CORPORA = [
     ["aaa aaa aa a aaaa"],                      # overlap-greedy edge
     ["ab ab ab abc abc bc", "ba ba cab"],       # competing pairs
     ["x"],                                      # single char + </w> only
+    # unicode: CJK + astral emoji + combining accent — Spark's
+    # split('') is codepoint-aware (probed: an emoji is ONE symbol,
+    # never a surrogate pair), matching Python's list(word)
+    ["\u4f60\u597d \u4f60\u597d \U0001F600\U0001F600 "
+     "caf\u00e9 caf\u00e9 cafe\u0301"],
 ]
 
 
