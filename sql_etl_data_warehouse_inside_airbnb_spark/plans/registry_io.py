@@ -283,10 +283,16 @@ def s14_bucketed_join_roundtrip(spark, sf_dir):
     # write_bucketed, which owns the saveAsTable contract)
     li = t(spark, sf_dir, "lineitem").select("l_orderkey")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # explicit ABSOLUTE locations: the default warehouse dir resolves
+    # against the HOST PROCESS's cwd (the correctness driver's, not
+    # this repo's), which the probe neither controls nor knows to be
+    # writable
     write_bucketed(li, "s14_b_lineitem", ["l_orderkey"], n_buckets=8,
-                   sort_cols=["l_orderkey"], overwrite_location=True)
+                   sort_cols=["l_orderkey"], overwrite_location=True,
+                   location=os.path.join(_TMP, "s14_b_lineitem"))
     write_bucketed(o, "s14_b_orders", ["o_orderkey"], n_buckets=8,
-                   sort_cols=["o_orderkey"], overwrite_location=True)
+                   sort_cols=["o_orderkey"], overwrite_location=True,
+                   location=os.path.join(_TMP, "s14_b_orders"))
     joined = spark.table("s14_b_lineitem").join(
         spark.table("s14_b_orders"),
         F.col("l_orderkey") == F.col("o_orderkey"))

@@ -142,7 +142,8 @@ def write_bucketed(df, table_name: str, keys: list[str],
                    n_buckets: int = 32,
                    sort_cols: list[str] | None = None,
                    mode: str = "overwrite",
-                   overwrite_location: bool = False) -> None:
+                   overwrite_location: bool = False,
+                   location: str | None = None) -> None:
     """Persist as a bucketed (+optionally sorted) catalog table.
 
     Co-location contract: two tables bucketed by the same keys into the
@@ -158,6 +159,12 @@ def write_bucketed(df, table_name: str, keys: list[str],
     the stale directory first (the saveAsTable contract lives here,
     so every bucketed-table writer gets the idempotence fix, not just
     the probe that discovered it).
+
+    ``location`` pins the table data to an ABSOLUTE path (an external
+    bucketed table): the default warehouse dir is resolved relative
+    to the session's cwd, which a caller embedded in someone else's
+    process (the correctness driver) does not control and may not be
+    able to write.
     """
     if overwrite_location:
         import os
@@ -165,17 +172,24 @@ def write_bucketed(df, table_name: str, keys: list[str],
         from urllib.parse import unquote, urlparse
 
         spark = df.sparkSession
-        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        # the conf value is a URI — decode it (a %20 path would make
-        # the rmtree silently no-op and resurrect the collision)
-        parsed = urlparse(wh)
-        wh_path = unquote(parsed.path) if parsed.scheme else wh
+        if location is not None:
+            data_dir = location
+        else:
+            wh = spark.conf.get("spark.sql.warehouse.dir",
+                                "spark-warehouse")
+            # the conf value is a URI — decode it (a %20 path would
+            # make the rmtree silently no-op and resurrect the
+            # collision)
+            parsed = urlparse(wh)
+            wh_path = unquote(parsed.path) if parsed.scheme else wh
+            data_dir = os.path.join(wh_path, table_name)
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-        shutil.rmtree(os.path.join(wh_path, table_name),
-                      ignore_errors=True)
+        shutil.rmtree(data_dir, ignore_errors=True)
     w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *keys)
     if sort_cols:
         w = w.sortBy(*sort_cols)
+    if location is not None:
+        w = w.option("path", location)
     w.saveAsTable(table_name)
 
 
