@@ -13,24 +13,24 @@ which adjudicates ~the first 50 entries per round:
 - round 3 front-loaded the fixed ``a7``, the IO-mechanics probes,
   the LLM-pipeline stragglers, and the §2-adjacent relational rows —
   all 50 came back green (CORRECTNESS_r03.json);
-- round 4 (this order): burn down the 75 never-checked entries per
-  VERDICT.md r3 items 1-4 — the adapted TPC-H decision-support suite
-  + SQL-dialect surface first (the closest analogue to the
-  reference's view layer), then the sketch family re-presentation
-  (so ``a19_approx_distinct``'s stale r1 ``no_oracle`` record is
-  superseded by a clean rows-only verdict), the curation +
-  event-analytics families, the f19-f32 function ladder, and the
-  storage/partition-pruning roundtrips that back SCALE.md.
+- round 4 checked the TPC-H suite, SQL-dialect surface, sketch
+  re-presentation, curation/event families, f19-f32 ladder, and the
+  storage roundtrips — 45 hash-green + 5 clean rows-only, 0 fails
+  (CORRECTNESS_r04.json);
+- round 5 (this order): the ledger burn-down (VERDICT.md r4 item 1)
+  — ALL 52 never-adjudicated entries are front-loaded: the round-4
+  additions (retrieval/graph/product-analytics/curation batch,
+  s16/s17 IO probes) plus the late-r3 leftovers, with the seven
+  deliberate rows-only presentations at positions 44-50 and the two
+  rows-only twins of already-green banded siblings parked at 51-52.
 
-Entries with a green CORRECTNESS row from r1+r2+r3 move to the back;
-within the remaining never-checked tail, oracle-paired entries sit
+Entries with a green CORRECTNESS row from r1-r4 move to the back;
+within any remaining never-checked tail, oracle-paired entries sit
 ahead of rows-only ones. Every name stays present; only dict
 insertion order changes.
 
-Queries ADDED during round 4 (retrieval family, triangle count,
-PageRank, PQ ANN, the outer stream-stream interval join) sit in the
-round-5 block after the position-50 boundary, so the round-4
-adjudication window stayed fixed while they were built.
+Queries ADDED during round 5 sit after the position-50 boundary, so
+the round-5 adjudication window stays fixed while they are built.
 """
 
 from __future__ import annotations
@@ -121,14 +121,10 @@ _R03_GREEN = frozenset({
     "x1_quality_report", "x2_outlier_mad", "x3_snapshot_diff",
 })
 
-_GREEN = _R01_GREEN | _R02_GREEN | _R03_GREEN
-
-# Explicit front of the queue — the ~50-entry adjudication window.
-_PRIORITY = [
-    # The adapted TPC-H decision-support suite + the SQL-dialect
-    # surface: the closest analogue to the reference's view layer
-    # (sql/schema/03_create_views.sql) and the highest-value
-    # unadjudicated block (VERDICT.md r3 item 1).
+# The 50 rows of CORRECTNESS_r04.json: 45 hash-green + 5 deliberate
+# clean rows-only presentations (the HLL/percentile sketch family,
+# the real-langdetect path, the Bloom prefilter).
+_R04_GREEN = frozenset({
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q4_order_priority", "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
@@ -137,43 +133,51 @@ _PRIORITY = [
     "tpch_q14_promo_effect", "tpch_q15_top_supplier",
     "tpch_q16_supplier_part_count", "tpch_q17_small_quantity_revenue",
     "tpch_q18_large_volume_customer", "tpch_q19_disjunctive_revenue",
-    "tpch_q22_global_sales_opportunity",
-    "tsql_dialect_rollup", "sql_surface_view_query",
-    # Sketch-family re-presentation (VERDICT.md r3 item 3): a19's only
-    # record is r1's `err: no_oracle`; re-present the whole rows-only
-    # HLL/percentile family together for a clean rows-only verdict.
-    "a19_approx_distinct", "a24_approx_percentile",
-    "a33_hll_sketch_union",
-    # Library lang-ID path (VERDICT.md r3 item 7; rows-only,
-    # equivalence-tested locally at tests/test_ext.py:364).
-    "ext_lang_detect_lib",
-    # Curation + event-analytics families (VERDICT.md r3 item 2).
-    "ext_gopher_quality", "ext_c4_filters", "ext_trigram_familiarity",
-    "ext_ann_quantized_topk", "ext_decontaminate_bloom",
-    "e1_funnel_stages", "e2_retention_cohorts", "e3_event_transitions",
-    "e4_conversion_latency", "g3_dedup_survivors", "x7_freshness_report",
-    # f19-f32 function ladder (VERDICT.md r3 item 4).
-    "f19_explode_tokens", "f20_map_functions", "f21_string_ladder",
-    "f22_date_ladder", "f23_regexp_extract_all", "f26_null_ladder",
-    "f28_str_to_map", "f29_width_bucket", "f30_try_arithmetic",
-    "f31_explode_outer", "f32_sequence_gapfill",
-    # Storage / partition-pruning roundtrips backing SCALE.md.
+    "tpch_q22_global_sales_opportunity", "tsql_dialect_rollup",
+    "sql_surface_view_query", "a19_approx_distinct",
+    "a24_approx_percentile", "a33_hll_sketch_union",
+    "ext_lang_detect_lib", "ext_gopher_quality", "ext_c4_filters",
+    "ext_trigram_familiarity", "ext_ann_quantized_topk",
+    "ext_decontaminate_bloom", "e1_funnel_stages",
+    "e2_retention_cohorts", "e3_event_transitions",
+    "e4_conversion_latency", "g3_dedup_survivors",
+    "x7_freshness_report", "f19_explode_tokens", "f20_map_functions",
+    "f21_string_ladder", "f22_date_ladder", "f23_regexp_extract_all",
+    "f26_null_ladder", "f28_str_to_map", "f29_width_bucket",
+    "f30_try_arithmetic", "f31_explode_outer", "f32_sequence_gapfill",
     "s10_partition_prune_roundtrip", "s13_schema_evolution_roundtrip",
     "s14_bucketed_join_roundtrip", "s15_zorder_layout_roundtrip",
     "j22_dynamic_partition_prune",
-    # ---- position 50 boundary. Below: the rest of the
-    # never-adjudicated surface for the round-5 window, the round-4
-    # additions first (the s16 quoting probe leads — it certifies the
-    # round-4 RFC-4180 sink/scan fix; then registry_r4.py's families).
+})
+
+_GREEN = _R01_GREEN | _R02_GREEN | _R03_GREEN | _R04_GREEN
+
+# Explicit front of the queue — the ~50-entry adjudication window.
+# Round 5 is the ledger burn-down round (VERDICT.md r4 item 1): the
+# 52 never-adjudicated entries are front-loaded, oracle-paired first.
+# Positions 1-43 carry DuckDB oracles; positions 44-50 are the
+# deliberate rows-only presentations the r4 verdict asked to front
+# (item 2: float-iterative / engine-hash / sketch outputs, each
+# pinned against an independent Python model in tests). The two
+# rows-only twins of already-green entries (ext_dedup_minhash /
+# ext_dedup_simhash, whose banded siblings are hash-green since
+# r2-r3) park at positions 51-52 and front-load round 6.
+_PRIORITY = [
+    # -- s16 first: certifies the round-4 RFC-4180 sink/scan fix.
     "s16_multiline_csv_roundtrip",
+    # -- retrieval + graph families (registry_search.py, r4 adds).
     "ext_keyword_search", "ext_inverted_index", "g5_triangle_count",
-    "stream_interval_join_outer",
+    # -- streaming additions.
+    "stream_interval_join_outer", "stream_dedup_ingest",
+    "stream_static_enrich",
+    # -- product-analytics / curation batch (registry_r4.py).
     "e5_sessionization", "e6_attribution_last_touch",
     "ts2_resample_ohlc", "ext_hashed_linear_score",
     "ext_source_mixture", "j25_grid_distance_join",
     "x9_integrity_report", "ext_target_encoding",
     "ext_tfidf_topterms", "g4_dedup_survivors_argmax",
-    "ext_contamination_matrix",
+    "ext_contamination_matrix", "ext_dsir_components",
+    # -- late-r3 leftovers.
     "u6_udtf_tokenize", "u7_pandas_udaf_maxgap",
     "x4_fuzzy_match", "x5_incremental_agg", "ts1_interpolate",
     "m1_frequent_itemsets", "w1_merge_dedup_latest",
@@ -182,16 +186,18 @@ _PRIORITY = [
     "ext_dup_ngram_fraction", "ext_url_parse", "ext_filter_funnel",
     "ext_embedding_quantize", "ext_label_balance",
     "ext_rolling_hash_fingerprint", "ext_winnow_fingerprint",
-    "ext_multimodal_embed_ann", "stream_dedup_ingest",
-    "stream_static_enrich", "a34_corr_components",
-    "a35_equidepth_histogram", "x10_skew_report",
-    "s17_key_erasure_roundtrip", "ext_dsir_components",
-    # rows-only entries last (engine-specific hashes / library paths /
-    # sketch internals / float-iterative)
-    "ext_dedup_minhash", "ext_dedup_simhash", "ext_ann_ivf_topk",
-    "ext_bm25_topk", "g6_pagerank", "ext_ann_pq_topk",
-    "ext_semantic_dedup", "ext_bpe_train_merges",
+    "ext_multimodal_embed_ann",
+    "a34_corr_components", "a35_equidepth_histogram",
+    "x10_skew_report", "s17_key_erasure_roundtrip",
+    # ---- positions 44-50: deliberate rows-only presentations
+    # (engine-specific hashes / float-iterative / offline-model
+    # outputs; independent-model-pinned in tests/).
+    "ext_ann_ivf_topk", "ext_bm25_topk", "g6_pagerank",
+    "ext_ann_pq_topk", "ext_semantic_dedup", "ext_bpe_train_merges",
     "ext_bpe_encode_counts",
+    # ---- position 50 boundary. Below: the two rows-only twins of
+    # hash-green banded/bit-sampled siblings — round-6 front-loaders.
+    "ext_dedup_minhash", "ext_dedup_simhash",
 ]
 
 

@@ -136,8 +136,12 @@ def test_dedup_block_keys_are_composed(spark, sf_dir):
 def test_registry_priority_names_resolve():
     """A typo in full_registry._PRIORITY silently un-fronts an entry
     (it just filters out) — every priority name must exist, the
-    reorder must keep all entries exactly once, and the two fixed r01
-    hash-fails must sit first so they get re-adjudicated."""
+    reorder must keep all entries exactly once, and the round-5
+    burn-down window must hold every never-adjudicated entry."""
+    import glob
+    import json
+    import os
+
     from sql_etl_data_warehouse_inside_airbnb_spark.plans import (
         full_registry as fr,
     )
@@ -145,25 +149,40 @@ def test_registry_priority_names_resolve():
     assert not missing, missing
     names = list(fr.REGISTRY)
     assert len(names) == len(set(names))
-    # round 4 front-loads the adapted TPC-H decision-support suite
-    # (VERDICT.md r3 item 1)
-    assert names[0] == "tpch_q1_pricing_summary"
+    # round 5 burn-down: the s16 quoting probe (certifying the round-4
+    # RFC-4180 sink/scan fix) leads the window
+    assert names[0] == "s16_multiline_csv_roundtrip"
     # every green entry not deliberately re-presented in the front
     # sits behind every entry still waiting for a verdict
     back = {n for n in fr._GREEN if n not in fr._PRIORITY}
     back_positions = [names.index(n) for n in back]
     assert min(back_positions) == len(names) - len(back)
     # the adjudication window spends itself on full value-hash
-    # verdicts EXCEPT the deliberate rows-only presentations: the
-    # sketch family re-presented for a clean rows-only verdict
-    # (VERDICT.md r3 item 3) and the two rows-only-by-design library/
-    # Bloom paths the verdict asked to front (items 2 and 7)
+    # verdicts EXCEPT the deliberate rows-only presentations
+    # (VERDICT.md r4 item 2): engine-specific hashes, float-iterative
+    # fixpoints, and offline-model outputs, each pinned against an
+    # independent Python model in tests/.
     deliberate_rows_only = {
-        "a19_approx_distinct", "a24_approx_percentile",
-        "a33_hll_sketch_union", "ext_decontaminate_bloom",
-        "ext_lang_detect_lib",
+        "ext_ann_ivf_topk", "ext_bm25_topk", "g6_pagerank",
+        "ext_ann_pq_topk", "ext_semantic_dedup",
+        "ext_bpe_train_merges", "ext_bpe_encode_counts",
     }
-    window = names[:52]
+    window = names[:50]
     rows_only = [n for n in window if fr.REGISTRY[n].oracle is None
                  and n not in deliberate_rows_only]
     assert not rows_only, rows_only
+    # the flagged set must actually BE rows-only (stale flag guard)
+    for n in deliberate_rows_only:
+        assert fr.REGISTRY[n].oracle is None, n
+    # and the window must cover every entry with no CORRECTNESS
+    # verdict from any prior round, bar the two parked minhash/simhash
+    # rows-only twins of hash-green banded siblings (positions 51-52)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    adjudicated = set()
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json")):
+        adjudicated |= set(json.load(open(f)))
+    if adjudicated:  # absent in a bare checkout
+        never = [n for n in names if n not in adjudicated]
+        outside = [n for n in never if n not in names[:52]]
+        assert not outside, outside
+        assert names[50:52] == ["ext_dedup_minhash", "ext_dedup_simhash"]
