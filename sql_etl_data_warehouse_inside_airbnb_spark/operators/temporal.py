@@ -114,7 +114,17 @@ def range_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     # microsecond-exact bounds: unix_timestamp() truncates to whole
     # seconds, which would admit sub-second timestamps up to ~1s
     # OUTSIDE the declared inclusive window (same defect class
-    # events.py avoids with unix_micros)
+    # events.py avoids with unix_micros). Bucket ids use the shared
+    # integer-exact floor-div idiom (functions/numeric.py), never
+    # double division: FLOOR(bigint / int) promotes through double,
+    # where a half-ulp rounding at |micros| near 2^53 can assign a row
+    # to the wrong bucket and silently DROP a matching pair (the
+    # residual filter only removes false positives) — same discipline
+    # as events.py and spatial.py.
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.numeric import (
+        exact_floordiv_sql,
+    )
+
     us = 1_000_000
     bucket_us = bucket_seconds * us
     l2 = (left
@@ -123,10 +133,10 @@ def range_join(left: DataFrame, right: DataFrame, on: list[str] | str,
           .withColumn(_UB, F.unix_micros(F.col(left_time))
                       + upper_seconds * us)
           .withColumn(_BUCKET, F.explode(F.sequence(
-              F.floor(F.col(_LB) / bucket_us),
-              F.floor(F.col(_UB) / bucket_us)))))
-    r2 = right.withColumn(_BUCKET, F.floor(
-        F.unix_micros(F.col(right_time)) / bucket_us))
+              F.expr(exact_floordiv_sql(f"`{_LB}`", bucket_us)),
+              F.expr(exact_floordiv_sql(f"`{_UB}`", bucket_us))))))
+    r2 = right.withColumn(_BUCKET, F.expr(exact_floordiv_sql(
+        f"unix_micros(`{right_time}`)", bucket_us)))
 
     rt = F.unix_micros(F.col(right_time))
     return (l2.join(r2, keys + [_BUCKET], "inner")

@@ -357,17 +357,24 @@ def run_pipeline(spark: SparkSession, data_dir: str,
         # rejects are a cumulative audit log of per-load SLICES (the
         # reference's skipped-rows csv), stored as one hive
         # subdirectory per load keyed by a DETERMINISTIC batch id
-        # (md5 of the input file names): a crash retry of the same
-        # batch overwrites its own slice instead of appending a
-        # duplicate — idempotent without journal protection, and each
-        # load writes only its delta (never a rewrite of the whole
-        # log). The STAT reports THIS run's rejects, so per-run
-        # monitoring doesn't over-report on day 2+.
+        # (md5 of the input file names PLUS each file's size and
+        # mtime): a crash retry of the same batch overwrites its own
+        # slice instead of appending a duplicate — idempotent without
+        # journal protection, and each load writes only its delta
+        # (never a rewrite of the whole log). The size/mtime
+        # fingerprint keeps two genuinely different loads that ship
+        # identical basenames (undated feeds like ``listings.csv.gz``)
+        # from colliding on one slice and silently overwriting the
+        # earlier load's rejects. The STAT reports THIS run's rejects,
+        # so per-run monitoring doesn't over-report on day 2+.
         import hashlib
 
         rejects_dir = os.path.join(output_dir, "rejects_listings")
         batch_id = hashlib.md5("\n".join(
-            os.path.basename(p) for k in sorted(files)
+            "{}\x00{}\x00{}".format(os.path.basename(p),
+                                    os.stat(p).st_size,
+                                    os.stat(p).st_mtime_ns)
+            for k in sorted(files)
             for p, _, _ in files[k]).encode()).hexdigest()[:16]
         slice_dir = os.path.join(rejects_dir, f"load_batch={batch_id}")
         tables.stats["rejects_listings"] = rejects.count()

@@ -363,21 +363,39 @@ def erase_keys(spark: SparkSession, path: str, key_col: str,
     if os.path.isdir(stage):
         shutil.rmtree(stage)
 
-    # recovery from an interrupted prior run: a *._erase_old whose
-    # target is missing IS the data (the run died between the two
-    # renames) — restore it; one whose target exists is stale — drop
-    # it. Backups sit next to the table root or next to a partition
-    # directory at ANY nesting depth (multi-column partitioning), so
-    # the scan walks the whole tree.
+    # Backups are siblings of their target with a DOT-PREFIXED leaf:
+    # ``<parent>/.<leaf>._erase_old``. The dot matters: partition
+    # backups live INSIDE the table root, and Spark's file index only
+    # hides names starting with ``.`` or ``_`` — an undotted
+    # ``bucket=0._erase_old`` would be parsed as a partition VALUE by
+    # any concurrent plain ``spark.read.parquet``, duplicating rows
+    # and coercing the partition column to string. Dot-prefixing keeps
+    # the backup adjacent (same dir → rename stays atomic) yet
+    # invisible to partition discovery.
     suffix = "._erase_old"
-    scan = [root + suffix]
+
+    def _backup_of(target: str) -> str:
+        parent, leaf = os.path.split(target.rstrip("/"))
+        return os.path.join(parent, "." + leaf + suffix)
+
+    # recovery from an interrupted prior run: a backup whose target is
+    # missing IS the data (the run died between the two renames) —
+    # restore it; one whose target exists is stale — drop it. Backups
+    # sit next to the table root or next to a partition directory at
+    # ANY nesting depth (multi-column partitioning), so the scan walks
+    # the whole tree. Legacy un-dotted backups from older runs are
+    # recovered too.
+    scan = [root + suffix, _backup_of(root)]
     for walk_root, dirs, _files in os.walk(path):
         scan += [os.path.join(walk_root, d) for d in dirs
                  if d.endswith(suffix)]
     for backup in scan:
         if not os.path.isdir(backup):
             continue
-        target = backup[:-len(suffix)]
+        parent, leaf = os.path.split(backup)
+        leaf = leaf[:-len(suffix)]
+        target = os.path.join(
+            parent, leaf[1:] if leaf.startswith(".") else leaf)
         if os.path.isdir(target):
             shutil.rmtree(backup)
         else:
@@ -391,7 +409,7 @@ def erase_keys(spark: SparkSession, path: str, key_col: str,
         target is removed outright (hive semantics: an empty partition
         has no directory — and an empty parquet dir cannot even be
         re-read)."""
-        backup = target.rstrip("/") + suffix
+        backup = _backup_of(target)
         if os.path.isdir(backup):
             shutil.rmtree(backup)
         if kept_cnt == 0:

@@ -78,23 +78,55 @@ def test_noop_erase_touches_nothing(spark):
     assert _layout(path) == before
 
 
+def _backup(sub):
+    parent, leaf = os.path.split(sub)
+    return os.path.join(parent, "." + leaf + "._erase_old")
+
+
 def test_crash_recovery_restores_backup(spark):
     path = _fresh(spark, "crash", partitioned=True)
     sub = os.path.join(path, "bucket=0")
     # simulate dying between the two renames: target gone, backup holds
     # the data
-    os.rename(sub, sub + "._erase_old")
+    os.rename(sub, _backup(sub))
     keys = spark.range(1000, 1001).select(F.col("id").alias("k"))
     stats = erase_keys(spark, path, "k", keys,
                        partition_cols=["bucket"])
     assert stats["rows_erased"] == 0
-    assert os.path.isdir(sub) and not os.path.isdir(sub + "._erase_old")
+    assert os.path.isdir(sub) and not os.path.isdir(_backup(sub))
     assert spark.read.parquet(path).count() == 100
     # stale backup next to a PRESENT target is dropped
-    shutil.copytree(sub, sub + "._erase_old")
+    shutil.copytree(sub, _backup(sub))
     erase_keys(spark, path, "k", keys, partition_cols=["bucket"])
-    assert not os.path.isdir(sub + "._erase_old")
+    assert not os.path.isdir(_backup(sub))
     assert spark.read.parquet(path).count() == 100
+    # legacy un-dotted backup from an older run is still recovered
+    os.rename(sub, sub + "._erase_old")
+    erase_keys(spark, path, "k", keys, partition_cols=["bucket"])
+    assert os.path.isdir(sub) and not os.path.isdir(sub + "._erase_old")
+    assert spark.read.parquet(path).count() == 100
+
+
+def test_mid_crash_state_invisible_to_plain_readers(spark):
+    """The whole point of the dot-prefixed backup leaf: a reader that
+    opens the table BETWEEN the two renames (backup present, target
+    either absent or already swapped back in) must never parse the
+    backup as a partition — no duplicated rows, no partition column
+    silently widening to string."""
+    path = _fresh(spark, "midcrash", partitioned=True)
+    sub = os.path.join(path, "bucket=0")
+    # state A: died between renames — backup holds the data, target gone
+    os.rename(sub, _backup(sub))
+    rt = spark.read.parquet(path)
+    assert rt.count() == 50                      # pre-state half only
+    assert dict(rt.dtypes)["bucket"] in ("int", "bigint")
+    # state B: died before cleanup — backup AND target both present
+    os.rename(_backup(sub), sub)
+    shutil.copytree(sub, _backup(sub))
+    rt = spark.read.parquet(path)
+    assert rt.count() == 100                     # no double-count
+    assert dict(rt.dtypes)["bucket"] in ("int", "bigint")
+    shutil.rmtree(_backup(sub))
 
 
 def test_unpartitioned_noop_touches_nothing(spark):
@@ -118,11 +150,11 @@ def test_nested_partition_crash_recovery(spark):
         F.pmod("id", F.lit(2)).alias("b"))
     df.write.mode("overwrite").partitionBy("a", "b").parquet(path)
     sub = os.path.join(path, "a=0", "b=1")
-    os.rename(sub, sub + "._erase_old")
+    os.rename(sub, _backup(sub))
     keys = spark.range(1000, 1001).select(F.col("id").alias("k"))
     stats = erase_keys(spark, path, "k", keys, partition_cols=["a", "b"])
     assert stats["rows_erased"] == 0
-    assert os.path.isdir(sub) and not os.path.isdir(sub + "._erase_old")
+    assert os.path.isdir(sub) and not os.path.isdir(_backup(sub))
     assert spark.read.parquet(path).count() == 40
 
 

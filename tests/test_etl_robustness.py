@@ -139,3 +139,38 @@ def test_fact_reviews_partitioned_by_month(spark, tmp_path):
                                    "part_month=*"))
     assert parts, "fact_reviews must persist hive-partitioned by month"
     assert os.path.basename(parts[0]) == "part_month=2025-05"
+
+
+def test_reject_slices_distinct_for_identical_basenames(spark, tmp_path):
+    """Two genuinely different loads shipping IDENTICAL filenames
+    (undated feeds like 'listings.csv.gz') must land in distinct
+    load_batch= slices — the batch id folds each file's size/mtime, so
+    the later load never silently overwrites the earlier load's
+    rejects in the cumulative audit log."""
+    out = tmp_path / "wh"
+    day1 = tmp_path / "d1"
+    day1.mkdir()
+    _wgz(day1, "France_Paris_listings_2025-06-01.csv.gz", LISTING_COLS, [
+        [101, 9001, "Ana", "Paris, France", "Marais", "48.85", "2.35",
+         "$100.00", "10", "4.50", "2"],
+        ["not-an-id", 9009, "Bad", "", "", "", "", "", "", "", ""],
+    ])
+    t1 = run_pipeline(spark, str(day1), str(out))
+    assert t1.stats["rejects_listings"] == 1
+
+    day2 = tmp_path / "d2"
+    day2.mkdir()
+    # SAME basename, different content (different reject row)
+    _wgz(day2, "France_Paris_listings_2025-06-01.csv.gz", LISTING_COLS, [
+        [102, 9002, "Bob", "Lyon, France", "Opera", "48.87", "2.33",
+         "$80.00", "5", "4.00", "1"],
+        ["also-bad", 9010, "Bad2", "", "", "", "", "", "", "", ""],
+    ])
+    t2 = run_pipeline(spark, str(day2), str(out), incremental=True)
+    assert t2.stats["rejects_listings"] == 1
+    slices = glob.glob(os.path.join(str(out), "rejects_listings",
+                                    "load_batch=*"))
+    assert len(slices) == 2, slices
+    # both loads' rejects survive in the cumulative log
+    log = spark.read.parquet(os.path.join(str(out), "rejects_listings"))
+    assert log.count() == 2

@@ -140,3 +140,29 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     assert rows
     for r in rows:
         assert abs(r.approx - r.exact) <= max(0.05 * r.exact, 2.0)
+
+
+def test_range_join_exact_buckets_at_extreme_magnitude(spark):
+    """Bucket ids must be integer-exact even where |unix_micros|
+    approaches 2^53 (year ~2255): double division's half-ulp rounding
+    there can assign a row to the neighboring bucket and silently drop
+    a matching pair — the residual filter only removes false
+    positives, it cannot recover one. The pair below sits exactly at a
+    bucket boundary minus one microsecond."""
+    bucket_s = 3600
+    bucket_us = bucket_s * 1_000_000
+    # a boundary multiple just above 2^53, minus 1 us → last slot of
+    # bucket k-1; double-rounded division misplaces it into bucket k
+    k = (2**53) // bucket_us + 7
+    right_us = k * bucket_us - 1
+    left_us = right_us - 30 * 1_000_000       # 30 s earlier, same window
+    left = spark.range(1).select(
+        F.lit(1).alias("k"),
+        F.timestamp_micros(F.lit(left_us)).alias("lts"))
+    right = spark.range(1).select(
+        F.lit(1).alias("k"),
+        F.timestamp_micros(F.lit(right_us)).alias("rts"))
+    out = range_join(left, right, on="k", left_time="lts",
+                     right_time="rts", lower_seconds=0,
+                     upper_seconds=60, bucket_seconds=bucket_s)
+    assert out.count() == 1
