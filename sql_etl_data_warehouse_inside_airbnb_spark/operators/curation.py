@@ -370,7 +370,7 @@ def mixture_sample(df: DataFrame, rates: DataFrame, group_col: str,
 
 
 def tfidf_top_terms(df: DataFrame, key_col: str, text_col: str,
-                    k: int = 3) -> DataFrame:
+                    k: int = 3, cache: bool = True) -> DataFrame:
     """Top-k characteristic terms per document, ranked by
     (tf DESC, df ASC, term ASC) — term frequency first, document
     frequency as the rarity tiebreak. This is TF-IDF's SELECTION
@@ -388,6 +388,13 @@ def tfidf_top_terms(df: DataFrame, key_col: str, text_col: str,
     the tf relation partitions by (doc, term) hash, df is
     vocabulary-sized (words, not shingles — it broadcasts), and the
     top-k window partitions by doc — no global sort anywhere.
+
+    The persist follows the corpus-scoring lifetime contract shared
+    with ``trigram_familiarity`` and ``dsir_components``: the relation
+    is function-local, LRU-evicted by the block manager, and released
+    by the ContextCleaner with the plan; a long-lived session scoring
+    MANY distinct corpora can pass ``cache=False`` to trade the second
+    explode for zero pinned storage.
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
@@ -399,8 +406,9 @@ def tfidf_top_terms(df: DataFrame, key_col: str, text_col: str,
     toks = tokens(text_col)   # the one portable whitespace class
     tf = (df.select(F.col(key_col), F.explode(toks).alias("term"))
           .groupBy(key_col, "term")
-          .agg(F.count("*").alias("tf"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
+          .agg(F.count("*").alias("tf")))
+    if cache:
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     w = (Window.partitionBy(key_col)
          .orderBy(F.col("tf").desc(), F.col("df").asc(),

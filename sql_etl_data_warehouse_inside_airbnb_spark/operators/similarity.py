@@ -321,6 +321,12 @@ def fit_pq_codebooks(df: DataFrame, vec_col: str = "embedding",
     (``sample_rows`` rows) — codebooks are a few KB and PQ training on
     a sample is the published practice; like the IVF quantizer, the
     fit is an INDEX BUILD and must never sit on the query path.
+    The sample is DETERMINISTIC: rows are taken in ``xxhash64(vector)``
+    order (a TakeOrderedAndProject, not a full sort), never via a bare
+    ``limit`` — ``limit`` keeps whichever partitions answer first, so
+    the trained codebook artifact would silently depend on file layout
+    (the cap_reviews lesson). Same seed + same data ⇒ same codebooks,
+    across repartitions and re-reads.
     Vectors are L2-normalized before subspace split so the ADC inner
     product approximates cosine. Returns a plain nested list
     ``codebooks[m][n_codes][dim/m]`` — broadcastable, no model object.
@@ -329,6 +335,7 @@ def fit_pq_codebooks(df: DataFrame, vec_col: str = "embedding",
 
     rows = (df.select(as_double(F.col(vec_col)).alias("v"))
             .filter(F.col(vec_col).isNotNull())
+            .orderBy(F.xxhash64("v"), "v")
             .limit(sample_rows).collect())
     if len(rows) < n_codes:
         raise ValueError(
