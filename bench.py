@@ -75,6 +75,20 @@ HEADLINE = [
     "ext_bpe_encode_counts",           # trained-BPE token budgets (r4)
 ]
 
+# Maintenance / offline-build workloads (r5, VERDICT r4 item 5).
+# Unlike HEADLINE (pure query plans where build() is free and the
+# noop sink pays the cost), these do their real work INSIDE build():
+# BPE training loops merge rounds driver-side, PageRank iterates to
+# convergence, and the erasure probe rewrites a partitioned table on
+# disk. They are timed as build+materialize and reported separately —
+# folding an offline index build or a GDPR rewrite into the query
+# headline would misstate both numbers.
+MAINTENANCE = [
+    "ext_bpe_train_merges",        # distributed tokenizer training
+    "g6_pagerank",                 # iterative-join fixpoint (20 rounds)
+    "s17_key_erasure_roundtrip",   # partition-pruned GDPR rewrite
+]
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -113,12 +127,29 @@ def main() -> None:
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
 
+    # maintenance workloads: work happens in build(), so the timer
+    # wraps build+materialize; one warmup then min of two (they are
+    # the most expensive entries — a third pass buys little precision
+    # for its cost, and min-of-N is monotone so the number stays
+    # comparable if N ever grows)
+    maintenance: dict[str, float] = {}
+    for name in MAINTENANCE:
+        materialize(REGISTRY[name].build(spark, sf_dir))  # warmup
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(REGISTRY[name].build(spark, sf_dir))
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in maintenance or dt < maintenance[name]:
+                maintenance[name] = dt
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_query_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "maintenance": maintenance,
+        "maintenance_total_sec": round(sum(maintenance.values()), 3),
         "sf": float(sf) if sf is not None else None,
         "cold_total_sec": round(cold, 3),
     }))
