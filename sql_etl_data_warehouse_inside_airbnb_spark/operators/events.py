@@ -18,6 +18,9 @@ e1-e4). All three are single-shuffle window/groupBy plans:
   running MAX over an integer encoding (rank * |types| + type_code),
   not an IGNORE NULLS window (DuckDB 1.0 can't express that), so
   the same plan is oracle-checkable.
+- :func:`position_attribution_bp` — the multi-touch sibling (round
+  5): same one-shuffle-on-user shape, credit split in exact integer
+  basis points instead of floats.
 - :func:`resample_ohlc` — one groupBy on the derived bucket id.
   open/close are conditional aggregates over a per-bucket
   row_number, which costs a window before the groupBy; at 100 TB
@@ -129,6 +132,84 @@ def last_touch_attribution(events: DataFrame,
             .groupBy(F.col("__channel").alias("channel"))
             .agg(F.count("*").alias("n_attributed"),
                  F.countDistinct(user_col).alias("n_users")))
+
+
+def position_attribution_bp(events: DataFrame,
+                            conversion_type: str = "purchase",
+                            first_bp: int = 4000, last_bp: int = 4000,
+                            user_col: str = "user_id",
+                            ts_col: str = "ts",
+                            id_col: str = "event_id") -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution in exact
+    integer basis points — the fractional-credit sibling of
+    :func:`last_touch_attribution` without a single float: each
+    converting user's 10 000 bp of credit splits over the touches
+    (non-conversion events strictly before the user's FIRST
+    conversion, in (ts, id) order) as
+
+    - 1 touch: all 10 000 bp;
+    - 2 touches: the middle pool has no takers, so first/last absorb
+      it — half each, the odd bp to the first (5 000 / 5 000 with
+      the default 40/20/40 weights);
+    - >=3 touches: first gets ``first_bp``, last ``last_bp``, and the
+      ``m-2`` middles split the remaining pool by integer division,
+      the remainder going one bp each to the EARLIEST middles (a
+      deterministic tiebreak, so Σbp == 10 000 EXACTLY per user —
+      asserted in tests). Fractional credit as rationals would hit
+      the cross-engine quotient-rounding trap (see plans/registry.py
+      header); basis points keep attribution oracle-exact.
+
+    Returns (channel, total_bp, n_touches, n_users). One shuffle: the
+    per-user windows and the touch filter share the ``user_col``
+    partitioning; the channel groupBy reduces touch-type cardinality.
+    Users with no conversion, and conversions with no preceding
+    touch, credit nothing (NULL-typed events can't be touches).
+    """
+    if not (0 < first_bp and 0 < last_bp and first_bp + last_bp < 10_000):
+        raise ValueError(
+            f"need 0 < first_bp, last_bp and first_bp+last_bp < 10000, "
+            f"got {first_bp}/{last_bp}")
+    mid_pool = 10_000 - first_bp - last_bp
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    rn = F.row_number().over(w)
+    ordered = events.withColumn("__rn", rn)
+    conv_rn = (ordered
+               .filter(F.col("event_type") == conversion_type)
+               .groupBy(user_col)
+               .agg(F.min("__rn").alias("__conv_rn")))
+    touches = (ordered
+               .join(conv_rn, user_col)
+               .filter((F.col("__rn") < F.col("__conv_rn"))
+                       & (F.col("event_type") != conversion_type)))
+    wt = Window.partitionBy(user_col).orderBy("__rn")
+    touches = (touches
+               .withColumn("__tidx", F.row_number().over(wt))
+               .withColumn("__m", F.count("*").over(
+                   Window.partitionBy(user_col))))
+    m, tidx = F.col("__m"), F.col("__tidx")
+    mids = m - F.lit(2)
+    # all operands are tiny positive ints, so floor(a/b) over the
+    # double promotion is exact (no pre-1970-micros hazard — the
+    # exact_floordiv_sql idiom is for 2^53-magnitude operands)
+    mid_share = F.floor(F.lit(mid_pool) / mids).cast("int")
+    bp = (F.when(m == 1, F.lit(10_000))
+          .when(m == 2,
+                F.when(tidx == 1,
+                       F.lit(first_bp + mid_pool // 2 + mid_pool % 2))
+                .otherwise(F.lit(last_bp + mid_pool // 2)))
+          .when(tidx == 1, F.lit(first_bp))
+          .when(tidx == m, F.lit(last_bp))
+          .otherwise(mid_share
+                     + F.when(tidx - 1 <= F.lit(mid_pool) % mids, 1)
+                        .otherwise(0)))
+    return (touches
+            .select(F.col("event_type").alias("channel"),
+                    F.col(user_col), bp.cast("bigint").alias("__bp"))
+            .groupBy("channel")
+            .agg(F.sum("__bp").cast("bigint").alias("total_bp"),
+                 F.count("*").cast("bigint").alias("n_touches"),
+                 F.countDistinct(user_col).cast("bigint")
+                 .alias("n_users")))
 
 
 def resample_ohlc(events: DataFrame, bucket_minutes: int = 15,

@@ -144,3 +144,73 @@ def expectation_report(df: DataFrame, row_checks: dict[str, Column],
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def drift_bin_counts(df: DataFrame, is_current: Column,
+                     bins: list[Column] | Column) -> DataFrame:
+    """Distribution-drift bin counts between a baseline and a current
+    slice of one relation — the input to PSI / chi-square / L1 drift
+    monitors every production data pipeline runs between snapshots
+    (a shifted source mix is the #1 silent corpus regression).
+
+    ``is_current`` labels each row (false = baseline, true = current);
+    ``bins`` are the bucketing expressions (categorical columns,
+    ``width_bucket`` ladders, equi-depth ids from a35's boundaries —
+    anything deterministic). Returns one row per observed bin:
+    (bin columns..., n_base, n_cur) with integer-exact counts.
+
+    The divergence SCALAR is derived off the compared path on purpose:
+    PSI's Σ (p-q)·ln(p/q) is quotient-of-counts arithmetic, exactly
+    the cross-engine rounding trap the registry conventions ban
+    (plans/registry.py header) — counts hash-compare bit-exactly,
+    logs do not. :func:`psi_from_counts` computes it client-side from
+    this report (the dsir log_weight convention).
+
+    One scan, one shuffle on the bin key: both counts are conditional
+    sums in a single map-side-combinable aggregate — never two jobs
+    diffed driver-side. NULL-labeled rows (``is_current`` NULL) count
+    toward neither slice.
+    """
+    bin_cols = bins if isinstance(bins, list) else [bins]
+    named = [F.col(b) if isinstance(b, str) else b for b in bin_cols]
+    labeled = df.select(is_current.cast("boolean").alias("__cur"), *named)
+    keys = [c for c in labeled.columns if c != "__cur"]
+    return (labeled
+            .groupBy(*keys)
+            .agg(F.sum(F.when(~F.col("__cur"), 1).otherwise(0))
+                 .cast("bigint").alias("n_base"),
+                 F.sum(F.when(F.col("__cur"), 1).otherwise(0))
+                 .cast("bigint").alias("n_cur")))
+
+
+def psi_from_counts(rows, eps: float = 1e-6) -> float:
+    """Population Stability Index from a collected
+    :func:`drift_bin_counts` report (client-side — see that
+    docstring for why the scalar stays off the compared path):
+
+        PSI = Σ_bins (p_cur - p_base) * ln(p_cur / p_base)
+
+    ``rows`` is any iterable with ``n_base``/``n_cur`` attributes or
+    keys. Empty-side bins are floored at ``eps`` (the standard
+    regularization — PSI is undefined on zero mass). Rule of thumb:
+    <0.1 stable, 0.1-0.25 drifting, >0.25 shifted.
+    """
+    import math
+
+    def _get(r, k):
+        try:
+            return r[k]
+        except (TypeError, KeyError):
+            return getattr(r, k)
+
+    counts = [(_get(r, "n_base"), _get(r, "n_cur")) for r in rows]
+    tb = sum(b for b, _ in counts)
+    tc = sum(c for _, c in counts)
+    if tb == 0 or tc == 0:
+        raise ValueError("one side of the drift report is empty")
+    psi = 0.0
+    for b, c in counts:
+        p = max(b / tb, eps)
+        q = max(c / tc, eps)
+        psi += (q - p) * math.log(q / p)
+    return psi

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -175,3 +175,59 @@ def bm25_score_py(docs: dict, terms: list[str],
         if s > 0.0:
             out[d] = s
     return out
+
+
+def rank_list(df: DataFrame, key_col: str,
+              order: list[Column], topk: int) -> DataFrame:
+    """Turn a scored candidate relation into an RRF input: (key,
+    rank) with rank = dense 1..topk positions under ``order`` (the
+    caller supplies the deterministic total order — score desc plus a
+    key tiebreak). The global row_number window is bounded: feed this
+    CANDIDATE lists (a retriever's top-k output), never a corpus —
+    at scale each retriever has already reduced to its k best, so the
+    single-partition sort is k log k, not a corpus sort."""
+    w = Window.orderBy(*order)
+    return (df.select(F.col(key_col),
+                      F.row_number().over(w).cast("int").alias("rank"))
+            .filter(F.col("rank") <= topk))
+
+
+def rrf_fuse(ranked: list[DataFrame], key_col: str, k: int = 60,
+             scale: int = 1_000_000, topk: int = 10) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Büttcher, SIGIR'09) of
+    heterogeneous rankers — the standard way to combine a lexical
+    top-k with an ANN/prior top-k without score calibration:
+
+        RRF(d) = Σ_lists 1 / (k + rank_list(d))
+
+    rescaled to INTEGER contributions ``scale DIV (k + rank)`` (the
+    repo's integer-rescaled-ratio convention) so the fused ordering
+    is bit-exact across engines — floating 1/(k+r) sums would land
+    the fused ranking on cross-engine rounding ties. With the default
+    scale=1e6 and k=60 the rescaling is lossless for ranks into the
+    thousands: floor(1e6/(60+r)) is strictly decreasing in r until
+    adjacent reciprocals differ by <1e-6, far beyond any top-k.
+
+    ``ranked``: (key, rank) relations from :func:`rank_list`. A key
+    missing from a list contributes 0 (the RRF convention). Returns
+    (key, rrf_milli, n_lists, fused_rank) — top ``topk`` by
+    (rrf_milli desc, key asc). Plan: union of the tiny ranked lists,
+    one hash aggregate on the key, one bounded row_number — the
+    corpus is never touched; fusion cost is Σ|lists|, independent of
+    corpus size."""
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    contribs = None
+    for r in ranked:
+        c = r.select(F.col(key_col),
+                     F.expr(f"CAST({scale} AS BIGINT) DIV "
+                            f"(CAST({k} AS BIGINT) + rank)")
+                     .alias("__c"))
+        contribs = c if contribs is None else contribs.unionByName(c)
+    fused = (contribs.groupBy(key_col)
+             .agg(F.sum("__c").cast("bigint").alias("rrf_milli"),
+                  F.count("*").cast("bigint").alias("n_lists")))
+    w = Window.orderBy(F.desc("rrf_milli"), F.col(key_col))
+    return (fused
+            .withColumn("fused_rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("fused_rank") <= topk))

@@ -51,6 +51,7 @@ import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_graph  # noqa: 
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_io  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_more  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r4  # noqa: F401
+import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r5  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_search  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_surface  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_tpch  # noqa: F401
@@ -198,6 +199,9 @@ _PRIORITY = [
     # ---- position 50 boundary. Below: the two rows-only twins of
     # hash-green banded/bit-sampled siblings — round-6 front-loaders.
     "ext_dedup_minhash", "ext_dedup_simhash",
+    # ---- round-5 in-round additions (registry_r5.py): below the
+    # boundary by the standing discipline; round-6 front-loaders.
+    "e7_position_attribution", "x11_drift_psi", "ext_hybrid_rrf",
 ]
 
 

@@ -1,0 +1,187 @@
+"""Round-5 additions: position-based multi-touch attribution,
+distribution-drift monitoring (PSI bins), and hybrid-retrieval rank
+fusion (RRF).
+
+Three gaps the r1-r4 surface left open: e6 credits conversions to ONE
+touch (last-touch) — position-based models split credit fractionally,
+done here in exact integer basis points; the x-report family profiles
+one snapshot — drift monitoring compares two; and the retrieval family
+ranks with one scorer at a time — production search fuses several, the
+standard calibration-free combinator being Reciprocal Rank Fusion.
+
+All three stay integer-exact in every compared column (the registry
+quotient rule): attribution credit is basis points with deterministic
+remainder placement, drift emits bin COUNTS (the PSI scalar derives
+client-side via operators/quality.py:psi_from_counts — its log/ratio
+arithmetic is exactly the cross-engine trap), and RRF contributions
+are ``scale DIV (k + rank)`` integer reciprocals.
+
+Registered AFTER the round-5 adjudication window (the standing
+discipline — full_registry parks in-round additions below the
+position-50 boundary; they front-load round 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sql_etl_data_warehouse_inside_airbnb_spark.operators.events import (
+    position_attribution_bp,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.operators.quality import (
+    drift_bin_counts,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.operators.search import (
+    keyword_search,
+    rank_list,
+    rrf_fuse,
+    tokens,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
+    register,
+    t,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_search import (
+    _TOK_SQL,
+)
+
+
+@register(
+    "e7_position_attribution",
+    """WITH ordered AS (
+         SELECT user_id, event_id, ts, event_type,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rn
+         FROM events),
+       conv AS (
+         SELECT user_id, min(rn) AS conv_rn
+         FROM ordered WHERE event_type = 'purchase' GROUP BY user_id),
+       touches AS (
+         SELECT o.user_id, o.event_type,
+                row_number() OVER (PARTITION BY o.user_id
+                                   ORDER BY o.rn) AS tidx,
+                count(*) OVER (PARTITION BY o.user_id) AS m
+         FROM ordered o JOIN conv c ON o.user_id = c.user_id
+         WHERE o.rn < c.conv_rn AND o.event_type <> 'purchase'),
+       credited AS (
+         SELECT user_id, event_type,
+                CASE WHEN m = 1 THEN 10000
+                     WHEN m = 2 AND tidx = 1 THEN 5000
+                     WHEN m = 2 THEN 5000
+                     WHEN tidx = 1 THEN 4000
+                     WHEN tidx = m THEN 4000
+                     ELSE 2000 // (m - 2)
+                          + CASE WHEN tidx - 1 <= 2000 % (m - 2)
+                                 THEN 1 ELSE 0 END
+                END AS bp
+         FROM touches)
+       SELECT event_type AS channel,
+              CAST(sum(bp) AS BIGINT) AS total_bp,
+              CAST(count(*) AS BIGINT) AS n_touches,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM credited GROUP BY channel""",
+    survey="§7.5 product-analytics ext (multi-touch attribution)",
+    note="U-shaped (position-based) multi-touch attribution in exact "
+         "integer basis points (operators/events.py:"
+         "position_attribution_bp) — the fractional-credit sibling of "
+         "e6's last-touch: each converting user's 10000 bp splits "
+         "40/20/40 over first/middles/last of the touches before "
+         "their FIRST conversion, middle remainder one bp to the "
+         "earliest middles, so per-user credit sums to exactly 10000 "
+         "(invariant asserted in tests/test_events_r5.py). Rationals "
+         "would hit the cross-engine quotient-rounding trap; basis "
+         "points keep the whole model hash-comparable. One shuffle "
+         "on user_id (rank window, touch window, and count share the "
+         "partitioning), then a tiny channel rollup")
+def e7_position_attribution(spark, sf_dir):
+    return position_attribution_bp(t(spark, sf_dir, "events"), "purchase")
+
+
+@register(
+    "x11_drift_psi",
+    """SELECT event_type,
+              CASE WHEN value >= 500 THEN 11
+                   ELSE 1 + CAST(floor(value / 50) AS BIGINT)
+              END AS value_bucket,
+              CAST(count(*) FILTER (WHERE ts <  TIMESTAMP '2024-01-16')
+                   AS BIGINT) AS n_base,
+              CAST(count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-16')
+                   AS BIGINT) AS n_cur
+       FROM events GROUP BY event_type, value_bucket""",
+    survey="§7.5 monitoring ext (distribution drift / PSI)",
+    note="distribution-drift bin counts between a baseline and a "
+         "current snapshot slice (operators/quality.py:"
+         "drift_bin_counts), binned on event_type x width_bucket("
+         "value, 0, 500, 10) — the input relation of the PSI / "
+         "chi-square drift monitors a corpus pipeline runs between "
+         "ingests. Counts are integer-exact conditional sums in ONE "
+         "scan + one shuffle on the bin key (never two jobs diffed "
+         "driver-side); the PSI scalar itself is log-of-quotient "
+         "arithmetic — the cross-engine rounding trap — so it "
+         "derives client-side (quality.py:psi_from_counts, pinned "
+         "against hand-computed PSI in tests/test_events_r5.py). "
+         "width_bucket mirrors via the f29 closed-form rewrite "
+         "(DuckDB has none); boundary-exact on both engines")
+def x11_drift_psi(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return drift_bin_counts(
+        ev,
+        F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
+        [F.col("event_type"),
+         F.width_bucket("value", F.lit(0), F.lit(500), F.lit(10))
+         .cast("bigint").alias("value_bucket")])
+
+
+@register(
+    "ext_hybrid_rrf",
+    f"""WITH tok AS ({_TOK_SQL} AND tt.term IN ('spark','window','merge')),
+       tf AS (SELECT doc_id, term, count(*) AS tf
+              FROM tok GROUP BY doc_id, term),
+       kw AS (SELECT doc_id, sum(tf) AS score
+              FROM tf GROUP BY doc_id
+              HAVING count(DISTINCT term) = 3),
+       lex AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY score DESC, doc_id)
+                          AS rank
+               FROM kw QUALIFY rank <= 20),
+       anyterm AS (SELECT DISTINCT doc_id FROM tok),
+       prior AS (SELECT d.doc_id,
+                        row_number() OVER (ORDER BY d.n_chars DESC,
+                                           d.doc_id) AS rank
+                 FROM documents d JOIN anyterm a USING (doc_id)
+                 QUALIFY rank <= 20),
+       contrib AS (
+         SELECT doc_id, 1000000 // (60 + rank) AS c FROM lex
+         UNION ALL
+         SELECT doc_id, 1000000 // (60 + rank) AS c FROM prior),
+       fused AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_milli,
+                        CAST(count(*) AS BIGINT) AS n_lists
+                 FROM contrib GROUP BY doc_id)
+       SELECT doc_id, rrf_milli, n_lists,
+              CAST(row_number() OVER (ORDER BY rrf_milli DESC, doc_id)
+                   AS INT) AS fused_rank
+       FROM fused QUALIFY fused_rank <= 10""",
+    survey="§7.5 retrieval ext (hybrid rank fusion)",
+    note="Reciprocal Rank Fusion (Cormack et al., SIGIR'09; "
+         "operators/search.py:rrf_fuse) of two heterogeneous rankers "
+         "— the conjunctive lexical top-20 (ext_keyword_search's "
+         "integer Σtf ranking) and a document-quality prior (n_chars "
+         "desc over the any-term recall set) — the standard "
+         "calibration-free hybrid-search combinator (swap the prior "
+         "for the int8/PQ ANN ranker and the plan is unchanged). "
+         "Contributions are scale DIV (k+rank) integer reciprocals, "
+         "so the fused ordering is bit-exact cross-engine; fusion "
+         "cost is Σ|candidate lists| (union + one hash agg + one "
+         "bounded row_number) — the corpus is touched only by the "
+         "retrievers themselves, never by the fusion")
+def ext_hybrid_rrf(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    terms = ["spark", "window", "merge"]
+    kw = keyword_search(docs, "doc_id", "text", terms, k=20)
+    lexical = rank_list(kw, "doc_id",
+                        [F.desc("score"), F.col("doc_id")], 20)
+    recall = docs.filter(F.arrays_overlap(
+        tokens("text"), F.array(*[F.lit(x) for x in terms])))
+    prior = rank_list(recall.select("doc_id", "n_chars"), "doc_id",
+                      [F.desc("n_chars"), F.col("doc_id")], 20)
+    return rrf_fuse([lexical, prior], "doc_id", k=60, topk=10)

@@ -183,6 +183,13 @@ def test_registry_priority_names_resolve():
         adjudicated |= set(json.load(open(f)))
     if adjudicated:  # absent in a bare checkout
         never = [n for n in names if n not in adjudicated]
-        outside = [n for n in never if n not in names[:52]]
+        # entries BUILT during round 5 park below the boundary by the
+        # standing discipline (they front-load round 6); they are the
+        # only never-adjudicated names allowed outside the window+2
+        r5_added = {"e7_position_attribution", "x11_drift_psi",
+                    "ext_hybrid_rrf"}
+        outside = [n for n in never
+                   if n not in names[:52] and n not in r5_added]
         assert not outside, outside
         assert names[50:52] == ["ext_dedup_minhash", "ext_dedup_simhash"]
+        assert names[52:55] == sorted(r5_added, key=names.index)
