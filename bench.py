@@ -73,6 +73,9 @@ HEADLINE = [
     "ext_semantic_dedup",              # SemDeDup cluster-bounded (r4)
     "ext_dsir_components",             # DSIR importance weights (r4)
     "ext_bpe_encode_counts",           # trained-BPE token budgets (r4)
+    "e7_position_attribution",         # multi-touch credit in bp (r5)
+    "x11_drift_psi",                   # snapshot drift bin counts (r5)
+    "ext_hybrid_rrf",                  # RRF hybrid retrieval (r5)
 ]
 
 # Maintenance / offline-build workloads (r5, VERDICT r4 item 5).

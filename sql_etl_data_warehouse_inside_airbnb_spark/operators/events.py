@@ -171,21 +171,24 @@ def position_attribution_bp(events: DataFrame,
             f"got {first_bp}/{last_bp}")
     mid_pool = 10_000 - first_bp - last_bp
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
-    rn = F.row_number().over(w)
-    ordered = events.withColumn("__rn", rn)
-    conv_rn = (ordered
-               .filter(F.col("event_type") == conversion_type)
-               .groupBy(user_col)
-               .agg(F.min("__rn").alias("__conv_rn")))
-    touches = (ordered
-               .join(conv_rn, user_col)
-               .filter((F.col("__rn") < F.col("__conv_rn"))
-                       & (F.col("event_type") != conversion_type)))
+    # first-conversion position as a WHOLE-PARTITION window min over
+    # the same user partitioning — not a self-join against a filtered
+    # aggregate, which would scan the event table twice and shuffle
+    # it twice (profiled: the join plan carried a second
+    # Exchange+Sort on the conv branch; this one has exactly one)
+    wall = Window.partitionBy(user_col)
+    ordered = (events
+               .withColumn("__rn", F.row_number().over(w))
+               .withColumn("__conv_rn", F.min(
+                   F.when(F.col("event_type") == conversion_type,
+                          F.col("__rn"))).over(wall)))
+    touches = ordered.filter(
+        (F.col("__rn") < F.col("__conv_rn"))
+        & (F.col("event_type") != conversion_type))
     wt = Window.partitionBy(user_col).orderBy("__rn")
     touches = (touches
                .withColumn("__tidx", F.row_number().over(wt))
-               .withColumn("__m", F.count("*").over(
-                   Window.partitionBy(user_col))))
+               .withColumn("__m", F.count("*").over(wall)))
     m, tidx = F.col("__m"), F.col("__tidx")
     mids = m - F.lit(2)
     # all operands are tiny positive ints, so floor(a/b) over the
