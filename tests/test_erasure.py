@@ -184,3 +184,31 @@ def test_null_partition_value_hive_encoding(spark):
     assert stats == {"rows_erased": 1, "partitions_rewritten": 1}
     rt = spark.read.parquet(path)
     assert sorted(r.k for r in rt.collect()) == [1, 2, 4]
+
+
+def test_mixed_full_and_partial_partitions_one_call(spark):
+    """The single staged-job rewrite (round 5) must handle, in ONE
+    call, a partition that is fully erased (its stage subdir never
+    materializes -> directory removed) next to one that is partially
+    erased (staged subdir swapped in) — and leave untouched
+    partitions byte-identical."""
+    path = _fresh(spark, "mixed", partitioned=True)
+    before = _layout(path)
+    # bucket=0 fully erased (k 0..49), bucket=50 loses only k=50
+    keys = spark.createDataFrame(
+        [(k,) for k in list(range(0, 50)) + [50]], ["k"])
+    stats = erase_keys(spark, path, "k", keys, partition_cols=["bucket"])
+    assert stats == {"rows_erased": 51, "partitions_rewritten": 2}
+    assert not os.path.isdir(os.path.join(path, "bucket=0"))
+    rt = spark.read.parquet(path)
+    assert sorted(r.k for r in rt.collect()) == list(range(51, 100))
+    # no backup/stage residue anywhere
+    for root, dirs, _files in os.walk(os.path.dirname(path)):
+        assert not [d for d in dirs if "._erase" in d], (root, dirs)
+    # nothing but the two affected partitions changed
+    untouched_b = {p: s for p, s in before.items()
+                   if not p.startswith(("bucket=0/", "bucket=50/"))}
+    after = _layout(path)
+    untouched_a = {p: s for p, s in after.items()
+                   if not p.startswith(("bucket=0/", "bucket=50/"))}
+    assert untouched_b == untouched_a
