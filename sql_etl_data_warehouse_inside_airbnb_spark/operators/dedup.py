@@ -122,6 +122,37 @@ def minhash_candidate_pairs(df: DataFrame, key_col: str, text_col: str,
                     F.round("jaccard_distance", 6).alias("jaccard_distance")))
 
 
+def _shingle_sets(df: DataFrame, key_col: str, text_col: str,
+                  n: int) -> DataFrame:
+    """(key, sh) — per-doc distinct shingle sets, empty docs dropped
+    (no shingles → nothing to sign, nothing to verify)."""
+    return (df.select(F.col(key_col), shingles(text_col, n).alias("sh"))
+            .filter(F.size("sh") > 0))
+
+
+def _minhash_bands(sh: DataFrame, key_col: str, num_hashes: int,
+                   band_rows: int) -> DataFrame:
+    """(key, band_idx, band_key) from a :func:`_shingle_sets`
+    relation — the seeded-md5 MinHash family banded b × r (shared by
+    the batch self-join and the incremental ingest path, so an index
+    built by one is joinable by the other BY CONSTRUCTION)."""
+
+    def sig(i: int) -> Column:
+        return F.array_min(F.transform(
+            F.col("sh"), lambda g: F.md5(F.concat(F.lit(f"mh{i}:"), g))))
+
+    signed = sh.select(key_col,
+                       *[sig(i).alias(f"__s{i}") for i in range(num_hashes)])
+    n_bands = num_hashes // band_rows
+    band_keys = [
+        F.md5(F.concat_ws("|", *[F.col(f"__s{b * band_rows + r}")
+                                 for r in range(band_rows)]))
+        for b in range(n_bands)]
+    return signed.select(
+        key_col,
+        F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key"))
+
+
 def minhash_banded_pairs(df: DataFrame, key_col: str, text_col: str,
                          n: int = 3, num_hashes: int = 8,
                          band_rows: int = 2,
@@ -149,23 +180,8 @@ def minhash_banded_pairs(df: DataFrame, key_col: str, text_col: str,
     hash coefficients are engine-internal. Output: (key_a, key_b,
     jaccard)."""
     assert num_hashes % band_rows == 0
-    sh = (df.select(F.col(key_col), shingles(text_col, n).alias("sh"))
-          .filter(F.size("sh") > 0))
-
-    def sig(i: int) -> Column:
-        return F.array_min(F.transform(
-            F.col("sh"), lambda g: F.md5(F.concat(F.lit(f"mh{i}:"), g))))
-
-    signed = sh.select(key_col,
-                       *[sig(i).alias(f"__s{i}") for i in range(num_hashes)])
-    n_bands = num_hashes // band_rows
-    band_keys = [
-        F.md5(F.concat_ws("|", *[F.col(f"__s{b * band_rows + r}")
-                                 for r in range(band_rows)]))
-        for b in range(n_bands)]
-    banded = signed.select(
-        key_col,
-        F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key"))
+    sh = _shingle_sets(df, key_col, text_col, n)
+    banded = _minhash_bands(sh, key_col, num_hashes, band_rows)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, on=[F.col("a.band_idx") == F.col("b.band_idx"),
                           F.col("a.band_key") == F.col("b.band_key"),
@@ -183,6 +199,78 @@ def minhash_banded_pairs(df: DataFrame, key_col: str, text_col: str,
                     F.round(jaccard_similarity(F.col("sh_a"),
                                                F.col("sh_b")), 6)
                      .alias("jaccard")))
+
+
+def minhash_index(df: DataFrame, key_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3,
+                  num_hashes: int = 8,
+                  band_rows: int = 2) -> tuple[DataFrame, DataFrame]:
+    """Build the persistable corpus-side state for incremental
+    near-dup ingest: (bands, shingle_sets) — bands = (key, band_idx,
+    band_key) for candidate generation, shingle_sets = (key, sh) for
+    the exact re-check. At 100 TB both are written once (partitioned
+    by band_key / bucketed by key) and only APPENDED as batches are
+    accepted; the corpus text is never re-signed."""
+    assert num_hashes % band_rows == 0
+    sh = _shingle_sets(df, key_col, text_col, n)
+    return _minhash_bands(sh, key_col, num_hashes, band_rows), sh
+
+
+def minhash_ingest_pairs(batch: DataFrame, index_bands: DataFrame,
+                         index_sh: DataFrame, key_col: str = "doc_id",
+                         text_col: str = "text", n: int = 3,
+                         num_hashes: int = 8, band_rows: int = 2,
+                         threshold_num: int = 1,
+                         threshold_den: int = 2) -> DataFrame:
+    """Incremental MinHash dedup: near-dup pairs between a NEW ingest
+    batch and an already-indexed corpus (:func:`minhash_index`), plus
+    within-batch pairs — the daily-ingest workflow at 100 TB, where
+    re-running :func:`minhash_banded_pairs` over corpus+batch would
+    re-sign and re-shuffle the ENTIRE corpus to dedup a 0.1% delta.
+    Here the corpus contributes only index lookups: batch bands
+    equi-join (band_idx, band_key) against index bands ∪ batch bands,
+    so the shuffled volume is ∝ |batch| + |matching index buckets|.
+
+    Same seeded-md5 family as the batch operator, so an index built
+    by either is joinable by both. Batch keys must be disjoint from
+    corpus keys (the ingest contract). Within-batch pairs orient
+    key_new > key_dup (each pair once); corpus partners pair with
+    every matching batch doc. Output (key_new, key_dup, inter_n,
+    union_n): integer-exact, threshold inter*den >= num*union
+    pre-applied — key_new is always the batch side, so ``key_new
+    whose partner exists`` is the drop set and the batch survivors
+    are ``batch left_anti output``."""
+    assert num_hashes % band_rows == 0
+    sh_new = _shingle_sets(batch, key_col, text_col, n)
+    bands_new = _minhash_bands(sh_new, key_col, num_hashes, band_rows)
+    partners = (index_bands.select(key_col, "band_idx", "band_key",
+                                   F.lit(0).alias("__src"))
+                .unionByName(bands_new.select(
+                    key_col, "band_idx", "band_key",
+                    F.lit(1).alias("__src"))))
+    a, b = bands_new.alias("a"), partners.alias("b")
+    cand = (a.join(b, on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                # corpus partner: always; batch partner: orient once
+                (F.col("b.__src") == 0)
+                | (F.col(f"b.{key_col}") < F.col(f"a.{key_col}"))])
+            .select(F.col(f"a.{key_col}").alias("key_new"),
+                    F.col(f"b.{key_col}").alias("key_dup"))
+            .distinct())
+    sh_all = index_sh.unionByName(sh_new)
+    sa = sh_new.select(F.col(key_col).alias("key_new"),
+                       F.col("sh").alias("sh_a"))
+    sb = sh_all.select(F.col(key_col).alias("key_dup"),
+                       F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (cand.join(sa, "key_new").join(sb, "key_dup")
+            .select("key_new", "key_dup",
+                    inter.cast("bigint").alias("inter_n"),
+                    union.cast("bigint").alias("union_n"))
+            .filter(F.col("inter_n") * threshold_den
+                    >= threshold_num * F.col("union_n")))
 
 
 def line_dedup(df: DataFrame, key_col: str, text_col: str,

@@ -41,6 +41,9 @@ from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
     register,
     t,
 )
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_ext import (
+    _SHINGLE_SQL,
+)
 from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_search import (
     _TOK_SQL,
 )
@@ -185,3 +188,90 @@ def ext_hybrid_rrf(spark, sf_dir):
     prior = rank_list(recall.select("doc_id", "n_chars"), "doc_id",
                       [F.desc("n_chars"), F.col("doc_id")], 20)
     return rrf_fuse([lexical, prior], "doc_id", k=60, topk=10)
+
+
+@register(
+    "ext_dedup_ingest_minhash",
+    f"""WITH base AS (
+         SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+       tagged AS (
+         SELECT doc_id, text, 0 AS src FROM base
+         UNION ALL
+         SELECT doc_id + 10000000, text || ' mutation', 1 FROM base
+         UNION ALL
+         SELECT doc_id + 20000000, text || ' mutation two', 1 FROM base),
+       s AS (
+         SELECT doc_id, src, sh FROM (
+           SELECT doc_id, src, {_SHINGLE_SQL} AS sh FROM tagged) d
+         WHERE len(sh) > 0),
+       sig AS (
+         SELECT doc_id, src,
+                list_min(list_transform(sh, g -> md5('mh0:' || g))) AS s0,
+                list_min(list_transform(sh, g -> md5('mh1:' || g))) AS s1,
+                list_min(list_transform(sh, g -> md5('mh2:' || g))) AS s2,
+                list_min(list_transform(sh, g -> md5('mh3:' || g))) AS s3,
+                list_min(list_transform(sh, g -> md5('mh4:' || g))) AS s4,
+                list_min(list_transform(sh, g -> md5('mh5:' || g))) AS s5,
+                list_min(list_transform(sh, g -> md5('mh6:' || g))) AS s6,
+                list_min(list_transform(sh, g -> md5('mh7:' || g))) AS s7
+         FROM s),
+       bands AS (
+         SELECT doc_id, src,
+                md5(s0 || '|' || s1) AS b0, md5(s2 || '|' || s3) AS b1,
+                md5(s4 || '|' || s5) AS b2, md5(s6 || '|' || s7) AS b3
+         FROM sig),
+       long AS (
+         SELECT doc_id, src, 0 AS band_idx, b0 AS band_key FROM bands
+         UNION ALL SELECT doc_id, src, 1, b1 FROM bands
+         UNION ALL SELECT doc_id, src, 2, b2 FROM bands
+         UNION ALL SELECT doc_id, src, 3, b3 FROM bands),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS key_new, b.doc_id AS key_dup
+         FROM long a JOIN long b
+           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+          AND a.src = 1 AND (b.src = 0 OR b.doc_id < a.doc_id)),
+       scored AS (
+         SELECT c.key_new, c.key_dup,
+                len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+                    AS inter_n,
+                len(sa.sh) + len(sb.sh)
+                  - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+                    AS union_n
+         FROM cand c
+         JOIN s sa ON sa.doc_id = c.key_new
+         JOIN s sb ON sb.doc_id = c.key_dup)
+       SELECT key_new, key_dup,
+              CAST(inter_n AS BIGINT) AS inter_n,
+              CAST(union_n AS BIGINT) AS union_n
+       FROM scored WHERE inter_n * 2 >= 1 * union_n""",
+    survey="§7.5 dedup ext (incremental ingest)",
+    note="incremental MinHash ingest dedup (operators/dedup.py:"
+         "minhash_index + minhash_ingest_pairs): the corpus is signed "
+         "ONCE into a persistable band/shingle index; a new batch "
+         "(two planted mutation families over the 10% base corpus) "
+         "dedups against index ∪ batch via the band equi-join, so "
+         "the shuffled volume is ∝ |batch| + matching buckets, never "
+         "the corpus — the daily-ingest shape where re-running the "
+         "batch self-join would re-sign 1000x the delta. Same "
+         "seeded-md5 family as ext_dedup_minhash_banded (index "
+         "compatibility by construction); within-batch pairs orient "
+         "key_dup < key_new, corpus partners pair with every "
+         "matching batch doc; integer (inter_n, union_n) at the "
+         "t=1/2 exact re-check keeps the full pipeline "
+         "value-hash-checkable")
+def ext_dedup_ingest_minhash(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.dedup import (
+        minhash_index,
+        minhash_ingest_pairs,
+    )
+    base = (t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 == 0)
+            .select("doc_id", "text"))
+    batch = (base.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" mutation")).alias("text"))
+        .unionByName(base.select(
+            (F.col("doc_id") + 20_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" mutation two")).alias("text"))))
+    bands, sh = minhash_index(base)
+    return minhash_ingest_pairs(batch, bands, sh)

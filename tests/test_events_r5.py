@@ -146,3 +146,59 @@ class TestRrfFuse:
     def test_empty_lists_raise(self):
         with pytest.raises(ValueError, match="ranked list"):
             rrf_fuse([], "k")
+
+
+class TestMinhashIngest:
+    def test_corpus_and_within_batch_pairs(self, spark):
+        from sql_etl_data_warehouse_inside_airbnb_spark.operators.dedup import (
+            minhash_banded_pairs,
+            minhash_index,
+            minhash_ingest_pairs,
+        )
+        text = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark quiet forest tonight")
+        corpus = spark.createDataFrame(
+            [(1, text), (2, "completely different words entirely here "
+                            "about unrelated matters of state and law")],
+            "doc_id bigint, text string")
+        batch = spark.createDataFrame(
+            [(101, text + " mutation"), (102, text + " mutation two"),
+             (103, "nothing like anything else in any corpus at all "
+                   "whatsoever honestly truly unique novel content")],
+            "doc_id bigint, text string")
+        bands, sh = minhash_index(corpus)
+        pairs = minhash_ingest_pairs(batch, bands, sh)
+        got = {(r["key_new"], r["key_dup"]) for r in pairs.collect()}
+        # batch->corpus pairs plus the oriented within-batch pair
+        assert (101, 1) in got and (102, 1) in got
+        assert (102, 101) in got
+        # novel doc matches nothing; corpus never appears as key_new
+        assert not [p for p in got if p[0] == 103]
+        assert not [p for p in got if p[0] in (1, 2)]
+        # consistency with the batch self-join over corpus+batch:
+        # every ingest pair must be a pair there too (same family)
+        full = minhash_banded_pairs(corpus.unionByName(batch),
+                                    "doc_id", "text")
+        full_pairs = {(max(r["key_a"], r["key_b"]),
+                       min(r["key_a"], r["key_b"]))
+                      for r in full.collect()}
+        for key_new, key_dup in got:
+            assert (max(key_new, key_dup), min(key_new, key_dup)) \
+                in full_pairs
+
+    def test_threshold_is_integer_exact(self, spark):
+        from sql_etl_data_warehouse_inside_airbnb_spark.operators.dedup import (
+            minhash_index,
+            minhash_ingest_pairs,
+        )
+        # J exactly 1/2: sh_a = {g1..g4}, sh_b = sh_a + 4 extra grams
+        # -> inter 4, union 8; threshold 1/2 must KEEP it (>=)
+        a = "w1 w2 w3 w4 w5 w6"                      # 4 shingles
+        b = a + " x1 x2 x3 x4"                       # +4 shingles
+        corpus = spark.createDataFrame([(1, a)], "doc_id bigint, text string")
+        batch = spark.createDataFrame([(2, b)], "doc_id bigint, text string")
+        bands, sh = minhash_index(corpus)
+        rows = minhash_ingest_pairs(batch, bands, sh).collect()
+        if rows:  # candidate only if some band collides (J=1/2 often does)
+            r = rows[0]
+            assert (r["inter_n"], r["union_n"]) == (4, 8)
