@@ -36,11 +36,22 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
               left_time: str, right_time: str,
               value_cols: list[str] | None = None,
               allow_exact_matches: bool = True,
-              suffix: str = "") -> DataFrame:
+              suffix: str = "",
+              tolerance_us: int | None = None) -> DataFrame:
     """For each left row, attach the columns of the latest right row
     with ``right_time <= left_time`` (backward as-of, pandas
     ``merge_asof`` semantics), matching per ``on`` key. Left rows with
     no prior right row keep NULLs (left-outer semantics).
+
+    ``tolerance_us`` (pandas ``tolerance``): a match older than the
+    left row by MORE than this many microseconds is discarded — the
+    max-staleness rule every feature-store point-in-time join needs
+    (a price quote from last month must not enrich today's trade).
+    The right row still carries forward and is nulled per-row at the
+    end, so the plan is unchanged: one union + one window pass, no
+    extra shuffle. Timestamp time columns diff as ``unix_micros``
+    (integer-exact); for numeric time columns the tolerance is in the
+    column's own units.
 
     Requires ``(on, right_time)`` to be unique on the right side —
     pre-dedup with a deterministic winner otherwise, exactly like the
@@ -52,6 +63,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     row forward onto each left row. The right row's columns travel as
     ONE struct so they always come from the same right row.
     """
+    if tolerance_us is not None and tolerance_us < 0:
+        raise ValueError(f"tolerance_us must be >= 0, got {tolerance_us}")
     keys = [on] if isinstance(on, str) else list(on)
     if value_cols is None:
         value_cols = [c for c in right.columns
@@ -75,7 +88,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
           .select(*keys,
                   F.col(right_time).alias(_TS),
                   F.lit(right_rank).alias(_SIDE),
-                  F.struct(*[F.col(c) for c in value_cols]).alias(_VALS)))
+                  F.struct(*[F.col(c) for c in value_cols],
+                           F.col(right_time).alias("__asof_rt"))
+                  .alias(_VALS)))
     unioned = l2.unionByName(r2, allowMissingColumns=True)
 
     w = (Window.partitionBy(*keys).orderBy(_TS, _SIDE)
@@ -83,8 +98,20 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     carried = unioned.withColumn(_VALS, F.last(_VALS, ignorenulls=True).over(w))
 
     out = carried.filter(F.col(_SIDE) == left_rank)
+    fresh = None
+    if tolerance_us is not None:
+        rt = F.col(_VALS)["__asof_rt"]
+        is_ts = dict(right.dtypes)[right_time].startswith("timestamp")
+
+        def _t(c):
+            return F.unix_micros(c) if is_ts else c
+
+        fresh = rt.isNotNull() & (_t(F.col(left_time)) - _t(rt)
+                                  <= F.lit(tolerance_us))
     for c in value_cols:
-        out = out.withColumn(c + suffix, F.col(_VALS)[c])
+        v = F.col(_VALS)[c]
+        out = out.withColumn(c + suffix,
+                             v if fresh is None else F.when(fresh, v))
     return out.drop(_TS, _SIDE, _VALS)
 
 

@@ -202,7 +202,7 @@ _PRIORITY = [
     # ---- round-5 in-round additions (registry_r5.py): below the
     # boundary by the standing discipline; round-6 front-loaders.
     "e7_position_attribution", "x11_drift_psi", "ext_hybrid_rrf",
-    "ext_dedup_ingest_minhash",
+    "ext_dedup_ingest_minhash", "j26_asof_tolerance",
 ]
 
 

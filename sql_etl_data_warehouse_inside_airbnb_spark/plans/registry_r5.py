@@ -275,3 +275,42 @@ def ext_dedup_ingest_minhash(spark, sf_dir):
             F.concat("text", F.lit(" mutation two")).alias("text"))))
     bands, sh = minhash_index(base)
     return minhash_ingest_pairs(batch, bands, sh)
+
+
+@register(
+    "j26_asof_tolerance",
+    """SELECT e.event_id, e.user_id,
+              CASE WHEN p.ts IS NOT NULL
+                     AND epoch_us(e.ts) - epoch_us(p.ts) <= 1800000000
+                   THEN p.pid END AS prior_purchase_id
+       FROM (SELECT event_id, user_id, ts FROM events
+             WHERE event_type = 'click') e
+       ASOF LEFT JOIN
+            (SELECT event_id AS pid, user_id, ts FROM events
+             WHERE event_type = 'purchase') p
+       ON e.user_id = p.user_id AND e.ts >= p.ts""",
+    survey="§2.3 ext (as-of join with tolerance)",
+    note="bounded-staleness as-of join (operators/temporal.py:"
+         "asof_join(tolerance_us=...), pandas merge_asof tolerance / "
+         "the feature-store point-in-time rule): each click takes the "
+         "user's latest prior purchase ONLY if it is at most 30 min "
+         "old — a quote staler than the bound must not enrich the "
+         "row. The carry is unchanged (union + ONE window pass, one "
+         "shuffle, no join node); staleness nulls the carried struct "
+         "per-row with an exact unix_micros diff. Oracle: DuckDB "
+         "ASOF LEFT JOIN + the same integer staleness CASE")
+def j26_asof_tolerance(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.temporal import (
+        asof_join,
+    )
+    ev = t(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("prior_purchase_id"),
+                         "user_id", "ts"))
+    return (asof_join(clicks, purchases, on="user_id",
+                      left_time="ts", right_time="ts",
+                      value_cols=["prior_purchase_id"],
+                      tolerance_us=1_800_000_000)
+            .select("event_id", "user_id", "prior_purchase_id"))

@@ -187,9 +187,10 @@ def test_registry_priority_names_resolve():
         # standing discipline (they front-load round 6); they are the
         # only never-adjudicated names allowed outside the window+2
         r5_added = {"e7_position_attribution", "x11_drift_psi",
-                    "ext_hybrid_rrf", "ext_dedup_ingest_minhash"}
+                    "ext_hybrid_rrf", "ext_dedup_ingest_minhash",
+                    "j26_asof_tolerance"}
         outside = [n for n in never
                    if n not in names[:52] and n not in r5_added]
         assert not outside, outside
         assert names[50:52] == ["ext_dedup_minhash", "ext_dedup_simhash"]
-        assert names[52:56] == sorted(r5_added, key=names.index)
+        assert names[52:57] == sorted(r5_added, key=names.index)

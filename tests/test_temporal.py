@@ -166,3 +166,43 @@ def test_range_join_exact_buckets_at_extreme_magnitude(spark):
                      right_time="rts", lower_seconds=0,
                      upper_seconds=60, bucket_seconds=bucket_s)
     assert out.count() == 1
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    from datetime import datetime
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.temporal import (
+        asof_join,
+    )
+    left = spark.createDataFrame(
+        [(1, 10, datetime(2024, 1, 1, 12, 0, 0)),
+         (1, 11, datetime(2024, 1, 1, 12, 45, 0)),
+         (2, 12, datetime(2024, 1, 1, 12, 0, 0))],
+        "k bigint, lid bigint, lts timestamp")
+    right = spark.createDataFrame(
+        [(1, 100, datetime(2024, 1, 1, 11, 50, 0)),   # 10 min before lid=10
+         (2, 200, datetime(2024, 1, 1, 10, 0, 0))],   # 2 h before lid=12
+        "k bigint, rid bigint, rts timestamp")
+    out = {r["lid"]: r["rid"] for r in
+           asof_join(left, right, on="k", left_time="lts",
+                     right_time="rts", value_cols=["rid"],
+                     tolerance_us=30 * 60 * 1_000_000).collect()}
+    assert out[10] == 100        # 10 min old: within tolerance
+    assert out[11] is None       # 55 min old: carried but nulled
+    assert out[12] is None       # 2 h old: nulled
+    # without tolerance the same stale matches ARE kept
+    out2 = {r["lid"]: r["rid"] for r in
+            asof_join(left, right, on="k", left_time="lts",
+                      right_time="rts", value_cols=["rid"]).collect()}
+    assert out2 == {10: 100, 11: 100, 12: 200}
+    # exact boundary: staleness == tolerance is KEPT (<=)
+    out3 = {r["lid"]: r["rid"] for r in
+            asof_join(left, right, on="k", left_time="lts",
+                      right_time="rts", value_cols=["rid"],
+                      tolerance_us=10 * 60 * 1_000_000).collect()}
+    assert out3[10] == 100
+
+    import pytest
+    with pytest.raises(ValueError, match="tolerance_us"):
+        asof_join(left, right, on="k", left_time="lts",
+                  right_time="rts", value_cols=["rid"], tolerance_us=-1)
