@@ -314,3 +314,58 @@ def j26_asof_tolerance(spark, sf_dir):
                       value_cols=["prior_purchase_id"],
                       tolerance_us=1_800_000_000)
             .select("event_id", "user_id", "prior_purchase_id"))
+
+
+_DECILE_CASE = """CASE
+         WHEN value <= q1 THEN 1 WHEN value <= q2 THEN 2
+         WHEN value <= q3 THEN 3 WHEN value <= q4 THEN 4
+         WHEN value <= q5 THEN 5 WHEN value <= q6 THEN 6
+         WHEN value <= q7 THEN 7 WHEN value <= q8 THEN 8
+         WHEN value <= q9 THEN 9 ELSE 10 END"""
+
+
+@register(
+    "x12_drift_equidepth",
+    f"""WITH b AS (SELECT
+           quantile_disc(value, 0.1) AS q1, quantile_disc(value, 0.2) AS q2,
+           quantile_disc(value, 0.3) AS q3, quantile_disc(value, 0.4) AS q4,
+           quantile_disc(value, 0.5) AS q5, quantile_disc(value, 0.6) AS q6,
+           quantile_disc(value, 0.7) AS q7, quantile_disc(value, 0.8) AS q8,
+           quantile_disc(value, 0.9) AS q9
+         FROM events WHERE ts < TIMESTAMP '2024-01-16')
+       SELECT bucket,
+              CAST(count(*) FILTER (WHERE ts <  TIMESTAMP '2024-01-16')
+                   AS BIGINT) AS n_base,
+              CAST(count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-16')
+                   AS BIGINT) AS n_cur
+       FROM (SELECT ts, {_DECILE_CASE} AS bucket
+             FROM events CROSS JOIN b)
+       GROUP BY bucket""",
+    survey="§7.5 monitoring ext (decile PSI — baseline-derived cut)",
+    note="equi-depth drift bins — the standard PSI practice: decile "
+         "boundaries computed from the BASELINE slice only "
+         "(percentile_disc VALUES — actual rows, exact cross-engine, "
+         "the a35 idiom), broadcast as one row, then BOTH slices "
+         "bucketed by the same cut in one scan of conditional counts. "
+         "A baseline-derived cut is what makes PSI comparable across "
+         "runs (fixed-width bins — x11 — shift meaning when the range "
+         "drifts); under no drift every decile holds ~10% of current "
+         "rows, and psi_from_counts turns the report into the scalar "
+         "client-side. 1-row broadcast cross join (allowlisted "
+         "pattern), no global sort anywhere")
+def x12_drift_equidepth(spark, sf_dir):
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_x12")
+    qs = ", ".join(
+        f"percentile_disc(0.{i}) WITHIN GROUP (ORDER BY value) AS q{i}"
+        for i in range(1, 10))
+    return spark.sql(
+        f"""WITH b AS (SELECT {qs} FROM events_x12
+                       WHERE ts < TIMESTAMP '2024-01-16')
+            SELECT bucket,
+                   CAST(count(*) FILTER (WHERE ts < TIMESTAMP
+                        '2024-01-16') AS BIGINT) AS n_base,
+                   CAST(count(*) FILTER (WHERE ts >= TIMESTAMP
+                        '2024-01-16') AS BIGINT) AS n_cur
+            FROM (SELECT ts, {_DECILE_CASE} AS bucket
+                  FROM events_x12 CROSS JOIN b)
+            GROUP BY bucket""")
