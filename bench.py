@@ -134,7 +134,16 @@ def main() -> None:
     # wraps build+materialize; one warmup then min of two (they are
     # the most expensive entries — a third pass buys little precision
     # for its cost, and min-of-N is monotone so the number stays
-    # comparable if N ever grows)
+    # comparable if N ever grows). They run in a FRESH SparkSession:
+    # the r5 bench showed a uniform ~1.1x drift on the shared headline
+    # set the round the maintenance suite joined the run, and JVM-level
+    # state (heap fragmentation, GC pressure, cached fragments) must
+    # not couple the two suites in either direction — the headline
+    # numbers stay comparable to pre-maintenance rounds by
+    # construction, not by luck.
+    spark.stop()
+    spark = get_spark("bench-maintenance")
+    spark.sparkContext.setLogLevel("ERROR")
     maintenance: dict[str, float] = {}
     for name in MAINTENANCE:
         materialize(REGISTRY[name].build(spark, sf_dir))  # warmup

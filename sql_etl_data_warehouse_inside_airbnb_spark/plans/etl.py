@@ -358,10 +358,13 @@ def run_pipeline(spark: SparkSession, data_dir: str,
         # reference's skipped-rows csv), stored as one hive
         # subdirectory per load keyed by a DETERMINISTIC batch id
         # (md5 of the input file names PLUS each file's size and
-        # mtime): a crash retry of the same batch overwrites its own
-        # slice instead of appending a duplicate — idempotent without
-        # journal protection, and each load writes only its delta
-        # (never a rewrite of the whole log). The size/mtime
+        # mtime): a crash retry that reuses the same files IN PLACE
+        # overwrites its own slice instead of appending a duplicate —
+        # a retry that re-downloads byte-identical inputs gets a fresh
+        # mtime and therefore a new slice (an append, surfaced by the
+        # per-run stat; content-hashing the files would close that at
+        # the cost of re-reading every input). Each load writes only
+        # its delta (never a rewrite of the whole log). The size/mtime
         # fingerprint keeps two genuinely different loads that ship
         # identical basenames (undated feeds like ``listings.csv.gz``)
         # from colliding on one slice and silently overwriting the

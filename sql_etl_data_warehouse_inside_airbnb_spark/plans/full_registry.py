@@ -17,20 +17,27 @@ which adjudicates ~the first 50 entries per round:
   re-presentation, curation/event families, f19-f32 ladder, and the
   storage roundtrips — 45 hash-green + 5 clean rows-only, 0 fails
   (CORRECTNESS_r04.json);
-- round 5 (this order): the ledger burn-down (VERDICT.md r4 item 1)
-  — ALL 52 never-adjudicated entries are front-loaded: the round-4
-  additions (retrieval/graph/product-analytics/curation batch,
-  s16/s17 IO probes) plus the late-r3 leftovers, with the seven
-  deliberate rows-only presentations at positions 44-50 and the two
-  rows-only twins of already-green banded siblings parked at 51-52.
+- round 5: the ledger burn-down (VERDICT.md r4 item 1) — all 52
+  never-adjudicated entries front-loaded; 41 hash-green + 7 clean
+  rows-only came back, with two reds (a34 rounded-double hash,
+  m1 array-typed output crashing the driver canonicalizer);
+- round 6 (this order): the closure round (VERDICT.md r5). The two
+  fixed reds lead for re-verdicts (a34 now DECIMAL(38,6) components,
+  m1 now a stringified itemset column), then x12 (plan-audit
+  allowlist fixed) and the rest of the round-5 in-round additions,
+  then the two parked rows-only minhash/simhash twins — after which
+  every registry entry has a driver verdict.
 
-Entries with a green CORRECTNESS row from r1-r4 move to the back;
+Entries with a green CORRECTNESS row from r1-r5 move to the back;
 within any remaining never-checked tail, oracle-paired entries sit
 ahead of rows-only ones. Every name stays present; only dict
 insertion order changes.
 
-Queries ADDED during round 5 sit after the position-50 boundary, so
-the round-5 adjudication window stays fixed while they are built.
+Queries ADDED during round 6 may sit INSIDE the adjudication window
+this round (positions 11-50 are otherwise spent re-verifying green
+back-block entries — spare capacity): each must pass tools/parity.py
+at sf0.01 AND sf0.1 with integer/decimal/string compared columns
+before being placed there.
 """
 
 from __future__ import annotations
@@ -151,58 +158,61 @@ _R04_GREEN = frozenset({
     "j22_dynamic_partition_prune",
 })
 
-_GREEN = _R01_GREEN | _R02_GREEN | _R03_GREEN | _R04_GREEN
+# The 48 adjudicated rows of CORRECTNESS_r05.json: 41 hash-green + 7
+# deliberate clean rows-only presentations (float-iterative /
+# engine-hash / offline-model outputs, each pinned against an
+# independent Python model in tests/). The two r5 reds — a34 (hash
+# fail on rounded-double components) and m1 (driver canonicalizer
+# crash on an array column) — are NOT green: both are fixed this
+# round and lead the round-6 window for re-verdicts.
+_R05_GREEN = frozenset({
+    "s16_multiline_csv_roundtrip", "ext_keyword_search",
+    "ext_inverted_index", "g5_triangle_count",
+    "stream_interval_join_outer", "stream_dedup_ingest",
+    "stream_static_enrich", "e5_sessionization",
+    "e6_attribution_last_touch", "ts2_resample_ohlc",
+    "ext_hashed_linear_score", "ext_source_mixture",
+    "j25_grid_distance_join", "x9_integrity_report",
+    "ext_target_encoding", "ext_tfidf_topterms",
+    "g4_dedup_survivors_argmax", "ext_contamination_matrix",
+    "ext_dsir_components", "u6_udtf_tokenize", "u7_pandas_udaf_maxgap",
+    "x4_fuzzy_match", "x5_incremental_agg", "ts1_interpolate",
+    "w1_merge_dedup_latest", "ext_source_stats",
+    "ext_stratified_sample", "ext_vocab_topk", "ext_label_centroid",
+    "ext_sequence_pack", "ext_dup_ngram_fraction", "ext_url_parse",
+    "ext_filter_funnel", "ext_embedding_quantize", "ext_label_balance",
+    "ext_rolling_hash_fingerprint", "ext_winnow_fingerprint",
+    "ext_multimodal_embed_ann", "a35_equidepth_histogram",
+    "x10_skew_report", "s17_key_erasure_roundtrip", "ext_ann_ivf_topk",
+    "ext_bm25_topk", "g6_pagerank", "ext_ann_pq_topk",
+    "ext_semantic_dedup", "ext_bpe_train_merges",
+    "ext_bpe_encode_counts",
+})
+
+_GREEN = _R01_GREEN | _R02_GREEN | _R03_GREEN | _R04_GREEN | _R05_GREEN
 
 # Explicit front of the queue — the ~50-entry adjudication window.
-# Round 5 is the ledger burn-down round (VERDICT.md r4 item 1): the
-# 52 never-adjudicated entries are front-loaded, oracle-paired first.
-# Positions 1-43 carry DuckDB oracles; positions 44-50 are the
-# deliberate rows-only presentations the r4 verdict asked to front
-# (item 2: float-iterative / engine-hash / sketch outputs, each
-# pinned against an independent Python model in tests). The two
-# rows-only twins of already-green entries (ext_dedup_minhash /
-# ext_dedup_simhash, whose banded siblings are hash-green since
-# r2-r3) park at positions 51-52 and front-load round 6.
+# Round 6 is the closure round (VERDICT.md r5): every entry that still
+# lacks a clean driver verdict fits in the first 10 positions — the
+# two fixed r5 reds lead for re-verdicts, then the round-5 in-round
+# additions (x12 with its plan-audit allowlist in place), then the two
+# parked rows-only minhash/simhash twins of hash-green banded
+# siblings. Everything behind position 10 is already green; new
+# round-6 entries slot in after the closure block once they pass
+# tools/parity.py at sf0.01 AND sf0.1.
 _PRIORITY = [
-    # -- s16 first: certifies the round-4 RFC-4180 sink/scan fix.
-    "s16_multiline_csv_roundtrip",
-    # -- retrieval + graph families (registry_search.py, r4 adds).
-    "ext_keyword_search", "ext_inverted_index", "g5_triangle_count",
-    # -- streaming additions.
-    "stream_interval_join_outer", "stream_dedup_ingest",
-    "stream_static_enrich",
-    # -- product-analytics / curation batch (registry_r4.py).
-    "e5_sessionization", "e6_attribution_last_touch",
-    "ts2_resample_ohlc", "ext_hashed_linear_score",
-    "ext_source_mixture", "j25_grid_distance_join",
-    "x9_integrity_report", "ext_target_encoding",
-    "ext_tfidf_topterms", "g4_dedup_survivors_argmax",
-    "ext_contamination_matrix", "ext_dsir_components",
-    # -- late-r3 leftovers.
-    "u6_udtf_tokenize", "u7_pandas_udaf_maxgap",
-    "x4_fuzzy_match", "x5_incremental_agg", "ts1_interpolate",
-    "m1_frequent_itemsets", "w1_merge_dedup_latest",
-    "ext_source_stats", "ext_stratified_sample", "ext_vocab_topk",
-    "ext_label_centroid", "ext_sequence_pack",
-    "ext_dup_ngram_fraction", "ext_url_parse", "ext_filter_funnel",
-    "ext_embedding_quantize", "ext_label_balance",
-    "ext_rolling_hash_fingerprint", "ext_winnow_fingerprint",
-    "ext_multimodal_embed_ann",
-    "a34_corr_components", "a35_equidepth_histogram",
-    "x10_skew_report", "s17_key_erasure_roundtrip",
-    # ---- positions 44-50: deliberate rows-only presentations
-    # (engine-specific hashes / float-iterative / offline-model
-    # outputs; independent-model-pinned in tests/).
-    "ext_ann_ivf_topk", "ext_bm25_topk", "g6_pagerank",
-    "ext_ann_pq_topk", "ext_semantic_dedup", "ext_bpe_train_merges",
-    "ext_bpe_encode_counts",
-    # ---- position 50 boundary. Below: the two rows-only twins of
-    # hash-green banded/bit-sampled siblings — round-6 front-loaders.
+    # -- re-verdicts of the two round-5 reds, fixed this round:
+    # a34 emits DECIMAL(38,6) components (was round(double) — last-ulp
+    # decimal->double gaps survive round()), m1 emits a comma-joined
+    # string itemset (was array — unhashable for the driver).
+    "a34_corr_components", "m1_frequent_itemsets",
+    # -- round-5 in-round additions, first presentation. x12's 1-row
+    # decile-cut broadcast is now allowlisted in test_plan_audit.
+    "x12_drift_equidepth", "e7_position_attribution", "x11_drift_psi",
+    "ext_hybrid_rrf", "ext_dedup_ingest_minhash", "j26_asof_tolerance",
+    # -- the two rows-only twins (banded/bit-sampled siblings are
+    # hash-green since r2-r3); deliberate rows-only presentations.
     "ext_dedup_minhash", "ext_dedup_simhash",
-    # ---- round-5 in-round additions (registry_r5.py): below the
-    # boundary by the standing discipline; round-6 front-loaders.
-    "e7_position_attribution", "x11_drift_psi", "ext_hybrid_rrf",
-    "ext_dedup_ingest_minhash", "j26_asof_tolerance",
 ]
 
 

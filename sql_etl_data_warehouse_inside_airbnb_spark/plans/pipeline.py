@@ -54,6 +54,15 @@ REVIEWS_KEEP = ["listing_id", "id", "date", "reviewer_id", "reviewer_name",
 CALENDAR_KEEP = ["listing_id", "date", "available", "price"]
 
 
+def audit_clock(frozen: str | None = None):
+    """F11 GETDATE() audit-column clock (sql/data/01_load_listings.sql
+    created_date/updated_date defaults). Wall-clock by default; tests
+    pass a literal ('2024-06-01 12:00:00') so the audit columns become
+    exactly assertable instead of merely non-null."""
+    return (F.current_timestamp() if frozen is None
+            else F.lit(frozen).cast("timestamp"))
+
+
 def clean_listings(raw: DataFrame, property_city: str = "Unknown",
                    property_country: str = "Unknown") -> DataFrame:
     """Cleaning stage (modules/data_cleaner.py:67-161): prune to the
@@ -109,7 +118,8 @@ def type_listings(cleaned: DataFrame) -> DataFrame:
 
 def build_dim_listings(cleaned: DataFrame,
                        existing: DataFrame | None = None,
-                       count_actions: bool = True
+                       count_actions: bool = True,
+                       audit_time: str | None = None
                        ) -> tuple[MergeResult, DataFrame]:
     """Staging → dim_listings MERGE + dim_listing_id_map, one lineage.
 
@@ -126,11 +136,11 @@ def build_dim_listings(cleaned: DataFrame,
         F.substring("__raw_id", 1, 6).alias("part1"),
         F.substring("__raw_id", 7, 6).alias("part2"),
         F.substring("__raw_id", 13, 6).alias("part3"),
-        F.current_timestamp().alias("created_date"),
+        audit_clock(audit_time).alias("created_date"),
     )
     good = typed.filter(F.col("listing_id").isNotNull()).drop("__raw_id")
-    audited = (good.withColumn("created_date", F.current_timestamp())
-                   .withColumn("updated_date", F.current_timestamp()))
+    audited = (good.withColumn("created_date", audit_clock(audit_time))
+                   .withColumn("updated_date", audit_clock(audit_time)))
     if existing is None:
         existing = audited.limit(0)
     # count_actions=False skips the OUTPUT $action counts, which cost
@@ -143,7 +153,8 @@ def build_dim_listings(cleaned: DataFrame,
     return res, id_map
 
 
-def build_dim_hosts(dim_listings: DataFrame) -> DataFrame:
+def build_dim_hosts(dim_listings: DataFrame,
+                    audit_time: str | None = None) -> DataFrame:
     """dim_hosts (sql/data/02_load_hosts.sql:7-33): latest listing row
     per host (W1: ROW_NUMBER PARTITION BY host_id ORDER BY updated_date
     DESC, listing_id DESC as deterministic tiebreak) joined to per-host
@@ -159,7 +170,7 @@ def build_dim_hosts(dim_listings: DataFrame) -> DataFrame:
               .agg(F.count("*").cast("int").alias("total_listings")))
     # same shuffle key on both sides — Catalyst reuses the exchange
     return (latest.join(counts, "host_id")
-            .withColumn("created_date", F.current_timestamp()))
+            .withColumn("created_date", audit_clock(audit_time)))
 
 
 def build_dim_dates(*date_frames: DataFrame) -> DataFrame:

@@ -25,7 +25,6 @@ from sql_etl_data_warehouse_inside_airbnb_spark.operators.curation import (
     trigram_familiarity,
 )
 from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
-    exact_sum,
     register,
     t,
 )
@@ -428,22 +427,18 @@ def stream_dedup_ingest(spark, sf_dir):
 
 @register(
     "a34_corr_components",
-    """SELECT l_returnflag,
+    """WITH d AS (SELECT l_returnflag,
+                         CAST(l_quantity AS DECIMAL(19,6)) AS dx,
+                         CAST(l_extendedprice AS DECIMAL(19,6)) AS dy
+                  FROM lineitem)
+       SELECT l_returnflag,
               CAST(count(*) AS BIGINT) AS n,
-              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
-                         AS DOUBLE), 4) AS sum_x,
-              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
-                         AS DOUBLE), 2) AS sum_y,
-              round(CAST(sum(CAST(l_quantity * l_extendedprice
-                                  AS DECIMAL(28,6))) AS DOUBLE), 2)
-                  AS sum_xy,
-              round(CAST(sum(CAST(l_quantity * l_quantity
-                                  AS DECIMAL(28,6))) AS DOUBLE), 4)
-                  AS sum_x2,
-              round(CAST(sum(CAST(l_extendedprice * l_extendedprice
-                                  AS DECIMAL(28,6))) AS DOUBLE), 2)
-                  AS sum_y2
-       FROM lineitem GROUP BY l_returnflag""",
+              CAST(sum(dx) AS DECIMAL(38,6)) AS sum_x,
+              CAST(sum(dy) AS DECIMAL(38,6)) AS sum_y,
+              CAST(sum(dx * dy) AS DECIMAL(38,12)) AS sum_xy,
+              CAST(sum(dx * dx) AS DECIMAL(38,12)) AS sum_x2,
+              CAST(sum(dy * dy) AS DECIMAL(38,12)) AS sum_y2
+       FROM d GROUP BY l_returnflag""",
     survey="§2.4 ext (correlation / covariance components)",
     note="Pearson correlation and covariance per group, emitted as "
          "the SIX algebraic components (n, Σx, Σy, Σxy, Σx², Σy²) "
@@ -452,25 +447,41 @@ def stream_dedup_ingest(spark, sf_dir):
          "across engines at ties (the registry's no-division rule), "
          "while the components are exact decimal sums — AND they are "
          "MERGEABLE, so incremental maintenance (x5's pattern) and "
-         "multi-day rollups compose by adding components. Spark's "
-         "built-in corr()/covar_samp() derive from the same sums; "
-         "one scan, one map-side-combinable shuffle")
+         "multi-day rollups compose by adding components. The r5 "
+         "verdict failed this entry's earlier round(double) output; "
+         "the root cause (exposed by the exact parity canon) is that "
+         "double→decimal conversion of PRODUCTS rounds differently "
+         "across engines — a product's 6th decimal digit sits "
+         "mid-mantissa where tie handling diverges constantly, while "
+         "the raw 2-dp columns convert identically. So each FACTOR "
+         "casts to DECIMAL(18,6) first and the multiply happens in "
+         "exact decimal arithmetic; every component stays decimal "
+         "end to end (hash-stable, and truer to the mergeable-exact-"
+         "components story). Spark's built-in corr()/covar_samp() "
+         "derive from the same sums; one scan, one map-side-"
+         "combinable shuffle")
 def a34_corr_components(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity")
-    y = F.col("l_extendedprice")
-
-    def dsum(c, scale, digits):
-        return F.round(F.sum(c.cast(f"decimal(28,{scale})"))
-                       .cast("double"), digits)
+    # cast factors to decimal BEFORE multiplying: the raw columns are
+    # 2-dp money/quantity values whose double→decimal(18,6) cast is
+    # far from any rounding tie, so both engines agree per row; the
+    # product then computes in exact decimal arithmetic and the sums
+    # are exact. Width asymmetry is deliberate: Spark stays at (18,6)
+    # so the product is decimal(37,12) — width 19 would push p1+p2+1
+    # past 38 and trigger Spark's scale-reduction re-rounding — while
+    # the oracle casts to DECIMAL(19,6) because DuckDB multiplies
+    # width<=18 significands in int64 (runtime overflow) and needs
+    # width 19+ to pick int128; the VALUES are identical either way
+    dx = F.col("l_quantity").cast("decimal(18,6)")
+    dy = F.col("l_extendedprice").cast("decimal(18,6)")
 
     return (li.groupBy("l_returnflag")
             .agg(F.count("*").alias("n"),
-                 exact_sum("l_quantity", 4).alias("sum_x"),
-                 exact_sum("l_extendedprice", 2).alias("sum_y"),
-                 dsum(x * y, 6, 2).alias("sum_xy"),
-                 dsum(x * x, 6, 4).alias("sum_x2"),
-                 dsum(y * y, 6, 2).alias("sum_y2")))
+                 F.sum(dx).cast("decimal(38,6)").alias("sum_x"),
+                 F.sum(dy).cast("decimal(38,6)").alias("sum_y"),
+                 F.sum(dx * dy).cast("decimal(38,12)").alias("sum_xy"),
+                 F.sum(dx * dx).cast("decimal(38,12)").alias("sum_x2"),
+                 F.sum(dy * dy).cast("decimal(38,12)").alias("sum_y2")))
 
 
 @register(

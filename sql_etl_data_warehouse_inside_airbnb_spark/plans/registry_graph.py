@@ -335,7 +335,8 @@ def x3_snapshot_diff(spark, sf_dir):
                    ON a.l_orderkey = b2.l_orderkey
                   AND a.n_name < b2.n_name
                  GROUP BY a.n_name, b2.n_name)
-       SELECT items, CAST(freq AS BIGINT) AS freq
+       SELECT array_to_string(list_sort(items), ',') AS items,
+              CAST(freq AS BIGINT) AS freq
        FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
        WHERE freq >= (SELECT CEIL(0.02 * n) FROM n_orders)""",
     survey="§7.5 ext (frequent-itemset mining, FPGrowth)",
@@ -349,8 +350,11 @@ def x3_snapshot_diff(spark, sf_dir):
          "apply the same ceil(minSupport*n) cutoff to the same IEEE "
          "double product, so the boundary agrees. Oracle enumerates "
          "size-1/2 itemsets by exact GROUP BY; the Spark side filters "
-         "to size<=2 (size-3 sets exist below threshold only). Items "
-         "arrays sorted on both sides for stable comparison")
+         "to size<=2 (size-3 sets exist below threshold only). The "
+         "itemset column is emitted as a sorted comma-joined STRING "
+         "on both sides: the r5 driver's canonicalizer cannot hash "
+         "array-typed columns (pandas sort_values on lists), and the "
+         "registry output contract stays inside its hashable set")
 def m1_frequent_itemsets(spark, sf_dir):
     from pyspark.ml.fpm import FPGrowth
 
@@ -368,7 +372,7 @@ def m1_frequent_itemsets(spark, sf_dir):
                      minConfidence=0.5).fit(baskets)
     return (model.freqItemsets
             .filter(F.size("items") <= 2)
-            .select(F.sort_array("items").alias("items"),
+            .select(F.array_join(F.sort_array("items"), ",").alias("items"),
                     F.col("freq").cast("bigint").alias("freq")))
 
 

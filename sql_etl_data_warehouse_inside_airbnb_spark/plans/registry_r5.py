@@ -104,6 +104,7 @@ def e7_position_attribution(spark, sf_dir):
     "x11_drift_psi",
     """SELECT event_type,
               CASE WHEN value >= 500 THEN 11
+                   WHEN value < 0 THEN 0
                    ELSE 1 + CAST(floor(value / 50) AS BIGINT)
               END AS value_bucket,
               CAST(count(*) FILTER (WHERE ts <  TIMESTAMP '2024-01-16')
@@ -117,7 +118,10 @@ def e7_position_attribution(spark, sf_dir):
          "drift_bin_counts), binned on event_type x width_bucket("
          "value, 0, 500, 10) — the input relation of the PSI / "
          "chi-square drift monitors a corpus pipeline runs between "
-         "ingests. Counts are integer-exact conditional sums in ONE "
+         "ingests. The oracle's closed-form CASE carries an explicit "
+         "below-range branch (value < 0 -> 0) to match width_bucket "
+         "for any input domain, not just the current [0, 560] one. "
+         "Counts are integer-exact conditional sums in ONE "
          "scan + one shuffle on the bin key (never two jobs diffed "
          "driver-side); the PSI scalar itself is log-of-quotient "
          "arithmetic — the cross-engine rounding trap — so it "
@@ -286,8 +290,8 @@ def ext_dedup_ingest_minhash(spark, sf_dir):
        FROM (SELECT event_id, user_id, ts FROM events
              WHERE event_type = 'click') e
        ASOF LEFT JOIN
-            (SELECT event_id AS pid, user_id, ts FROM events
-             WHERE event_type = 'purchase') p
+            (SELECT min(event_id) AS pid, user_id, ts FROM events
+             WHERE event_type = 'purchase' GROUP BY user_id, ts) p
        ON e.user_id = p.user_id AND e.ts >= p.ts""",
     survey="§2.3 ext (as-of join with tolerance)",
     note="bounded-staleness as-of join (operators/temporal.py:"
@@ -295,7 +299,11 @@ def ext_dedup_ingest_minhash(spark, sf_dir):
          "the feature-store point-in-time rule): each click takes the "
          "user's latest prior purchase ONLY if it is at most 30 min "
          "old — a quote staler than the bound must not enrich the "
-         "row. The carry is unchanged (union + ONE window pass, one "
+         "row. Purchases are pre-deduped per (user_id, ts) with a "
+         "min(event_id) winner on BOTH sides, as asof_join's "
+         "right-uniqueness contract prescribes — otherwise equal-ts "
+         "duplicates make the carried pid engine-arbitrary. The "
+         "carry is unchanged (union + ONE window pass, one "
          "shuffle, no join node); staleness nulls the carried struct "
          "per-row with an exact unix_micros diff. Oracle: DuckDB "
          "ASOF LEFT JOIN + the same integer staleness CASE")
@@ -306,9 +314,13 @@ def j26_asof_tolerance(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     clicks = (ev.filter(F.col("event_type") == "click")
               .select("event_id", "user_id", "ts"))
+    # asof_join's contract requires right-side (on, ts) uniqueness —
+    # pre-dedup equal-ts purchases with a deterministic winner
+    # (min event_id) so the carried pid is well-defined on both
+    # engines even if the generator ever emits ts ties
     purchases = (ev.filter(F.col("event_type") == "purchase")
-                 .select(F.col("event_id").alias("prior_purchase_id"),
-                         "user_id", "ts"))
+                 .groupBy("user_id", "ts")
+                 .agg(F.min("event_id").alias("prior_purchase_id")))
     return (asof_join(clicks, purchases, on="user_id",
                       left_time="ts", right_time="ts",
                       value_cols=["prior_purchase_id"],

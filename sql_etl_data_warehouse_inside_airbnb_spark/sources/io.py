@@ -500,6 +500,12 @@ def erase_keys(spark: SparkSession, path: str, key_col: str,
     kept_cnt = kept.count()
     (kept.write.mode("overwrite").partitionBy(*partition_cols)
      .parquet(stage))
+    # strip Spark's per-job bookkeeping (written once at the stage
+    # ROOT, never inside partition subdirs) before any subdir becomes
+    # live table data
+    marker = os.path.join(stage, "_SUCCESS")
+    if os.path.isfile(marker):
+        os.remove(marker)
     for sub in subs:
         tmp = os.path.join(stage, os.path.relpath(sub, path))
         backup = _backup_of(sub)
@@ -507,12 +513,6 @@ def erase_keys(spark: SparkSession, path: str, key_col: str,
             shutil.rmtree(backup)
         os.rename(sub, backup)
         if os.path.isdir(tmp):
-            # strip Spark's per-job bookkeeping before the dir becomes
-            # live table data (the single-partition writes did this
-            # implicitly by writing a fresh leaf dir)
-            marker = os.path.join(tmp, "_SUCCESS")
-            if os.path.isfile(marker):
-                os.remove(marker)
             os.rename(tmp, sub)
         # else: every row of this partition was erased — hive
         # semantics, the partition directory disappears

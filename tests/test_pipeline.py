@@ -82,6 +82,28 @@ def test_dim_hosts(spark):
     assert set(hosts) == {7, 8, 10}
 
 
+def test_audit_columns_frozen_clock(spark):
+    """F11 (GETDATE() audit columns): with the injected clock the
+    created/updated audit timestamps are exactly assertable — the
+    wall-clock default makes them only non-null-checkable."""
+    from datetime import datetime
+
+    frozen = "2024-06-01 12:00:00"
+    want = datetime(2024, 6, 1, 12, 0, 0)
+    raw = make_raw(spark, LISTINGS_ROWS, LISTINGS_COLS)
+    cleaned = clean_listings(raw, property_city="Paris",
+                             property_country="France")
+    res, id_map = build_dim_listings(cleaned, audit_time=frozen)
+    for r in res.df.collect():
+        assert r.created_date == want and r.updated_date == want
+    assert all(r.created_date == want for r in id_map.collect())
+    hosts = build_dim_hosts(res.df, audit_time=frozen)
+    assert all(r.created_date == want for r in hosts.collect())
+    # the default stays wall-clock (non-null, fresh)
+    res2, _ = build_dim_listings(cleaned)
+    assert all(r.created_date is not None for r in res2.df.collect())
+
+
 def test_week_bucketing_sunday_edge(spark):
     res, _ = _dim_listings(spark)
     cal = make_raw(spark, CALENDAR_ROWS, CALENDAR_COLS)

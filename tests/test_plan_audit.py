@@ -48,6 +48,8 @@ NESTED_LOOP_OK = {
     "ext_bm25_topk": "BroadcastNestedLoopJoin",
     # broadcast 1-row percentile-boundary vector for the histogram cut
     "a35_equidepth_histogram": "BroadcastNestedLoopJoin",
+    # broadcast 1-row baseline decile-cut row (same idiom as a35)
+    "x12_drift_equidepth": "BroadcastNestedLoopJoin",
 }
 ROW_PYTHON_OK = {
     "u6_udtf_tokenize": "BatchEvalPython",
@@ -136,8 +138,9 @@ def test_dedup_block_keys_are_composed(spark, sf_dir):
 def test_registry_priority_names_resolve():
     """A typo in full_registry._PRIORITY silently un-fronts an entry
     (it just filters out) — every priority name must exist, the
-    reorder must keep all entries exactly once, and the round-5
-    burn-down window must hold every never-adjudicated entry."""
+    reorder must keep all entries exactly once, and the round-6
+    closure window must hold every entry still lacking a clean
+    driver verdict."""
     import glob
     import json
     import os
@@ -149,48 +152,36 @@ def test_registry_priority_names_resolve():
     assert not missing, missing
     names = list(fr.REGISTRY)
     assert len(names) == len(set(names))
-    # round 5 burn-down: the s16 quoting probe (certifying the round-4
-    # RFC-4180 sink/scan fix) leads the window
-    assert names[0] == "s16_multiline_csv_roundtrip"
+    # round 6 closure: the two fixed round-5 reds lead for re-verdicts
+    assert names[:2] == ["a34_corr_components", "m1_frequent_itemsets"]
     # every green entry not deliberately re-presented in the front
     # sits behind every entry still waiting for a verdict
     back = {n for n in fr._GREEN if n not in fr._PRIORITY}
     back_positions = [names.index(n) for n in back]
     assert min(back_positions) == len(names) - len(back)
-    # the adjudication window spends itself on full value-hash
-    # verdicts EXCEPT the deliberate rows-only presentations
-    # (VERDICT.md r4 item 2): engine-specific hashes, float-iterative
-    # fixpoints, and offline-model outputs, each pinned against an
-    # independent Python model in tests/.
-    deliberate_rows_only = {
-        "ext_ann_ivf_topk", "ext_bm25_topk", "g6_pagerank",
-        "ext_ann_pq_topk", "ext_semantic_dedup",
-        "ext_bpe_train_merges", "ext_bpe_encode_counts",
-    }
+    # the never-green prefix of the window spends itself on full
+    # value-hash verdicts EXCEPT the two deliberate rows-only twins
+    # of hash-green banded/bit-sampled siblings (green back-block
+    # entries re-entering the window are exempt — several are
+    # deliberate rows-only presentations adjudicated in r4/r5)
+    deliberate_rows_only = {"ext_dedup_minhash", "ext_dedup_simhash"}
     window = names[:50]
     rows_only = [n for n in window if fr.REGISTRY[n].oracle is None
-                 and n not in deliberate_rows_only]
+                 and n not in deliberate_rows_only
+                 and n not in fr._GREEN]
     assert not rows_only, rows_only
     # the flagged set must actually BE rows-only (stale flag guard)
     for n in deliberate_rows_only:
         assert fr.REGISTRY[n].oracle is None, n
-    # and the window must cover every entry with no CORRECTNESS
-    # verdict from any prior round, bar the two parked minhash/simhash
-    # rows-only twins of hash-green banded siblings (positions 51-52)
+    # closure invariant: every entry lacking ANY prior-round verdict
+    # row — plus the two fixed reds — must sit inside the window, so
+    # round 6 ends with a verdict on all of them
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     adjudicated = set()
     for f in glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json")):
         adjudicated |= set(json.load(open(f)))
     if adjudicated:  # absent in a bare checkout
-        never = [n for n in names if n not in adjudicated]
-        # entries BUILT during round 5 park below the boundary by the
-        # standing discipline (they front-load round 6); they are the
-        # only never-adjudicated names allowed outside the window+2
-        r5_added = {"e7_position_attribution", "x11_drift_psi",
-                    "ext_hybrid_rrf", "ext_dedup_ingest_minhash",
-                    "j26_asof_tolerance"}
-        outside = [n for n in never
-                   if n not in names[:52] and n not in r5_added]
+        pending = [n for n in names if n not in adjudicated
+                   or n in ("a34_corr_components", "m1_frequent_itemsets")]
+        outside = [n for n in pending if names.index(n) >= 50]
         assert not outside, outside
-        assert names[50:52] == ["ext_dedup_minhash", "ext_dedup_simhash"]
-        assert names[52:57] == sorted(r5_added, key=names.index)

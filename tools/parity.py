@@ -27,21 +27,38 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+# The driver's value hash is EXACT — r5's a34 failed it while passing
+# this mirror's old 9-significant-digit float canon. Default is now
+# exact everywhere (17g doubles = round-trip repr, exact decimal
+# strings, microsecond timestamps); PARITY_LOOSE=1 restores the old
+# 9g/seconds canon for triaging whether a mismatch is last-ulp noise.
+_LOOSE = bool(os.environ.get("PARITY_LOOSE"))
+_FG = ".9g" if _LOOSE else ".17g"
+
+
 def canon(v):
     if v is None:
         return "\x00NULL"
     if isinstance(v, bool):
         return "b:" + str(v)
     if isinstance(v, Decimal):
-        return "n:" + format(float(v), ".9g")
+        if _LOOSE:
+            return "n:" + format(float(v), _FG)
+        # exact, scale-independent (5.500000 == 5.5)
+        return "n:" + format(v.normalize(), "f")
     if isinstance(v, float):
         if math.isnan(v):
             return "n:nan"
-        return "n:" + format(v, ".9g")
+        return "n:" + format(v, _FG)
     if isinstance(v, int):
-        return "n:" + format(float(v), ".9g")
+        # exact str(int) == exact decimal canon == 17g float canon for
+        # any value all three can represent, so cross-type list
+        # elements still compare equal
+        return "n:" + format(float(v), _FG) if _LOOSE else "n:" + str(v)
     if isinstance(v, datetime):
-        return "t:" + v.strftime("%Y-%m-%d %H:%M:%S")
+        if _LOOSE:
+            return "t:" + v.strftime("%Y-%m-%d %H:%M:%S")
+        return "t:" + v.isoformat()
     if isinstance(v, date):
         return "d:" + v.isoformat()
     if isinstance(v, list):
