@@ -114,15 +114,23 @@ def main() -> None:
         materialize(df)
         cold += time.perf_counter() - t0
 
-    # three measured passes, report per-query MIN: single-pass
+    # three measured runs per query, report per-query MIN: single-pass
     # timings vary +-20% run-to-run on shared VMs (GC pauses, host
     # noise), and some plans (ppjoin) only reach JIT steady state on
-    # their third execution; the min of three warm passes is the
+    # their third execution; the min of three warm runs is the
     # steady-state estimator and stays comparable round-over-round
-    # (min over MORE passes can only be tighter, never inflated)
+    # (min over MORE passes can only be tighter, never inflated).
+    # QUERY-MAJOR order (3 back-to-back runs per query, not 3
+    # interleaved passes): as the headline list grew (31 -> 34
+    # queries), pass-major interleaving let cross-query JIT/GC
+    # pressure inflate every min by ~7-15% vs the same query measured
+    # isolated (r6: ppjoin 1.65 interleaved vs 1.44 isolated, which
+    # matches its r4 number exactly) — back-to-back runs keep the
+    # per-query min at its isolated steady state regardless of how
+    # long the list gets.
     timings: dict[str, float] = {}
-    for _ in range(3):
-        for name in HEADLINE:
+    for name in HEADLINE:
+        for _ in range(3):
             df = REGISTRY[name].build(spark, sf_dir)
             t0 = time.perf_counter()
             materialize(df)
