@@ -76,6 +76,11 @@ HEADLINE = [
     "e7_position_attribution",         # multi-touch credit in bp (r5)
     "x11_drift_psi",                   # snapshot drift bin counts (r5)
     "ext_hybrid_rrf",                  # RRF hybrid retrieval (r5)
+    "f33_winsorize",                   # per-group percentile clamp (r6)
+    "ext_cooccurrence_pmi",            # basket-pair PMI components (r6)
+    "ext_phrase_search",               # positional adjacency join (r6)
+    "e8_dau_wau",                      # DAU/WAU contribution explode (r6)
+    "ext_mmr_diversify",               # MMR re-rank, bounded pandas (r6)
 ]
 
 # Maintenance / offline-build workloads (r5, VERDICT r4 item 5).
@@ -90,6 +95,11 @@ MAINTENANCE = [
     "ext_bpe_train_merges",        # distributed tokenizer training
     "g6_pagerank",                 # iterative-join fixpoint (20 rounds)
     "s17_key_erasure_roundtrip",   # partition-pruned GDPR rewrite
+    "g7_bfs_hops",                 # frontier-expansion BFS (r6; the
+                                   # localCheckpoint rounds run in
+                                   # build(), so it prices here, not
+                                   # in the headline noop timings)
+    "g8_label_propagation",        # LPA community rounds (r6, same)
 ]
 
 

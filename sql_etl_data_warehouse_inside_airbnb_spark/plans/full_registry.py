@@ -59,6 +59,7 @@ import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_io  # noqa: F40
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_more  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r4  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r5  # noqa: F401
+import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r6  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_search  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_surface  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_tpch  # noqa: F401
@@ -213,6 +214,15 @@ _PRIORITY = [
     # -- the two rows-only twins (banded/bit-sampled siblings are
     # hash-green since r2-r3); deliberate rows-only presentations.
     "ext_dedup_minhash", "ext_dedup_simhash",
+    # -- round-6 in-round additions (registry_r6.py), placed INSIDE
+    # the window per the closure-round policy above — each passed the
+    # exact parity canon at sf0.01 AND sf0.1 before landing here.
+    "g7_bfs_hops", "f33_winsorize", "x13_benford_first_digit",
+    "ext_cooccurrence_pmi", "ext_phrase_search",
+    "ext_negative_samples", "e8_dau_wau",
+    # deliberate rows-only additions (iterative argmax / greedy
+    # selection have no SQL form; Python-model-pinned in test_r6.py)
+    "g8_label_propagation", "ext_mmr_diversify",
 ]
 
 

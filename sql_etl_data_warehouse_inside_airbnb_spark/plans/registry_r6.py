@@ -1,0 +1,493 @@
+"""Round-6 additions: BFS reachability hops, per-group winsorization,
+Benford first-digit monitoring, co-occurrence PMI components,
+positional phrase search, and hash-based negative sampling.
+
+Six gaps the r1-r5 surface left open, each a workload a production
+warehouse + LLM-data shop runs that no existing entry expresses:
+bounded-depth graph REACHABILITY (g1/g5/g6 give components, triangles
+and centrality — not "how far", the basis of fraud rings and social
+graph features); distribution-tail CLAMPING for feature engineering
+(x2 detects outliers, nothing repairs them); first-digit drift (the
+classic fabricated-data monitor, one scan of integer counts);
+co-occurrence association mining emitted as exact PMI COMPONENTS
+(m1 gives frequent sets, not association strength; the quotient/log
+derive client-side, the a34 lesson); PHRASE queries over the
+retrieval family (keyword/BM25/RRF are bag-of-words — adjacency
+needs token positions); and deterministic negative sampling (every
+recommender/contrastive trainer needs non-interacted items, and
+rand() is engine-unportable — the seeded-md5 trick from the MinHash
+family makes it oracle-checkable).
+
+All compared columns are integer / exact-data-value doubles (no
+derived-float arithmetic — the registry quotient rule). Added inside
+the round-6 adjudication window (full_registry docstring: the closure
+round leaves positions 11-50 spare) after passing tools/parity.py's
+EXACT canon at sf0.01 AND sf0.1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sql_etl_data_warehouse_inside_airbnb_spark.operators.search import (
+    tokens,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
+    register,
+    t,
+)
+
+# Engine-portable bounded pseudo-random integer in [0, mod): first 8
+# md5 hex chars parsed base-16. Spark conv() and DuckDB's '0x' cast
+# agree exactly; 8 hex chars < 2^32 so the bigint is always positive
+# and % is safe without pmod gymnastics.
+def md5_mod(col, mod: int):
+    return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10)
+            .cast("bigint") % mod)
+
+
+def md5_mod_sql(expr: str, mod: int) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 8)) AS BIGINT) % {mod}"
+
+
+@register(
+    "g7_bfs_hops",
+    """WITH RECURSIVE
+       e AS (SELECT DISTINCT user_id AS u,
+                    1000 + event_id % 50 AS v
+             FROM events),
+       sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+       walk(node, hops) AS (
+         SELECT DISTINCT u AS node, 0 AS hops FROM e WHERE u % 10 = 0
+         UNION
+         SELECT s.v, w.hops + 1
+         FROM walk w JOIN sym s ON s.u = w.node
+         WHERE w.hops < 4)
+       SELECT node, CAST(min(hops) AS BIGINT) AS hops
+       FROM walk GROUP BY node""",
+    survey="§7.5 graph ext (bounded BFS / reachability hops)",
+    note="multi-source BFS shortest-hop distance, bounded to 4 rounds "
+         "— the reachability primitive g1 (components) and g6 "
+         "(PageRank) don't expose: 'how many hops from a seed set' is "
+         "the fraud-ring / influence-radius / graph-feature query. "
+         "Graph = the bipartite user <-> event-bucket relation "
+         "(node ids disjoint by a +1000 offset). Spark side is "
+         "frontier expansion: per round ONE equi-join frontier x "
+         "edges + ONE left-anti against the reached set (so each "
+         "node joins exactly once ever — total cost is edges "
+         "touched, not rounds x edges; same per-round shape as "
+         "g6_pagerank, localCheckpoint lineage control). Oracle: "
+         "DuckDB recursive CTE, min(hops) = BFS layer because UNION "
+         "dedups (node,hops) pairs and rounds are bounded. At scale "
+         "the frontier join partitions on node id; the reached set "
+         "is the only growing state and it's the answer itself")
+def g7_bfs_hops(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    e = (ev.select(F.col("user_id").alias("u"),
+                   (F.lit(1000) + F.col("event_id") % 50).alias("v"))
+         .distinct())
+    sym = (e.unionByName(e.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
+           .distinct())
+    frontier = (e.filter(F.col("u") % 10 == 0).select("u").distinct()
+                .select(F.col("u").alias("node")))
+    reached = frontier.withColumn("hops", F.lit(0).cast("bigint"))
+    reached = reached.localCheckpoint()
+    frontier = reached.select("node")
+    for h in range(1, 5):
+        nxt = (frontier.join(sym, frontier["node"] == sym["u"])
+               .select(F.col("v").alias("node")).distinct()
+               .join(reached.select("node"), "node", "left_anti")
+               .withColumn("hops", F.lit(h).cast("bigint")))
+        nxt = nxt.localCheckpoint()
+        if not nxt.take(1):
+            break
+        reached = reached.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return reached.select("node", "hops")
+
+
+@register(
+    "f33_winsorize",
+    """WITH b AS (SELECT event_type,
+                         quantile_disc(value, 0.05) AS lo,
+                         quantile_disc(value, 0.95) AS hi
+                  FROM events GROUP BY event_type)
+       SELECT event_id, e.event_type,
+              CASE WHEN value < lo THEN lo
+                   WHEN value > hi THEN hi
+                   ELSE value END AS value_w
+       FROM events e JOIN b ON e.event_type = b.event_type""",
+    survey="§2.8 ext (feature engineering — percentile clamp)",
+    note="per-group winsorization: clamp each value into its group's "
+         "[p05, p95] — the outlier REPAIR step feature pipelines run "
+         "after x2's outlier DETECTION (capping beats dropping when "
+         "rows carry labels). percentile_disc selects actual data "
+         "values (a22's exactness argument) and the clamp only ever "
+         "emits a data value or a boundary — both raw doubles, no "
+         "derived arithmetic, so the driver hash is exact. Plan: one "
+         "5-row boundary aggregate broadcast-hash-joined back on the "
+         "group key (equi join, never a nested loop); at 100 TB the "
+         "boundary table is per-group stats, O(groups), and the scan "
+         "stays single-pass")
+def f33_winsorize(spark, sf_dir):
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_f33")
+    return spark.sql(
+        """WITH b AS (SELECT event_type,
+                             percentile_disc(0.05) WITHIN GROUP
+                               (ORDER BY value) AS lo,
+                             percentile_disc(0.95) WITHIN GROUP
+                               (ORDER BY value) AS hi
+                      FROM events_f33 GROUP BY event_type)
+           SELECT event_id, e.event_type,
+                  CASE WHEN value < lo THEN lo
+                       WHEN value > hi THEN hi
+                       ELSE value END AS value_w
+           FROM events_f33 e JOIN b ON e.event_type = b.event_type""")
+
+
+@register(
+    "x13_benford_first_digit",
+    """SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+              CAST(count(*) AS BIGINT) AS n
+       FROM orders WHERE o_totalprice >= 1
+       GROUP BY digit""",
+    survey="§7.5 monitoring ext (Benford first-digit audit)",
+    note="first-significant-digit distribution of order totals — the "
+         "classic fabricated/corrupted-feed audit (natural "
+         "multiplicative amounts follow Benford's log law; a uniform "
+         "or spiked digit histogram flags synthetic or truncated "
+         "data). Digit extraction is INTEGER end to end: floor() to "
+         "bigint (exact on both engines) then the first character of "
+         "the integer's decimal string — never log10/pow double "
+         "arithmetic, whose last-ulp rounding near digit boundaries "
+         "diverges across engines. One scan, one 9-row aggregate; "
+         "the expected-vs-observed chi-square derives client-side "
+         "(quotient rule). At 100 TB this is a metadata-cheap full "
+         "scan or a per-partition incremental rollup (x5's pattern)")
+def x13_benford_first_digit(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = (F.substring(F.floor("o_totalprice").cast("bigint")
+                         .cast("string"), 1, 1).cast("bigint"))
+    return (o.groupBy(digit.alias("digit"))
+            .agg(F.count("*").alias("n")))
+
+
+@register(
+    "ext_cooccurrence_pmi",
+    """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey % 100 AS item
+                  FROM lineitem),
+       n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM b),
+       pairs AS (SELECT a.item AS item_a, c.item AS item_b,
+                        CAST(count(*) AS BIGINT) AS n_ab
+                 FROM b a JOIN b c
+                   ON a.l_orderkey = c.l_orderkey AND a.item < c.item
+                 GROUP BY a.item, c.item
+                 HAVING count(*) >= 20),
+       m AS (SELECT item, CAST(count(*) AS BIGINT) AS n_i
+             FROM b GROUP BY item)
+       SELECT item_a, item_b, n_ab,
+              ma.n_i AS n_a, mb.n_i AS n_b,
+              CAST(n_orders AS BIGINT) AS n_orders
+       FROM pairs
+       JOIN m ma ON ma.item = item_a
+       JOIN m mb ON mb.item = item_b
+       CROSS JOIN n""",
+    survey="§7.5 ext (co-occurrence / PMI association mining)",
+    note="item-pair association strength as exact PMI COMPONENTS "
+         "(n_ab, n_a, n_b, N): pmi = log(N*n_ab/(n_a*n_b)) is "
+         "log-of-quotient arithmetic — the cross-engine trap — so "
+         "the four integers ship and the scalar derives client-side "
+         "(the a34/x11 discipline), and the components are MERGEABLE "
+         "across corpus shards. m1 answers 'which sets are frequent'; "
+         "PMI answers 'which pairs co-occur MORE than their "
+         "popularity predicts' — the co-view/co-purchase/embedding-"
+         "context statistic. Plan: baskets self-join ON the basket "
+         "key (cost bounded by basket-size squared per order, never "
+         "corpus-pairs), marginals broadcast back by item key, and "
+         "the 1-row N joins as the allowlisted broadcast-global "
+         "pattern (x7/bm25/a35/x12)")
+def ext_cooccurrence_pmi(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    b = (li.select("l_orderkey",
+                   (F.col("l_partkey") % 100).alias("item"))
+         .distinct())
+    n = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    a, c = b.alias("a"), b.alias("c")
+    pairs = (a.join(c, (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+                    & (F.col("a.item") < F.col("c.item")))
+             .groupBy(F.col("a.item").alias("item_a"),
+                      F.col("c.item").alias("item_b"))
+             .agg(F.count("*").alias("n_ab"))
+             .filter(F.col("n_ab") >= 20))
+    m = b.groupBy("item").agg(F.count("*").alias("n_i"))
+    ma = m.select(F.col("item").alias("item_a"),
+                  F.col("n_i").alias("n_a"))
+    mb = m.select(F.col("item").alias("item_b"),
+                  F.col("n_i").alias("n_b"))
+    return (pairs.join(F.broadcast(ma), "item_a")
+            .join(F.broadcast(mb), "item_b")
+            .join(F.broadcast(n))
+            .select("item_a", "item_b", "n_ab", "n_a", "n_b",
+                    "n_orders"))
+
+
+_TOKLIST_SQL = """list_filter(
+      string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+      x -> x <> '')"""
+
+
+@register(
+    "ext_phrase_search",
+    f"""WITH tok AS (
+         SELECT doc_id, unnest(toks) AS term,
+                unnest(range(1, len(toks) + 1)) AS pos
+         FROM (SELECT doc_id, {_TOKLIST_SQL} AS toks
+               FROM documents))
+       SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+       FROM tok a JOIN tok b
+         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.term = 'value' AND b.term = 'table'
+       GROUP BY a.doc_id""",
+    survey="§7.5 retrieval ext (positional / phrase query)",
+    note="exact phrase search ('value table' as ADJACENT tokens) — "
+         "the positional-index query the bag-of-words retrieval "
+         "family (keyword/BM25/RRF) cannot express: postings carry "
+         "token POSITIONS (posexplode; DuckDB zipped unnest+range, "
+         "offset-base-independent because the join matches the pos "
+         "DELTA) and adjacency is an equi-join on (doc_id, pos+1) — "
+         "composite hash keys, never a nested loop. Each side prunes "
+         "to its term's postings before the join, so cost is "
+         "posting-list sized (term selectivity), not corpus sized — "
+         "exactly how Lucene positional queries price. Extending to "
+         "k-term phrases chains k-1 adjacency joins")
+def ext_phrase_search(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(tokens("text")).alias("pos", "term"))
+    a = (tok.filter(F.col("term") == "value")
+         .select("doc_id", F.col("pos").alias("pa")))
+    b = (tok.filter(F.col("term") == "table")
+         .select(F.col("doc_id").alias("doc_b"),
+                 F.col("pos").alias("pb")))
+    return (a.join(b, (a["doc_id"] == b["doc_b"])
+                   & (b["pb"] == a["pa"] + 1))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_matches")))
+
+
+@register(
+    "ext_negative_samples",
+    f"""WITH pos AS (SELECT DISTINCT o_custkey AS user_id,
+                            l_partkey % 100 AS item
+                     FROM lineitem JOIN orders
+                       ON l_orderkey = o_orderkey
+                     WHERE o_custkey % 100 = 0),
+       cand AS (SELECT user_id, item, j,
+                       {md5_mod_sql(
+                           "concat_ws(':', user_id, item, j)", 100)}
+                           AS neg_item
+                FROM pos CROSS JOIN (SELECT unnest([1, 2, 3]) AS j))
+       SELECT c.user_id, c.item, CAST(c.j AS BIGINT) AS j, c.neg_item
+       FROM cand c
+       WHERE NOT EXISTS (SELECT 1 FROM pos p
+                         WHERE p.user_id = c.user_id
+                           AND p.item = c.neg_item)""",
+    survey="§7.5 ext (negative sampling for contrastive training)",
+    note="deterministic negative sampling: for every observed "
+         "(user, item) interaction, 3 pseudo-random candidate items "
+         "drawn by the seeded-md5 integer family (the MinHash trick "
+         "— rand() differs per engine/partitioning, md5 doesn't), "
+         "then a left-anti join removes accidental true positives — "
+         "the standard recommender/contrastive-loss training-pair "
+         "generator, fully reproducible across reruns AND engines. "
+         "Plan: explode x3 on the positives (linear), one anti join "
+         "hashed on (user, candidate); at 100 TB both sides partition "
+         "on user_id so the anti join co-locates. Residual sampling "
+         "bias (popular items sampled uniformly) is the documented "
+         "trade of uniform negative sampling; frequency-weighted "
+         "variants swap the modulus for an alias table")
+def ext_negative_samples(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    pos = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+           .select(F.col("o_custkey").alias("user_id"),
+                   (F.col("l_partkey") % 100).alias("item"))
+           .distinct())
+    cand = (pos.withColumn("j", F.explode(F.array(
+                F.lit(1), F.lit(2), F.lit(3))))
+            .withColumn("neg_item", md5_mod(
+                F.concat_ws(":", "user_id", "item", "j"), 100)))
+    hits = pos.select(F.col("user_id"),
+                      F.col("item").alias("neg_item"))
+    return (cand.join(hits, ["user_id", "neg_item"], "left_anti")
+            .select("user_id", "item", F.col("j").cast("bigint")
+                    .alias("j"), "neg_item"))
+
+
+@register(
+    "e8_dau_wau",
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                   FROM events),
+       dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+               FROM ud GROUP BY day),
+       contrib AS (SELECT DISTINCT user_id,
+                          day + CAST(x.o AS INTEGER) AS target_day
+                   FROM ud CROSS JOIN
+                        (SELECT unnest(range(0, 7)) AS o) x),
+       wau AS (SELECT target_day AS day,
+                      CAST(count(*) AS BIGINT) AS wau
+               FROM contrib
+               WHERE target_day BETWEEN DATE '2024-01-01'
+                                    AND DATE '2024-01-30'
+               GROUP BY target_day)
+       SELECT COALESCE(d.day, w.day) AS day,
+              COALESCE(d.dau, 0) AS dau,
+              COALESCE(w.wau, 0) AS wau
+       FROM dau d FULL OUTER JOIN wau w ON d.day = w.day""",
+    survey="§7.5 product analytics ext (DAU / trailing-7-day WAU)",
+    note="daily + trailing-7-day active users — THE product-analytics "
+         "dashboard pair (e2's cohort retention answers 'do users "
+         "come back'; DAU/WAU answers 'how many are here NOW' and "
+         "their ratio is the stickiness metric, derived client-side "
+         "per the quotient rule). The trailing window is computed by "
+         "CONTRIBUTION EXPLODE: each (user, active-day) row fans out "
+         "to the 7 calendar days it keeps the user 'weekly-active' "
+         "for, then one distinct + count per target day — linear x7 "
+         "in the activity relation, no day-range self-join and no "
+         "window-frame count(DISTINCT) (which Spark window frames "
+         "cannot express at all). At 100 TB the (user, day) distinct "
+         "is the only shuffle that sees data volume; everything after "
+         "is day-cardinality sized. Bounds are literal dates (the "
+         "corpus spans 2024-01) so both engines prune identically")
+def e8_dau_wau(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    ud = (ev.select("user_id", F.col("ts").cast("date").alias("day"))
+          .distinct())
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = (ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"),
+                             F.date_add(F.col("day"), 6)))
+        .alias("target_day"))
+        .distinct()
+        .filter(F.col("target_day").between("2024-01-01", "2024-01-30")))
+    wau = (contrib.groupBy(F.col("target_day").alias("day"))
+           .agg(F.count("*").alias("wau")))
+    return (dau.join(wau, "day", "full_outer")
+            .select(F.col("day"),
+                    F.coalesce("dau", F.lit(0)).alias("dau"),
+                    F.coalesce("wau", F.lit(0)).alias("wau")))
+
+
+@register(
+    "g8_label_propagation",
+    None,
+    survey="§7.5 graph ext (community detection, LPA)",
+    note="synchronous label propagation (5 rounds, deterministic: new "
+         "label = most frequent neighbor label, ties to the SMALLEST "
+         "label) over the same bipartite user<->event-bucket graph as "
+         "g7 — the community-detection primitive the graph family "
+         "lacked: g1 finds components (trivially one big one here), "
+         "LPA finds dense regions INSIDE a component, the basis of "
+         "near-dup cluster splitting and engagement cohorts. Per "
+         "round: one equi-join labels x edges, one (node, label) "
+         "count, one max_by(struct(cnt, -label)) argmax — all "
+         "map-side-combinable, localCheckpoint lineage control like "
+         "g6. Deliberate rows-only: the fixpoint is iterative-"
+         "argmax (no SQL oracle); semantics pinned against an "
+         "independent Python LPA in tests/test_r6.py")
+def g8_label_propagation(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    e = (ev.select(F.col("user_id").alias("u"),
+                   (F.lit(1000) + F.col("event_id") % 50).alias("v"))
+         .distinct())
+    sym = (e.unionByName(e.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
+           .distinct().localCheckpoint())
+    labels = (sym.select(F.col("u").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(5):
+        nbr = (sym.join(labels, sym["v"] == labels["node"])
+               .select(F.col("u").alias("node"), "label"))
+        counts = nbr.groupBy("node", "label").agg(
+            F.count("*").alias("cnt"))
+        labels = (counts.groupBy("node")
+                  .agg(F.max(F.struct(F.col("cnt"),
+                                      (-F.col("label")).alias("neg")))
+                       .alias("best"))
+                  .select("node", (-F.col("best.neg")).alias("label"))
+                  .localCheckpoint())
+    return labels.select("node", "label")
+
+
+@register(
+    "ext_mmr_diversify",
+    None,
+    survey="§7.5 retrieval ext (MMR diversity re-rank)",
+    note="Maximal Marginal Relevance re-ranking: from the brute-force "
+         "top-50 cosine candidates for a query vector, greedily pick "
+         "10 maximizing lambda*sim(q,d) - (1-lambda)*max_sim(d, "
+         "already-picked) (lambda=0.7) — the diversity pass RAG and "
+         "search stacks run so the shortlist isn't 10 paraphrases of "
+         "one document. Greedy selection is inherently sequential, so "
+         "it runs as ONE applyInPandas group over the BOUNDED "
+         "candidate shortlist (k=50 rows — the retriever has already "
+         "reduced the corpus; MMR cost is k^2 floats, never "
+         "corpus-sized, the same bounded-driver-state argument as "
+         "rank_list). Deliberate rows-only (greedy argmax has no SQL "
+         "form); selection pinned against an independent Python MMR "
+         "in tests/test_r6.py; ties broken by vec_id so the pick "
+         "order is total")
+def ext_mmr_diversify(spark, sf_dir):
+    import pandas as pd
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
+        as_double,
+        brute_force_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").limit(1)
+    cand_ids = brute_force_topk(
+        emb.join(q.select("vec_id"), "vec_id", "left_anti"),
+        q, k=50).select("vec_id")
+    cand = (emb.join(cand_ids, "vec_id")
+            .join(F.broadcast(q.select(
+                as_double(F.col("embedding")).alias("qvec"))))
+            .select("vec_id", as_double(F.col("embedding")).alias("vec"),
+                    "qvec")
+            .withColumn("grp", F.lit(1)))
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        lam = 0.7
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        mat = np.stack(pdf["vec"].to_numpy())
+        qv = np.asarray(pdf["qvec"].iloc[0])
+        norm = np.linalg.norm
+        qsim = mat @ qv / (norm(mat, axis=1) * norm(qv))
+        inter = (mat @ mat.T) / np.outer(norm(mat, axis=1),
+                                         norm(mat, axis=1))
+        picked: list[int] = []
+        rest = list(range(len(pdf)))
+        while rest and len(picked) < 10:
+            if picked:
+                penal = inter[np.ix_(rest, picked)].max(axis=1)
+            else:
+                penal = np.zeros(len(rest))
+            score = lam * qsim[rest] - (1 - lam) * penal
+            # ties -> smallest vec_id; rest is vec_id-sorted so the
+            # first argmax already breaks ties that way
+            best = rest[int(np.argmax(score))]
+            picked.append(best)
+            rest.remove(best)
+        return pd.DataFrame({
+            "rank": range(1, len(picked) + 1),
+            "vec_id": [int(pdf["vec_id"].iloc[i]) for i in picked]})
+
+    return (cand.groupBy("grp")
+            .applyInPandas(mmr, "rank int, vec_id bigint"))

@@ -50,6 +50,10 @@ NESTED_LOOP_OK = {
     "a35_equidepth_histogram": "BroadcastNestedLoopJoin",
     # broadcast 1-row baseline decile-cut row (same idiom as a35)
     "x12_drift_equidepth": "BroadcastNestedLoopJoin",
+    # broadcast 1-row global N for the PMI components (x7 idiom)
+    "ext_cooccurrence_pmi": "BroadcastNestedLoopJoin",
+    # broadcast 1-row query vector (brute-force shortlist + qvec join)
+    "ext_mmr_diversify": "BroadcastNestedLoopJoin",
 }
 ROW_PYTHON_OK = {
     "u6_udtf_tokenize": "BatchEvalPython",
@@ -65,6 +69,8 @@ ARROW_PYTHON_OK = {
     "u7_pandas_udaf_maxgap": "ArrowAggregatePython",
     # PQ code assignment: numpy argmin per subspace, Arrow-batched
     "ext_ann_pq_topk": "ArrowEvalPython",
+    # MMR greedy selection over ONE bounded top-50 candidate group
+    "ext_mmr_diversify": "FlatMapGroupsInPandas",
 }
 
 NESTED_LOOP_NODES = ("BroadcastNestedLoopJoin", "CartesianProduct")
@@ -164,7 +170,12 @@ def test_registry_priority_names_resolve():
     # of hash-green banded/bit-sampled siblings (green back-block
     # entries re-entering the window are exempt — several are
     # deliberate rows-only presentations adjudicated in r4/r5)
-    deliberate_rows_only = {"ext_dedup_minhash", "ext_dedup_simhash"}
+    deliberate_rows_only = {"ext_dedup_minhash", "ext_dedup_simhash",
+                            # r6 additions: iterative-argmax / greedy
+                            # ops with no SQL form, model-pinned in
+                            # test_r6.py
+                            "g8_label_propagation",
+                            "ext_mmr_diversify"}
     window = names[:50]
     rows_only = [n for n in window if fr.REGISTRY[n].oracle is None
                  and n not in deliberate_rows_only

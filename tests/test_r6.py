@@ -1,0 +1,231 @@
+"""Round-6 additions: semantics pinned against independent Python
+models (the oracle SQL proves cross-engine agreement; these prove
+both engines agree with the MATH)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
+    REGISTRY,
+)
+from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import read_table
+
+
+def test_bfs_hops_matches_python_bfs(spark, sf_dir):
+    """g7's frontier-expansion loop must equal a textbook BFS over the
+    same bipartite graph, not just match the recursive-CTE oracle."""
+    ev = read_table(spark, sf_dir, "events") \
+        .select("user_id", "event_id").collect()
+    adj = defaultdict(set)
+    seeds = set()
+    for r in ev:
+        u, v = r.user_id, 1000 + r.event_id % 50
+        adj[u].add(v)
+        adj[v].add(u)
+        if u % 10 == 0:
+            seeds.add(u)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, 5):
+        nxt = {v for u in frontier for v in adj[u] if v not in dist}
+        for v in nxt:
+            dist[v] = h
+        frontier = nxt
+    got = {r.node: r.hops
+           for r in REGISTRY["g7_bfs_hops"].build(spark, sf_dir).collect()}
+    assert got == dist
+
+
+def test_winsorize_bounds_and_row_preservation(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    out = REGISTRY["f33_winsorize"].build(spark, sf_dir)
+    assert out.count() == ev.count()
+    # clamped values sit inside each group's [p05, p95], and the
+    # clamp only ever emits values that exist in the group's data
+    # or its boundaries (percentile_disc picks actual rows)
+    rows = out.collect()
+    by_type = defaultdict(list)
+    for r in ev.select("event_type", "value").collect():
+        by_type[r.event_type].append(r.value)
+    for etype, vals in by_type.items():
+        s = sorted(vals)
+        # percentile_disc: smallest value with cume_dist >= p
+        import math
+        lo = s[math.ceil(0.05 * len(s)) - 1]
+        hi = s[math.ceil(0.95 * len(s)) - 1]
+        got = [r.value_w for r in rows if r.event_type == etype]
+        assert all(lo <= v <= hi for v in got), etype
+        clamped = sum(1 for v in got if v in (lo, hi))
+        assert clamped >= len(got) * 0.05, (etype, clamped)
+
+
+def test_benford_digits_cover_and_sum(spark, sf_dir):
+    o = read_table(spark, sf_dir, "orders")
+    total = o.filter(F.col("o_totalprice") >= 1).count()
+    rows = (REGISTRY["x13_benford_first_digit"]
+            .build(spark, sf_dir).collect())
+    assert sum(r.n for r in rows) == total
+    assert all(1 <= r.digit <= 9 for r in rows)
+    # spot-check one digit against a Python count
+    import collections
+    vals = [r.o_totalprice for r in o.collect() if r.o_totalprice >= 1]
+    py = collections.Counter(str(int(v))[0] for v in vals)
+    got = {str(r.digit): r.n for r in rows}
+    assert got == dict(py)
+
+
+def test_cooccurrence_pmi_matches_python_model(spark):
+    """Full-model equality at sf0.01 (sf0.001 baskets are too sparse
+    to clear the >=20 pair threshold, which would make invariant
+    checks vacuous)."""
+    from itertools import combinations
+
+    sf01 = "/root/testdata/sf0.01"
+    li = read_table(spark, sf01, "lineitem") \
+        .select("l_orderkey", "l_partkey").collect()
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey % 100)
+    n_orders = len(baskets)
+    marg = defaultdict(int)
+    pair = defaultdict(int)
+    for items in baskets.values():
+        for i in items:
+            marg[i] += 1
+        for a, b in combinations(sorted(items), 2):
+            pair[(a, b)] += 1
+    expect = {(a, b): (n_ab, marg[a], marg[b], n_orders)
+              for (a, b), n_ab in pair.items() if n_ab >= 20}
+    got = {(r.item_a, r.item_b): (r.n_ab, r.n_a, r.n_b, r.n_orders)
+           for r in REGISTRY["ext_cooccurrence_pmi"]
+           .build(spark, sf01).collect()}
+    assert got == expect and expect, len(expect)
+
+
+def test_phrase_search_matches_python_scan(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").collect()
+    expect = {}
+    for r in docs:
+        toks = [t for t in re.split("[ \t\n\x0b\f\r]+",
+                                    r.text.strip().lower()) if t]
+        n = sum(1 for i in range(len(toks) - 1)
+                if toks[i] == "value" and toks[i + 1] == "table")
+        if n:
+            expect[r.doc_id] = n
+    got = {r.doc_id: r.n_matches
+           for r in REGISTRY["ext_phrase_search"]
+           .build(spark, sf_dir).collect()}
+    assert got == expect and expect, len(expect)
+
+
+def test_negative_samples_exclude_positives_and_reproduce(spark, sf_dir):
+    q = REGISTRY["ext_negative_samples"]
+    rows = q.build(spark, sf_dir).collect()
+    assert rows
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders") \
+        .filter(F.col("o_custkey") % 100 == 0)
+    pos = {(r.user_id, r.item) for r in
+           li.join(o, li["l_orderkey"] == o["o_orderkey"])
+           .select(F.col("o_custkey").alias("user_id"),
+                   (F.col("l_partkey") % 100).alias("item"))
+           .distinct().collect()}
+    for r in rows:
+        # never a true positive, and the draw is the documented hash
+        assert (r.user_id, r.neg_item) not in pos
+        h = hashlib.md5(
+            f"{r.user_id}:{r.item}:{r.j}".encode()).hexdigest()
+        assert r.neg_item == int(h[:8], 16) % 100
+    # deterministic: a rebuild yields the identical sample set
+    again = {(r.user_id, r.item, r.j, r.neg_item)
+             for r in q.build(spark, sf_dir).collect()}
+    assert again == {(r.user_id, r.item, r.j, r.neg_item) for r in rows}
+
+
+def test_dau_wau_matches_python_model(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events") \
+        .select("user_id", F.col("ts").cast("date").alias("day")) \
+        .collect()
+    from datetime import date, timedelta
+
+    active = {(r.user_id, r.day) for r in ev}
+    dau = defaultdict(int)
+    wau_users = defaultdict(set)
+    for u, d in active:
+        dau[d] += 1
+        for o in range(7):
+            td = d + timedelta(days=o)
+            if date(2024, 1, 1) <= td <= date(2024, 1, 30):
+                wau_users[td].add(u)
+    days = set(dau) | set(wau_users)
+    expect = {d: (dau.get(d, 0), len(wau_users.get(d, set())))
+              for d in days}
+    got = {r.day: (r.dau, r.wau)
+           for r in REGISTRY["e8_dau_wau"].build(spark, sf_dir).collect()}
+    assert got == expect
+    # trailing window can only grow the same day's count
+    assert all(w >= du for du, w in got.values())
+
+
+def test_label_propagation_matches_python_lpa(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events") \
+        .select("user_id", "event_id").collect()
+    adj = defaultdict(set)
+    for r in ev:
+        u, v = r.user_id, 1000 + r.event_id % 50
+        adj[u].add(v)
+        adj[v].add(u)
+    labels = {n: n for n in adj}
+    for _ in range(5):
+        nxt = {}
+        for n in adj:
+            cnt = defaultdict(int)
+            for m in adj[n]:
+                cnt[labels[m]] += 1
+            # most frequent neighbor label, ties -> smallest label
+            nxt[n] = min(cnt, key=lambda lb: (-cnt[lb], lb))
+        labels = nxt
+    got = {r.node: r.label
+           for r in REGISTRY["g8_label_propagation"]
+           .build(spark, sf_dir).collect()}
+    assert got == labels
+    # LPA must actually coarsen: fewer distinct labels than nodes
+    assert len(set(got.values())) < len(got)
+
+
+def test_mmr_matches_python_greedy(spark, sf_dir):
+    import numpy as np
+
+    emb = {r.vec_id: np.array([float(x) for x in r.embedding])
+           for r in read_table(spark, sf_dir, "embeddings").collect()}
+    qid = min(emb)
+    qv = emb[qid]
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    sims = {i: cos(v, qv) for i, v in emb.items() if i != qid}
+    # brute-force top-50, ties by id (matches brute_force_topk's
+    # round-to-6 ordering closely enough only if we mirror it)
+    cand = sorted(sims, key=lambda i: (-round(sims[i], 6), i))[:50]
+    lam, picked = 0.7, []
+    rest = sorted(cand)
+    while rest and len(picked) < 10:
+        def score(i):
+            pen = max((cos(emb[i], emb[p]) for p in picked), default=0.0)
+            return lam * sims[i] - (1 - lam) * pen
+        best = max(rest, key=lambda i: (score(i), -i))
+        picked.append(best)
+        rest.remove(best)
+    got = [r.vec_id for r in REGISTRY["ext_mmr_diversify"]
+           .build(spark, sf_dir).orderBy("rank").collect()]
+    assert got == picked
+    # diversity sanity: MMR must not equal the plain similarity order
+    plain = sorted(cand, key=lambda i: (-sims[i], i))[:10]
+    assert got != plain
