@@ -530,3 +530,52 @@ def s17_key_erasure_roundtrip(spark, sf_dir):
                 .cast("double"), 2).alias("price_sum"),
         F.sum((F.col("o_custkey") < 100).cast("bigint"))
         .cast("bigint").alias("n_leaked"))
+
+
+@register(
+    "s18_jsonl_roundtrip",
+    """WITH g AS (
+         SELECT doc_id,
+                text || '"' || chr(10) || 'café ✓ \\' AS gnarly,
+                lang
+         FROM documents)
+       SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(doc_id) AS BIGINT) AS id_sum,
+              CAST(sum(length(gnarly)) AS BIGINT) AS char_sum,
+              CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+       FROM g""",
+    survey="S9/S3 ext (JSONL source/sink — the LLM-corpus format)",
+    note="gzip JSON-Lines roundtrip probe: every document's text gets "
+         "a suffix with an embedded double quote, a newline, a "
+         "non-ASCII char and a trailing backslash (the four JSON "
+         "escaping hazards), goes through write_format(json, gzip) "
+         "and a SCHEMA'D read_format(json) back (inference is an "
+         "extra full pass and widens types — sources/io.py "
+         "read_format docstring), then is checksummed. JSONL is the "
+         "interchange format every LLM corpus ships in (one JSON "
+         "object per line, splittable when gzip-chunked at the file "
+         "level); the green hash certifies the sink escapes and the "
+         "scan unescapes byte-identically, incl. the newline INSIDE "
+         "a string (the classic naive-line-splitter breaker — "
+         "Spark's JSON reader handles it because escaping makes the "
+         "physical line atomic). char counts are code points on both "
+         "engines, so the unicode char counts 1")
+def s18_jsonl_roundtrip(spark, sf_dir):
+    raw = (t(spark, sf_dir, "documents")
+           .select("doc_id",
+                   F.concat(F.col("text"),
+                            F.lit('"\ncafé ✓ \\')).alias("gnarly"),
+                   "lang"))
+    base = os.path.join(_TMP, "s18_jsonl")
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        read_format,
+        write_format,
+    )
+    write_format(raw, base, fmt="json", compression="gzip")
+    rt = read_format(spark, base, fmt="json",
+                     schema="doc_id bigint, gnarly string, lang string")
+    return rt.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum(F.length("gnarly")).cast("bigint").alias("char_sum"),
+        F.countDistinct("lang").alias("n_langs"))

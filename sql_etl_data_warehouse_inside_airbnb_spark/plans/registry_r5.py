@@ -128,7 +128,11 @@ def e7_position_attribution(spark, sf_dir):
          "derives client-side (quality.py:psi_from_counts, pinned "
          "against hand-computed PSI in tests/test_events_r5.py). "
          "width_bucket mirrors via the f29 closed-form rewrite "
-         "(DuckDB has none); boundary-exact on both engines")
+         "(DuckDB has none); boundary-exact on both engines. "
+         "Streaming twin: streaming/monitor.py splits the relation "
+         "into a frozen baseline + running stream counts (state = "
+         "bin cardinality) with stream==batch pinned in "
+         "tests/test_streaming_monitor.py")
 def x11_drift_psi(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     return drift_bin_counts(
