@@ -220,6 +220,7 @@ _PRIORITY = [
     "g7_bfs_hops", "f33_winsorize", "x13_benford_first_digit",
     "ext_cooccurrence_pmi", "ext_phrase_search",
     "ext_negative_samples", "e8_dau_wau", "s18_jsonl_roundtrip",
+    "f34_variant_json", "f35_recursive_hierarchy",
     # deliberate rows-only additions (iterative argmax / greedy
     # selection have no SQL form; Python-model-pinned in test_r6.py)
     "g8_label_propagation", "ext_mmr_diversify",

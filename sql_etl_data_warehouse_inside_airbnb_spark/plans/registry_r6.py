@@ -1,8 +1,11 @@
 """Round-6 additions: BFS reachability hops, per-group winsorization,
 Benford first-digit monitoring, co-occurrence PMI components,
-positional phrase search, and hash-based negative sampling.
+positional phrase search, hash-based negative sampling, DAU/WAU
+active-user rollups, label-propagation communities, MMR diversity
+re-ranking, VARIANT semi-structured extraction, and a native
+recursive-CTE hierarchy walk.
 
-Six gaps the r1-r5 surface left open, each a workload a production
+Gaps the r1-r5 surface left open, each a workload a production
 warehouse + LLM-data shop runs that no existing entry expresses:
 bounded-depth graph REACHABILITY (g1/g5/g6 give components, triangles
 and centrality — not "how far", the basis of fraud rings and social
@@ -491,3 +494,71 @@ def ext_mmr_diversify(spark, sf_dir):
 
     return (cand.groupBy("grp")
             .applyInPandas(mmr, "rank int, vec_id bigint"))
+
+
+@register(
+    "f34_variant_json",
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+                  AS k_mod,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CAST(json_extract_string(props, '$.k')
+                            AS BIGINT)) AS BIGINT) AS k_sum
+       FROM events GROUP BY k_mod""",
+    survey="§2.8 ext (VARIANT semi-structured type — F17/F27 widened)",
+    note="semi-structured analytics through Spark 4's VARIANT type: "
+         "parse_json(props) parses ONCE into the binary variant "
+         "encoding and variant_get extracts typed fields — the "
+         "engine-native path that replaces per-access "
+         "get_json_object string re-parsing (f17's surface; at 100 "
+         "TB, N extractions from one column re-parse the JSON N "
+         "times as strings but once as variant, and variant columns "
+         "shred into parquet). Oracle mirrors with DuckDB's "
+         "json_extract_string + cast; both engines agree on JSON "
+         "number parsing for integer payloads. Output is the "
+         "bucketed count/sum rollup so the whole extraction path is "
+         "hash-checked, not just one row")
+def f34_variant_json(spark, sf_dir):
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_f34")
+    return spark.sql(
+        """SELECT variant_get(parse_json(props), '$.k', 'bigint') % 10
+                      AS k_mod,
+                  count(*) AS n,
+                  sum(variant_get(parse_json(props), '$.k', 'bigint'))
+                      AS k_sum
+           FROM events_f34 GROUP BY k_mod""")
+
+
+@register(
+    "f35_recursive_hierarchy",
+    """WITH RECURSIVE anc(node, a, depth) AS (
+         SELECT s_suppkey, s_suppkey, CAST(0 AS BIGINT) FROM supplier
+         UNION ALL
+         SELECT node, a // 2, depth + 1 FROM anc WHERE a > 1)
+       SELECT node, CAST(max(depth) AS BIGINT) AS depth,
+              CAST(sum(a) AS BIGINT) AS anc_sum
+       FROM anc GROUP BY node""",
+    survey="§2.8 ext (recursive CTE — hierarchy walk)",
+    note="hierarchical ancestor walk through Spark 4's native WITH "
+         "RECURSIVE (the org-chart / BOM-rollup query): every "
+         "supplier reports up a synthetic halving chain (parent = "
+         "key div 2), and the walk emits each node's depth-to-root "
+         "and the exact sum over its ancestor path. UNION ALL "
+         "recursion is safe here BY CONSTRUCTION — each node has "
+         "exactly one path to the root, so no path multiplication "
+         "(the reason g7's BFS over a general graph uses the "
+         "frontier+anti-join loop instead: Spark's recursive CTE "
+         "does not yet support UNION dedup, and UNION ALL on a "
+         "cyclic/dense graph enumerates PATHS, not nodes). Rounds "
+         "are log2(max key), integer-exact on both engines (Spark "
+         "div / DuckDB //)")
+def f35_recursive_hierarchy(spark, sf_dir):
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_f35")
+    return spark.sql(
+        """WITH RECURSIVE anc(node, a, depth) AS (
+             SELECT s_suppkey, s_suppkey, CAST(0 AS BIGINT)
+             FROM supplier_f35
+             UNION ALL
+             SELECT node, a div 2, depth + 1 FROM anc WHERE a > 1)
+           SELECT node, max(depth) AS depth,
+                  CAST(sum(a) AS BIGINT) AS anc_sum
+           FROM anc GROUP BY node""")

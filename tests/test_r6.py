@@ -229,3 +229,35 @@ def test_mmr_matches_python_greedy(spark, sf_dir):
     # diversity sanity: MMR must not equal the plain similarity order
     plain = sorted(cand, key=lambda i: (-sims[i], i))[:10]
     assert got != plain
+
+
+def test_variant_json_matches_python_parse(spark, sf_dir):
+    import json as _json
+
+    rows = read_table(spark, sf_dir, "events").select("props").collect()
+    agg = defaultdict(lambda: [0, 0])
+    for r in rows:
+        k = _json.loads(r.props)["k"]
+        agg[k % 10][0] += 1
+        agg[k % 10][1] += k
+    got = {r.k_mod: (r.n, r.k_sum)
+           for r in REGISTRY["f34_variant_json"]
+           .build(spark, sf_dir).collect()}
+    assert got == {m: tuple(v) for m, v in agg.items()}
+
+
+def test_recursive_hierarchy_matches_halving_chain(spark, sf_dir):
+    keys = [r.s_suppkey for r in
+            read_table(spark, sf_dir, "supplier")
+            .select("s_suppkey").collect()]
+    expect = {}
+    for k in keys:
+        chain, a = [k], k
+        while a > 1:
+            a //= 2
+            chain.append(a)
+        expect[k] = (len(chain) - 1, sum(chain))
+    got = {r.node: (r.depth, r.anc_sum)
+           for r in REGISTRY["f35_recursive_hierarchy"]
+           .build(spark, sf_dir).collect()}
+    assert got == expect
