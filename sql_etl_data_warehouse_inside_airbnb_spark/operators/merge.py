@@ -111,3 +111,36 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
     if include_unchanged:
         return out
     return out.filter(F.col("change_type") != "unchanged")
+
+
+def apply_cdc(target: DataFrame, feed: DataFrame, key: str,
+              op_col: str = "op", seq_col: str | None = None
+              ) -> DataFrame:
+    """Apply an insert/update/delete change feed to a snapshot — the
+    full MERGE shape :func:`merge_upsert` (no deletes; the reference's
+    OUTPUT $action loads) and :func:`snapshot_diff` (derives a feed)
+    bracket but don't execute.
+
+    ``feed`` carries the target's columns plus ``op_col`` in
+    {'I','U','D'} and optionally ``seq_col``: when a key appears more
+    than once in the batch (a row updated then deleted inside one CDC
+    window), the HIGHEST ``seq_col`` op wins — the Debezium/lakehouse
+    change-feed compaction rule; without ``seq_col`` the feed must be
+    key-unique (enforced implicitly by the row_number tiebreak being
+    arbitrary otherwise — pass a sequence for multi-op batches).
+
+    result = (target ANTI feed-keys) ∪ (latest feed rows where op≠D).
+    Deletes therefore cost nothing beyond the anti join every MERGE
+    already pays; at 100 TB the feed is the small side (broadcast),
+    and the target never shuffles — the same asymmetry argument as
+    merge_upsert.
+    """
+    order = [F.col(seq_col).desc()] if seq_col else [F.lit(1)]
+    w = Window.partitionBy(key).orderBy(*order)
+    latest = (feed.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn"))
+    survivors = (latest.filter(F.col(op_col) != "D")
+                 .select(*target.columns))
+    kept = target.join(F.broadcast(latest.select(key)),
+                       on=key, how="left_anti")
+    return kept.unionByName(survivors)

@@ -562,3 +562,96 @@ def f35_recursive_hierarchy(spark, sf_dir):
            SELECT node, max(depth) AS depth,
                   CAST(sum(a) AS BIGINT) AS anc_sum
            FROM anc GROUP BY node""")
+
+
+@register(
+    "j28_cdc_apply",
+    """WITH feed AS (
+         SELECT o_orderkey, o_totalprice + 10 AS o_totalprice,
+                o_orderstatus, 'U' AS op, 1 AS seq
+         FROM orders WHERE o_orderkey % 5 = 0
+         UNION ALL
+         SELECT o_orderkey, NULL, NULL, 'D', 2
+         FROM orders WHERE o_orderkey % 7 = 0
+         UNION ALL
+         SELECT o_orderkey + 200000000, o_totalprice,
+                o_orderstatus, 'I', 1
+         FROM orders WHERE o_orderkey % 11 = 0),
+       latest AS (
+         SELECT * FROM (
+           SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                        ORDER BY seq DESC) AS rn
+           FROM feed) WHERE rn = 1)
+       SELECT o_orderkey, o_totalprice, o_orderstatus
+       FROM orders
+       WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+       UNION ALL
+       SELECT o_orderkey, o_totalprice, o_orderstatus
+       FROM latest WHERE op <> 'D'""",
+    survey="§2.3/§3.2 ext (full CDC MERGE — insert/update/DELETE)",
+    note="apply an I/U/D change feed to a snapshot (operators/"
+         "merge.py:apply_cdc) — the full MERGE the reference's "
+         "OUTPUT-$action upsert (J8) lacks a delete branch for, and "
+         "the execution half of x3's snapshot_diff (diff derives the "
+         "feed, this applies one). The synthetic feed exercises all "
+         "three ops AND multi-op compaction: every 35th key gets an "
+         "update (seq 1) then a delete (seq 2) in the same batch, and "
+         "the Debezium latest-wins rule must keep the DELETE. Plan: "
+         "row_number compaction on the (small) feed, one broadcast "
+         "anti join against the target, one union — the target never "
+         "shuffles, deletes ride the anti join MERGE already pays")
+def j28_cdc_apply(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.merge import (
+        apply_cdc,
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    upd = (o.filter(F.col("o_orderkey") % 5 == 0)
+           .select("o_orderkey",
+                   (F.col("o_totalprice") + 10).alias("o_totalprice"),
+                   "o_orderstatus",
+                   F.lit("U").alias("op"), F.lit(1).alias("seq")))
+    dele = (o.filter(F.col("o_orderkey") % 7 == 0)
+            .select("o_orderkey",
+                    F.lit(None).cast("double").alias("o_totalprice"),
+                    F.lit(None).cast("string").alias("o_orderstatus"),
+                    F.lit("D").alias("op"), F.lit(2).alias("seq")))
+    ins = (o.filter(F.col("o_orderkey") % 11 == 0)
+           .select((F.col("o_orderkey") + 200000000).alias("o_orderkey"),
+                   "o_totalprice", "o_orderstatus",
+                   F.lit("I").alias("op"), F.lit(1).alias("seq")))
+    feed = upd.unionByName(dele).unionByName(ins)
+    return apply_cdc(o, feed, "o_orderkey", op_col="op", seq_col="seq")
+
+
+@register(
+    "x14_rowhash_checksum",
+    f"""SELECT o_orderkey % 16 AS bucket,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum({md5_mod_sql(
+                  "concat_ws(':', o_orderkey, o_orderstatus, "
+                  "o_orderdate, o_orderpriority)", 2147483647)})
+                   AS BIGINT) AS hash_sum
+       FROM orders GROUP BY bucket""",
+    survey="§7.5 monitoring ext (order-free table checksum / diff)",
+    note="bucketed order-independent table checksum: each row hashes "
+         "to a bounded integer via the portable seeded-md5 family "
+         "over its key+attribute string, and buckets sum them — the "
+         "anti-entropy primitive replication/migration verification "
+         "runs on BOTH sides of a copy (two engines, two regions, "
+         "pre/post-migration) to find WHICH key range diverged "
+         "without moving any data: equal bucket sums ⇒ ranges match "
+         "w.h.p., a differing bucket narrows the repair scan 16x "
+         "(recurse for binary search). Only integer/string/date "
+         "columns feed the hash — float formatting differs across "
+         "engines, so doubles verify via the decimal-sum checksums "
+         "(s17's pattern) instead. SUM (not XOR) keeps duplicate-row "
+         "multiplicity visible; one scan, one combinable aggregate")
+def x14_rowhash_checksum(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    row = F.concat_ws(":", "o_orderkey", "o_orderstatus",
+                      "o_orderdate", "o_orderpriority")
+    return (o.groupBy((F.col("o_orderkey") % 16).alias("bucket"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(md5_mod(row, 2147483647)).cast("bigint")
+                 .alias("hash_sum")))

@@ -261,3 +261,57 @@ def test_recursive_hierarchy_matches_halving_chain(spark, sf_dir):
            for r in REGISTRY["f35_recursive_hierarchy"]
            .build(spark, sf_dir).collect()}
     assert got == expect
+
+
+def test_cdc_apply_semantics(spark, sf_dir):
+    """Deletes remove, updates replace, inserts land, and the
+    multi-op (update-then-delete) keys compact to the DELETE."""
+    orders = {r.o_orderkey: r for r in
+              read_table(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_totalprice", "o_orderstatus")
+              .collect()}
+    got = {r.o_orderkey: r for r in
+           REGISTRY["j28_cdc_apply"].build(spark, sf_dir).collect()}
+    for k, r in orders.items():
+        if k % 7 == 0:           # deleted (incl. %35 update-then-delete)
+            assert k not in got, k
+        elif k % 5 == 0:         # updated
+            assert got[k].o_totalprice == r.o_totalprice + 10, k
+        else:                    # untouched
+            assert got[k].o_totalprice == r.o_totalprice, k
+        if k % 11 == 0:          # inserted twin
+            assert got[k + 200000000].o_totalprice == r.o_totalprice
+    # no phantom keys
+    expect_keys = ({k for k in orders if k % 7 != 0}
+                   | {k + 200000000 for k in orders if k % 11 == 0})
+    assert set(got) == expect_keys
+
+
+def test_rowhash_checksum_detects_single_row_change(spark, sf_dir):
+    """The checksum's purpose: one changed attribute must flip its
+    bucket's sum and ONLY that bucket."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r6 import (
+        md5_mod,
+    )
+    o = read_table(spark, sf_dir, "orders")
+    row = F.concat_ws(":", "o_orderkey", "o_orderstatus",
+                      "o_orderdate", "o_orderpriority")
+
+    def sums(df):
+        return {r.bucket: (r.n_rows, r.hash_sum) for r in
+                df.groupBy((F.col("o_orderkey") % 16).alias("bucket"))
+                .agg(F.count("*").alias("n_rows"),
+                     F.sum(md5_mod(row, 2147483647)).cast("bigint")
+                     .alias("hash_sum")).collect()}
+
+    base = sums(o)
+    victim = o.orderBy("o_orderkey").first().o_orderkey
+    mutated = o.withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") == victim, F.lit("9-TAMPERED"))
+        .otherwise(F.col("o_orderpriority")))
+    after = sums(mutated)
+    diff = [b for b in base if base[b] != after[b]]
+    assert diff == [victim % 16], (diff, victim)
+    # row counts unchanged — the hash, not the count, caught it
+    assert all(base[b][0] == after[b][0] for b in base)
