@@ -81,6 +81,8 @@ HEADLINE = [
     "ext_phrase_search",               # positional adjacency join (r6)
     "e8_dau_wau",                      # DAU/WAU contribution explode (r6)
     "ext_mmr_diversify",               # MMR re-rank, bounded pandas (r6)
+    "j28_cdc_apply",                   # I/U/D MERGE, latest-wins (r6)
+    "x14_rowhash_checksum",            # anti-entropy table checksum (r6)
 ]
 
 # Maintenance / offline-build workloads (r5, VERDICT r4 item 5).
