@@ -222,6 +222,7 @@ _PRIORITY = [
     "ext_negative_samples", "e8_dau_wau", "s18_jsonl_roundtrip",
     "f34_variant_json", "f35_recursive_hierarchy",
     "j28_cdc_apply", "x14_rowhash_checksum",
+    "ts4_gap_islands", "ext_ngram_novelty",
     # deliberate rows-only additions (iterative argmax / greedy
     # selection have no SQL form; Python-model-pinned in test_r6.py)
     "g8_label_propagation", "ext_mmr_diversify",

@@ -655,3 +655,108 @@ def x14_rowhash_checksum(spark, sf_dir):
             .agg(F.count("*").alias("n_rows"),
                  F.sum(md5_mod(row, 2147483647)).cast("bigint")
                  .alias("hash_sum")))
+
+
+@register(
+    "ts4_gap_islands",
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                   FROM events),
+       grp AS (SELECT user_id, day,
+                      day - CAST(row_number() OVER (
+                          PARTITION BY user_id ORDER BY day)
+                          AS INTEGER) AS island
+               FROM ud),
+       streaks AS (SELECT user_id, CAST(count(*) AS BIGINT) AS len,
+                          min(day) AS streak_start
+                   FROM grp GROUP BY user_id, island)
+       SELECT user_id,
+              CAST(max(len) AS BIGINT) AS longest_streak,
+              CAST(count(*) AS BIGINT) AS n_streaks,
+              min(streak_start) AS first_day
+       FROM streaks GROUP BY user_id""",
+    survey="§2.7 ext (gaps-and-islands — consecutive-day streaks)",
+    note="gaps-and-islands: each user's activity days collapse into "
+         "maximal consecutive-day runs via the classic day-minus-"
+         "row_number trick (consecutive days share a constant "
+         "difference, so the derived 'island' key groups a whole run "
+         "in ONE window pass + one aggregate — no self-join, no "
+         "iteration), then roll up to longest streak / streak count — "
+         "the engagement-streak feature (e2's retention asks 'came "
+         "back in week N'; this asks 'how many days IN A ROW'), and "
+         "the same shape dedups contiguous ID ranges or finds sensor "
+         "outage windows. One shuffle on user_id shared by the window "
+         "and both aggregates; date-integer arithmetic is exact on "
+         "both engines")
+def ts4_gap_islands(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+    ud = (ev.select("user_id", F.col("ts").cast("date").alias("day"))
+          .distinct())
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = ud.withColumn(
+        "island", F.date_sub("day", F.row_number().over(w)))
+    streaks = (grp.groupBy("user_id", "island")
+               .agg(F.count("*").alias("len"),
+                    F.min("day").alias("streak_start")))
+    return (streaks.groupBy("user_id")
+            .agg(F.max("len").alias("longest_streak"),
+                 F.count("*").alias("n_streaks"),
+                 F.min("streak_start").alias("first_day")))
+
+
+@register(
+    "ext_ngram_novelty",
+    """WITH grams AS (
+         SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' '
+                         || toks[i+2]))) AS gram
+         FROM (SELECT doc_id,
+                      list_filter(string_split_regex(lower(trim(text)),
+                          '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')
+                          AS toks
+               FROM documents) d
+         WHERE len(toks) >= 3),
+       firsts AS (SELECT gram, min(doc_id) AS first_doc
+                  FROM grams GROUP BY gram)
+       SELECT g.doc_id,
+              CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(count(*) FILTER (WHERE f.first_doc = g.doc_id)
+                   AS BIGINT) AS n_novel
+       FROM grams g JOIN firsts f ON g.gram = f.gram
+       GROUP BY g.doc_id""",
+    survey="§7.5 curation ext (n-gram novelty / corpus contribution)",
+    note="per-document novelty: of a doc's DISTINCT 3-grams, how many "
+         "first appear at this doc (ingest order = doc_id) — the "
+         "marginal-contribution score curation orderings use "
+         "(near-zero novelty = the doc adds nothing the corpus "
+         "doesn't already have, the D4/SemDeDup intuition at n-gram "
+         "granularity, and the streaming form is exactly the "
+         "ingest-dedup index question 'have we seen this before'). "
+         "Both engines explode distinct trigrams, take min(doc_id) "
+         "per gram (one combinable aggregate — the 'first seen' "
+         "relation is the same reusable artifact as the inverted "
+         "index), and count back per doc. The novelty RATIO derives "
+         "client-side from (n_grams, n_novel) — quotient rule. At "
+         "100 TB the gram relation shuffles once on the gram key; "
+         "doc_id-as-ingest-order generalizes to any monotone "
+         "ingest timestamp")
+def ext_ngram_novelty(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    # bind the token array ONCE (the shingles lesson in SCALE.md: a
+    # lambda capturing the split expression re-evaluates it per gram),
+    # and stay in the column API — routing the whitespace class
+    # through an F.expr SQL literal adds a second escaping layer that
+    # silently mangles \x0b into [x0b]
+    bound = docs.select("doc_id", tokens("text").alias("toks"))
+    gram_list = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 3),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, 3))))
+    grams = (bound.filter(F.size("toks") >= 3)
+             .select("doc_id", F.explode(gram_list).alias("gram")))
+    firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (grams.join(firsts, "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_novel")))

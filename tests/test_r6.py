@@ -315,3 +315,61 @@ def test_rowhash_checksum_detects_single_row_change(spark, sf_dir):
     assert diff == [victim % 16], (diff, victim)
     # row counts unchanged — the hash, not the count, caught it
     assert all(base[b][0] == after[b][0] for b in base)
+
+
+def test_gap_islands_matches_python_streaks(spark, sf_dir):
+    from datetime import timedelta
+
+    ev = read_table(spark, sf_dir, "events") \
+        .select("user_id", F.col("ts").cast("date").alias("day")) \
+        .collect()
+    days = defaultdict(set)
+    for r in ev:
+        days[r.user_id].add(r.day)
+    expect = {}
+    for u, ds in days.items():
+        s = sorted(ds)
+        streaks, start = [], s[0]
+        prev = s[0]
+        for d in s[1:]:
+            if d != prev + timedelta(days=1):
+                streaks.append((start, prev))
+                start = d
+            prev = d
+        streaks.append((start, prev))
+        expect[u] = (max((e - b).days + 1 for b, e in streaks),
+                     len(streaks), s[0])
+    got = {r.user_id: (r.longest_streak, r.n_streaks, r.first_day)
+           for r in REGISTRY["ts4_gap_islands"]
+           .build(spark, sf_dir).collect()}
+    assert got == expect
+
+
+def test_ngram_novelty_matches_python_model(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").orderBy("doc_id").collect()
+    first = {}
+    per_doc = {}
+    for r in docs:
+        toks = [t for t in re.split("[ \t\n\x0b\f\r]+",
+                                    r.text.strip().lower()) if t]
+        if len(toks) < 3:
+            continue
+        grams = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        per_doc[r.doc_id] = grams
+        for g in grams:
+            first.setdefault(g, r.doc_id)
+    expect = {d: (len(gs), sum(1 for g in gs if first[g] == d))
+              for d, gs in per_doc.items()}
+    got = {r.doc_id: (r.n_grams, r.n_novel)
+           for r in REGISTRY["ext_ngram_novelty"]
+           .build(spark, sf_dir).collect()}
+    assert got == expect
+    # novelty must decay: later docs can only see more prior grams,
+    # so the corpus-level novel fraction of the last quartile is
+    # below the first's (the curation-ordering signal)
+    ds = sorted(expect)
+    q = len(ds) // 4
+    frac = lambda part: (sum(expect[d][1] for d in part)
+                         / max(1, sum(expect[d][0] for d in part)))
+    assert frac(ds[-q:]) < frac(ds[:q])
