@@ -479,3 +479,55 @@ def dsir_components(df: DataFrame, key_col: str, text_col: str,
                  .alias("sum_cs"),
                  F.round(F.sum(F.col("cnt") * ratio), 6)
                  .alias("log_weight")))
+
+
+def train_quality_classifier(df: DataFrame, text_col: str,
+                             label_col: str, n_features: int = 1024,
+                             seed: int = 42):
+    """Train the fasttext-shape quality classifier whose SCORING half
+    is :func:`hashed_linear_score` — hashed bag-of-words features into
+    a logistic regression (CCNet trains exactly this against a
+    reference corpus; the fixed-weight scorer above is the
+    weights-already-given case). Returns the fitted pyspark.ml
+    PipelineModel.
+
+    Distributed shape: tokenization and feature hashing are stateless
+    maps; LBFGS iterations are one treeAggregate (gradient) per step
+    over the cached feature relation — the same rounds-of-aggregate
+    posture as PageRank/BPE, so this is a MAINTENANCE job (train
+    offline, broadcast the weights to the scorer on the serving
+    path), never a per-query fit. At 100 TB the standard practice is
+    exactly fasttext's: fit on a sampled labeled slice, score the
+    full corpus with the frozen model."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.search import (
+        tokens,
+    )
+
+    base = df.withColumn("__toks", tokens(text_col))
+    tf = HashingTF(inputCol="__toks", outputCol="__features",
+                   numFeatures=n_features)
+    lr = LogisticRegression(featuresCol="__features",
+                            labelCol=label_col, maxIter=30,
+                            regParam=0.01)
+    return Pipeline(stages=[tf, lr]).fit(base)
+
+
+def score_quality_classifier(model, df: DataFrame, key_col: str,
+                             text_col: str) -> DataFrame:
+    """Score a corpus with a trained quality classifier: returns
+    (key, prediction) — a stateless map (hash + dot product) once the
+    model broadcast ships, the serving half of the train/score
+    split."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.search import (
+        tokens,
+    )
+
+    base = df.withColumn("__toks", tokens(text_col))
+    return (model.transform(base)
+            .select(F.col(key_col),
+                    F.col("prediction").cast("bigint")
+                    .alias("prediction")))

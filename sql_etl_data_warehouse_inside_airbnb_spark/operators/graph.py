@@ -230,3 +230,44 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         if delta is not None and delta < tol:
             break
     return ranks
+
+
+def k_core(edges: DataFrame, k: int, src: str = "src",
+           dst: str = "dst", max_rounds: int = 30) -> DataFrame:
+    """k-core decomposition membership: iteratively peel nodes of
+    degree < k (each removal can drop a neighbor below k, so peeling
+    repeats to a fixpoint) and return the surviving nodes with their
+    final in-core degree — the densest-region primitive between
+    connected components (too coarse) and triangles (too local):
+    spam/fraud rings, community cores, and near-dup cluster kernels
+    all live in high-k cores.
+
+    Per round: one symmetric-degree aggregate + one semi join to drop
+    edges touching peeled nodes — both map-side-combinable shuffles
+    on the node key, localCheckpoint lineage control (the g6/g7
+    discipline), and ONE scalar count per round for the convergence
+    probe (bounded driver traffic). Terminates in <= max_rounds or
+    at the fixpoint, whichever first; real graphs converge in a few
+    dozen peels because each round removes every currently-sub-k
+    node at once (synchronous peel), not one node at a time.
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct())
+    sym = (e.unionByName(e.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
+           .distinct().localCheckpoint())
+    n_edges = sym.count()
+    for _ in range(max_rounds):
+        deg = sym.groupBy("u").agg(F.count("*").alias("__deg"))
+        keep = deg.filter(F.col("__deg") >= k).select("u")
+        nxt = (sym.join(keep, "u", "left_semi")
+               .join(keep.select(F.col("u").alias("v")), "v",
+                     "left_semi")
+               .localCheckpoint())
+        n_next = nxt.count()
+        sym = nxt
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    return (sym.groupBy(F.col("u").alias("node"))
+            .agg(F.count("*").cast("bigint").alias("core_degree")))

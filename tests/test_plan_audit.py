@@ -54,6 +54,8 @@ NESTED_LOOP_OK = {
     "ext_cooccurrence_pmi": "BroadcastNestedLoopJoin",
     # broadcast 1-row query vector (brute-force shortlist + qvec join)
     "ext_mmr_diversify": "BroadcastNestedLoopJoin",
+    # broadcast 1-row train-count attached to the eval aggregate
+    "ext_quality_train_eval": "BroadcastNestedLoopJoin",
 }
 ROW_PYTHON_OK = {
     "u6_udtf_tokenize": "BatchEvalPython",
@@ -175,7 +177,9 @@ def test_registry_priority_names_resolve():
                             # ops with no SQL form, model-pinned in
                             # test_r6.py
                             "g8_label_propagation",
-                            "ext_mmr_diversify"}
+                            "ext_mmr_diversify",
+                            "ext_quality_train_eval",
+                            "g9_k_core"}
     window = names[:50]
     rows_only = [n for n in window if fr.REGISTRY[n].oracle is None
                  and n not in deliberate_rows_only

@@ -373,3 +373,56 @@ def test_ngram_novelty_matches_python_model(spark, sf_dir):
     frac = lambda part: (sum(expect[d][1] for d in part)
                          / max(1, sum(expect[d][0] for d in part)))
     assert frac(ds[-q:]) < frac(ds[:q])
+
+
+def test_quality_classifier_learns_planted_signal(spark, sf_dir):
+    """The trained classifier must recover token-presence labels on
+    the held-out split with high accuracy, and the eval counts must
+    be a real partition of the corpus."""
+    row = (REGISTRY["ext_quality_train_eval"]
+           .build(spark, sf_dir).collect())
+    assert len(row) == 1
+    r = row[0]
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert r.n_train + r.n_test == n_docs
+    assert r.n_test > 0 and r.n_train > r.n_test  # ~80/20 gate
+    assert r.n_correct / r.n_test >= 0.9, (r.n_correct, r.n_test)
+
+
+def test_k_core_matches_python_peeler(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events") \
+        .select("user_id", "event_id").collect()
+    adj = defaultdict(set)
+    for r in ev:
+        u, v = r.user_id, 1000 + r.event_id % 50
+        adj[u].add(v)
+        adj[v].add(u)
+    k = 8
+    alive = set(adj)
+    while True:
+        doomed = {n for n in alive
+                  if len(adj[n] & alive) < k}
+        if not doomed:
+            break
+        alive -= doomed
+    expect = {n: len(adj[n] & alive) for n in alive}
+    got = {r.node: r.core_degree
+           for r in REGISTRY["g9_k_core"].build(spark, sf_dir).collect()}
+    assert got == expect
+
+
+def test_k_core_peel_cascades(spark):
+    """On a graph built to need cascading (a 10-clique with a pendant
+    path), the k=8 core must be exactly the clique: the path nodes
+    peel one round at a time (removing one drops its neighbor below
+    k... here below 2), and the clique member the path hangs off must
+    SURVIVE because its in-clique degree stays 9."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.graph import (
+        k_core,
+    )
+    clique = [(i, j) for i in range(10) for j in range(10) if i < j]
+    path = [(9, 100), (100, 101), (101, 102)]
+    edges = spark.createDataFrame(clique + path, ["src", "dst"])
+    got = {r.node: r.core_degree
+           for r in k_core(edges, k=8).collect()}
+    assert got == {i: 9 for i in range(10)}
