@@ -83,6 +83,8 @@ HEADLINE = [
     "ext_mmr_diversify",               # MMR re-rank, bounded pandas (r6)
     "j28_cdc_apply",                   # I/U/D MERGE, latest-wins (r6)
     "x14_rowhash_checksum",            # anti-entropy table checksum (r6)
+    "ts4_gap_islands",                 # consecutive-day streaks (r6)
+    "ext_ngram_novelty",               # first-seen trigram scoring (r6)
 ]
 
 # Maintenance / offline-build workloads (r5, VERDICT r4 item 5).
