@@ -531,3 +531,68 @@ def score_quality_classifier(model, df: DataFrame, key_col: str,
             .select(F.col(key_col),
                     F.col("prediction").cast("bigint")
                     .alias("prediction")))
+
+
+def doc_ngrams(df: DataFrame, key_col: str, text_col: str,
+               n: int = 3) -> DataFrame:
+    """(key, gram): each document's DISTINCT word n-grams, one row per
+    gram — the shared input relation of the novelty scorer and its
+    incremental ingest twin. Token array bound once (the shingles
+    lesson); engine-portable whitespace class via search.tokens."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.search import (
+        tokens,
+    )
+    bound = df.select(F.col(key_col), tokens(text_col).alias("__toks"))
+    gram_list = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size("__toks") - n),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, n))))
+    return (bound.filter(F.size("__toks") >= n)
+            .select(key_col, F.explode(gram_list).alias("gram")))
+
+
+def novelty_index(df: DataFrame, key_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3) -> DataFrame:
+    """The persistable first-seen relation (gram, first_key) —
+    corpus-side state for incremental novelty scoring, the exact
+    analogue of dedup.minhash_index: built once over the corpus,
+    APPENDED (never rebuilt) as ingest batches are accepted. At
+    100 TB it is written bucketed by gram so batch probes co-locate."""
+    return (doc_ngrams(df, key_col, text_col, n)
+            .groupBy("gram").agg(F.min(key_col).alias("first_key")))
+
+
+def novelty_ingest(batch: DataFrame, index: DataFrame,
+                   key_col: str = "doc_id", text_col: str = "text",
+                   n: int = 3) -> tuple[DataFrame, DataFrame]:
+    """Incremental novelty scoring: per NEW-batch document, how many
+    of its distinct n-grams the indexed corpus has never seen —
+    without re-scanning the corpus (re-running the full scorer over
+    corpus+batch re-shuffles the ENTIRE gram relation to score a tiny
+    delta; here the corpus contributes only index probes on the
+    batch's grams, the minhash_ingest_pairs argument).
+
+    Batch keys must sort AFTER every indexed key (the ingest
+    contract: ingest order is the novelty order). Within the batch,
+    a gram shared by two batch docs is novel only for the smallest
+    key — replaying a corpus through any batch split therefore
+    reproduces the full scorer exactly (asserted in tests).
+
+    Returns (scores, index_delta): scores = (key, n_grams, n_novel);
+    index_delta = the (gram, first_key) rows this batch adds —
+    append them to the index before the next batch."""
+    g = doc_ngrams(batch, key_col, text_col, n)
+    batch_first = (g.groupBy("gram")
+                   .agg(F.min(key_col).alias("__batch_first")))
+    probed = (g.join(batch_first, "gram")
+              .join(index.select("gram",
+                                 F.lit(True).alias("__indexed")),
+                    "gram", "left"))
+    is_novel = (F.col("__indexed").isNull()
+                & (F.col("__batch_first") == F.col(key_col)))
+    scores = (probed.groupBy(key_col)
+              .agg(F.count("*").alias("n_grams"),
+                   F.sum(is_novel.cast("bigint")).cast("bigint")
+                   .alias("n_novel")))
+    delta = (batch_first.join(index.select("gram"), "gram", "left_anti")
+             .select("gram", F.col("__batch_first").alias("first_key")))
+    return scores, delta

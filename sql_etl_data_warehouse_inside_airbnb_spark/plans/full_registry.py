@@ -222,7 +222,7 @@ _PRIORITY = [
     "ext_negative_samples", "e8_dau_wau", "s18_jsonl_roundtrip",
     "f34_variant_json", "f35_recursive_hierarchy",
     "j28_cdc_apply", "x14_rowhash_checksum",
-    "ts4_gap_islands", "ext_ngram_novelty",
+    "ts4_gap_islands", "ext_ngram_novelty", "ext_novelty_ingest",
     # deliberate rows-only additions (iterative argmax / greedy
     # selection / LBFGS float folds / peel fixpoints have no SQL
     # form; each Python-model-pinned in test_r6.py)

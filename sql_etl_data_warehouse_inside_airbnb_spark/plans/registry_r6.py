@@ -742,18 +742,14 @@ def ts4_gap_islands(spark, sf_dir):
          "doc_id-as-ingest-order generalizes to any monotone "
          "ingest timestamp")
 def ext_ngram_novelty(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
-    # bind the token array ONCE (the shingles lesson in SCALE.md: a
-    # lambda capturing the split expression re-evaluates it per gram),
-    # and stay in the column API — routing the whitespace class
-    # through an F.expr SQL literal adds a second escaping layer that
-    # silently mangles \x0b into [x0b]
-    bound = docs.select("doc_id", tokens("text").alias("toks"))
-    gram_list = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.size("toks") - 3),
-        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, 3))))
-    grams = (bound.filter(F.size("toks") >= 3)
-             .select("doc_id", F.explode(gram_list).alias("gram")))
+    # doc_ngrams binds the token array ONCE (the shingles lesson in
+    # SCALE.md) and stays in the column API — routing the whitespace
+    # class through an F.expr SQL literal adds a second escaping
+    # layer that silently mangles \x0b into [x0b]
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.curation import (
+        doc_ngrams,
+    )
+    grams = doc_ngrams(t(spark, sf_dir, "documents"), "doc_id", "text")
     firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     return (grams.join(firsts, "gram")
             .groupBy("doc_id")
@@ -841,3 +837,54 @@ def g9_k_core(spark, sf_dir):
                       (F.lit(1000) + F.col("event_id") % 50)
                       .alias("dst"))
     return k_core(edges, k=8)
+
+
+@register(
+    "ext_novelty_ingest",
+    """WITH grams AS (
+         SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' '
+                         || toks[i+2]))) AS gram
+         FROM (SELECT doc_id,
+                      list_filter(string_split_regex(lower(trim(text)),
+                          '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')
+                          AS toks
+               FROM documents) d
+         WHERE len(toks) >= 3),
+       firsts AS (SELECT gram, min(doc_id) AS first_doc
+                  FROM grams GROUP BY gram)
+       SELECT g.doc_id,
+              CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(count(*) FILTER (WHERE f.first_doc = g.doc_id)
+                   AS BIGINT) AS n_novel
+       FROM grams g JOIN firsts f ON g.gram = f.gram
+       WHERE g.doc_id >= 400
+       GROUP BY g.doc_id""",
+    survey="§7.5 curation ext (incremental novelty ingest)",
+    note="the daily-ingest twin of ext_ngram_novelty (the "
+         "minhash_ingest_pairs argument applied to novelty): the "
+         "already-scored corpus (doc_id < 400) persists as the "
+         "(gram, first_key) first-seen index (operators/curation.py:"
+         "novelty_index) and a new batch scores by PROBING it — "
+         "batch grams left-join the index plus a within-batch "
+         "min-key pass, so shuffled volume is ∝ |batch grams|, never "
+         "the corpus (at 100 TB the index is bucketed by gram and "
+         "the probe co-locates; novelty_ingest also returns the "
+         "index DELTA to append, so the corpus is scanned exactly "
+         "once across its lifetime). The incremental path is "
+         "EXACTLY the full scorer restricted to batch docs — that "
+         "equality IS the oracle (full-corpus firsts, batch-filtered "
+         "aggregate), and the replay-in-3-batches equivalence is "
+         "pinned in tests/test_r6.py")
+def ext_novelty_ingest(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.curation import (
+        novelty_index,
+        novelty_ingest,
+    )
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    idx = novelty_index(corpus)
+    scores, _delta = novelty_ingest(batch, idx)
+    return scores

@@ -426,3 +426,38 @@ def test_k_core_peel_cascades(spark):
     got = {r.node: r.core_degree
            for r in k_core(edges, k=8).collect()}
     assert got == {i: 9 for i in range(10)}
+
+
+def test_novelty_ingest_replay_equals_full_scorer(spark, sf_dir):
+    """Replaying the corpus through THREE ingest batches (index built
+    from batch 1, deltas appended between batches) must reproduce the
+    full scorer's (n_grams, n_novel) for every replayed doc — the
+    property that makes the first-seen index a persistable artifact
+    rather than a per-run recomputation."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.curation import (
+        novelty_index,
+        novelty_ingest,
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    full = {r.doc_id: (r.n_grams, r.n_novel)
+            for r in REGISTRY["ext_ngram_novelty"]
+            .build(spark, sf_dir).collect()}
+
+    cuts = [150, 300]
+    b1 = docs.filter(F.col("doc_id") < cuts[0])
+    b2 = docs.filter((F.col("doc_id") >= cuts[0])
+                     & (F.col("doc_id") < cuts[1]))
+    b3 = docs.filter(F.col("doc_id") >= cuts[1])
+    idx = novelty_index(b1)
+    got = {}
+    for batch in (b2, b3):
+        scores, delta = novelty_ingest(batch, idx)
+        got.update({r.doc_id: (r.n_grams, r.n_novel)
+                    for r in scores.collect()})
+        idx = idx.unionByName(delta)
+    replayed = {d: v for d, v in full.items() if d >= cuts[0]}
+    assert got == replayed
+    # and the final index IS the full first-seen relation
+    full_idx = {r.gram: r.first_key
+                for r in novelty_index(docs).collect()}
+    assert {r.gram: r.first_key for r in idx.collect()} == full_idx
