@@ -193,6 +193,34 @@ def write_bucketed(df, table_name: str, keys: list[str],
     w.saveAsTable(table_name)
 
 
+def analyze_tables(spark: SparkSession, names: list[str],
+                   columns: dict[str, list[str]] | None = None) -> None:
+    """Populate catalog statistics (``ANALYZE TABLE COMPUTE
+    STATISTICS``, plus per-column NDV/min/max/null histograms for the
+    listed columns) — the input the cost-based optimizer needs to
+    reorder multi-way joins and size exchanges by ROW COUNT instead
+    of raw file bytes.
+
+    Why it matters at 100 TB: without stats Spark only knows parquet
+    file sizes, so a heavily-filtered fact still looks huge (the
+    filter's selectivity is invisible) and an 8-table star join is
+    planned in the user's syntactic order. With table+column stats
+    and ``spark.sql.cbo.enabled`` / ``spark.sql.cbo.joinReorder.
+    enabled``, Catalyst estimates filtered cardinalities and
+    re-parenthesizes the join tree smallest-first. Stats are a
+    MAINTENANCE artifact (recompute after large loads — the same
+    cadence as compaction); stale stats mislead the optimizer, which
+    is why loaders here pair this with the write, not the query.
+    Column list should cover join keys and frequently-filtered
+    columns; NDV is the join-cardinality input."""
+    for t in names:
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS")
+        cols = (columns or {}).get(t)
+        if cols:
+            spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS "
+                      f"FOR COLUMNS {', '.join(cols)}")
+
+
 def write_format(df: DataFrame, path: str, fmt: str = "parquet",
                  mode: str = "overwrite",
                  partition_by: list[str] | None = None,
