@@ -59,3 +59,42 @@ def test_aqe_switches_to_broadcast_at_runtime(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Skew-join splitting: one hot key holding ~90% of the left side
+    must make AQE mark the sort-merge join skew=true and split the hot
+    partition into multiple reader tasks (AQEShuffleRead ... skewed) —
+    the runtime complement to the explicit salting rewrite in
+    operators/skew.py, and the reason a surprise hot key degrades
+    gracefully instead of serializing one straggler task. Thresholds
+    are lowered so the 60k-row fixture crosses them; the MECHANISM
+    under test is identical at production sizes."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 60000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string"))
+            .alias("pad"))
+        right = spark.range(0, 200).select(
+            F.col("id").alias("k"), F.lit("r").alias("rv"))
+        j = left.join(right, "k")
+        plan = _final_plan(j)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "skew=true" in plan, plan[:3000]
+    assert "skewed" in plan, plan[:3000]
