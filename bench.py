@@ -85,6 +85,9 @@ HEADLINE = [
     "x14_rowhash_checksum",            # anti-entropy table checksum (r6)
     "ts4_gap_islands",                 # consecutive-day streaks (r6)
     "ext_ngram_novelty",               # first-seen trigram scoring (r6)
+    "f34_variant_json",                # VARIANT typed extraction (r6)
+    "f35_recursive_hierarchy",         # native recursive CTE (r6)
+    "ext_novelty_ingest",              # index-probe novelty batch (r6)
 ]
 
 # Maintenance / offline-build workloads (r5, VERDICT r4 item 5).
