@@ -223,6 +223,7 @@ _PRIORITY = [
     "f34_variant_json", "f35_recursive_hierarchy",
     "j28_cdc_apply", "x14_rowhash_checksum",
     "ts4_gap_islands", "ext_ngram_novelty", "ext_novelty_ingest",
+    "ext_dup_span_coverage",
     # deliberate rows-only additions (iterative argmax / greedy
     # selection / LBFGS float folds / peel fixpoints have no SQL
     # form; each Python-model-pinned in test_r6.py)

@@ -888,3 +888,76 @@ def ext_novelty_ingest(spark, sf_dir):
     idx = novelty_index(corpus)
     scores, _delta = novelty_ingest(batch, idx)
     return scores
+
+
+@register(
+    "ext_dup_span_coverage",
+    """WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(lower(trim(text)),
+                    '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS toks
+         FROM documents),
+       grams AS (
+         SELECT doc_id, i AS pos,
+                toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+         FROM (SELECT doc_id, toks,
+                      unnest(range(1, len(toks) - 1)) AS i
+               FROM toks WHERE len(toks) >= 3)),
+       shared AS (SELECT gram FROM grams
+                  GROUP BY gram
+                  HAVING count(DISTINCT doc_id) > 1),
+       covered AS (
+         SELECT DISTINCT g.doc_id, g.pos + o.o AS cpos
+         FROM grams g JOIN shared s ON g.gram = s.gram
+         CROSS JOIN (SELECT unnest([0, 1, 2]) AS o) o),
+       n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+             FROM toks WHERE len(toks) >= 3)
+       SELECT n.doc_id, n.n_tokens,
+              CAST(count(c.cpos) AS BIGINT) AS n_dup_covered
+       FROM n LEFT JOIN covered c ON n.doc_id = c.doc_id
+       GROUP BY n.doc_id, n.n_tokens""",
+    survey="§7.5 dedup ext (cross-document duplicated-span coverage)",
+    note="per-document CROSS-corpus duplicated-span coverage — the "
+         "token-granular exact-substring signal (the RefinedWeb / "
+         "deduplicate-text-datasets idea expressed relationally): a "
+         "token position counts as duplicated if ANY 3-gram covering "
+         "it also occurs in another document, so (n_dup_covered / "
+         "n_tokens) is the fraction of the doc that is boilerplate "
+         "shared with the rest of the corpus — the removal or "
+         "down-weighting signal doc-level dedup (exact/MinHash) "
+         "misses when only a paragraph is copied, and "
+         "ext_dup_ngram_fraction (WITHIN-doc repetition) cannot see "
+         "at all. Plan: positional 3-grams (posexplode), the shared "
+         "relation via one HAVING count(distinct doc)>1 aggregate "
+         "(the inverted-index shuffle), explode each colliding start "
+         "to its 3 covered positions, distinct, count per doc — all "
+         "equi-joins on the gram/doc keys, never pairwise across "
+         "docs, so cost is gram-relation-sized at any corpus scale. "
+         "The ratio derives client-side (quotient rule)")
+def ext_dup_span_coverage(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    bound = (docs.select("doc_id", tokens("text").alias("toks"))
+             .filter(F.size("toks") >= 3))
+    grams = bound.select(
+        "doc_id", F.size("toks").alias("n_tokens"),
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 3),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("toks"), i + 1, 3))))
+        .alias("pos", "gram"))
+    shared = (grams.groupBy("gram")
+              .agg(F.countDistinct("doc_id").alias("nd"))
+              .filter(F.col("nd") > 1).select("gram"))
+    covered = (grams.join(shared, "gram")
+               .select("doc_id",
+                       F.explode(F.array(F.col("pos"), F.col("pos") + 1,
+                                         F.col("pos") + 2)).alias("cpos"))
+               .distinct())
+    n = bound.select("doc_id", F.size("toks").cast("bigint")
+                     .alias("n_tokens"))
+    cov = covered.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_covered"))
+    return (n.join(cov, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    F.coalesce("n_dup_covered", F.lit(0))
+                    .cast("bigint").alias("n_dup_covered")))

@@ -461,3 +461,33 @@ def test_novelty_ingest_replay_equals_full_scorer(spark, sf_dir):
     full_idx = {r.gram: r.first_key
                 for r in novelty_index(docs).collect()}
     assert {r.gram: r.first_key for r in idx.collect()} == full_idx
+
+
+def test_dup_span_coverage_matches_python_model(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").collect()
+    toks_by = {}
+    gram_docs = defaultdict(set)
+    for r in docs:
+        toks = [t for t in re.split("[ \t\n\x0b\f\r]+",
+                                    r.text.strip().lower()) if t]
+        if len(toks) < 3:
+            continue
+        toks_by[r.doc_id] = toks
+        for i in range(len(toks) - 2):
+            gram_docs[" ".join(toks[i:i + 3])].add(r.doc_id)
+    expect = {}
+    for d, toks in toks_by.items():
+        covered = set()
+        for i in range(len(toks) - 2):
+            if len(gram_docs[" ".join(toks[i:i + 3])]) > 1:
+                covered.update((i, i + 1, i + 2))
+        expect[d] = (len(toks), len(covered))
+    got = {r.doc_id: (r.n_tokens, r.n_dup_covered)
+           for r in REGISTRY["ext_dup_span_coverage"]
+           .build(spark, sf_dir).collect()}
+    assert got == expect
+    # the signal must be non-trivial on the synthetic corpus: some
+    # docs share spans, and coverage never exceeds the doc
+    assert any(c > 0 for _, c in got.values())
+    assert all(c <= n for n, c in got.values())
