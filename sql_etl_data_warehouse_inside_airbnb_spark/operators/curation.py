@@ -563,7 +563,8 @@ def novelty_index(df: DataFrame, key_col: str = "doc_id",
 
 def novelty_ingest(batch: DataFrame, index: DataFrame,
                    key_col: str = "doc_id", text_col: str = "text",
-                   n: int = 3) -> tuple[DataFrame, DataFrame]:
+                   n: int = 3, check_order: bool = True
+                   ) -> tuple[DataFrame, DataFrame]:
     """Incremental novelty scoring: per NEW-batch document, how many
     of its distinct n-grams the indexed corpus has never seen —
     without re-scanning the corpus (re-running the full scorer over
@@ -577,9 +578,30 @@ def novelty_ingest(batch: DataFrame, index: DataFrame,
     key — replaying a corpus through any batch split therefore
     reproduces the full scorer exactly (asserted in tests).
 
+    The contract is ENFORCED, not just documented (r6 advisor item):
+    two scalar aggregates — max(first_key) over the index vs min(key)
+    over the batch — run before scoring, and an out-of-order ingest
+    raises instead of silently mis-attributing novelty and breaking
+    the replay-equals-full-scorer property. Cost is one min and one
+    max (at 100 TB the index max is a partition-stats read, and a
+    caller that genuinely can't afford it passes
+    ``check_order=False`` with the contract on its own head).
+
     Returns (scores, index_delta): scores = (key, n_grams, n_novel);
     index_delta = the (gram, first_key) rows this batch adds —
     append them to the index before the next batch."""
+    if check_order:
+        idx_max = index.agg(F.max("first_key")).first()[0]
+        batch_min = batch.agg(F.min(key_col)).first()[0]
+        if (idx_max is not None and batch_min is not None
+                and not batch_min > idx_max):
+            raise ValueError(
+                f"novelty_ingest: out-of-order ingest — batch min "
+                f"{key_col}={batch_min!r} does not sort after the "
+                f"index's max first_key={idx_max!r}. Novelty "
+                "attribution is only correct when batches arrive in "
+                "key order (replay == full scorer); re-batch, or pass "
+                "check_order=False to accept the misattribution.")
     g = doc_ngrams(batch, key_col, text_col, n)
     batch_first = (g.groupBy("gram")
                    .agg(F.min(key_col).alias("__batch_first")))

@@ -246,10 +246,15 @@ def k_core(edges: DataFrame, k: int, src: str = "src",
     edges touching peeled nodes — both map-side-combinable shuffles
     on the node key, localCheckpoint lineage control (the g6/g7
     discipline), and ONE scalar count per round for the convergence
-    probe (bounded driver traffic). Terminates in <= max_rounds or
-    at the fixpoint, whichever first; real graphs converge in a few
-    dozen peels because each round removes every currently-sub-k
-    node at once (synchronous peel), not one node at a time.
+    probe (bounded driver traffic). Terminates at the fixpoint; real
+    graphs converge in a few dozen peels because each round removes
+    every currently-sub-k node at once (synchronous peel), not one
+    node at a time. A pathological graph that is still peeling when
+    ``max_rounds`` runs out (e.g. a long path at k=2 sheds one layer
+    per round) would return nodes NOT in the true k-core, so — like
+    pagerank's documented tolerance exit — non-convergence is
+    signaled, not swallowed: a RuntimeWarning fires and the caller
+    can raise rounds (r6 advisor item).
     """
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .filter(F.col("u") != F.col("v")).distinct())
@@ -257,6 +262,7 @@ def k_core(edges: DataFrame, k: int, src: str = "src",
                                   F.col("u").alias("v")))
            .distinct().localCheckpoint())
     n_edges = sym.count()
+    converged = False
     for _ in range(max_rounds):
         deg = sym.groupBy("u").agg(F.count("*").alias("__deg"))
         keep = deg.filter(F.col("__deg") >= k).select("u")
@@ -267,7 +273,16 @@ def k_core(edges: DataFrame, k: int, src: str = "src",
         n_next = nxt.count()
         sym = nxt
         if n_next == n_edges:
+            converged = True
             break
         n_edges = n_next
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"k_core({k=}) did not reach the peel fixpoint within "
+            f"max_rounds={max_rounds} ({n_edges} directed edges still "
+            "shrinking); the returned nodes OVER-approximate the true "
+            "k-core — raise max_rounds", RuntimeWarning, stacklevel=2)
     return (sym.groupBy(F.col("u").alias("node"))
             .agg(F.count("*").cast("bigint").alias("core_degree")))

@@ -130,6 +130,104 @@ def lsh_topk(df: DataFrame, query: DataFrame, k: int = 10,
             .limit(k))
 
 
+def hard_negatives(df: DataFrame, anchors: DataFrame, k: int = 5,
+                   key_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label", n_planes: int = 4,
+                   dim: int = 64, hamming_probes: int = 1) -> DataFrame:
+    """Hard-negative mining for contrastive training data: for each
+    anchor vector, the top-k most-similar vectors that carry a
+    DIFFERENT label — the negatives that actually teach a metric
+    model, versus random negatives (``ext_negative_samples``) that are
+    trivially far. Standard practice in dense-retrieval training
+    (cf. Karpukhin et al., "Dense Passage Retrieval", EMNLP'20 —
+    in-batch + hard negatives).
+
+    Candidates come from the :func:`lsh_topk` machinery batched over
+    anchors: every anchor explodes to its multi-probe bucket list on
+    the BROADCAST side, the corpus hashes into exactly one bucket, and
+    the join is a pure bucket equi-join (a (anchor, vector) pair can
+    meet at most once because probe masks are pairwise distinct) —
+    cost ∝ Σ bucket sizes, never anchors × corpus. Same-label rows
+    and self-pairs drop BEFORE the re-rank; exact cosine + a
+    per-anchor row_number window picks the k hardest. At 100 TB the
+    corpus is bucket-partitioned, anchors are a broadcast batch, and
+    the window partitions on anchor id — no global sort.
+
+    Returns (anchor_id, negative_id, cosine, rank), rank 1 = hardest.
+    """
+    planes = _hyperplanes(dim, n_planes)
+    data = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+    qb = lsh_bucket(F.col(vec_col), planes)
+    probes = [qb] + [qb.bitwiseXOR(F.lit(m))
+                     for m in _probe_masks(n_planes, hamming_probes)]
+    a = F.broadcast(anchors.select(
+        F.col(key_col).alias("anchor_id"),
+        F.col(label_col).alias("__alabel"),
+        as_double(F.col(vec_col)).alias("__qvec"),
+        F.explode(F.array(*probes)).alias("__bucket")))
+    sim = F.round(cosine(as_double(F.col(vec_col)), F.col("__qvec")), 6)
+    cand = (data.join(a, "__bucket")
+            .filter((F.col(label_col) != F.col("__alabel"))
+                    & (F.col(key_col) != F.col("anchor_id")))
+            .select("anchor_id", F.col(key_col).alias("negative_id"),
+                    sim.alias("cosine")))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.col("negative_id"))
+    return (cand.withColumn("rank",
+                            F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k))
+
+
+def ivf_pq_topk(df: DataFrame, query: DataFrame, model, codebooks,
+                k: int = 10, key_col: str = "vec_id",
+                vec_col: str = "embedding", n_probe: int = 4,
+                rerank: int = 50,
+                codes: DataFrame | None = None) -> DataFrame:
+    """IVF+PQ composed probe — the production ANN index shape
+    (FAISS's IVFADC, Jégou'11 §IV): the IVF coarse quantizer prunes
+    the search to ``n_probe`` clusters, PQ asymmetric-distance scores
+    only the surviving CODES (no raw vectors read), and the ADC top
+    ``rerank`` exact-cosine re-rank against raw vectors settles the
+    final k.
+
+    Pure composition of the two tested tiers: cluster assignment from
+    :func:`fit_ivf_quantizer`'s model, the pruned codes frame fed to
+    :func:`pq_topk` via its ``codes=`` hook. Cost at 100 TB:
+    n_probe/n_clusters of the CODES table scanned (itself 16-64×
+    smaller than the vectors), plus ``rerank`` random vector reads —
+    against ivf_topk's full-vector probe scan and pq_topk's full-codes
+    scan. Both model fits are offline artifacts (session-cached in the
+    registry); nothing trains on the probe path.
+    """
+    import math
+
+    from pyspark.ml.functions import array_to_vector
+
+    base = (df.select(F.col(key_col),
+                      as_double(F.col(vec_col)).alias("__v"))
+            .withColumn("__fv", array_to_vector("__v")))
+    assigned = model.transform(base).select(key_col, "__cluster")
+
+    qv = query.select(as_double(F.col(vec_col)).alias("q")).first()["q"]
+    qn = math.sqrt(sum(x * x for x in qv)) or 1.0
+
+    def _cos(center) -> float:
+        cn = math.sqrt(sum(x * x for x in center)) or 1.0
+        return sum(x * y for x, y in zip(qv, center)) / (qn * cn)
+
+    ranked = sorted(enumerate(model.clusterCenters()),
+                    key=lambda ic: -_cos(ic[1]))
+    probe = [i for i, _ in ranked[:n_probe]]
+
+    if codes is None:
+        codes = pq_encode(df, key_col, vec_col, codebooks)
+    keep = assigned.filter(F.col("__cluster").isin(probe)) \
+        .select(key_col)
+    pruned = codes.join(keep, key_col, "left_semi")
+    return pq_topk(df, query, codebooks, k=k, key_col=key_col,
+                   vec_col=vec_col, rerank=rerank, codes=pruned)
+
+
 def sign_bucket(vec: Column, bits: int) -> Column:
     """Axis-aligned sign-LSH bucket: bit i set iff vec[i] > 0. The
     basis-vector special case of random-hyperplane LSH — collision

@@ -21,23 +21,30 @@ which adjudicates ~the first 50 entries per round:
   never-adjudicated entries front-loaded; 41 hash-green + 7 clean
   rows-only came back, with two reds (a34 rounded-double hash,
   m1 array-typed output crashing the driver canonicalizer);
-- round 6 (this order): the closure round (VERDICT.md r5). The two
-  fixed reds lead for re-verdicts (a34 now DECIMAL(38,6) components,
-  m1 now a stringified itemset column), then x12 (plan-audit
-  allowlist fixed) and the rest of the round-5 in-round additions,
-  then the two parked rows-only minhash/simhash twins — after which
-  every registry entry has a driver verdict.
+- round 6: the closure round (VERDICT.md r5) — after it, every one of
+  the 274 entries has a driver verdict: 49/50 of the window came back
+  clean; the single red is ``a34_corr_components``, value-identical to
+  the oracle but hash-failed by the driver's canonicalizer (its
+  DECIMAL(38,12) sums carry ~23 significant digits, beyond
+  float64-exact width);
+- round 7 (this order): a34 leads for its re-verdict (the wide sums
+  now ship as exact fixed-scale STRINGS on both engines — the third
+  canonicalizer-limit rule, encoded into tools/parity.py), followed by
+  the entries whose builders changed this round (e8's literal WAU
+  bounds became an observed-span broadcast; MERGE/CDC broadcasts are
+  now size-gated) and the round-7 in-round additions.
 
-Entries with a green CORRECTNESS row from r1-r5 move to the back;
+Entries with a green CORRECTNESS row from r1-r6 move to the back;
 within any remaining never-checked tail, oracle-paired entries sit
 ahead of rows-only ones. Every name stays present; only dict
 insertion order changes.
 
-Queries ADDED during round 6 may sit INSIDE the adjudication window
-this round (positions 11-50 are otherwise spent re-verifying green
-back-block entries — spare capacity): each must pass tools/parity.py
-at sf0.01 AND sf0.1 with integer/decimal/string compared columns
-before being placed there.
+Queries ADDED during a round may sit INSIDE the adjudication window
+(slots not needed for re-verdicts are otherwise spent re-verifying
+green back-block entries — spare capacity): each must pass
+tools/parity.py at sf0.01 AND sf0.1 with integer/decimal/string
+compared columns (decimals float64-exact, else stringified) before
+being placed there.
 """
 
 from __future__ import annotations
@@ -60,6 +67,7 @@ import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_more  # noqa: F
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r4  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r5  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r6  # noqa: F401
+import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r7  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_search  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_surface  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_tpch  # noqa: F401
@@ -190,45 +198,56 @@ _R05_GREEN = frozenset({
     "ext_bpe_encode_counts",
 })
 
-_GREEN = _R01_GREEN | _R02_GREEN | _R03_GREEN | _R04_GREEN | _R05_GREEN
+# Round-6 greens: 43 hash-green + 6 clean rows-only out of the
+# 50-entry closure window (CORRECTNESS_r06.json). The one red —
+# a34_corr_components — stays out and leads the round-7 window.
+_R06_GREEN = frozenset({
+    "a1_pricing_summary", "a3_count_distinct",
+    "a4_global_count_distinct", "a5_conditional_agg",
+    "e7_position_attribution", "e8_dau_wau", "ext_cooccurrence_pmi",
+    "ext_dedup_ingest_minhash", "ext_dedup_minhash",
+    "ext_dedup_simhash", "ext_dup_span_coverage", "ext_hybrid_rrf",
+    "ext_mmr_diversify", "ext_negative_samples", "ext_ngram_novelty",
+    "ext_novelty_ingest", "ext_phrase_search",
+    "ext_quality_train_eval", "f33_winsorize", "f34_variant_json",
+    "f35_recursive_hierarchy", "g7_bfs_hops", "g8_label_propagation",
+    "g9_k_core", "j1_fact_dim_join", "j26_asof_tolerance",
+    "j28_cdc_apply", "j2_derived_date_join", "j4_left_anti",
+    "j6_left_semi", "j7_agg_join", "j8_merge_upsert",
+    "j9_update_from_join", "m1_frequent_itemsets", "p10_threshold",
+    "p1_column_prune", "p4_trycast_filter", "p6_between", "p7_isin",
+    "p8_interval_overlap", "p9_eq_lookup", "s18_jsonl_roundtrip",
+    "s1_scan_project", "s4_limited_scan", "ts4_gap_islands",
+    "x11_drift_psi", "x12_drift_equidepth", "x13_benford_first_digit",
+    "x14_rowhash_checksum",
+})
+
+_GREEN = (_R01_GREEN | _R02_GREEN | _R03_GREEN | _R04_GREEN
+          | _R05_GREEN | _R06_GREEN)
 
 # Explicit front of the queue — the ~50-entry adjudication window.
-# Round 6 is the closure round (VERDICT.md r5): every entry that still
-# lacks a clean driver verdict fits in the first 10 positions — the
-# two fixed r5 reds lead for re-verdicts, then the round-5 in-round
-# additions (x12 with its plan-audit allowlist in place), then the two
-# parked rows-only minhash/simhash twins of hash-green banded
-# siblings. Everything behind position 10 is already green; new
-# round-6 entries slot in after the closure block once they pass
-# tools/parity.py at sf0.01 AND sf0.1.
+# Round 7: the ledger is 273/274 clean after the r6 closure, so the
+# window leads with the single red's re-verdict, then the entries
+# whose BUILDERS changed this round (output-identical, but a changed
+# builder deserves a fresh verdict), then round-7 in-round additions —
+# each added only after passing tools/parity.py (exact canon, now
+# including the float64-exact decimal-width rule) at sf0.01 AND
+# sf0.1. Remaining slots re-verify green back-block entries.
 _PRIORITY = [
-    # -- re-verdicts of the two round-5 reds, fixed this round:
-    # a34 emits DECIMAL(38,6) components (was round(double) — last-ulp
-    # decimal->double gaps survive round()), m1 emits a comma-joined
-    # string itemset (was array — unhashable for the driver).
-    "a34_corr_components", "m1_frequent_itemsets",
-    # -- round-5 in-round additions, first presentation. x12's 1-row
-    # decile-cut broadcast is now allowlisted in test_plan_audit.
-    "x12_drift_equidepth", "e7_position_attribution", "x11_drift_psi",
-    "ext_hybrid_rrf", "ext_dedup_ingest_minhash", "j26_asof_tolerance",
-    # -- the two rows-only twins (banded/bit-sampled siblings are
-    # hash-green since r2-r3); deliberate rows-only presentations.
-    "ext_dedup_minhash", "ext_dedup_simhash",
-    # -- round-6 in-round additions (registry_r6.py), placed INSIDE
-    # the window per the closure-round policy above — each passed the
-    # exact parity canon at sf0.01 AND sf0.1 before landing here.
-    "g7_bfs_hops", "f33_winsorize", "x13_benford_first_digit",
-    "ext_cooccurrence_pmi", "ext_phrase_search",
-    "ext_negative_samples", "e8_dau_wau", "s18_jsonl_roundtrip",
-    "f34_variant_json", "f35_recursive_hierarchy",
-    "j28_cdc_apply", "x14_rowhash_checksum",
-    "ts4_gap_islands", "ext_ngram_novelty", "ext_novelty_ingest",
-    "ext_dup_span_coverage",
-    # deliberate rows-only additions (iterative argmax / greedy
-    # selection / LBFGS float folds / peel fixpoints have no SQL
-    # form; each Python-model-pinned in test_r6.py)
-    "g8_label_propagation", "ext_mmr_diversify",
-    "ext_quality_train_eval", "g9_k_core",
+    # -- the r6 red, re-fixed: values matched all along (exact local
+    # parity green since r5's decimal re-work); the driver hash
+    # diverged because DECIMAL(38,12) sums at ~1e10 exceed
+    # float64-exact width in its pandas canon. The five sums now ship
+    # as exact fixed-scale strings on BOTH engines.
+    "a34_corr_components",
+    # -- builders changed in round 7 (same compared output):
+    # e8 derives its WAU clamp from the observed min/max day span
+    # (was literal dates — r6 advisor latent-coupling item); j8/j28
+    # feed-side broadcasts are now size-gated via maybe_broadcast.
+    "e8_dau_wau", "j8_merge_upsert", "j28_cdc_apply",
+    # -- round-7 in-round additions (registry_r7.py), parity-hardened
+    # at sf0.01 AND sf0.1 before placement:
+    "ts5_vwap_components", "ext_hard_negatives", "ext_ann_ivf_pq_topk",
 ]
 
 

@@ -433,11 +433,11 @@ def stream_dedup_ingest(spark, sf_dir):
                   FROM lineitem)
        SELECT l_returnflag,
               CAST(count(*) AS BIGINT) AS n,
-              CAST(sum(dx) AS DECIMAL(38,6)) AS sum_x,
-              CAST(sum(dy) AS DECIMAL(38,6)) AS sum_y,
-              CAST(sum(dx * dy) AS DECIMAL(38,12)) AS sum_xy,
-              CAST(sum(dx * dx) AS DECIMAL(38,12)) AS sum_x2,
-              CAST(sum(dy * dy) AS DECIMAL(38,12)) AS sum_y2
+              CAST(CAST(sum(dx) AS DECIMAL(38,6)) AS VARCHAR) AS sum_x,
+              CAST(CAST(sum(dy) AS DECIMAL(38,6)) AS VARCHAR) AS sum_y,
+              CAST(CAST(sum(dx * dy) AS DECIMAL(38,12)) AS VARCHAR) AS sum_xy,
+              CAST(CAST(sum(dx * dx) AS DECIMAL(38,12)) AS VARCHAR) AS sum_x2,
+              CAST(CAST(sum(dy * dy) AS DECIMAL(38,12)) AS VARCHAR) AS sum_y2
        FROM d GROUP BY l_returnflag""",
     survey="§2.4 ext (correlation / covariance components)",
     note="Pearson correlation and covariance per group, emitted as "
@@ -471,17 +471,27 @@ def a34_corr_components(spark, sf_dir):
     # past 38 and trigger Spark's scale-reduction re-rounding — while
     # the oracle casts to DECIMAL(19,6) because DuckDB multiplies
     # width<=18 significands in int64 (runtime overflow) and needs
-    # width 19+ to pick int128; the VALUES are identical either way
+    # width 19+ to pick int128; the VALUES are identical either way.
+    # The sums ship as exact fixed-scale STRINGS: they carry ~16-23
+    # significant digits (beyond float64's 15-17), so any comparator
+    # that round-trips one side through float diverges on EQUAL values
+    # (the r6 driver hash did exactly that). decimal->string keeps the
+    # declared scale's trailing zeros identically on both engines.
     dx = F.col("l_quantity").cast("decimal(18,6)")
     dy = F.col("l_extendedprice").cast("decimal(18,6)")
 
     return (li.groupBy("l_returnflag")
             .agg(F.count("*").alias("n"),
-                 F.sum(dx).cast("decimal(38,6)").alias("sum_x"),
-                 F.sum(dy).cast("decimal(38,6)").alias("sum_y"),
-                 F.sum(dx * dy).cast("decimal(38,12)").alias("sum_xy"),
-                 F.sum(dx * dx).cast("decimal(38,12)").alias("sum_x2"),
-                 F.sum(dy * dy).cast("decimal(38,12)").alias("sum_y2")))
+                 F.sum(dx).cast("decimal(38,6)").cast("string")
+                 .alias("sum_x"),
+                 F.sum(dy).cast("decimal(38,6)").cast("string")
+                 .alias("sum_y"),
+                 F.sum(dx * dy).cast("decimal(38,12)").cast("string")
+                 .alias("sum_xy"),
+                 F.sum(dx * dx).cast("decimal(38,12)").cast("string")
+                 .alias("sum_x2"),
+                 F.sum(dy * dy).cast("decimal(38,12)").cast("string")
+                 .alias("sum_y2")))
 
 
 @register(

@@ -334,6 +334,7 @@ def ext_negative_samples(spark, sf_dir):
     "e8_dau_wau",
     """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
                    FROM events),
+       bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
        dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
                FROM ud GROUP BY day),
        contrib AS (SELECT DISTINCT user_id,
@@ -342,9 +343,8 @@ def ext_negative_samples(spark, sf_dir):
                         (SELECT unnest(range(0, 7)) AS o) x),
        wau AS (SELECT target_day AS day,
                       CAST(count(*) AS BIGINT) AS wau
-               FROM contrib
-               WHERE target_day BETWEEN DATE '2024-01-01'
-                                    AND DATE '2024-01-30'
+               FROM contrib, bounds
+               WHERE target_day BETWEEN lo AND hi
                GROUP BY target_day)
        SELECT COALESCE(d.day, w.day) AS day,
               COALESCE(d.dau, 0) AS dau,
@@ -363,12 +363,17 @@ def ext_negative_samples(spark, sf_dir):
          "window-frame count(DISTINCT) (which Spark window frames "
          "cannot express at all). At 100 TB the (user, day) distinct "
          "is the only shuffle that sees data volume; everything after "
-         "is day-cardinality sized. Bounds are literal dates (the "
-         "corpus spans 2024-01) so both engines prune identically")
+         "is day-cardinality sized. The WAU window clamps to the "
+         "OBSERVED corpus span via a min/max(day) 1-row broadcast "
+         "(the allowlisted global pattern) — r6 advisor item: literal "
+         "date bounds silently shrank the compared output on BOTH "
+         "sides if the generator's span ever moved, the same latent-"
+         "coupling class as x11's below-range bug")
 def e8_dau_wau(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     ud = (ev.select("user_id", F.col("ts").cast("date").alias("day"))
           .distinct())
+    bounds = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
     contrib = (ud.select(
         "user_id",
@@ -376,7 +381,9 @@ def e8_dau_wau(spark, sf_dir):
                              F.date_add(F.col("day"), 6)))
         .alias("target_day"))
         .distinct()
-        .filter(F.col("target_day").between("2024-01-01", "2024-01-30")))
+        .join(F.broadcast(bounds))
+        .filter(F.col("target_day").between(F.col("lo"), F.col("hi")))
+        .drop("lo", "hi"))
     wau = (contrib.groupBy(F.col("target_day").alias("day"))
            .agg(F.count("*").alias("wau")))
     return (dau.join(wau, "day", "full_outer")

@@ -1,0 +1,200 @@
+"""Round-7 additions: time-resampled VWAP components, LSH-batched
+hard-negative mining, and the composed IVF+PQ ANN probe.
+
+Three workloads the r1-r6 surface brackets but doesn't express:
+
+- ``ts5_vwap_components``: volume-weighted average price per calendar
+  month emitted as exact MERGEABLE components — ts2 resamples OHLC
+  (first/last/min/max are data values) but nothing resamples a
+  weighted average, and VWAP is THE finance/metering rollup. Also the
+  showcase for this round's canonicalizer rule: the Σ(price·qty) and
+  Σqty components exceed float64-exact width at scale, so they ship
+  as exact fixed-scale STRINGS on both engines (the a34 lesson,
+  now enforced by tools/parity.py).
+- ``ext_hard_negatives``: contrastive-training negative mining —
+  ext_negative_samples draws RANDOM non-interactions; metric models
+  train on HARD ones (nearest different-label neighbors). Batched
+  over anchors through the LSH bucket equi-join, so candidate cost is
+  Σ bucket sizes, never anchors × corpus.
+- ``ext_ann_ivf_pq_topk``: the production ANN index shape (FAISS
+  IVFADC): IVF prunes to n_probe clusters, PQ ADC scores only the
+  surviving CODES, exact cosine re-ranks the shortlist. The two
+  tiers exist separately since r3/r4; the composition is what a real
+  100 TB vector store runs, and it is a pure reuse of both tested
+  operators (no new scoring math).
+
+Compared columns are integer / date / exact-decimal / string — except
+the hard-negative ``cosine``, which follows the ANN family's
+round(·,6) convention (hash-green since r2; sign-test and rounded-
+cosine stability arguments in registry_ext._lsh_oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
+    register,
+    t,
+)
+
+
+@register(
+    "ts5_vwap_components",
+    """WITH d AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE)
+                      AS month,
+                  CAST(l_quantity AS DECIMAL(19,6)) AS dq,
+                  CAST(l_extendedprice AS DECIMAL(19,6)) AS dp
+           FROM lineitem)
+       SELECT month,
+              CAST(count(*) AS BIGINT) AS n_trades,
+              CAST(min(dp) AS DECIMAL(18,6)) AS lo_price,
+              CAST(max(dp) AS DECIMAL(18,6)) AS hi_price,
+              CAST(CAST(sum(dq) AS DECIMAL(38,6)) AS VARCHAR)
+                  AS sum_qty,
+              CAST(CAST(sum(dp * dq) AS DECIMAL(38,12)) AS VARCHAR)
+                  AS sum_pq
+       FROM d GROUP BY month""",
+    survey="§7.5 temporal ext (resampled VWAP / weighted-mean rollup)",
+    note="monthly VWAP components over the trade-shaped lineitem "
+         "(price=l_extendedprice, size=l_quantity): n, min/max price, "
+         "Σqty, Σ(price·qty). VWAP itself = sum_pq/sum_qty derives "
+         "client-side (the registry quotient rule), and the components "
+         "are MERGEABLE — partial months, multi-symbol rollups, and "
+         "incremental maintenance (x5) compose by adding them, which "
+         "a finished average can never do. Factor casts follow a34: "
+         "each 2-dp double casts to decimal BEFORE the multiply "
+         "(double→decimal on a PRODUCT rounds mid-mantissa and "
+         "diverges across engines; on the raw columns it is exact), "
+         "Spark at (18,6) / DuckDB at (19,6) so neither engine "
+         "re-rounds or overflows int64. The two wide sums ship as "
+         "exact fixed-scale STRINGS per this round's parity rule: "
+         "at ~1e9-1e10 magnitude with 6-12 fractional digits they "
+         "exceed float64's 15-17 significant digits, which is exactly "
+         "the width the driver's canonicalizer can't round-trip (the "
+         "r6 a34 red). One scan, one map-side-combinable shuffle on "
+         "the month key; at 100 TB the table is shipdate-partitioned "
+         "so the groupBy is partition-local")
+def ts5_vwap_components(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    dq = F.col("l_quantity").cast("decimal(18,6)")
+    dp = F.col("l_extendedprice").cast("decimal(18,6)")
+    return (li.groupBy(F.trunc(F.col("l_shipdate").cast("date"), "month")
+                       .alias("month"))
+            .agg(F.count("*").alias("n_trades"),
+                 F.min(dp).cast("decimal(18,6)").alias("lo_price"),
+                 F.max(dp).cast("decimal(18,6)").alias("hi_price"),
+                 F.sum(dq).cast("decimal(38,6)").cast("string")
+                 .alias("sum_qty"),
+                 F.sum(dp * dq).cast("decimal(38,12)").cast("string")
+                 .alias("sum_pq")))
+
+
+def _hard_negatives_oracle() -> str:
+    """DuckDB oracle for ext_hard_negatives, built from the SAME
+    fixed-seed hyperplanes the Spark operator uses (the
+    registry_ext._lsh_oracle_sql pattern): bucket assignment, the
+    multi-probe arms, the label-mismatch filter, and the per-anchor
+    row_number re-rank are all reproduced literally, so the entry is
+    hash-checked rather than rows-only."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
+        _hyperplanes,
+        _probe_masks,
+    )
+    planes = _hyperplanes(64, 4)
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+        terms.append(f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+                     f"{lit}) > 0 THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    probe_arms = "".join(f" OR e.bkt = xor(a.bkt, {m})"
+                         for m in _probe_masks(4, 1))
+    return f"""WITH b AS (
+         SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                {bucket} AS bkt
+         FROM embeddings),
+       a AS (SELECT vec_id AS anchor_id, label AS alabel, v AS qv, bkt
+             FROM b WHERE vec_id IN (0, 1, 2)),
+       cand AS (
+         SELECT a.anchor_id, e.vec_id AS negative_id,
+                round(list_dot_product(e.v, a.qv)
+                      / (sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(a.qv, a.qv))), 6)
+                    AS cosine
+         FROM b e JOIN a ON (e.bkt = a.bkt{probe_arms})
+         WHERE e.label <> a.alabel AND e.vec_id <> a.anchor_id)
+       SELECT anchor_id, negative_id, cosine,
+              CAST(row_number() OVER (
+                   PARTITION BY anchor_id
+                   ORDER BY cosine DESC, negative_id) AS BIGINT) AS rank
+       FROM cand QUALIFY rank <= 5"""
+
+
+@register(
+    "ext_hard_negatives",
+    _hard_negatives_oracle(),
+    survey="§7.5 similarity ext (contrastive hard-negative mining)",
+    note="top-5 hard negatives per anchor (vec_id 0/1/2): the most "
+         "cosine-similar vectors with a DIFFERENT label — the "
+         "training pairs that actually move a metric model, versus "
+         "ext_negative_samples' random draws (cf. DPR, Karpukhin'20). "
+         "operators/similarity.py:hard_negatives batches the lsh_topk "
+         "machinery over anchors: anchors explode to their multi-probe "
+         "bucket lists on the BROADCAST side, the corpus hashes into "
+         "exactly one bucket, and candidates come from a pure bucket "
+         "equi-join (probe masks pairwise distinct ⇒ each pair meets "
+         "at most once — no dedup pass); same-label and self pairs "
+         "drop before the exact-cosine re-rank, and a per-anchor "
+         "row_number window keeps the 5 hardest. Cost ∝ Σ bucket "
+         "sizes, never anchors × corpus; at 100 TB the corpus is "
+         "bucket-partitioned and the window partitions on anchor id. "
+         "Oracle rebuilt from the same seeded hyperplanes "
+         "(_lsh_oracle_sql pattern) so the entry is hash-checked; "
+         "cosine follows the ANN family's round(·,6) convention")
+def ext_hard_negatives(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
+        hard_negatives,
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id").isin(0, 1, 2))
+    return hard_negatives(emb, anchors, k=5, n_planes=4, dim=64,
+                          hamming_probes=1)
+
+
+@register(
+    "ext_ann_ivf_pq_topk", None,
+    survey="§7.5 similarity ext (IVF+PQ composed probe — IVFADC)",
+    note="the production vector-index probe (FAISS IVFADC, Jégou'11 "
+         "§IV) composed from the two tiers shipped separately since "
+         "r3/r4: the session-cached IVF coarse quantizer prunes the "
+         "search to n_probe=4 of 16 clusters, PQ ADC (the plan-literal "
+         "LUT aggregate, whole-stage codegen) scores ONLY the "
+         "surviving codes via pq_topk's codes= hook — no raw vectors "
+         "read at probe time — and the ADC top-50 exact-cosine "
+         "re-ranks. operators/similarity.py:ivf_pq_topk is pure "
+         "composition: zero new scoring math, both model fits offline "
+         "session-cached artifacts (never on the probe path). At "
+         "100 TB: n_probe/n_clusters of the CODES table (itself "
+         "16-64× smaller than the vectors) + 50 random vector reads "
+         "per query — the memory/IO profile that makes a petabyte "
+         "embedding store probe-able. KMeans init is engine-specific "
+         "⇒ deliberate rows-only; recall@10 floor vs brute force "
+         "pinned in tests/test_r7.py")
+def ext_ann_ivf_pq_topk(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_gaps import (
+        ivf_model,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_search import (
+        pq_books,
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    model = ivf_model(spark, sf_dir, emb, n_clusters=16)
+    books = pq_books(spark, sf_dir, emb)
+    query = emb.filter(F.col("vec_id") == 0)
+    cand = emb.filter(F.col("vec_id") != 0)
+    return ivf_pq_topk(cand, query, model, books, k=10, n_probe=4,
+                       rerank=50)

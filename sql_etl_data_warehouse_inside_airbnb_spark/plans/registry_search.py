@@ -156,6 +156,22 @@ def g6_pagerank(spark, sf_dir):
 _PQ_BOOKS: dict = {}
 
 
+def pq_books(spark, sf_dir, emb, m: int = 16, n_codes: int = 16):
+    """Session-cached offline PQ codebooks for ``embeddings`` — the
+    _IVF_MODELS pattern (keyed on applicationId, not id(spark): object
+    ids recycle across garbage-collected sessions). Shared by the PQ
+    and IVF+PQ probe entries so no entry trains on its query path."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
+        fit_pq_codebooks,
+    )
+    cache_key = (spark.sparkContext.applicationId, sf_dir, m, n_codes)
+    books = _PQ_BOOKS.get(cache_key)
+    if books is None:
+        books = fit_pq_codebooks(emb, m=m, n_codes=n_codes)
+        _PQ_BOOKS[cache_key] = books
+    return books
+
+
 @register(
     "ext_ann_pq_topk", None,
     survey="§7.5 ANN ext (memory-scale path)",
@@ -174,16 +190,10 @@ _PQ_BOOKS: dict = {}
          "tests/test_search_graph2.py:test_pq_topk_recall_floor")
 def ext_ann_pq_topk(spark, sf_dir):
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity \
-        import fit_pq_codebooks, pq_encode, pq_topk
+        import pq_encode, pq_topk
 
     emb = t(spark, sf_dir, "embeddings")
-    # keyed like _IVF_MODELS: applicationId, not id(spark) — object
-    # ids recycle across garbage-collected sessions
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
-    books = _PQ_BOOKS.get(cache_key)
-    if books is None:
-        books = fit_pq_codebooks(emb, m=16, n_codes=16)
-        _PQ_BOOKS[cache_key] = books
+    books = pq_books(spark, sf_dir, emb, m=16, n_codes=16)
     query = emb.orderBy("vec_id").limit(1)
     cand = emb.join(query.select("vec_id"), "vec_id", "left_anti")
     codes = pq_encode(cand, "vec_id", "embedding", books)

@@ -71,6 +71,25 @@ def rows_key(cols, rows):
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+def decimal_width_violations(cols, rows):
+    """r6 canonicalizer-limit rule: a compared DECIMAL value must be
+    exactly representable in float64, because the driver's pandas canon
+    may round-trip one engine's column through float while the other
+    stays Decimal — equal values then hash differently (the r6 a34
+    red: DECIMAL(38,12) sums at ~1e10 carry ~23 significant digits vs
+    float64's 15-17). Entries with wider values must ship the column
+    as an exact fixed-scale STRING (CAST AS STRING / VARCHAR) on both
+    engines. Returns [(col, sample_value)], one per offending column."""
+    bad = {}
+    for r in rows:
+        for i, v in enumerate(r):
+            if i in bad or not isinstance(v, Decimal):
+                continue
+            if v.is_finite() and Decimal(repr(float(v))) != v:
+                bad[i] = (cols[i], str(v))
+    return [bad[i] for i in sorted(bad)]
+
+
 def coarse_spark_type(dt: str) -> str:
     """Map a Spark simpleString dtype to a coarse comparison class."""
     if dt in ("tinyint", "smallint", "int", "bigint"):
@@ -172,6 +191,13 @@ def main():
             bad = [(c, s, o) for c, s, o in zip(scols, stypes, otypes)
                    if s != o]
             print(f"FAIL  {name}: dtype class mismatch {bad}")
+            failed.append(name)
+            continue
+        wide = (decimal_width_violations(scols, srows)
+                or decimal_width_violations(ocols, orows))
+        if wide:
+            print(f"FAIL  {name}: decimal exceeds float64-exact width "
+                  f"(driver canon hazard) — stringify: {wide}")
             failed.append(name)
             continue
         sk, ok = rows_key(scols, srows), rows_key(ocols, orows)
