@@ -88,6 +88,9 @@ HEADLINE = [
     "f34_variant_json",                # VARIANT typed extraction (r6)
     "f35_recursive_hierarchy",         # native recursive CTE (r6)
     "ext_novelty_ingest",              # index-probe novelty batch (r6)
+    "ts5_vwap_components",             # mergeable VWAP rollup (r7)
+    "ext_hard_negatives",              # LSH-batched negative mining (r7)
+    "ext_ann_ivf_pq_topk",             # IVFADC composed probe (r7)
 ]
 
 # Maintenance / offline-build workloads (r5, VERDICT r4 item 5).

@@ -277,6 +277,19 @@ def k_core(edges: DataFrame, k: int, src: str = "src",
             break
         n_edges = n_next
     if not converged:
+        # r7 advisor: the loop only flags convergence when a CONFIRMING
+        # round observes no change, so hitting the fixpoint exactly on
+        # the last allowed round (or max_rounds=0 on an already-stable
+        # graph) would warn spuriously. One extra count-only probe —
+        # no checkpoint, the surviving frame is already final —
+        # settles it.
+        deg = sym.groupBy("u").agg(F.count("*").alias("__deg"))
+        keep = deg.filter(F.col("__deg") >= k).select("u")
+        n_probe = (sym.join(keep, "u", "left_semi")
+                   .join(keep.select(F.col("u").alias("v")), "v",
+                         "left_semi").count())
+        converged = n_probe == n_edges
+    if not converged:
         import warnings
 
         warnings.warn(

@@ -178,37 +178,62 @@ def hard_negatives(df: DataFrame, anchors: DataFrame, k: int = 5,
             .filter(F.col("rank") <= k))
 
 
-def ivf_pq_topk(df: DataFrame, query: DataFrame, model, codebooks,
-                k: int = 10, key_col: str = "vec_id",
-                vec_col: str = "embedding", n_probe: int = 4,
-                rerank: int = 50,
-                codes: DataFrame | None = None) -> DataFrame:
-    """IVF+PQ composed probe — the production ANN index shape
-    (FAISS's IVFADC, Jégou'11 §IV): the IVF coarse quantizer prunes
-    the search to ``n_probe`` clusters, PQ asymmetric-distance scores
-    only the surviving CODES (no raw vectors read), and the ADC top
-    ``rerank`` exact-cosine re-rank against raw vectors settles the
-    final k.
+def ivf_assign(df: DataFrame, model, key_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """The IVF index-BUILD step: assign every vector to its nearest
+    coarse-quantizer centroid → ``(key, __cluster int)``.
 
-    Pure composition of the two tested tiers: cluster assignment from
-    :func:`fit_ivf_quantizer`'s model, the pruned codes frame fed to
-    :func:`pq_topk` via its ``codes=`` hook. Cost at 100 TB:
-    n_probe/n_clusters of the CODES table scanned (itself 16-64×
-    smaller than the vectors), plus ``rerank`` random vector reads —
-    against ivf_topk's full-vector probe scan and pq_topk's full-codes
-    scan. Both model fits are offline artifacts (session-cached in the
-    registry); nothing trains on the probe path.
-    """
-    import math
-
+    This is an offline artifact, not a probe-path computation: at
+    100 TB the assignment runs once at ingest (and the table is
+    written partitioned by ``__cluster``); every probe then reads the
+    tiny assignment/codes tables only. The registry materializes it
+    per (session, table) via ``localCheckpoint`` so no probe plan ever
+    contains this scan. Assignment reuses the fitted KMeansModel's own
+    JVM predict UDF — identical semantics to :func:`ivf_topk`'s tier,
+    no Python eval node (``array_to_vector`` and the predict UDF are
+    both Scala-side)."""
     from pyspark.ml.functions import array_to_vector
 
     base = (df.select(F.col(key_col),
                       as_double(F.col(vec_col)).alias("__v"))
             .withColumn("__fv", array_to_vector("__v")))
-    assigned = model.transform(base).select(key_col, "__cluster")
+    return model.transform(base).select(
+        key_col, F.col("__cluster").cast("int").alias("__cluster"))
 
-    qv = query.select(as_double(F.col(vec_col)).alias("q")).first()["q"]
+
+def ivf_pq_topk(df: DataFrame, query: DataFrame, model, codebooks,
+                k: int = 10, key_col: str = "vec_id",
+                vec_col: str = "embedding", n_probe: int = 4,
+                rerank: int = 50,
+                assignments: DataFrame | None = None,
+                codes: DataFrame | None = None) -> DataFrame:
+    """IVF+PQ composed probe — the production ANN index shape
+    (FAISS's IVFADC, Jégou'11 §IV): the IVF coarse quantizer prunes
+    the search to ``n_probe`` clusters, PQ asymmetric-distance scores
+    only the surviving CODES (no raw vectors read at probe time), and
+    the ADC top ``rerank`` exact-cosine re-rank against raw vectors
+    settles the final k.
+
+    Pure composition of the two tested tiers: the pruned codes frame
+    feeds :func:`pq_topk` via its ``codes=`` hook. The index — the
+    :func:`ivf_assign` assignment table and the :func:`pq_encode`
+    codes table — is built OFFLINE and passed in via ``assignments=``
+    / ``codes=`` (the registry materializes both per session+table);
+    when omitted they are computed inline as a small-data/test
+    convenience, which puts the full corpus scan back on the probe
+    path — never do that in production. Probe cost at 100 TB:
+    n_probe/n_clusters of the CODES table (itself 16-64× smaller than
+    the vectors), plus ``rerank`` random vector reads — against
+    ivf_topk's full-vector probe scan and pq_topk's full-codes scan.
+    """
+    import math
+
+    qrow = query.select(as_double(F.col(vec_col)).alias("q")).first()
+    if qrow is None:
+        raise ValueError("ivf_pq_topk: query frame is empty")
+    qv = qrow["q"]
+    if qv is None:
+        raise ValueError("ivf_pq_topk: query embedding is NULL")
     qn = math.sqrt(sum(x * x for x in qv)) or 1.0
 
     def _cos(center) -> float:
@@ -219,9 +244,11 @@ def ivf_pq_topk(df: DataFrame, query: DataFrame, model, codebooks,
                     key=lambda ic: -_cos(ic[1]))
     probe = [i for i, _ in ranked[:n_probe]]
 
+    if assignments is None:
+        assignments = ivf_assign(df, model, key_col, vec_col)
     if codes is None:
         codes = pq_encode(df, key_col, vec_col, codebooks)
-    keep = assigned.filter(F.col("__cluster").isin(probe)) \
+    keep = assignments.filter(F.col("__cluster").isin(probe)) \
         .select(key_col)
     pruned = codes.join(keep, key_col, "left_semi")
     return pq_topk(df, query, codebooks, k=k, key_col=key_col,

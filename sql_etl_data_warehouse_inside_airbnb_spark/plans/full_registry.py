@@ -222,32 +222,46 @@ _R06_GREEN = frozenset({
     "x14_rowhash_checksum",
 })
 
+# Round-7 greens: 48 hash-green out of the 50-entry window
+# (CORRECTNESS_r07.json); the red (ts5_vwap_components) and the
+# rows-only ext_ann_ivf_pq_topk (whose builder changed again in r8)
+# stay out and lead the round-8 window.
+_R07_GREEN = frozenset({
+    "a10_minmax", "a12_distinct_count", "a14_profile", "a16_rollup",
+    "a17_cube", "a1_pricing_summary", "a34_corr_components",
+    "a3_count_distinct", "a4_global_count_distinct",
+    "a5_conditional_agg", "a6_money_clean_agg", "a7_weekly_rollup",
+    "a9_having_dups", "e8_dau_wau", "ext_hard_negatives",
+    "f10_date_dimension", "f13_bool_norm", "f15_trycast_decimal",
+    "f3_truncate_substr", "f5_parse_location", "f9_date_parts",
+    "j1_fact_dim_join", "j28_cdc_apply", "j2_derived_date_join",
+    "j4_left_anti", "j6_left_semi", "j7_agg_join", "j8_merge_upsert",
+    "j9_update_from_join", "o2_topk", "o3_keyed_sample",
+    "p10_threshold", "p1_column_prune", "p4_trycast_filter",
+    "p6_between", "p7_isin", "p8_interval_overlap", "p9_eq_lookup",
+    "s1_scan_project", "s4_limited_scan", "set_except",
+    "set_intersect", "set_union_distinct", "w1_latest_per_key",
+    "w2_first_per_group", "w3_lag_lead", "w4_running_frames",
+    "w5_rank_ladder",
+})
+
 _GREEN = (_R01_GREEN | _R02_GREEN | _R03_GREEN | _R04_GREEN
-          | _R05_GREEN | _R06_GREEN)
+          | _R05_GREEN | _R06_GREEN | _R07_GREEN)
 
 # Explicit front of the queue — the ~50-entry adjudication window.
-# Round 7: the ledger is 273/274 clean after the r6 closure, so the
-# window leads with the single red's re-verdict, then the entries
-# whose BUILDERS changed this round (output-identical, but a changed
-# builder deserves a fresh verdict), then round-7 in-round additions —
-# each added only after passing tools/parity.py (exact canon, now
-# including the float64-exact decimal-width rule) at sf0.01 AND
-# sf0.1. Remaining slots re-verify green back-block entries.
+# Round 8 is the repair round the r7 verdict prescribed: lead with
+# the single red's re-verdict (ts5, compared sums re-encoded as
+# int64/cents — the only wide type with hundreds of green
+# precedents), then the entries whose BUILDERS changed this round:
+# ext_ann_ivf_pq_topk probes the materialized localCheckpoint index
+# (no per-query corpus assignment, n_probe 4→8 / rerank 50→100) and
+# j8/j28/w1_merge_dedup_latest/a13 ride maybe_broadcast's new
+# bounded-exact-count gate (the stats-estimate gate was wrong both
+# directions). Remaining slots re-verify green back-block entries.
 _PRIORITY = [
-    # -- the r6 red, re-fixed: values matched all along (exact local
-    # parity green since r5's decimal re-work); the driver hash
-    # diverged because DECIMAL(38,12) sums at ~1e10 exceed
-    # float64-exact width in its pandas canon. The five sums now ship
-    # as exact fixed-scale strings on BOTH engines.
-    "a34_corr_components",
-    # -- builders changed in round 7 (same compared output):
-    # e8 derives its WAU clamp from the observed min/max day span
-    # (was literal dates — r6 advisor latent-coupling item); j8/j28
-    # feed-side broadcasts are now size-gated via maybe_broadcast.
-    "e8_dau_wau", "j8_merge_upsert", "j28_cdc_apply",
-    # -- round-7 in-round additions (registry_r7.py), parity-hardened
-    # at sf0.01 AND sf0.1 before placement:
-    "ts5_vwap_components", "ext_hard_negatives", "ext_ann_ivf_pq_topk",
+    "ts5_vwap_components", "ext_ann_ivf_pq_topk",
+    "j8_merge_upsert", "j28_cdc_apply", "w1_merge_dedup_latest",
+    "a13_merge_action_counts",
 ]
 
 

@@ -163,10 +163,13 @@ def test_registry_priority_names_resolve():
     assert not missing, missing
     names = list(fr.REGISTRY)
     assert len(names) == len(set(names))
-    # round 7: the single r6 red leads for its re-verdict, then the
-    # entries whose builders changed this round
-    assert names[:4] == ["a34_corr_components", "e8_dau_wau",
-                         "j8_merge_upsert", "j28_cdc_apply"]
+    # round 8: the single r7 red leads for its re-verdict, then the
+    # entries whose builders changed this round (the ivf_pq
+    # materialized index; the maybe_broadcast bounded-count gate)
+    assert names[:6] == ["ts5_vwap_components", "ext_ann_ivf_pq_topk",
+                         "j8_merge_upsert", "j28_cdc_apply",
+                         "w1_merge_dedup_latest",
+                         "a13_merge_action_counts"]
     # every green entry not deliberately re-presented in the front
     # sits behind every entry still waiting for a verdict
     back = {n for n in fr._GREEN if n not in fr._PRIORITY}
@@ -197,7 +200,7 @@ def test_registry_priority_names_resolve():
     for n in deliberate_rows_only:
         assert fr.REGISTRY[n].oracle is None, n
     # closure invariant: every entry lacking ANY prior-round verdict
-    # row — plus the r6 red and the builders changed this round —
+    # row — plus the r7 red and the builders changed this round —
     # must sit inside the window, so round 7 adjudicates all of them
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     adjudicated = set()
@@ -205,7 +208,9 @@ def test_registry_priority_names_resolve():
         adjudicated |= set(json.load(open(f)))
     if adjudicated:  # absent in a bare checkout
         pending = [n for n in names if n not in adjudicated
-                   or n in ("a34_corr_components", "e8_dau_wau",
-                            "j8_merge_upsert", "j28_cdc_apply")]
+                   or n in ("ts5_vwap_components",
+                            "ext_ann_ivf_pq_topk", "j8_merge_upsert",
+                            "j28_cdc_apply", "w1_merge_dedup_latest",
+                            "a13_merge_action_counts")]
         outside = [n for n in pending if names.index(n) >= 50]
         assert not outside, outside

@@ -72,14 +72,23 @@ def rows_key(cols, rows):
 
 
 def decimal_width_violations(cols, rows):
-    """r6 canonicalizer-limit rule: a compared DECIMAL value must be
-    exactly representable in float64, because the driver's pandas canon
-    may round-trip one engine's column through float while the other
-    stays Decimal — equal values then hash differently (the r6 a34
-    red: DECIMAL(38,12) sums at ~1e10 carry ~23 significant digits vs
-    float64's 15-17). Entries with wider values must ship the column
-    as an exact fixed-scale STRING (CAST AS STRING / VARCHAR) on both
-    engines. Returns [(col, sample_value)], one per offending column."""
+    """r6 canonicalizer-limit rule: a compared DECIMAL value must
+    round-trip through float64 ``repr`` (``Decimal(repr(float(v))) ==
+    v`` — the actual pandas-canon hazard; note this is looser than
+    binary-exactness: Decimal('0.1') passes), because the driver's
+    pandas canon may round-trip one engine's column through float
+    while the other stays Decimal — equal values then hash
+    differently (the r6 a34 red: DECIMAL(38,12) sums at ~1e10 carry
+    ~23 significant digits vs float64's 15-17). Entries with wider
+    values must ship the column as int64 (the r7 ts5 lesson — the
+    only encoding with hundreds of green precedents) or an exact
+    fixed-scale STRING on both engines.
+
+    Sampling caveat: only the rows fetched at the parity scale factor
+    are inspected — sums that fit float64 at sf0.01/sf0.1 can exceed
+    it at larger sf, so re-run this guard at the adjudication scale
+    factor when widening a workload. Returns [(col, sample_value)],
+    one per offending column."""
     bad = {}
     for r in rows:
         for i, v in enumerate(r):
