@@ -91,6 +91,9 @@ HEADLINE = [
     "ts5_vwap_components",             # mergeable VWAP rollup (r7)
     "ext_hard_negatives",              # LSH-batched negative mining (r7)
     "ext_ann_ivf_pq_topk",             # IVFADC composed probe (r7)
+    "ext_kfold_assign",                # portable-hash CV folds (r8)
+    "ext_fuzzy_blocked_join",          # blocked edit-distance ER (r8)
+    "w11_running_distinct",            # running count-distinct (r8)
 ]
 
 # Maintenance / offline-build workloads (r5, VERDICT r4 item 5).

@@ -1,0 +1,179 @@
+"""Round-8 additions: deterministic k-fold assignment, blocked fuzzy
+(edit-distance) matching, and running distinct-cardinality windows.
+
+Three workloads the r1-r7 surface brackets but doesn't express:
+
+- ``ext_kfold_assign``: cross-validation fold assignment + the
+  fold-balance audit. ``ext_train_split`` tags rows train/val/test
+  with a Knuth multiplicative hash; k-fold CV needs the k-way
+  generalization AND proof the folds came out balanced per stratum —
+  this entry emits the (fold × lang) count/volume matrix that a
+  training pipeline checks before trusting a split. Uses the
+  portable bounded-hash idiom (md5 prefix → int) so the SAME doc
+  lands in the SAME fold on every engine, every run, every
+  repartitioning.
+- ``ext_fuzzy_blocked_join``: entity-resolution fuzzy matching — the
+  classic record-linkage shape (Fellegi-Sunter blocking; cf. the
+  dedup family's PPJoin, which matches on token-set Jaccard, not
+  character edits). Candidates come from a blocking equi-join, never
+  all-pairs; Levenshtein scores only in-block pairs; a per-record
+  window keeps the best match.
+- ``w11_running_distinct``: running COUNT(DISTINCT) per key over
+  event time — incremental cardinality (catalog breadth per
+  supplier, unique-users-to-date) that a plain window cannot express
+  because count_distinct is not frame-mergeable. The standard
+  rewrite: first-occurrence flag (row_number = 1 over key×value)
+  then a running sum — both engines agree exactly because the
+  ordering key is total.
+
+All compared columns are integers (counts, keys, edit distances) —
+the canonical hash-green encoding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
+    register,
+    t,
+)
+
+
+@register(
+    "ext_kfold_assign",
+    """WITH folds AS (
+         SELECT doc_id, lang, n_chars,
+                CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) % 5 AS fold
+         FROM documents)
+       SELECT fold, lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       FROM folds GROUP BY fold, lang""",
+    survey="§7.5 curation ext (k-fold CV assignment + balance audit)",
+    note="5-fold cross-validation assignment over documents, plus the "
+         "fold-balance audit a pipeline runs before trusting a split: "
+         "fold id = bounded md5 hash of the doc key mod k (the "
+         "portable-hash idiom — conv(substr(md5)) in Spark, "
+         "'0x'||substr cast in DuckDB — so assignment is reproducible "
+         "across engines, runs, and repartitionings, where rand() "
+         "splits are none of the three), then the (fold × lang) "
+         "count/char-volume matrix. Complements ext_train_split "
+         "(row-level 80/10/10 tags): k-fold is the EVALUATION split, "
+         "and the audit output is the part that catches a skewed "
+         "fold before it skews the metric. Stateless hash projection "
+         "+ one map-side-combinable groupBy; at 100 TB the hash is "
+         "computed in the scan stage and the audit matrix is "
+         "k×|langs| rows — nothing wide ever materializes",
+    tags=("llm-pipeline",))
+def ext_kfold_assign(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    fold = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                               1, 8), 16, 10)
+            .cast("long") % 5)
+    return (d.select(fold.alias("fold"), "lang", "n_chars")
+            .groupBy("fold", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars")))
+
+
+@register(
+    "ext_fuzzy_blocked_join",
+    """WITH p AS (SELECT p_partkey, p_name, p_brand, p_size FROM part),
+       cand AS (
+         SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+                CAST(levenshtein(a.p_name, b.p_name) AS BIGINT)
+                    AS edit_dist
+         FROM p a JOIN p b
+           ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+          AND a.p_partkey <> b.p_partkey)
+       SELECT part_a, part_b, edit_dist
+       FROM (SELECT cand.*,
+                    row_number() OVER (PARTITION BY part_a
+                                       ORDER BY edit_dist, part_b)
+                        AS rn
+             FROM cand)
+       WHERE rn = 1""",
+    survey="§7.5 dedup/ER ext (blocked fuzzy match, edit distance)",
+    note="entity-resolution fuzzy matching: each part's best in-block "
+         "match by Levenshtein distance on the name — the classic "
+         "record-linkage probe (blocking + per-pair string distance + "
+         "best-candidate pick) that the dedup family lacks: PPJoin "
+         "matches token SETS (Jaccard), winnowing matches substrings; "
+         "edit distance catches typo-class variants neither sees. "
+         "Candidates come from a blocking EQUI-join on "
+         "(p_brand, p_size) — cost ∝ Σ block² with ~1250 blocks, "
+         "never all-pairs — and a per-record row_number window keeps "
+         "the single best match (deterministic tiebreak: distance, "
+         "then key). levenshtein() is the same classic DP metric in "
+         "Spark and DuckDB, and integer distances hash exactly. At "
+         "100 TB: block keys chosen so blocks stay bounded (add a "
+         "length band to fragment hot blocks — the "
+         "test_plan_audit.py composed-block-key discipline), the "
+         "join shuffles on the block key only, and the window "
+         "partitions per record — no global sort",
+    tags=("llm-pipeline",))
+def ext_fuzzy_blocked_join(spark, sf_dir):
+    p = (t(spark, sf_dir, "part")
+         .select("p_partkey", "p_name", "p_brand", "p_size"))
+    a, b = p.alias("a"), p.alias("b")
+    cand = (a.join(b, ["p_brand", "p_size"])
+            .filter(F.col("a.p_partkey") != F.col("b.p_partkey"))
+            .select(F.col("a.p_partkey").alias("part_a"),
+                    F.col("b.p_partkey").alias("part_b"),
+                    F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+                    .cast("long").alias("edit_dist")))
+    w = Window.partitionBy("part_a").orderBy("edit_dist", "part_b")
+    return (cand.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+@register(
+    "w11_running_distinct",
+    """WITH f AS (
+         SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+                CASE WHEN row_number() OVER (
+                         PARTITION BY l_suppkey, l_partkey
+                         ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ) = 1 THEN 1 ELSE 0 END AS fst
+         FROM lineitem)
+       SELECT l_suppkey, l_orderkey, l_linenumber,
+              CAST(sum(fst) OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS distinct_parts_seen
+       FROM f""",
+    survey="§2.5 window ext (running count-distinct)",
+    note="running DISTINCT cardinality per key over event time — "
+         "distinct parts each supplier has shipped as of every line "
+         "(the unique-users-to-date / catalog-breadth metric). "
+         "count(DISTINCT) is not frame-mergeable, so no window frame "
+         "computes it directly; the standard rewrite is exact: a "
+         "first-occurrence flag (row_number = 1 over supplier×part, "
+         "ordered by the TOTAL key shipdate→orderkey→linenumber, so "
+         "both engines agree on which row is 'first') then a running "
+         "sum of flags over the supplier partition. Two window "
+         "shuffles (supplier×part, then supplier); at 100 TB the "
+         "second can reuse the first's partitioning since "
+         "supplier×part is a refinement of supplier — Spark plans "
+         "one exchange + two sorts when AQE sees the refinement, and "
+         "the flag column is 1 byte on the wire. Integer outputs "
+         "hash exactly",
+    tags=())
+def w11_running_distinct(spark, sf_dir):
+    li = (t(spark, sf_dir, "lineitem")
+          .select("l_suppkey", "l_orderkey", "l_linenumber",
+                  "l_shipdate", "l_partkey"))
+    w1 = (Window.partitionBy("l_suppkey", "l_partkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber"))
+    w2 = (Window.partitionBy("l_suppkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    fst = F.when(F.row_number().over(w1) == 1, 1).otherwise(0)
+    return (li.withColumn("__fst", fst)
+            .select("l_suppkey", "l_orderkey", "l_linenumber",
+                    F.sum("__fst").over(w2).cast("long")
+                    .alias("distinct_parts_seen")))

@@ -1,0 +1,121 @@
+"""Round-8 additions, pinned:
+
+- ext_kfold_assign: fold ids are total (every doc in exactly one of
+  k folds), deterministic across repartitionings, and the audit
+  matrix accounts for every document exactly once.
+- ext_fuzzy_blocked_join: best-match semantics verified against an
+  independent Python Levenshtein on a hand-built frame; candidates
+  never cross blocks.
+- w11_running_distinct: running distinct cardinality equals the
+  Python prefix-set size at every row of a hand-built sequence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import read_table
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_kfold_assign_partition_properties(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r8 import (
+        ext_kfold_assign,
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    audit = ext_kfold_assign(spark, sf_dir).collect()
+    folds = {r.fold for r in audit}
+    assert folds <= {0, 1, 2, 3, 4}
+    # the audit matrix accounts for every document exactly once
+    assert sum(r.n_docs for r in audit) == docs.count()
+    assert (sum(r.sum_chars for r in audit)
+            == docs.agg(F.sum("n_chars")).first()[0])
+    # deterministic: repartitioning must not move a single doc
+    fold = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                               1, 8), 16, 10).cast("long") % 5)
+    a = {r.doc_id: r.f for r in
+         docs.select("doc_id", fold.alias("f")).collect()}
+    b = {r.doc_id: r.f for r in
+         docs.repartition(13).select("doc_id", fold.alias("f"))
+         .collect()}
+    assert a == b
+
+
+def test_fuzzy_blocked_join_model_check(spark):
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r8 import (
+        ext_fuzzy_blocked_join,
+    )
+    import os
+    import tempfile
+
+    rows = [
+        (1, "linen azure tomato navajo ghost", "B1", 5),
+        (2, "linen azure tomato navajo frost", "B1", 5),  # dist 3 to 1
+        (3, "wheat khaki orange papaya smoke", "B1", 5),
+        (4, "linen azure tomato navajo ghost", "B2", 5),  # other block
+        (5, "solo in its block", "B3", 9),
+    ]
+    df = spark.createDataFrame(
+        rows, ["p_partkey", "p_name", "p_brand", "p_size"])
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "part.parquet"))
+        got = {r.part_a: r for r in
+               ext_fuzzy_blocked_join(spark, tmp).collect()}
+    # singleton blocks produce no match row; cross-block identical
+    # names (1 vs 4) never pair
+    assert set(got) == {1, 2, 3}
+    assert got[1].part_b == 2 and got[2].part_b == 1
+    by_key = {r[0]: r[1] for r in rows}
+    for a, r in got.items():
+        assert r.edit_dist == _lev(by_key[a], by_key[r.part_b])
+    # key tiebreak: 3's nearest in-block names are equidistant-ish;
+    # recompute the true best independently
+    cands = {(k, _lev(by_key[3], by_key[k])) for k in (1, 2)}
+    best = min(cands, key=lambda kd: (kd[1], kd[0]))
+    assert (got[3].part_b, got[3].edit_dist) == best
+
+
+def test_running_distinct_matches_prefix_sets(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r8 import (
+        w11_running_distinct,
+    )
+    out = w11_running_distinct(spark, sf_dir)
+    li = (read_table(spark, sf_dir, "lineitem")
+          .select("l_suppkey", "l_orderkey", "l_linenumber",
+                  "l_shipdate", "l_partkey"))
+    # independent model on the 3 smallest suppliers' rows
+    supp = [r.l_suppkey for r in
+            li.groupBy("l_suppkey").count()
+            .orderBy("count", "l_suppkey").limit(3).collect()]
+    rows = (li.filter(F.col("l_suppkey").isin(supp))
+            .orderBy("l_suppkey", "l_shipdate", "l_orderkey",
+                     "l_linenumber").collect())
+    expect = {}
+    seen: dict = {}
+    for r in rows:
+        s = seen.setdefault(r.l_suppkey, set())
+        s.add(r.l_partkey)
+        expect[(r.l_suppkey, r.l_orderkey, r.l_linenumber)] = len(s)
+    got = {(r.l_suppkey, r.l_orderkey, r.l_linenumber):
+           r.distinct_parts_seen
+           for r in out.filter(F.col("l_suppkey").isin(supp)).collect()}
+    assert got == expect
+    # global sanity: the running count never exceeds the supplier's
+    # total distinct parts, and ends exactly there
+    finals = (out.groupBy("l_suppkey")
+              .agg(F.max("distinct_parts_seen").alias("m")))
+    truth = (li.groupBy("l_suppkey")
+             .agg(F.countDistinct("l_partkey").alias("d")))
+    diff = (finals.join(truth, "l_suppkey")
+            .filter(F.col("m") != F.col("d")).count())
+    assert diff == 0
