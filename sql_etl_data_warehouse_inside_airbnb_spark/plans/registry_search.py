@@ -186,8 +186,9 @@ def pq_books(spark, sf_dir, emb, m: int = 16, n_codes: int = 16):
          "Codebooks fit offline and cache per session+table (the IVF "
          "model pattern — no training on the probe path). Scores are "
          "float so the driver check is rows-only; recall@10 floors "
-         "(adc 0.47 / rerank 0.93 measured) are pinned in "
-         "tests/test_search_graph2.py:test_pq_topk_recall_floor")
+         "(adc 0.47 / rerank 0.95 measured at sf0.01 — full ladder "
+         "per sf in SCALE.md via tools/recall_ladder.py) are pinned "
+         "in tests/test_search_graph2.py:test_pq_topk_recall_floor")
 def ext_ann_pq_topk(spark, sf_dir):
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity \
         import pq_encode, pq_topk

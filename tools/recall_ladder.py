@@ -21,6 +21,7 @@ from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (  #
     brute_force_topk,
     fit_ivf_quantizer,
     fit_pq_codebooks,
+    ivf_pq_topk,
     ivf_topk,
     lsh_topk,
     pq_encode,
@@ -67,6 +68,12 @@ def main():
          lambda c, q: pq_topk(c, q, books, k=10)),
         ("PQ ADC + exact rerank@50",
          lambda c, q: pq_topk(c, q, books, k=10, rerank=50)),
+        ("IVF+PQ n_probe 4, rerank@50",
+         lambda c, q: ivf_pq_topk(c, q, ivf_model, books, k=10,
+                                  n_probe=4, rerank=50)),
+        ("IVF+PQ n_probe 8, rerank@100",
+         lambda c, q: ivf_pq_topk(c, q, ivf_model, books, k=10,
+                                  n_probe=8, rerank=100)),
     ]
 
     exacts = {}
