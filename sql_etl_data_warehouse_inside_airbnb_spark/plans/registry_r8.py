@@ -155,18 +155,21 @@ def ext_fuzzy_blocked_join(spark, sf_dir):
          "first-occurrence flag (row_number = 1 over supplier×part, "
          "ordered by the TOTAL key shipdate→orderkey→linenumber, so "
          "both engines agree on which row is 'first') then a running "
-         "sum of flags over the supplier partition. Two window "
-         "shuffles (supplier×part, then supplier); at 100 TB the "
-         "second can reuse the first's partitioning since "
-         "supplier×part is a refinement of supplier — Spark plans "
-         "one exchange + two sorts when AQE sees the refinement, and "
-         "the flag column is 1 byte on the wire. Integer outputs "
-         "hash exactly",
+         "sum of flags over the supplier partition. ONE shuffle, two "
+         "sorts: left alone, Catalyst inserts an exchange per window "
+         "(hash(sup,part) then hash(sup)); the explicit supplier-only "
+         "repartition satisfies BOTH windows' clustering "
+         "(HashPartitioning(sup) ⊆ ClusteredDistribution(sup, part)) "
+         "so the second exchange — a full re-shuffle of the fact — "
+         "disappears (plan pinned in tests/test_r8.py). Skew exposure "
+         "is unchanged: the running-sum window needs per-supplier "
+         "co-location regardless. Integer outputs hash exactly",
     tags=())
 def w11_running_distinct(spark, sf_dir):
     li = (t(spark, sf_dir, "lineitem")
           .select("l_suppkey", "l_orderkey", "l_linenumber",
-                  "l_shipdate", "l_partkey"))
+                  "l_shipdate", "l_partkey")
+          .repartition(F.col("l_suppkey")))
     w1 = (Window.partitionBy("l_suppkey", "l_partkey")
           .orderBy("l_shipdate", "l_orderkey", "l_linenumber"))
     w2 = (Window.partitionBy("l_suppkey")

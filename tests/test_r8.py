@@ -119,3 +119,21 @@ def test_running_distinct_matches_prefix_sets(spark, sf_dir):
     diff = (finals.join(truth, "l_suppkey")
             .filter(F.col("m") != F.col("d")).count())
     assert diff == 0
+
+
+def test_running_distinct_single_exchange(spark, sf_dir):
+    """The supplier-only repartition must satisfy BOTH windows'
+    clustering so the plan carries exactly one Exchange (Catalyst
+    left alone inserts one per window — a full second shuffle of the
+    fact at scale)."""
+    import re
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r8 import (
+        w11_running_distinct,
+    )
+    plan = (w11_running_distinct(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+    assert len(exchanges) == 1, exchanges
+    assert "l_suppkey" in exchanges[0]
+    assert plan.count("Window") >= 2
