@@ -110,6 +110,29 @@ def test_registry_wide_plan_audit(spark, sf_dir):
             assert name in plans, f"whitelisted {name} left the registry"
             assert node in plans[name], f"{name}: whitelisted {node} gone"
 
+    # 3. No mergeable window-chain exchange pairs (tools/
+    # exchange_audit.py): an exchange whose keys are a superset of a
+    # sibling exchange's, fed by raw/window rows rather than a partial
+    # aggregate, shuffles full-width data twice where a narrow-key
+    # repartition would shuffle once (the w11_running_distinct
+    # rewrite). Agg-shrunk pairs are fine — their wide shuffle carries
+    # map-side-combined rows — and are classified out by the tool.
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "exchange_audit", os.path.join(repo, "tools",
+                                       "exchange_audit.py"))
+    xa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(xa)
+    mergeable = []
+    for name, plan in plans.items():
+        for wide, narrow, cls in xa.audit_plan(plan):
+            if cls == "window-chain":
+                mergeable.append((name, wide, narrow))
+    assert not mergeable, mergeable
+
 
 def test_dedup_block_keys_are_composed(spark, sf_dir):
     """The pairwise dedup self-joins must never block on the bare

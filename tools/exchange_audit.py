@@ -1,0 +1,106 @@
+"""Audit every registry plan for mergeable shuffle pairs.
+
+Finds ``Exchange hashpartitioning`` nodes whose key set is a PROPER
+SUPERSET of another exchange's keys in the same plan. Spark satisfies
+a ``ClusteredDistribution`` with a hash partitioning on any SUBSET of
+the clustering keys, so when such a pair exists the narrower
+partitioning could serve both operators and the wider exchange is a
+merge candidate — the ``w11_running_distinct`` one-exchange rewrite
+(an explicit ``repartition(narrow_key)`` ahead of the chain).
+
+Not every pair should be merged. Each candidate is classified by the
+node feeding the wider exchange:
+
+- ``agg-shrunk``: a partial HashAggregate/ObjectHashAggregate feeds it
+  — the wide shuffle carries map-side-combined rows (often orders of
+  magnitude fewer than the input), while the merge would shuffle RAW
+  rows on the narrow key with no partial combine. Usually a LOSS;
+  leave alone.
+- ``window-chain``: a Sort/Window/Project/Scan feeds it — full-width
+  data crosses the wire twice. Repartitioning on the narrow key cuts
+  one full shuffle. Usually a WIN when the narrow key's cardinality
+  still gives parallelism (it must: the narrow-key operator needs
+  that distribution anyway, so skew exposure is unchanged).
+
+Usage: python tools/exchange_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sql_etl_data_warehouse_inside_airbnb_spark.session import get_spark  # noqa: E402
+
+_EXCH = re.compile(r"Exchange hashpartitioning\(([^)]*)\)")
+_NODE = re.compile(r"[A-Za-z]+")
+_AGG_FED = ("HashAggregate", "ObjectHashAggregate",
+            "SortAggregate")
+
+
+def _keysets(plan: str):
+    """(line_no, frozenset(keys), feeder_node) per hash exchange."""
+    lines = plan.splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        m = _EXCH.search(line)
+        if not m:
+            continue
+        keys = frozenset(re.sub(r"#\d+L?", "", k).strip()
+                         for k in m.group(1).split(",")[:-1])
+        feeder = ""
+        if i + 1 < len(lines):
+            n = _NODE.search(lines[i + 1].lstrip("+-*: ("))
+            feeder = n.group(0) if n else ""
+        out.append((i, keys, feeder))
+    return out
+
+
+def audit_plan(plan: str):
+    """[(wide_keys, narrow_keys, classification)] for one plan."""
+    found = []
+    exch = _keysets(plan)
+    for i, (_, wide, feeder) in enumerate(exch):
+        for j, (_, narrow, _f) in enumerate(exch):
+            if i == j or not (narrow < wide):
+                continue
+            cls = ("agg-shrunk" if feeder.startswith(_AGG_FED)
+                   else "window-chain")
+            found.append((tuple(sorted(wide)), tuple(sorted(narrow)),
+                          cls))
+    return found
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("exchange-audit", master="local[4]",
+                      extra_conf={"spark.sql.shuffle.partitions": "4"})
+    spark.sparkContext.setLogLevel("ERROR")
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
+        REGISTRY,
+    )
+    n_cand = 0
+    for name, q in sorted(REGISTRY.items()):
+        try:
+            plan = (q.build(spark, sf_dir)
+                    ._jdf.queryExecution().executedPlan().toString())
+        except Exception as ex:  # entry needs special env; report, move on
+            print(f"err   {name}: {type(ex).__name__}")
+            continue
+        pairs = audit_plan(plan)
+        wins = [p for p in pairs if p[2] == "window-chain"]
+        if pairs:
+            tag = "CAND " if wins else "ok   "
+            n_cand += bool(wins)
+            uniq = sorted(set(pairs))
+            print(f"{tag}{name}: " + "; ".join(
+                f"{list(w)}⊃{list(n)} [{c}]" for w, n, c in uniq))
+    print(f"\n{n_cand} window-chain candidates")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
