@@ -94,6 +94,8 @@ HEADLINE = [
     "ext_kfold_assign",                # portable-hash CV folds (r8)
     "ext_fuzzy_blocked_join",          # blocked edit-distance ER (r8)
     "w11_running_distinct",            # running count-distinct (r8)
+    "ext_url_canonicalize",            # web-dedup URL canon key (r8)
+    "a36_weighted_median",             # division-free wtd quantile (r8)
 ]
 
 # Maintenance / offline-build workloads (r5, VERDICT r4 item 5).

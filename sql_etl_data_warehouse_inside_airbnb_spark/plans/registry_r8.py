@@ -1,7 +1,8 @@
 """Round-8 additions: deterministic k-fold assignment, blocked fuzzy
-(edit-distance) matching, and running distinct-cardinality windows.
+(edit-distance) matching, running distinct-cardinality windows, URL
+canonicalization, and weighted medians.
 
-Three workloads the r1-r7 surface brackets but doesn't express:
+Five workloads the r1-r7 surface brackets but doesn't express:
 
 - ``ext_kfold_assign``: cross-validation fold assignment + the
   fold-balance audit. ``ext_train_split`` tags rows train/val/test
@@ -25,9 +26,16 @@ Three workloads the r1-r7 surface brackets but doesn't express:
   rewrite: first-occurrence flag (row_number = 1 over key×value)
   then a running sum — both engines agree exactly because the
   ordering key is total.
+- ``ext_url_canonicalize``: the first dedup pass of every web-corpus
+  pipeline — the same page under scheme/www/port/tracking-param/
+  fragment/trailing-slash variation collapses to one canonical key
+  that then feeds the exact/MinHash dedup family.
+- ``a36_weighted_median``: the weighted quantile the percentile
+  ladder cannot express — division-free (2·cum ≥ tot) over integer
+  cents, exact on both engines.
 
-All compared columns are integers (counts, keys, edit distances) —
-the canonical hash-green encoding.
+All compared columns are integers or canonical strings (counts,
+keys, edit distances, cents) — the canonical hash-green encodings.
 """
 
 from __future__ import annotations
@@ -180,3 +188,163 @@ def w11_running_distinct(spark, sf_dir):
             .select("l_suppkey", "l_orderkey", "l_linenumber",
                     F.sum("__fst").over(w2).cast("long")
                     .alias("distinct_parts_seen")))
+
+
+@register(
+    "ext_url_canonicalize",
+    """WITH arms AS (
+         SELECT doc_id, source, arm,
+                CASE arm
+                  WHEN 0 THEN 'HTTPS://WWW.' || source
+                       || '.Example.COM:443/docs/' || doc_id
+                       || '/?utm_source=feed&page=2&utm_medium=rss#frag'
+                  WHEN 1 THEN 'https://' || source
+                       || '.example.com/docs/' || doc_id || '?page=2'
+                  ELSE 'http://www.' || source
+                       || '.EXAMPLE.com:80/docs/' || doc_id
+                       || '/?page=2&utm_campaign=x'
+                END AS url
+         FROM documents
+         CROSS JOIN (SELECT unnest([0, 1, 2]) AS arm)),
+       canon AS (
+         SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)',
+                                         1)),
+                    '^www\\.', ''),
+                  ':(80|443)$', '') AS host,
+                regexp_replace(
+                  regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)',
+                                 1),
+                  '/$', '') AS path,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_extract(url, '\\?([^#]*)', 1),
+                      '(^|&)utm_[a-z]+=[^&]*', '', 'g'),
+                    '&&+', '&', 'g'),
+                  '^&+|&+$', '', 'g') AS query
+         FROM arms)
+       SELECT doc_id,
+              host || path
+                   || CASE WHEN query = '' THEN ''
+                           ELSE '?' || query END AS canonical_url,
+              CAST(count(*) AS BIGINT) AS n_variants
+       FROM canon
+       GROUP BY doc_id,
+                host || path
+                     || CASE WHEN query = '' THEN ''
+                             ELSE '?' || query END""",
+    survey="§7.5 curation ext (URL canonicalization for web dedup)",
+    note="URL canonicalization — the FIRST dedup pass of every web "
+         "corpus pipeline (CommonCrawl-style): the same page arrives "
+         "as https://www.Host.com:443/p/?utm_source=..#frag, "
+         "https://host.com/p?page=2, http://www.host.COM:80/..., and "
+         "exact text-hash dedup misses them all. Three messy arms are "
+         "synthesized per document (the f6 build-then-parse pattern, "
+         "since the corpus has no URL column) and canonicalized with "
+         "a declared rule: the canonical KEY drops the scheme "
+         "(http/https serve the same page — the standard dedup-key "
+         "choice), lowercases the host, strips www. and default "
+         "ports 80/443, drops the fragment, drops utm_* tracking "
+         "params (keeping real ones) and re-tidies the & separators, "
+         "and strips the trailing slash. All three arms collapse to "
+         "ONE canonical key per doc (n_variants = 3 — the groupBy "
+         "proves the collapse; pinned in tests/test_r8.py). Pure "
+         "regexp projections + one combinable groupBy; patterns "
+         "avoid every known Java-vs-RE2 divergence (no lookaheads — "
+         "RE2 has none — no \\s, no case-insensitive flags; DuckDB "
+         "regexp_replace needs the explicit 'g' flag where Spark "
+         "replaces all matches by default — the multi-param arm "
+         "exercises exactly that). At 100 TB this is a stateless "
+         "scan-stage map; the canonical key then feeds the "
+         "exact/MinHash dedup family",
+    tags=("llm-pipeline",))
+def ext_url_canonicalize(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    did = F.col("doc_id").cast("string")
+    arms = d.withColumn("url", F.explode(F.array(
+        F.concat(F.lit("HTTPS://WWW."), F.col("source"),
+                 F.lit(".Example.COM:443/docs/"), did,
+                 F.lit("/?utm_source=feed&page=2&utm_medium=rss#frag")),
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example.com/docs/"), did, F.lit("?page=2")),
+        F.concat(F.lit("http://www."), F.col("source"),
+                 F.lit(".EXAMPLE.com:80/docs/"), did,
+                 F.lit("/?page=2&utm_campaign=x")))))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]*)",
+                                     1)),
+            r"^www\.", ""),
+        r":(80|443)$", "")
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]*([^?#]*)", 1),
+        r"/$", "")
+    query = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_extract("url", r"\?([^#]*)", 1),
+                r"(^|&)utm_[a-z]+=[^&]*", ""),
+            r"&&+", "&"),
+        r"^&+|&+$", "")
+    canonical = F.concat(
+        host, path,
+        F.when(query == "", F.lit(""))
+        .otherwise(F.concat(F.lit("?"), query)))
+    return (arms.select("doc_id", canonical.alias("canonical_url"))
+            .groupBy("doc_id", "canonical_url")
+            .agg(F.count("*").alias("n_variants")))
+
+
+@register(
+    "a36_weighted_median",
+    """WITH w AS (
+         SELECT l_returnflag AS flag,
+                CAST(CAST(l_extendedprice AS DECIMAL(19,2)) * 100
+                     AS BIGINT) AS cents,
+                CAST(l_quantity AS BIGINT) AS wt
+         FROM lineitem),
+       c AS (
+         SELECT flag, cents, wt,
+                sum(wt) OVER (PARTITION BY flag ORDER BY cents)
+                    AS cum,
+                sum(wt) OVER (PARTITION BY flag) AS tot
+         FROM w)
+       SELECT flag,
+              CAST(min(cents) AS BIGINT) AS wmedian_cents
+       FROM c WHERE 2 * cum >= tot GROUP BY flag""",
+    survey="§2.4 agg ext (weighted median / weighted quantile)",
+    note="quantity-weighted median price per return flag — the "
+         "weighted quantile the percentile ladder (a22 "
+         "percentile_disc, a20 approx sketches) cannot express: each "
+         "row counts wt times, so the median of PRICES-PER-UNIT-SOLD "
+         "differs from the row median whenever price and volume "
+         "correlate. Exact and division-free: running weight over the "
+         "value-ordered partition (the default RANGE frame includes "
+         "equal-value peers, so intra-tie row order cannot matter on "
+         "either engine), total by an unordered partition window, and "
+         "the answer is the smallest value whose 2*cum >= tot — the "
+         "lower weighted median, integer cents in, integer cents out. "
+         "One shuffle on the group key serves both windows and the "
+         "final groupBy (same-key exchange reuse); at 100 TB groups "
+         "are value-sorted within partitions, never globally. The "
+         "encoding follows ts5: prices carry exactly 2 real decimals "
+         "so cents are exact int64",
+    tags=())
+def a36_weighted_median(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    w = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("wt"))
+    cum = F.sum("wt").over(
+        Window.partitionBy("flag").orderBy("cents"))
+    tot = F.sum("wt").over(Window.partitionBy("flag"))
+    c = w.select("flag", "cents",
+                 cum.alias("cum"), tot.alias("tot"))
+    return (c.filter(2 * F.col("cum") >= F.col("tot"))
+            .groupBy("flag")
+            .agg(F.min("cents").alias("wmedian_cents")))

@@ -137,3 +137,52 @@ def test_running_distinct_single_exchange(spark, sf_dir):
     assert len(exchanges) == 1, exchanges
     assert "l_suppkey" in exchanges[0]
     assert plan.count("Window") >= 2
+
+
+def test_url_canonicalize_collapses_all_arms(spark, sf_dir):
+    """Every document's three messy URL arms must collapse to exactly
+    ONE canonical key, and the key must carry none of the mess
+    (scheme, www., default port, utm params, fragment, trailing
+    slash) while keeping the real query param."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r8 import (
+        ext_url_canonicalize,
+    )
+    out = ext_url_canonicalize(spark, sf_dir).collect()
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert len(out) == n_docs
+    assert all(r.n_variants == 3 for r in out)
+    for r in out[:20]:
+        u = r.canonical_url
+        assert "://" not in u and not u.startswith("www.")
+        assert ":80" not in u and ":443" not in u
+        assert "utm_" not in u and "#" not in u
+        assert "page=2" in u  # the real param survives
+        assert ".example.com/docs/" in u  # host lowercased
+        assert not u.split("?")[0].endswith("/")
+
+
+def test_weighted_median_model_check(spark):
+    """Independent model: smallest value whose cumulative weight
+    reaches half the total — checked on a hand frame with ties and
+    skewed weights, written as a parquet table the builder reads."""
+    import os
+    import tempfile
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r8 import (
+        a36_weighted_median,
+    )
+    rows = [
+        # flag A: weights 1,1,8 over prices 1.00,2.00,3.00
+        # cum at 1.00=1, 2.00=2, 3.00=10; half of 10 is 5 -> 3.00
+        ("A", 1.00, 1.0), ("A", 2.00, 1.0), ("A", 3.00, 8.0),
+        # flag B: equal-price tie rows must merge into one cum step:
+        # weights 3+3 at 5.00, 2 at 9.00; 2*6 >= 8 -> 5.00
+        ("B", 5.00, 3.0), ("B", 5.00, 3.0), ("B", 9.00, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["l_returnflag", "l_extendedprice", "l_quantity"])
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "lineitem.parquet"))
+        got = {r.flag: r.wmedian_cents
+               for r in a36_weighted_median(spark, tmp).collect()}
+    assert got == {"A": 300, "B": 500}
