@@ -96,6 +96,7 @@ HEADLINE = [
     "w11_running_distinct",            # running count-distinct (r8)
     "ext_url_canonicalize",            # web-dedup URL canon key (r8)
     "a36_weighted_median",             # division-free wtd quantile (r8)
+    "ext_dedup_simhash_portable",      # oracle-checkable SimHash (r8)
 ]
 
 # Maintenance / offline-build workloads (r5, VERDICT r4 item 5).

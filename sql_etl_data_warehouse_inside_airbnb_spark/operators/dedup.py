@@ -518,3 +518,83 @@ def winnow_fingerprints(df: DataFrame, key_col: str, text_col: str,
     return (grams
             .select(key_col, F.min("gram_hash").over(w).alias("fp"))
             .distinct())
+
+
+def simhash_portable_pairs(df: DataFrame, key_col: str, text_col: str,
+                           max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by a PORTABLE 32-bit SimHash — the
+    oracle-checkable twin of :func:`simhash_near_pairs`, which hashes
+    with xxhash64 (engine-specific, so its driver verdict is
+    rows-only). Here each distinct word 3-gram SHINGLE hashes through
+    the bounded-md5 idiom (md5 hex prefix → int, identical in Spark
+    and ANSI SQL), the per-bit ±1 majority vote and fingerprint
+    assembly are the same fold shape as simhash64, and banding is 4
+    bands × 8 bits (pigeonhole: Hamming ≤ 3 ⇒ ≥ 1 exact shared
+    band). Every step is expressible in DuckDB SQL, so the FULL
+    pipeline — shingle, hash, vote, band, join, Hamming filter —
+    hash-verifies cross-engine, semantically anchoring the 64-bit
+    production twin.
+
+    Shingles, not single tokens: on a templated corpus single-token
+    SimHash degenerates (shared vocabulary pulls most fingerprints
+    within a few bits of each other — measured 1.57M pairs over 5000
+    docs at Hamming ≤ 3), while 3-gram shingles carry word ORDER, the
+    thing a near-dup actually preserves. Production notes: 32 bits /
+    8-bit bands suit an oracle-sized corpus; at 100 TB use the 64-bit
+    form (16-bit bands) — band width scales with log N to hold bucket
+    sizes constant. Docs with fewer than 3 tokens are dropped (they
+    have no shingles, matching the SQL side where they never leave
+    the shingle CTE).
+    """
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.text import (
+        shingles,
+    )
+
+    bits, n_bands = 32, 4
+    width = bits // n_bands
+
+    def bits_of(h: Column) -> Column:
+        return F.array(*[
+            F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            for i in range(bits)])
+
+    def fp_of(toks: Column) -> Column:
+        hashes = F.transform(
+            toks,
+            lambda tk: F.conv(F.substring(F.md5(tk), 1, 8), 16, 10)
+            .cast("long"))
+        votes = F.aggregate(hashes, F.array_repeat(F.lit(0), bits),
+                            lambda acc, h: F.zip_with(
+                                acc, bits_of(h), lambda a, b: a + b))
+        powers = F.array(*[F.lit(1 << i).cast("long")
+                           for i in range(bits)])
+        return F.aggregate(
+            F.zip_with(votes, powers,
+                       lambda v, p: F.when(v > 0, p)
+                       .otherwise(F.lit(0).cast("long"))),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    sh = (df.select(F.col(key_col),
+                    shingles(text_col, 3).alias("__sh"))
+          .filter(F.size("__sh") > 0)
+          .select(key_col, fp_of(F.col("__sh")).alias("simhash")))
+    bandmask = (1 << width) - 1
+    bands = sh.select(
+        key_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"),
+                     F.shiftright("simhash", width * b)
+                     .bitwiseAND(F.lit(bandmask)).alias("band_val"))
+            for b in range(n_bands)])).alias("band")
+    ).select(key_col, "simhash", "band.band_id", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))) \
+        .cast("long")
+    return (a.join(b, on=[F.col("a.band_id") == F.col("b.band_id"),
+                          F.col("a.band_val") == F.col("b.band_val"),
+                          F.col(f"a.{key_col}") < F.col(f"b.{key_col}")])
+            .select(F.col(f"a.{key_col}").alias("key_a"),
+                    F.col(f"b.{key_col}").alias("key_b"),
+                    ham.alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming))

@@ -348,3 +348,74 @@ def a36_weighted_median(spark, sf_dir):
     return (c.filter(2 * F.col("cum") >= F.col("tot"))
             .groupBy("flag")
             .agg(F.min("cents").alias("wmedian_cents")))
+
+
+def _simhash_portable_oracle() -> str:
+    """DuckDB oracle for ext_dedup_simhash_portable: the ENTIRE
+    pipeline — word 3-gram shingles (the _SHINGLE_SQL mirror of
+    functions/text.py:shingles), bounded-md5 shingle hash, 32 per-bit
+    ±1 majority votes, fingerprint assembly, 4×8-bit banding, band
+    equi-join, Hamming filter — reproduced in SQL, so the SimHash family gains a hash-checked member (the
+    xxhash64 production twin is rows-only by necessity)."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(32))
+    fp = " + ".join(f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END"
+                    for i in range(32))
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_ext import (
+        _SHINGLE_SQL,
+    )
+    return f"""WITH sh AS (
+         SELECT doc_id, unnest({_SHINGLE_SQL}) AS s
+         FROM documents),
+       th AS (SELECT doc_id,
+                     CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)
+                         AS h
+              FROM sh),
+       votes AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id),
+       fp AS (SELECT doc_id, ({fp}) AS simhash FROM votes),
+       bands AS (SELECT doc_id, simhash, b.band_id,
+                        (simhash >> (8 * b.band_id)) & 255 AS band_val
+                 FROM fp,
+                      (SELECT unnest([0, 1, 2, 3]) AS band_id) b),
+       pairs AS (SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b,
+                        CAST(bit_count(xor(a.simhash, b.simhash))
+                             AS BIGINT) AS hamming
+                 FROM bands a JOIN bands b
+                   ON a.band_id = b.band_id
+                  AND a.band_val = b.band_val
+                  AND a.doc_id < b.doc_id)
+       SELECT key_a, key_b, hamming FROM pairs WHERE hamming <= 3"""
+
+
+@register(
+    "ext_dedup_simhash_portable",
+    _simhash_portable_oracle(),
+    survey="§7.5 dedup ext (SimHash, oracle-checkable portable form)",
+    note="near-dup pairs by a PORTABLE 32-bit SimHash "
+         "(operators/dedup.py:simhash_portable_pairs): distinct word "
+         "3-gram SHINGLES hash through the bounded-md5 idiom "
+         "(identical in Spark and ANSI SQL), per-bit ±1 majority "
+         "votes fold into a fingerprint in ONE pass over the shingle "
+         "array (the simhash64 fold shape — no explode on the Spark "
+         "side), 4×8-bit banding guarantees Hamming ≤ 3 pairs share "
+         "a band (pigeonhole), and the band equi-join + exact "
+         "bit_count re-check never goes all-pairs. Shingles, not "
+         "tokens: single-token SimHash degenerates on a templated "
+         "corpus (shared vocabulary pulled 1.57M of 12.5M possible "
+         "pairs within Hamming 3 when measured); 3-grams carry word "
+         "ORDER, the thing a near-dup preserves. The point of the "
+         "entry: the 64-bit production twin (ext_dedup_simhash) "
+         "hashes with xxhash64 and can only be rows-only verified; "
+         "this twin reproduces the ENTIRE pipeline in the DuckDB "
+         "oracle, hash-checking shingle→hash→vote→band→join→filter "
+         "cross-engine and semantically anchoring the family. At "
+         "100 TB run the 64-bit form with 16-bit bands — band width "
+         "scales with log N to hold bucket sizes constant",
+    tags=("llm-pipeline",))
+def ext_dedup_simhash_portable(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.dedup import (
+        simhash_portable_pairs,
+    )
+    return simhash_portable_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3)

@@ -186,3 +186,59 @@ def test_weighted_median_model_check(spark):
         got = {r.flag: r.wmedian_cents
                for r in a36_weighted_median(spark, tmp).collect()}
     assert got == {"A": 300, "B": 500}
+
+
+def test_simhash_portable_model_check(spark):
+    """Independent Python model: md5-bounded 32-bit SimHash over word
+    3-gram shingles. Planted near-dups must pair with the exact
+    Hamming distance the model computes; unrelated docs must not."""
+    import hashlib
+    import itertools
+    import os
+    import tempfile
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.dedup import (
+        simhash_portable_pairs,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank every single morning before the sun rises")
+    docs = [
+        (1, base),
+        (2, base + " indeed"),                    # near-dup of 1
+        (3, "completely different words about spark shuffles and "
+            "catalyst optimizer rules for distributed query plans"),
+        (4, "tiny"),                              # <3 tokens: dropped
+    ]
+
+    def model_fp(text: str) -> int:
+        toks = text.split()
+        sh = {" ".join(toks[i:i + 3])
+              for i in range(len(toks) - 2)} if len(toks) >= 3 else set()
+        votes = [0] * 32
+        for s in sh:
+            h = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+            for i in range(32):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        return sum(1 << i for i in range(32) if votes[i] > 0)
+
+    fps = {k: model_fp(t) for k, t in docs if len(t.split()) >= 3}
+    expect = {}
+    for a, b in itertools.combinations(sorted(fps), 2):
+        ham = bin(fps[a] ^ fps[b]).count("1")
+        # candidate only if some 8-bit band matches
+        bands = any(((fps[a] >> (8 * i)) & 255)
+                    == ((fps[b] >> (8 * i)) & 255) for i in range(4))
+        if bands and ham <= 3:
+            expect[(a, b)] = ham
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        got = {(r.key_a, r.key_b): r.hamming for r in
+               simhash_portable_pairs(
+                   spark.read.parquet(
+                       os.path.join(tmp, "documents.parquet")),
+                   "doc_id", "text").collect()}
+    assert got == expect
+    assert (1, 2) in got  # the planted near-dup was actually found
