@@ -419,3 +419,31 @@ def ext_dedup_simhash_portable(spark, sf_dir):
     )
     return simhash_portable_pairs(
         t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "stream_distinct_users",
+    """SELECT event_type,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+       FROM events GROUP BY event_type""",
+    survey="§7.5 streaming ext (stateful running distinct cardinality)",
+    note="batch meaning of the custom stateful running-unique-users "
+         "operator (streaming/stateful_distinct.py, "
+         "applyInPandasWithState): the stream keeps the SET of seen "
+         "user ids per event_type as explicit columnar state and "
+         "emits the updated cardinality each micro-batch — exactly-"
+         "once across batches because the set, not the count, is the "
+         "state (w11_running_distinct's first-occurrence-flag rewrite "
+         "needs a total order a stream doesn't have). stream==batch "
+         "equivalence — including a user re-appearing in a later "
+         "micro-batch and per-key monotone emissions — is pinned in "
+         "tests/test_streaming_stateful2.py. At 100 TB state "
+         "partitions by key and grows with TRUE cardinality; for "
+         "open-ended audiences swap the exact set for an HLL register "
+         "(a33's merge algebra) with the operator shape unchanged",
+    tags=("llm-pipeline",))
+def stream_distinct_users(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.streaming.stateful_distinct import (
+        distinct_users_batch,
+    )
+    return distinct_users_batch(t(spark, sf_dir, "events"))
