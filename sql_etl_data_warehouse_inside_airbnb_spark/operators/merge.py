@@ -54,12 +54,24 @@ _TYPE_BYTES = {"boolean": 1, "byte": 1, "short": 2, "integer": 4,
                "timestamp": 8, "timestamp_ntz": 8}
 
 
-def _row_bytes(schema) -> int:
-    """Conservative in-memory bytes per row for a broadcast relation:
-    UnsafeRow overhead + fixed-width sizes, 24 B for anything
-    variable-width (string/decimal/array/...)."""
-    return 16 + sum(_TYPE_BYTES.get(f.dataType.typeName(), 24)
-                    for f in schema.fields)
+def _fixed_row_bytes(schema) -> tuple[int, list[str]]:
+    """(per-row bytes EXCLUDING string payloads, string column names).
+    UnsafeRow overhead + fixed-width sizes; strings contribute an
+    8-byte offset/length word here and their payload is MEASURED in
+    the gate's bounded job (a constant guess under-counts long keys —
+    a ~150-char natural key is ~170 B/row, and a 24 B guess would let
+    a several-times-over-threshold relation through; r8 review
+    finding). Other variable-width types (decimal/array/...) keep a
+    24 B estimate."""
+    fixed, strings = 16, []
+    for f in schema.fields:
+        t = f.dataType.typeName()
+        if t == "string":
+            fixed += 8
+            strings.append(f.name)
+        else:
+            fixed += _TYPE_BYTES.get(t, 24)
+    return fixed, strings
 
 
 def maybe_broadcast(df: DataFrame, probe: DataFrame | None = None
@@ -75,26 +87,40 @@ def maybe_broadcast(df: DataFrame, probe: DataFrame | None = None
     threshold, and a local-relation feed has no stats at all
     (``defaultSizeInBytes`` ≈ Long.Max), so tiny feeds never hinted.
 
-    The gate is now a bounded EXACT count — ``limit(cap+1).count()``
-    with ``cap = threshold / row_bytes`` — one cheap job on a feed
-    that is about to be scanned anyway, and a fact rather than an
-    estimate. Under the cap the feed provably fits
-    ``spark.sql.autoBroadcastJoinThreshold`` and is broadcast-hinted
-    (zero target shuffles, the common delta ≪ target case); over the
-    cap it is merge-hinted, which also OVERRIDES Catalyst's own
-    estimate-driven auto-broadcast (the collapsed estimate would
-    otherwise rebuild the exact OOM this gate exists to kill). Pass
-    ``probe`` to count a cheaper upper bound instead — e.g. the
-    pre-dedup feed, whose ``limit`` pushes into the scan without
-    paying the dedup window's shuffle.
+    The gate is now a bounded EXACT measurement — one aggregate job
+    over ``limit(cap+1)`` (``cap = threshold / fixed_row_bytes``)
+    returning the row count AND the string-payload bytes of ``df``'s
+    string columns — cheap on a feed that is about to be scanned
+    anyway, and a fact rather than an estimate. The feed is
+    broadcast-hinted only when the count fits the cap AND the
+    measured size (count × fixed bytes + string payloads) fits
+    ``spark.sql.autoBroadcastJoinThreshold`` (zero target shuffles,
+    the common delta ≪ target case); otherwise it is merge-hinted,
+    which also OVERRIDES Catalyst's own estimate-driven
+    auto-broadcast (the collapsed estimate would otherwise rebuild
+    the exact OOM this gate exists to kill). Pass ``probe`` to
+    measure a cheaper upper bound instead — e.g. the pre-dedup feed,
+    whose ``limit`` pushes into the scan without paying the dedup
+    window's shuffle.
     """
     spark = df.sparkSession
     threshold = _threshold_bytes(spark)
     if threshold <= 0:
         return df  # broadcast disabled session-wide: honor it
-    cap = max(1, threshold // _row_bytes(df.schema))
-    n = (probe if probe is not None else df).limit(cap + 1).count()
-    return F.broadcast(df) if n <= cap else df.hint("merge")
+    fixed, strings = _fixed_row_bytes(df.schema)
+    cap = max(1, threshold // fixed)
+    src = probe if probe is not None else df
+    strings = [c for c in strings if c in src.columns]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    aggs += [F.sum(F.coalesce(F.length(F.col(c)), F.lit(0)))
+             .alias(f"__len_{i}") for i, c in enumerate(strings)]
+    row = src.limit(cap + 1).agg(*aggs).first()
+    n = row["__n"]
+    payload = sum(int(row[f"__len_{i}"] or 0)
+                  for i in range(len(strings)))
+    if n <= cap and n * fixed + payload <= threshold:
+        return F.broadcast(df)
+    return df.hint("merge")
 
 
 def dedup_source(source: DataFrame, key: str,

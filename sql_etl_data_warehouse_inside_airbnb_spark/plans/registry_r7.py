@@ -207,10 +207,10 @@ def ivf_pq_index(spark, sf_dir, emb, model, books):
          "index tables (ivf_assign assignments + pq_encode codes, "
          "materialized via eager localCheckpoint) are offline "
          "session-cached artifacts, so the probe plan touches only "
-         "the two checkpointed index scans + the 50-row rerank join "
+         "the two checkpointed index scans + the 100-row rerank join "
          "(r7-verdict fix: no per-query corpus assignment). At "
          "100 TB: n_probe/n_clusters of the CODES table (itself "
-         "16-64× smaller than the vectors) + 50 random vector reads "
+         "16-64× smaller than the vectors) + 100 random vector reads "
          "per query — the memory/IO profile that makes a petabyte "
          "embedding store probe-able. KMeans init is engine-specific "
          "⇒ deliberate rows-only; recall@10 floor vs brute force "

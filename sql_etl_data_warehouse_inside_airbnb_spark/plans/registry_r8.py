@@ -49,12 +49,17 @@ from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
 )
 
 
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r6 import (
+    md5_mod,
+    md5_mod_sql,
+)
+
+
 @register(
     "ext_kfold_assign",
-    """WITH folds AS (
+    f"""WITH folds AS (
          SELECT doc_id, lang, n_chars,
-                CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-                     AS BIGINT) % 5 AS fold
+                {md5_mod_sql("CAST(doc_id AS VARCHAR)", 5)} AS fold
          FROM documents)
        SELECT fold, lang,
               CAST(count(*) AS BIGINT) AS n_docs,
@@ -78,9 +83,7 @@ from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
     tags=("llm-pipeline",))
 def ext_kfold_assign(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    fold = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
-                               1, 8), 16, 10)
-            .cast("long") % 5)
+    fold = md5_mod(F.col("doc_id").cast("string"), 5)
     return (d.select(fold.alias("fold"), "lang", "n_chars")
             .groupBy("fold", "lang")
             .agg(F.count("*").alias("n_docs"),

@@ -224,7 +224,7 @@ def test_registry_priority_names_resolve():
         assert fr.REGISTRY[n].oracle is None, n
     # closure invariant: every entry lacking ANY prior-round verdict
     # row — plus the r7 red and the builders changed this round —
-    # must sit inside the window, so round 7 adjudicates all of them
+    # must sit inside the window, so round 8 adjudicates all of them
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     adjudicated = set()
     for f in glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json")):

@@ -41,8 +41,10 @@ def test_kfold_assign_partition_properties(spark, sf_dir):
     assert (sum(r.sum_chars for r in audit)
             == docs.agg(F.sum("n_chars")).first()[0])
     # deterministic: repartitioning must not move a single doc
-    fold = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
-                               1, 8), 16, 10).cast("long") % 5)
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r6 import (
+        md5_mod,
+    )
+    fold = md5_mod(F.col("doc_id").cast("string"), 5)
     a = {r.doc_id: r.f for r in
          docs.select("doc_id", fold.alias("f")).collect()}
     b = {r.doc_id: r.f for r in

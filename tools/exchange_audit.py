@@ -41,8 +41,24 @@ _AGG_FED = ("HashAggregate", "ObjectHashAggregate",
             "SortAggregate")
 
 
+_ATTR = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _depth(line: str) -> int:
+    """Tree depth of a treeString line = where the node text starts
+    (after the ':  '/'+- ' scaffolding)."""
+    return len(line) - len(line.lstrip("+-*: "))
+
+
 def _keysets(plan: str):
-    """(line_no, frozenset(keys), feeder_node) per hash exchange."""
+    """(line_no, depth, frozenset(keys), feeder_node) per hash
+    exchange. Exchanges keyed on EXPRESSIONS (not plain attributes)
+    yield keys the flat regex can't parse — e.g.
+    ``hashpartitioning(knownfloatingpointnormalized(...), 4)``
+    truncates at the first ')' — so any keyset containing a
+    non-identifier (or coming out empty) is dropped entirely: an
+    unparseable exchange must never act as the universal empty subset
+    that flags every sibling (r8 review finding)."""
     lines = plan.splitlines()
     out = []
     for i, line in enumerate(lines):
@@ -51,21 +67,44 @@ def _keysets(plan: str):
             continue
         keys = frozenset(re.sub(r"#\d+L?", "", k).strip()
                          for k in m.group(1).split(",")[:-1])
+        if not keys or not all(_ATTR.match(k) for k in keys):
+            continue
         feeder = ""
         if i + 1 < len(lines):
             n = _NODE.search(lines[i + 1].lstrip("+-*: ("))
             feeder = n.group(0) if n else ""
-        out.append((i, keys, feeder))
+        out.append((i, _depth(line), keys, feeder))
     return out
 
 
+def _in_subtree(lines, anc_line: int, anc_depth: int,
+                desc_line: int) -> bool:
+    """True iff ``desc_line`` sits inside the subtree rooted at
+    ``anc_line`` in a treeString printout: every line strictly between
+    them (and the descendant itself) is deeper than the ancestor."""
+    if desc_line <= anc_line:
+        return False
+    return all(_depth(lines[k]) > anc_depth
+               for k in range(anc_line + 1, desc_line + 1))
+
+
 def audit_plan(plan: str):
-    """[(wide_keys, narrow_keys, classification)] for one plan."""
+    """[(wide_keys, narrow_keys, classification)] for one plan.
+
+    A pair is reported only when the WIDE exchange feeds the NARROW
+    one (the wide sits in the narrow's subtree — parents print above
+    children in treeString): exchanges on independent branches of a
+    join legitimately share attribute names (a self-join's two sides)
+    and cannot be merged, so subtree ancestry is required, not just
+    name-set containment (r8 review finding)."""
     found = []
+    lines = plan.splitlines()
     exch = _keysets(plan)
-    for i, (_, wide, feeder) in enumerate(exch):
-        for j, (_, narrow, _f) in enumerate(exch):
+    for i, (wline, wdepth, wide, feeder) in enumerate(exch):
+        for j, (nline, ndepth, narrow, _f) in enumerate(exch):
             if i == j or not (narrow < wide):
+                continue
+            if not _in_subtree(lines, nline, ndepth, wline):
                 continue
             cls = ("agg-shrunk" if feeder.startswith(_AGG_FED)
                    else "window-chain")

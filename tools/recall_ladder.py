@@ -21,6 +21,7 @@ from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (  #
     brute_force_topk,
     fit_ivf_quantizer,
     fit_pq_codebooks,
+    ivf_assign,
     ivf_pq_topk,
     ivf_topk,
     lsh_topk,
@@ -44,6 +45,10 @@ def main():
     books = fit_pq_codebooks(emb, m=16, n_codes=16)
     codes = pq_encode(emb, "vec_id", "embedding", books).cache()
     codes.count()
+    # the composed rungs probe the cached index, not a per-query
+    # corpus re-encode/re-assign (the registry's ivf_pq_index shape)
+    assigned = ivf_assign(emb, ivf_model).cache()
+    assigned.count()
 
     ladder = [
         ("LSH radius 0", lambda c, q: lsh_topk(c, q, k=10,
@@ -69,11 +74,15 @@ def main():
         ("PQ ADC + exact rerank@50",
          lambda c, q: pq_topk(c, q, books, k=10, rerank=50)),
         ("IVF+PQ n_probe 4, rerank@50",
-         lambda c, q: ivf_pq_topk(c, q, ivf_model, books, k=10,
-                                  n_probe=4, rerank=50)),
+         lambda c, q, qid: ivf_pq_topk(
+             c, q, ivf_model, books, k=10, n_probe=4, rerank=50,
+             assignments=assigned.filter(F.col("vec_id") != qid),
+             codes=codes.filter(F.col("vec_id") != qid))),
         ("IVF+PQ n_probe 8, rerank@100",
-         lambda c, q: ivf_pq_topk(c, q, ivf_model, books, k=10,
-                                  n_probe=8, rerank=100)),
+         lambda c, q, qid: ivf_pq_topk(
+             c, q, ivf_model, books, k=10, n_probe=8, rerank=100,
+             assignments=assigned.filter(F.col("vec_id") != qid),
+             codes=codes.filter(F.col("vec_id") != qid))),
     ]
 
     exacts = {}
@@ -89,7 +98,9 @@ def main():
         for qid in qids:
             q = emb.filter(F.col("vec_id") == qid)
             cand = emb.filter(F.col("vec_id") != qid)
-            got = {r.vec_id for r in fn(cand, q).collect()}
+            args = (cand, q, qid) if fn.__code__.co_argcount == 3 \
+                else (cand, q)
+            got = {r.vec_id for r in fn(*args).collect()}
             hit += len(exacts[qid] & got)
             tot += 10
         print(f"| {label} | {hit / tot:.2f} |")
