@@ -368,9 +368,13 @@ def _simhash_portable_oracle() -> str:
     from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_ext import (
         _SHINGLE_SQL,
     )
-    return f"""WITH sh AS (
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_ext import (
+        _PLANT_SQL,
+    )
+    return f"""WITH {_PLANT_SQL},
+       sh AS (
          SELECT doc_id, unnest({_SHINGLE_SQL}) AS s
-         FROM documents),
+         FROM corpus),
        th AS (SELECT doc_id,
                      CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)
                          AS h
@@ -414,14 +418,24 @@ def _simhash_portable_oracle() -> str:
          "oracle, hash-checking shingle→hash→vote→band→join→filter "
          "cross-engine and semantically anchoring the family. At "
          "100 TB run the 64-bit form with 16-bit bands — band width "
-         "scales with log N to hold bucket sizes constant",
+         "scales with log N to hold bucket sizes constant. Runs on "
+         "the dedup family's planted corpus (10%% sample + ' mutation'"
+         " twins keyed +10000000, the ext_dedup_minhash known-answer "
+         "workload) so true near-dups exist BY CONSTRUCTION and the "
+         "planted pairs' surfacing is test-asserted",
     tags=("llm-pipeline",))
 def ext_dedup_simhash_portable(spark, sf_dir):
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.dedup import (
         simhash_portable_pairs,
     )
-    return simhash_portable_pairs(
-        t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3)
+    docs = (t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 == 0))
+    mutated = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" mutation")).alias("text"))
+    corpus = docs.select("doc_id", "text").unionByName(mutated)
+    return simhash_portable_pairs(corpus, "doc_id", "text",
+                                  max_hamming=3)
 
 
 @register(

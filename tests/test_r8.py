@@ -244,3 +244,20 @@ def test_simhash_portable_model_check(spark):
                    "doc_id", "text").collect()}
     assert got == expect
     assert (1, 2) in got  # the planted near-dup was actually found
+
+
+def test_simhash_portable_planted_recall(spark, sf_dir):
+    """On the dedup family's planted corpus, the portable SimHash must
+    surface most ' mutation' twins at Hamming <= 3 (a short doc can
+    legitimately flip more than 3 bits — measured 46/50 at sf0.001,
+    floor pinned below)."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r8 import (
+        ext_dedup_simhash_portable,
+    )
+    got = ext_dedup_simhash_portable(spark, sf_dir).collect()
+    planted = [r for r in got if r.key_b == r.key_a + 10_000_000]
+    n_base = (read_table(spark, sf_dir, "documents")
+              .filter(F.col("doc_id") % 10 == 0).count())
+    assert n_base > 0
+    assert len(planted) >= 0.8 * n_base, (len(planted), n_base)
+    assert all(r.hamming <= 3 for r in got)
