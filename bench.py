@@ -97,6 +97,7 @@ HEADLINE = [
     "ext_url_canonicalize",            # web-dedup URL canon key (r8)
     "a36_weighted_median",             # division-free wtd quantile (r8)
     "ext_dedup_simhash_portable",      # oracle-checkable SimHash (r8)
+    "e9_peak_concurrency",             # sweep-line max-overlap (r8)
 ]
 
 # Maintenance / offline-build workloads (r5, VERDICT r4 item 5).

@@ -252,3 +252,70 @@ def resample_ohlc(events: DataFrame, bucket_minutes: int = 15,
                  F.count("*").alias("n_events"),
                  F.round(F.sum(F.col(value_col).cast("decimal(18,6)"))
                          .cast("double"), 2).alias("value_sum")))
+
+
+def peak_concurrency(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts", id_col: str = "event_id",
+                     gap_minutes: int = 30) -> DataFrame:
+    """Peak simultaneous sessions per day — the sweep-line interval
+    aggregate (max-overlap / "how many users were on AT ONCE"), the
+    capacity-planning number a plain groupBy can't produce because
+    concurrency is a property of interval OVERLAP, not of any single
+    row.
+
+    Sessions come from the same gap rule as :func:`sessionize`
+    (delta >= gap opens a session); each session becomes two sweep
+    events (+1 at its start instant, -1 at its end instant) and the
+    running sum of deltas IS the instantaneous concurrency, whose max
+    per day is the answer. Declared conventions, applied identically
+    in the SQL oracle: a session belongs to its START day (a
+    midnight-crossing session counts in the day it began); intervals
+    are CLOSED (at equal timestamps +1 sorts before -1, so touching
+    sessions overlap and a single-event session still registers
+    concurrency 1); the sweep order (t, d desc, user, session_idx) is
+    total, so both engines agree on every prefix sum.
+
+    Two shuffles, both required by semantics: user_col for the
+    session build (shared by the gap window and the bounds groupBy),
+    then day for the sweep. Day is a low-cardinality partition — at
+    100 TB sub-split the sweep by hour and carry each hour's closing
+    count into the next as a prefix offset (the standard distributed
+    sweep-line refinement); at warehouse scale the per-day sort of
+    2×sessions rows is the cheapest correct formulation.
+
+    Returns (day DATE, n_sessions, peak_concurrent) — all integers.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap_us = (F.unix_micros(F.col(ts_col))
+              - F.unix_micros(F.lag(ts_col).over(w)))
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us >= gap_minutes * US_PER_MIN), 1
+    ).otherwise(0)
+    sess = (events
+            .withColumn("__new", new_sess)
+            .withColumn("__sess", F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)))
+            .groupBy(F.col(user_col), F.col("__sess"))
+            .agg(F.min(ts_col).alias("__start_ts"),
+                 F.min(F.unix_micros(F.col(ts_col))).alias("__start_us"),
+                 F.max(F.unix_micros(F.col(ts_col))).alias("__end_us")))
+    deltas = (sess.select(
+        F.to_date("__start_ts").alias("day"),
+        F.explode(F.array(
+            F.struct(F.col("__start_us").alias("t"),
+                     F.lit(1).alias("d")),
+            F.struct(F.col("__end_us").alias("t"),
+                     F.lit(-1).alias("d")))).alias("e"),
+        F.col(user_col), F.col("__sess"))
+        .select("day", F.col("e.t").alias("t"), F.col("e.d").alias("d"),
+                user_col, "__sess"))
+    sw = (Window.partitionBy("day")
+          .orderBy(F.col("t"), F.desc("d"), F.col(user_col),
+                   F.col("__sess"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (deltas.withColumn("__run", F.sum("d").over(sw))
+            .groupBy("day")
+            .agg(F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+                 .cast("long").alias("n_sessions"),
+                 F.max("__run").cast("long").alias("peak_concurrent")))

@@ -464,3 +464,68 @@ def stream_distinct_users(spark, sf_dir):
         distinct_users_batch,
     )
     return distinct_users_batch(t(spark, sf_dir, "events"))
+
+
+@register(
+    "e9_peak_concurrency",
+    """WITH g AS (
+         SELECT user_id, ts, event_id,
+                epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+                    AS gap_us
+         FROM events),
+       s AS (
+         SELECT user_id, ts,
+                SUM(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS session_idx
+         FROM g),
+       sess AS (
+         SELECT user_id, session_idx,
+                CAST(min(ts) AS DATE) AS day,
+                CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+                CAST(max(epoch_us(ts)) AS BIGINT) AS end_us
+         FROM s GROUP BY user_id, session_idx),
+       deltas AS (
+         SELECT day, start_us AS t, 1 AS d, user_id, session_idx
+         FROM sess
+         UNION ALL
+         SELECT day, end_us, -1, user_id, session_idx FROM sess),
+       r AS (
+         SELECT day, d,
+                sum(d) OVER (PARTITION BY day
+                             ORDER BY t, d DESC, user_id, session_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS run
+         FROM deltas)
+       SELECT day,
+              CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_sessions,
+              CAST(max(run) AS BIGINT) AS peak_concurrent
+       FROM r GROUP BY day""",
+    survey="§7.5 event analytics ext (sweep-line max-overlap)",
+    note="peak simultaneous sessions per day "
+         "(operators/events.py:peak_concurrency) — the sweep-line "
+         "interval aggregate no groupBy can produce, because "
+         "concurrency is a property of interval OVERLAP: each "
+         "e5-rule session becomes (+1 at start, -1 at end), the "
+         "running delta sum IS the instantaneous concurrency, and "
+         "its per-day max is the capacity-planning number. Declared "
+         "conventions applied identically on both engines: sessions "
+         "belong to their START day; intervals are CLOSED (+1 sorts "
+         "before -1 at equal instants, so touching sessions overlap "
+         "and single-event sessions register 1); the sweep order "
+         "(t, d desc, user, session_idx) is total so every prefix "
+         "sum agrees. Two semantic shuffles (user for the session "
+         "build, day for the sweep); at 100 TB sub-split the sweep "
+         "by hour and carry closing counts as prefix offsets — the "
+         "standard distributed sweep-line refinement. All-integer "
+         "output",
+    tags=())
+def e9_peak_concurrency(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.events import (
+        peak_concurrency,
+    )
+    return peak_concurrency(t(spark, sf_dir, "events"), gap_minutes=30)

@@ -261,3 +261,57 @@ def test_simhash_portable_planted_recall(spark, sf_dir):
     assert n_base > 0
     assert len(planted) >= 0.8 * n_base, (len(planted), n_base)
     assert all(r.hamming <= 3 for r in got)
+
+
+def test_peak_concurrency_model_check(spark):
+    """Hand-built schedule with a known answer: 3 users overlap
+    (peak 3), a single-event session registers concurrency 1, a
+    touching pair (one ends exactly when the other starts) counts as
+    overlapping (closed intervals), and a midnight-crossing session
+    belongs to its START day."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.events import (
+        peak_concurrency,
+    )
+
+    def t(d, h, m):
+        return dt.datetime(2024, 3, d, h, m)
+
+    schema = ["event_id", "ts", "user_id", "event_type", "value",
+              "props"]
+    rows = [
+        # day 1: three sessions overlapping at 9:10 -> peak 3
+        (1, t(1, 9, 0), 1, "view", 0.0, "{}"),
+        (2, t(1, 9, 20), 1, "view", 0.0, "{}"),   # u1: 9:00-9:20
+        (3, t(1, 9, 5), 2, "view", 0.0, "{}"),
+        (4, t(1, 9, 15), 2, "view", 0.0, "{}"),   # u2: 9:05-9:15
+        (5, t(1, 9, 10), 3, "view", 0.0, "{}"),   # u3: single @9:10
+        # u1 second session touches u2's: 12:00-12:29 and 12:29-12:40
+        # (29-min gap: exactly 30 would OPEN a new session — the
+        # delta >= gap rule)
+        (6, t(1, 12, 0), 1, "view", 0.0, "{}"),
+        (7, t(1, 12, 29), 1, "view", 0.0, "{}"),
+        (8, t(1, 12, 29), 2, "view", 0.0, "{}"),
+        (9, t(1, 12, 40), 2, "view", 0.0, "{}"),
+        # day 2: one session crossing midnight into day 3
+        (10, t(2, 23, 50), 4, "view", 0.0, "{}"),
+        (11, t(3, 0, 10), 4, "view", 0.0, "{}"),
+        # day 3: an isolated session
+        (12, t(3, 10, 0), 5, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "events.parquet"))
+        got = {str(r.day): (r.n_sessions, r.peak_concurrent)
+               for r in peak_concurrency(
+                   spark.read.parquet(
+                       os.path.join(tmp, "events.parquet"))).collect()}
+    # day 1: 5 sessions (u1 x2, u2 x2, u3), peak 3 at 9:10
+    # (u4's 23:50 session starts day 2 even though it ends day 3;
+    # gap 20 min < 30 keeps it ONE session)
+    assert got == {"2024-03-01": (5, 3),
+                   "2024-03-02": (1, 1),
+                   "2024-03-03": (1, 1)}
