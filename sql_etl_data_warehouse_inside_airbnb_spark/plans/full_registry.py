@@ -246,23 +246,68 @@ _R07_GREEN = frozenset({
     "w5_rank_ladder",
 })
 
+# Round-8 greens: 48/50 window clean (CORRECTNESS_r08.json) — all
+# four merge-gate riders, all six r8 additions, and the re-verified
+# §2 core. Out: ts5_vwap_components (hash red — the DECIMAL lo/hi
+# columns, re-encoded as integer cents for r9) and ext_ann_ivf_pq_topk
+# (deliberate rows-only, adjudicated).
+_R08_GREEN = frozenset({
+    'a10_minmax', 'a12_distinct_count', 'a13_merge_action_counts',
+    'a14_profile', 'a1_pricing_summary', 'a36_weighted_median',
+    'a3_count_distinct', 'a4_global_count_distinct',
+    'a5_conditional_agg', 'a6_money_clean_agg', 'a7_weekly_rollup',
+    'a9_having_dups', 'e9_peak_concurrency',
+    'ext_dedup_simhash_portable', 'ext_fuzzy_blocked_join',
+    'ext_kfold_assign', 'ext_url_canonicalize', 'f10_date_dimension',
+    'f13_bool_norm', 'f5_parse_location', 'f9_date_parts',
+    'j1_fact_dim_join', 'j28_cdc_apply', 'j2_derived_date_join',
+    'j4_left_anti', 'j6_left_semi', 'j7_agg_join', 'j8_merge_upsert',
+    'j9_update_from_join', 'o2_topk', 'o3_keyed_sample',
+    'p10_threshold', 'p1_column_prune', 'p4_trycast_filter',
+    'p6_between', 'p7_isin', 'p8_interval_overlap', 'p9_eq_lookup',
+    's1_scan_project', 's4_limited_scan', 'set_except',
+    'set_intersect', 'set_union_distinct', 'stream_distinct_users',
+    'w11_running_distinct', 'w1_latest_per_key',
+    'w1_merge_dedup_latest', 'w2_first_per_group',
+})
+
 _GREEN = (_R01_GREEN | _R02_GREEN | _R03_GREEN | _R04_GREEN
-          | _R05_GREEN | _R06_GREEN | _R07_GREEN)
+          | _R05_GREEN | _R06_GREEN | _R07_GREEN | _R08_GREEN)
 
 # Explicit front of the queue — the ~50-entry adjudication window.
-# Round 8 is the repair round the r7 verdict prescribed: lead with
-# the single red's re-verdict (ts5, compared sums re-encoded as
-# int64/cents — the only wide type with hundreds of green
-# precedents), then the entries whose BUILDERS changed this round:
-# ext_ann_ivf_pq_topk probes the materialized localCheckpoint index
-# (no per-query corpus assignment, n_probe 4→8 / rerank 50→100) and
-# j8/j28/w1_merge_dedup_latest/a13 ride maybe_broadcast's new
-# bounded-exact-count gate (the stats-estimate gate was wrong both
-# directions). Remaining slots re-verify green back-block entries.
+# Round 9: lead with ts5's re-verdict (lo/hi re-encoded as integer
+# cents BIGINT — its DECIMAL(18,6) outputs were the registry's only
+# decimal-typed compared columns, now banned by tools/parity.py),
+# then the two r8-green entries whose BUILDERS changed this round
+# (ext_fuzzy_blocked_join gained a length band in its block key;
+# e9_peak_concurrency's sweep distributes on (day,hour) with carried
+# prefix offsets), then the new r9 entries, then the stalest-verdict
+# greens (r1/r2 vintage) to refresh old verdicts with the spare
+# window slots.
 _PRIORITY = [
-    "ts5_vwap_components", "ext_ann_ivf_pq_topk",
-    "j8_merge_upsert", "j28_cdc_apply", "w1_merge_dedup_latest",
-    "a13_merge_action_counts",
+    "ts5_vwap_components",
+    "ext_fuzzy_blocked_join", "e9_peak_concurrency",
+    # new r9 oracle-paired entries
+    "ext_ann_ivfadc_portable_topk",
+    # stalest green verdicts (r1 vintage)
+    "a18_pivot", "f18_array_functions", "j13_asof_join",
+    "j14_range_join", "stream_watermark_late_drop",
+    # r2 vintage
+    "a11_count_scalars", "a2_region_segment_view", "a8_per_key_count",
+    "ext_ann_batch_topk", "ext_ann_brute_topk", "ext_bpe_token_count",
+    "ext_chunk_documents", "ext_data_prep_pipeline",
+    "ext_decontaminate", "ext_dedup_embedding", "ext_dedup_exact",
+    "ext_dedup_ngram_jaccard", "ext_dedup_winnow_pairs",
+    "ext_fingerprint", "ext_grouped_median", "ext_lang_id",
+    "ext_lang_id_udf", "ext_multimodal_image_meta",
+    "ext_multimodal_meta", "ext_pii_redact", "ext_quality_score",
+    "ext_repetition_filter", "ext_text_quality", "ext_token_count",
+    "ext_train_split", "f12_case_conditional", "f14_numeric_coercion",
+    "f16_metadata_math", "f6_filename_geography", "f7_date_conversion",
+    "g1_connected_components", "g2_dedup_clusters", "j10_catalog_join",
+    "j11_broadcast_semi", "j3_cast_key_join", "j5_not_in_anti",
+    "o6_full_sort", "o7_distinct_sorted_limit", "p2_add_default_column",
+    "p3_column_drop", "p5_null_empty_predicates",
 ]
 
 

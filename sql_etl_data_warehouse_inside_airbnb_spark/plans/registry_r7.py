@@ -7,10 +7,11 @@ Three workloads the r1-r6 surface brackets but doesn't express:
   month emitted as exact MERGEABLE components — ts2 resamples OHLC
   (first/last/min/max are data values) but nothing resamples a
   weighted average, and VWAP is THE finance/metering rollup. Also the
-  showcase for this round's canonicalizer rule: the Σ(price·qty) and
-  Σqty components exceed float64-exact width at scale, so they ship
-  as exact fixed-scale STRINGS on both engines (the a34 lesson,
-  now enforced by tools/parity.py).
+  showcase for the canonicalizer rules: every compared column —
+  the Σ(price·qty), Σqty, and min/max price components — ships as
+  exact int64 (scaled integer cents), the one wide encoding with
+  hundreds of green precedents; DECIMAL-typed compared columns are
+  banned outright (r8 lesson, enforced by tools/parity.py).
 - ``ext_hard_negatives``: contrastive-training negative mining —
   ext_negative_samples draws RANDOM non-interactions; metric models
   train on HARD ones (nearest different-label neighbors). Batched
@@ -45,13 +46,12 @@ from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
                       AS month,
                   CAST(l_quantity AS BIGINT) AS q,
                   CAST(CAST(l_extendedprice AS DECIMAL(19,2)) * 100
-                       AS BIGINT) AS cents,
-                  CAST(l_extendedprice AS DECIMAL(19,6)) AS dp
+                       AS BIGINT) AS cents
            FROM lineitem)
        SELECT month,
               CAST(count(*) AS BIGINT) AS n_trades,
-              CAST(min(dp) AS DECIMAL(18,6)) AS lo_price,
-              CAST(max(dp) AS DECIMAL(18,6)) AS hi_price,
+              CAST(min(cents) AS BIGINT) AS lo_cents,
+              CAST(max(cents) AS BIGINT) AS hi_cents,
               CAST(sum(q) AS BIGINT) AS sum_qty,
               CAST(sum(cents * q) AS BIGINT) AS sum_pq_cents
        FROM d GROUP BY month""",
@@ -74,7 +74,12 @@ from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
          "products mis-round — then ×100 at decimal(22,2) overflows "
          "nothing) and Σ(cents·qty) is pure int64 arithmetic, "
          "~1e13 at sf0.01 / ~1e17 at sf100, comfortably in range. "
-         "lo/hi stay DECIMAL(18,6) data values (f15 precedent). One "
+         "lo/hi ship as integer CENTS too (fifth canonicalizer "
+         "episode, r8 driver red: lo/hi were the registry's ONLY "
+         "DECIMAL-typed compared columns and the driver canon is "
+         "representation-sensitive for decimals — trailing-zero "
+         "scale — so every compared column is now int64/string/date; "
+         "tools/parity.py hard-fails decimal outputs since r9). One "
          "scan, one map-side-combinable shuffle on the month key; at "
          "100 TB the table is shipdate-partitioned so the groupBy is "
          "partition-local")
@@ -83,12 +88,11 @@ def ts5_vwap_components(spark, sf_dir):
     q = F.col("l_quantity").cast("long")
     cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
         .cast("long")
-    dp = F.col("l_extendedprice").cast("decimal(18,6)")
     return (li.groupBy(F.trunc(F.col("l_shipdate").cast("date"), "month")
                        .alias("month"))
             .agg(F.count("*").alias("n_trades"),
-                 F.min(dp).cast("decimal(18,6)").alias("lo_price"),
-                 F.max(dp).cast("decimal(18,6)").alias("hi_price"),
+                 F.min(cents).alias("lo_cents"),
+                 F.max(cents).alias("hi_cents"),
                  F.sum(q).alias("sum_qty"),
                  F.sum(cents * q).alias("sum_pq_cents")))
 

@@ -99,6 +99,24 @@ def decimal_width_violations(cols, rows):
     return [bad[i] for i in sorted(bad)]
 
 
+def decimal_typed_columns(cols, coarse_types):
+    """r8 canonicalizer-limit rule (the final one for decimals): a
+    compared column must not be DECIMAL-typed AT ALL, on either
+    engine. ts5_vwap_components stayed driver-red across two
+    encodings while its lo/hi DECIMAL(18,6) columns — the only
+    decimal-typed compared columns in the whole registry — stayed
+    constant: the driver's pandas canon is REPRESENTATION-sensitive
+    for decimals (trailing-zero scale: Decimal('55208.410000') vs a
+    float-round-tripped 55208.41), which canon()'s .normalize()
+    above masks and decimal_width_violations cannot catch (it checks
+    value round-trip, not representation). Safe encodings with green
+    precedents: int64 scaled integers (cents), exact fixed-scale
+    strings, round(CAST(... AS DOUBLE), 2), raw-double data values.
+    Returns the offending column names."""
+    return [c for c, t in zip(cols, coarse_types)
+            if t.startswith("decimal")]
+
+
 def coarse_spark_type(dt: str) -> str:
     """Map a Spark simpleString dtype to a coarse comparison class."""
     if dt in ("tinyint", "smallint", "int", "bigint"):
@@ -200,6 +218,15 @@ def main():
             bad = [(c, s, o) for c, s, o in zip(scols, stypes, otypes)
                    if s != o]
             print(f"FAIL  {name}: dtype class mismatch {bad}")
+            failed.append(name)
+            continue
+        dec = (decimal_typed_columns(scols, stypes)
+               or decimal_typed_columns(ocols, otypes))
+        if dec:
+            print(f"FAIL  {name}: DECIMAL-typed compared column(s) "
+                  f"{dec} — driver canon is representation-sensitive; "
+                  f"re-encode as int64 scaled ints, strings, or "
+                  f"round(double,2)")
             failed.append(name)
             continue
         wide = (decimal_width_violations(scols, srows)
