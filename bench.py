@@ -98,6 +98,8 @@ HEADLINE = [
     "a36_weighted_median",             # division-free wtd quantile (r8)
     "ext_dedup_simhash_portable",      # oracle-checkable SimHash (r8)
     "e9_peak_concurrency",             # sweep-line max-overlap (r8)
+    "stream_distinct_users",           # stateful seen-set twin (r8)
+    "ext_ann_ivfadc_portable_topk",    # oracle-checkable IVFADC (r9)
 ]
 
 # Maintenance / offline-build workloads (r5, VERDICT r4 item 5).

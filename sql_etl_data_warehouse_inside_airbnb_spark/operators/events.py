@@ -275,13 +275,23 @@ def peak_concurrency(events: DataFrame, user_col: str = "user_id",
     concurrency 1); the sweep order (t, d desc, user, session_idx) is
     total, so both engines agree on every prefix sum.
 
-    Two shuffles, both required by semantics: user_col for the
-    session build (shared by the gap window and the bounds groupBy),
-    then day for the sweep. Day is a low-cardinality partition — at
-    100 TB sub-split the sweep by hour and carry each hour's closing
-    count into the next as a prefix offset (the standard distributed
-    sweep-line refinement); at warehouse scale the per-day sort of
-    2×sessions rows is the cheapest correct formulation.
+    The sweep is DISTRIBUTED (r9): delta rows partition on
+    (day, hour-of-t) — hour is monotone in the sweep order's leading
+    key t, so hour blocks are contiguous in the global order and
+    per-hour prefix sums are exact once each hour adds the carried
+    closing count of its day's earlier hours. The carry is a window
+    over the tiny hourly frame (one row per (day, hour)), so the big
+    sort spreads over 24× more partitions while a bare-day sweep
+    would put each day on a single task — the task that stops scaling
+    first at 100×. Note end events keep their START day's key but
+    their OWN timestamp's hour, so a midnight-crossing session's -1
+    lands in an hour index past 23 — still monotone in t, still
+    correct.
+
+    Shuffles: user_col for the session build (shared by the gap
+    window and the bounds groupBy), (day, hour) for the sweep, then
+    day for the hourly carry — the last over rows ∝ days×hours,
+    negligible at any scale.
 
     Returns (day DATE, n_sessions, peak_concurrent) — all integers.
     """
@@ -310,12 +320,29 @@ def peak_concurrency(events: DataFrame, user_col: str = "user_id",
         F.col(user_col), F.col("__sess"))
         .select("day", F.col("e.t").alias("t"), F.col("e.d").alias("d"),
                 user_col, "__sess"))
-    sw = (Window.partitionBy("day")
+    from sql_etl_data_warehouse_inside_airbnb_spark.functions.numeric import (
+        exact_floordiv_sql,
+    )
+
+    hr = F.expr(exact_floordiv_sql("t", 3600 * 1_000_000))
+    sw = (Window.partitionBy("day", "__hr")
           .orderBy(F.col("t"), F.desc("d"), F.col(user_col),
                    F.col("__sess"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (deltas.withColumn("__run", F.sum("d").over(sw))
+    hourly = (deltas.withColumn("__hr", hr)
+              .withColumn("__run", F.sum("d").over(sw))
+              .groupBy("day", "__hr")
+              .agg(F.max("__run").alias("__mx"),
+                   F.sum("d").alias("__tot"),
+                   F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+                   .alias("__starts")))
+    carry_w = (Window.partitionBy("day").orderBy("__hr")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    return (hourly
+            .withColumn("__carry",
+                        F.coalesce(F.sum("__tot").over(carry_w),
+                                   F.lit(0)))
             .groupBy("day")
-            .agg(F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
-                 .cast("long").alias("n_sessions"),
-                 F.max("__run").cast("long").alias("peak_concurrent")))
+            .agg(F.sum("__starts").cast("long").alias("n_sessions"),
+                 F.max(F.col("__carry") + F.col("__mx")).cast("long")
+                 .alias("peak_concurrent")))

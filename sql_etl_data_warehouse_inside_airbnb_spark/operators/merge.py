@@ -54,24 +54,35 @@ _TYPE_BYTES = {"boolean": 1, "byte": 1, "short": 2, "integer": 4,
                "timestamp": 8, "timestamp_ntz": 8}
 
 
-def _fixed_row_bytes(schema) -> tuple[int, list[str]]:
-    """(per-row bytes EXCLUDING string payloads, string column names).
-    UnsafeRow overhead + fixed-width sizes; strings contribute an
-    8-byte offset/length word here and their payload is MEASURED in
-    the gate's bounded job (a constant guess under-counts long keys —
-    a ~150-char natural key is ~170 B/row, and a 24 B guess would let
-    a several-times-over-threshold relation through; r8 review
-    finding). Other variable-width types (decimal/array/...) keep a
-    24 B estimate."""
-    fixed, strings = 16, []
+def _fixed_row_bytes(schema) -> tuple[int, list[str], list[str]]:
+    """(per-row bytes EXCLUDING variable payloads, measurable
+    variable-width column names, OPAQUE variable-width column names).
+
+    UnsafeRow overhead + fixed-width sizes. Strings and binaries
+    contribute an 8-byte offset/length word here and their payload is
+    MEASURED in the gate's bounded job (a constant guess under-counts
+    long keys — a ~150-char natural key is ~170 B/row, and a 24 B
+    guess would let a several-times-over-threshold relation through;
+    r8 review finding). Decimals are fixed-width in UnsafeRow (8 B up
+    to precision 18, 16 B beyond). Arrays/maps/structs are OPAQUE:
+    their payload has no cheap length expression (a 768-float
+    embedding is ~6 KB/row — a flat estimate under-counts by orders
+    of magnitude; r8 advisor finding), so they are returned separately
+    and the caller must refuse to hint rather than guess."""
+    fixed, measured, opaque = 16, [], []
     for f in schema.fields:
         t = f.dataType.typeName()
-        if t == "string":
+        if t in ("string", "binary"):
             fixed += 8
-            strings.append(f.name)
+            measured.append(f.name)
+        elif t == "decimal":
+            fixed += 8 if f.dataType.precision <= 18 else 16
+        elif t in _TYPE_BYTES:
+            fixed += _TYPE_BYTES[t]
         else:
-            fixed += _TYPE_BYTES.get(t, 24)
-    return fixed, strings
+            fixed += 8
+            opaque.append(f.name)
+    return fixed, measured, opaque
 
 
 def maybe_broadcast(df: DataFrame, probe: DataFrame | None = None
@@ -89,11 +100,11 @@ def maybe_broadcast(df: DataFrame, probe: DataFrame | None = None
 
     The gate is now a bounded EXACT measurement — one aggregate job
     over ``limit(cap+1)`` (``cap = threshold / fixed_row_bytes``)
-    returning the row count AND the string-payload bytes of ``df``'s
-    string columns — cheap on a feed that is about to be scanned
-    anyway, and a fact rather than an estimate. The feed is
+    returning the row count AND the payload bytes of ``df``'s
+    string/binary columns — cheap on a feed that is about to be
+    scanned anyway, and a fact rather than an estimate. The feed is
     broadcast-hinted only when the count fits the cap AND the
-    measured size (count × fixed bytes + string payloads) fits
+    measured size (count × fixed bytes + measured payloads) fits
     ``spark.sql.autoBroadcastJoinThreshold`` (zero target shuffles,
     the common delta ≪ target case); otherwise it is merge-hinted,
     which also OVERRIDES Catalyst's own estimate-driven
@@ -101,23 +112,35 @@ def maybe_broadcast(df: DataFrame, probe: DataFrame | None = None
     the exact OOM this gate exists to kill). Pass ``probe`` to
     measure a cheaper upper bound instead — e.g. the pre-dedup feed,
     whose ``limit`` pushes into the scan without paying the dedup
-    window's shuffle.
+    window's shuffle; a probe missing any of ``df``'s measured
+    columns is ignored and ``df`` itself is measured (silently
+    skipping the column under-counted the payload; r8 advisor
+    finding).
+
+    Two refusal paths return ``df`` unhinted and let AQE's runtime
+    statistics decide: broadcast disabled session-wide, and a schema
+    with OPAQUE variable-width columns (array/map/struct — e.g. a
+    768-float embedding is ~6 KB/row, and no cheap per-row length
+    expression bounds it, so hinting either way would be a guess).
     """
     spark = df.sparkSession
     threshold = _threshold_bytes(spark)
     if threshold <= 0:
         return df  # broadcast disabled session-wide: honor it
-    fixed, strings = _fixed_row_bytes(df.schema)
+    fixed, measured, opaque = _fixed_row_bytes(df.schema)
+    if opaque:
+        return df  # unboundable payload: no hint, AQE decides
     cap = max(1, threshold // fixed)
     src = probe if probe is not None else df
-    strings = [c for c in strings if c in src.columns]
+    if any(c not in src.columns for c in measured):
+        src = df  # probe can't see every payload column: measure df
     aggs = [F.count(F.lit(1)).alias("__n")]
     aggs += [F.sum(F.coalesce(F.length(F.col(c)), F.lit(0)))
-             .alias(f"__len_{i}") for i, c in enumerate(strings)]
+             .alias(f"__len_{i}") for i, c in enumerate(measured)]
     row = src.limit(cap + 1).agg(*aggs).first()
     n = row["__n"]
     payload = sum(int(row[f"__len_{i}"] or 0)
-                  for i in range(len(strings)))
+                  for i in range(len(measured)))
     if n <= cap and n * fixed + payload <= threshold:
         return F.broadcast(df)
     return df.hint("merge")

@@ -180,19 +180,30 @@ _IVF_PQ_INDEX: dict = {}
 
 
 def ivf_pq_index(spark, sf_dir, emb, model, books):
+    """Cache key includes the fitted model/codebook IDENTITIES, not
+    just (session, table): a caller passing a differently-fitted
+    model for the same session+table must get a matching index, not
+    a stale one (r8 advisor finding). ``books`` is a plain nested
+    list (unhashable), so identity is keyed by ``id()`` — safe ONLY
+    because the cached value also holds strong references to the
+    keyed objects, so they can never be collected and their ids never
+    reused. The registry path always passes the session-cached
+    artifacts, so for it this still means one materialization per
+    (session, table)."""
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
         ivf_assign,
         pq_encode,
     )
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cache_key = (spark.sparkContext.applicationId, sf_dir,
+                 id(model), id(books))
     got = _IVF_PQ_INDEX.get(cache_key)
     if got is None:
         assignments = ivf_assign(emb, model).localCheckpoint(eager=True)
         codes = (pq_encode(emb, "vec_id", "embedding", books)
                  .localCheckpoint(eager=True))
-        got = (assignments, codes)
+        got = (assignments, codes, model, books)
         _IVF_PQ_INDEX[cache_key] = got
-    return got
+    return got[:2]
 
 
 @register(

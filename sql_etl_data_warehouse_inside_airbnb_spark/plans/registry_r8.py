@@ -92,13 +92,18 @@ def ext_kfold_assign(spark, sf_dir):
 
 @register(
     "ext_fuzzy_blocked_join",
-    """WITH p AS (SELECT p_partkey, p_name, p_brand, p_size FROM part),
+    """WITH p AS (SELECT p_partkey, p_name, p_brand, p_size,
+                      length(p_name) AS len
+               FROM part),
+       a AS (SELECT p.*, len + d AS arm
+             FROM p CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d)),
        cand AS (
          SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
                 CAST(levenshtein(a.p_name, b.p_name) AS BIGINT)
                     AS edit_dist
-         FROM p a JOIN p b
+         FROM a JOIN p b
            ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+          AND a.arm = b.len
           AND a.p_partkey <> b.p_partkey)
        SELECT part_a, part_b, edit_dist
        FROM (SELECT cand.*,
@@ -114,24 +119,37 @@ def ext_kfold_assign(spark, sf_dir):
          "best-candidate pick) that the dedup family lacks: PPJoin "
          "matches token SETS (Jaccard), winnowing matches substrings; "
          "edit distance catches typo-class variants neither sees. "
-         "Candidates come from a blocking EQUI-join on "
-         "(p_brand, p_size) — cost ∝ Σ block² with ~1250 blocks, "
-         "never all-pairs — and a per-record row_number window keeps "
-         "the single best match (deterministic tiebreak: distance, "
-         "then key). levenshtein() is the same classic DP metric in "
-         "Spark and DuckDB, and integer distances hash exactly. At "
-         "100 TB: block keys chosen so blocks stay bounded (add a "
-         "length band to fragment hot blocks — the "
-         "test_plan_audit.py composed-block-key discipline), the "
-         "join shuffles on the block key only, and the window "
-         "partitions per record — no global sort",
+         "Candidates come from a blocking EQUI-join on the COMPOSED "
+         "key (p_brand, p_size, name-length band) — the "
+         "test_plan_audit.py composed-block-key discipline, r9: the "
+         "bare (brand,size) key had ~1250 FIXED blocks, so Σ block² "
+         "grew quadratically with data. The length band fragments "
+         "every hot block, and three probe arms (len−1, len, len+1) "
+         "exploded on the LEFT side keep the declared radius "
+         "complete: every pair with |Δlen| ≤ 1 — the length change a "
+         "single edit can make — is a candidate, each exactly once "
+         "(arm values are distinct). A per-record row_number window "
+         "keeps the single best match (deterministic tiebreak: "
+         "distance, then key). levenshtein() is the same classic DP "
+         "metric in Spark and DuckDB, and integer distances hash "
+         "exactly. At 100 TB: the join shuffles on the composed "
+         "block key only (never all-pairs; max block size pinned in "
+         "tests/test_r9.py), and the window partitions per record — "
+         "no global sort",
     tags=("llm-pipeline",))
 def ext_fuzzy_blocked_join(spark, sf_dir):
     p = (t(spark, sf_dir, "part")
-         .select("p_partkey", "p_name", "p_brand", "p_size"))
-    a, b = p.alias("a"), p.alias("b")
-    cand = (a.join(b, ["p_brand", "p_size"])
-            .filter(F.col("a.p_partkey") != F.col("b.p_partkey"))
+         .select("p_partkey", "p_name", "p_brand", "p_size")
+         .withColumn("__len", F.length("p_name")))
+    a = p.withColumn(
+        "__arm", F.explode(F.array(F.col("__len") - 1, F.col("__len"),
+                                   F.col("__len") + 1)))
+    cand = (a.alias("a")
+            .join(p.alias("b"),
+                  (F.col("a.p_brand") == F.col("b.p_brand"))
+                  & (F.col("a.p_size") == F.col("b.p_size"))
+                  & (F.col("a.__arm") == F.col("b.__len"))
+                  & (F.col("a.p_partkey") != F.col("b.p_partkey")))
             .select(F.col("a.p_partkey").alias("part_a"),
                     F.col("b.p_partkey").alias("part_b"),
                     F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))

@@ -54,6 +54,8 @@ NESTED_LOOP_OK = {
     "ext_cooccurrence_pmi": "BroadcastNestedLoopJoin",
     # broadcast 1-row query vector (brute-force shortlist + qvec join)
     "ext_mmr_diversify": "BroadcastNestedLoopJoin",
+    # broadcast 1-row query vector crossed onto the 20-row shortlist
+    "ext_ann_ivfadc_portable_topk": "BroadcastNestedLoopJoin",
     # broadcast 1-row train-count attached to the eval aggregate
     "ext_quality_train_eval": "BroadcastNestedLoopJoin",
     # broadcast 1-row observed (min,max) day span for the WAU clamp
@@ -116,7 +118,10 @@ def test_registry_wide_plan_audit(spark, sf_dir):
     # aggregate, shuffles full-width data twice where a narrow-key
     # repartition would shuffle once (the w11_running_distinct
     # rewrite). Agg-shrunk pairs are fine — their wide shuffle carries
-    # map-side-combined rows — and are classified out by the tool.
+    # map-side-combined rows — as are narrow-shrunk ones (the narrow
+    # exchange moves post-groupBy rows, so merging would trade the e9
+    # hour-split's 24x parallelism for a negligible exchange); both
+    # are classified out by the tool.
     import importlib.util
     import os
 
@@ -186,13 +191,13 @@ def test_registry_priority_names_resolve():
     assert not missing, missing
     names = list(fr.REGISTRY)
     assert len(names) == len(set(names))
-    # round 8: the single r7 red leads for its re-verdict, then the
-    # entries whose builders changed this round (the ivf_pq
-    # materialized index; the maybe_broadcast bounded-count gate)
-    assert names[:6] == ["ts5_vwap_components", "ext_ann_ivf_pq_topk",
-                         "j8_merge_upsert", "j28_cdc_apply",
-                         "w1_merge_dedup_latest",
-                         "a13_merge_action_counts"]
+    # round 9: the single r8 red leads for its re-verdict (lo/hi
+    # re-encoded as integer cents), then the two r8-green entries
+    # whose builders changed this round (fuzzy join's banded block
+    # key; e9's hour-distributed sweep), then the new r9 entry
+    assert names[:4] == ["ts5_vwap_components", "ext_fuzzy_blocked_join",
+                         "e9_peak_concurrency",
+                         "ext_ann_ivfadc_portable_topk"]
     # every green entry not deliberately re-presented in the front
     # sits behind every entry still waiting for a verdict
     back = {n for n in fr._GREEN if n not in fr._PRIORITY}
@@ -223,8 +228,8 @@ def test_registry_priority_names_resolve():
     for n in deliberate_rows_only:
         assert fr.REGISTRY[n].oracle is None, n
     # closure invariant: every entry lacking ANY prior-round verdict
-    # row — plus the r7 red and the builders changed this round —
-    # must sit inside the window, so round 8 adjudicates all of them
+    # row — plus the r8 red and the builders changed this round —
+    # must sit inside the window, so round 9 adjudicates all of them
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     adjudicated = set()
     for f in glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json")):
@@ -232,8 +237,7 @@ def test_registry_priority_names_resolve():
     if adjudicated:  # absent in a bare checkout
         pending = [n for n in names if n not in adjudicated
                    or n in ("ts5_vwap_components",
-                            "ext_ann_ivf_pq_topk", "j8_merge_upsert",
-                            "j28_cdc_apply", "w1_merge_dedup_latest",
-                            "a13_merge_action_counts")]
+                            "ext_fuzzy_blocked_join",
+                            "e9_peak_concurrency")]
         outside = [n for n in pending if names.index(n) >= 50]
         assert not outside, outside

@@ -226,10 +226,14 @@ def test_hard_negatives_model_check(spark, sf_dir):
 def test_ivf_pq_recall_floor(spark, sf_dir):
     """The composed probe must stay a useful approximation: recall@10
     against exact brute force at the registry's probe params
-    (n_probe=8 of 16, rerank=100), floor pinned below the measured
-    values — 0.6 at sf0.001, 0.7 at sf0.01 (tools/recall_ladder.py
-    discipline; r7 shipped an unmeasured 0.5 floor at n_probe=4,
-    which observed 0.4)."""
+    (n_probe=8 of 16, rerank=100). Measured: 0.6 at sf0.001, 0.7 at
+    sf0.01 (tools/recall_ladder.py discipline; r7 shipped an
+    unmeasured 0.5 floor at n_probe=4, which observed 0.4). The
+    PINNED floor is deliberately one recall step (0.1 = one
+    neighbor) below the weakest measured sf — 0.5 — so a testdata
+    regeneration that shifts one boundary neighbor doesn't flake the
+    suite while a real regression (two+ lost neighbors) still
+    fails."""
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
         brute_force_topk,
         fit_ivf_quantizer,

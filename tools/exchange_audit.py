@@ -11,12 +11,19 @@ merge candidate — the ``w11_running_distinct`` one-exchange rewrite
 Not every pair should be merged. Each candidate is classified by the
 node feeding the wider exchange:
 
-- ``agg-shrunk``: a partial HashAggregate/ObjectHashAggregate feeds it
-  — the wide shuffle carries map-side-combined rows (often orders of
-  magnitude fewer than the input), while the merge would shuffle RAW
-  rows on the narrow key with no partial combine. Usually a LOSS;
-  leave alone.
-- ``window-chain``: a Sort/Window/Project/Scan feeds it — full-width
+- ``agg-shrunk``: a partial HashAggregate/ObjectHashAggregate feeds
+  the WIDE exchange — the wide shuffle carries map-side-combined rows
+  (often orders of magnitude fewer than the input), while the merge
+  would shuffle RAW rows on the narrow key with no partial combine.
+  Usually a LOSS; leave alone.
+- ``narrow-shrunk``: an aggregate feeds the NARROW exchange — the
+  narrow shuffle carries rows already shrunk by a groupBy, so merging
+  saves only that negligible exchange while collapsing the wide one's
+  parallelism onto the narrow key (the e9 hour-split sweep: the
+  (day, hour) exchange carries full delta rows for 24× the
+  parallelism; the day exchange moves one row per (day, hour)).
+  Deliberate; leave alone.
+- ``window-chain``: a Sort/Window/Project/Scan feeds both — full-width
   data crosses the wire twice. Repartitioning on the narrow key cuts
   one full shuffle. Usually a WIN when the narrow key's cardinality
   still gives parallelism (it must: the narrow-key operator needs
@@ -45,9 +52,15 @@ _ATTR = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 def _depth(line: str) -> int:
-    """Tree depth of a treeString line = where the node text starts
-    (after the ':  '/'+- ' scaffolding)."""
-    return len(line) - len(line.lstrip("+-*: "))
+    """Tree depth of a treeString line = the scaffold length (the
+    ':  '/'+- ' prefix). '*' must NOT be in the strip set: a
+    whole-stage-codegen node prints as '+- *(3) Node', and stripping
+    its star (then stopping at '(') gave codegen nodes depth
+    scaffold+1 while non-codegen siblings at the same tree level got
+    scaffold — misjudging subtree ancestry in mixed plans (r8 advisor
+    finding). Stopping at the star keeps the codegen prefix out of
+    the depth entirely."""
+    return len(line) - len(line.lstrip("+-: "))
 
 
 def _keysets(plan: str):
@@ -101,13 +114,17 @@ def audit_plan(plan: str):
     lines = plan.splitlines()
     exch = _keysets(plan)
     for i, (wline, wdepth, wide, feeder) in enumerate(exch):
-        for j, (nline, ndepth, narrow, _f) in enumerate(exch):
+        for j, (nline, ndepth, narrow, nfeeder) in enumerate(exch):
             if i == j or not (narrow < wide):
                 continue
             if not _in_subtree(lines, nline, ndepth, wline):
                 continue
-            cls = ("agg-shrunk" if feeder.startswith(_AGG_FED)
-                   else "window-chain")
+            if feeder.startswith(_AGG_FED):
+                cls = "agg-shrunk"
+            elif nfeeder.startswith(_AGG_FED):
+                cls = "narrow-shrunk"
+            else:
+                cls = "window-chain"
             found.append((tuple(sorted(wide)), tuple(sorted(narrow)),
                           cls))
     return found
