@@ -100,6 +100,9 @@ HEADLINE = [
     "e9_peak_concurrency",             # sweep-line max-overlap (r8)
     "stream_distinct_users",           # stateful seen-set twin (r8)
     "ext_ann_ivfadc_portable_topk",    # oracle-checkable IVFADC (r9)
+    "ext_domain_quota_sample",         # per-domain quota cap audit (r9)
+    "ext_label_outliers",              # noisy-label centroid mining (r9)
+    "ext_retrieval_eval",              # MRR/recall@k components (r9)
 ]
 
 # Maintenance / offline-build workloads (r5, VERDICT r4 item 5).

@@ -289,7 +289,8 @@ _PRIORITY = [
     "ts5_vwap_components",
     "ext_fuzzy_blocked_join", "e9_peak_concurrency",
     # new r9 oracle-paired entries
-    "ext_ann_ivfadc_portable_topk",
+    "ext_ann_ivfadc_portable_topk", "ext_domain_quota_sample",
+    "ext_label_outliers", "ext_retrieval_eval",
     # stalest green verdicts (r1 vintage)
     "a18_pivot", "f18_array_functions", "j13_asof_join",
     "j14_range_join", "stream_watermark_late_drop",
@@ -307,8 +308,7 @@ _PRIORITY = [
     "f16_metadata_math", "f6_filename_geography", "f7_date_conversion",
     "g1_connected_components", "g2_dedup_clusters", "j10_catalog_join",
     "j11_broadcast_semi", "j3_cast_key_join", "j5_not_in_anti",
-    "o6_full_sort", "o7_distinct_sorted_limit", "p2_add_default_column",
-    "p3_column_drop", "p5_null_empty_predicates",
+    "o6_full_sort", "o7_distinct_sorted_limit",
 ]
 
 

@@ -174,3 +174,208 @@ def ext_ann_ivfadc_portable_topk(spark, sf_dir):
                     F.row_number().over(
                         Window.orderBy(F.desc("cosine"), "vec_id"))
                     .cast("long").alias("rank")))
+
+
+@register(
+    "ext_domain_quota_sample",
+    """WITH ranked AS (
+         SELECT source, n_chars,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY n_chars DESC, doc_id)
+                    AS rn
+         FROM documents)
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN rn <= 8 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_kept,
+              CAST(sum(CASE WHEN rn <= 8 THEN n_chars ELSE 0 END)
+                   AS BIGINT) AS kept_chars,
+              CAST(sum(CASE WHEN rn > 8 THEN n_chars ELSE 0 END)
+                   AS BIGINT) AS dropped_chars
+       FROM ranked GROUP BY source""",
+    survey="§7.5 curation ext (per-domain quota cap + audit)",
+    note="per-source quota sampling — the C4/Gopher-style domain "
+         "balancing pass: no source may contribute more than N docs "
+         "(N=8 here), the kept set is the deterministic top-N by a "
+         "declared quality ordering (n_chars DESC, doc_id tiebreak — "
+         "swap in any scored rank), and the OUTPUT is the audit a "
+         "pipeline reviews before committing the cut: per-source "
+         "total/kept counts and the char volume the cap kept vs "
+         "discarded. Complements ext_train_split (rate-based) and "
+         "ext_kfold_assign (hash-based): quota is RANK-based, the "
+         "only family that bounds a heavy domain's contribution "
+         "regardless of corpus growth. ONE shuffle: the rank window "
+         "partitions on source and the audit groupBy reuses the same "
+         "clustering (subset key), so Catalyst inserts no second "
+         "exchange. All-integer outputs",
+    tags=("llm-pipeline",))
+def ext_domain_quota_sample(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("source", "n_chars",
+                                             "doc_id")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"),
+                                             "doc_id")
+    kept = F.col("__rn") <= 8
+    return (d.withColumn("__rn", F.row_number().over(w))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(kept, 1).otherwise(0)).cast("long")
+                 .alias("n_kept"),
+                 F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+                 .cast("long").alias("kept_chars"),
+                 F.sum(F.when(~kept, F.col("n_chars")).otherwise(0))
+                 .cast("long").alias("dropped_chars")))
+
+
+@register(
+    "ext_label_outliers",
+    """WITH flat AS (
+         SELECT vec_id, label,
+                generate_subscripts(embedding, 1) AS pos,
+                CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                           * 1048576) AS BIGINT) AS xq
+         FROM embeddings),
+       cent AS (
+         SELECT label, pos, CAST(sum(xq) AS BIGINT) AS s
+         FROM flat GROUP BY label, pos),
+       parts AS (
+         SELECT f.vec_id, f.label,
+                CAST(sum(f.xq * c.s) AS BIGINT) AS xc,
+                CAST(sum(f.xq * f.xq) AS BIGINT) AS xx
+         FROM flat f JOIN cent c
+           ON f.label = c.label AND f.pos = c.pos
+         GROUP BY f.vec_id, f.label),
+       cnorm AS (
+         SELECT label, CAST(sum(s * s) AS BIGINT) AS cc
+         FROM cent GROUP BY label),
+       scored AS (
+         SELECT p.vec_id, p.label,
+                round(CAST(p.xc AS DOUBLE)
+                      / (sqrt(CAST(p.xx AS DOUBLE))
+                         * sqrt(CAST(n.cc AS DOUBLE))), 6) AS cosine
+         FROM parts p JOIN cnorm n USING (label))
+       SELECT label, vec_id, cosine,
+              CAST(rnk AS BIGINT) AS rank
+       FROM (SELECT scored.*,
+                    row_number() OVER (PARTITION BY label
+                                       ORDER BY cosine, vec_id) AS rnk
+             FROM scored)
+       WHERE rnk <= 3""",
+    survey="§7.5 curation ext (noisy-label detection, centroid dist)",
+    note="label-error mining (confident-learning-lite): each label's "
+         "centroid over its member embeddings, then the 3 members "
+         "per label with the LOWEST cosine to their own centroid — "
+         "the mislabeled-candidate review queue every labeled-data "
+         "pipeline runs. Cross-engine exactness by construction: "
+         "components are quantized to a 2^20 integer grid with "
+         "floor() (no rounding-tie semantics), the centroid is the "
+         "integer SUM vector (order-free, exact — dividing by n "
+         "would reintroduce engine-ordered float error and cancels "
+         "out of cosine anyway), and all three inner products "
+         "(x·s, x·x, s·s) are exact int64 sums, so the one float "
+         "division both engines perform sees bit-identical inputs. "
+         "Magnitudes: |xq| <= 6.2e5, per-label n ~ 200 at sf0.1 so "
+         "s <= 1.3e8, s·s sums to ~1e18 < int64 max; at larger "
+         "corpus scale switch s to the mean-scaled variant and cc "
+         "to DECIMAL(38,0) (documented, not needed at bench sfs). "
+         "Plan: one explode (scan-stage), two combinable groupBys, "
+         "the centroid join broadcasts (labels x 64 dims rows), "
+         "per-label top-3 via window. At 100 TB: flat layout is the "
+         "columnar index scan, centroids are an offline artifact",
+    tags=("llm-pipeline",))
+def ext_label_outliers(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    flat = (emb.select(
+        "vec_id", "label",
+        F.posexplode(F.transform("embedding",
+                                 lambda x: x.cast("double")))
+        .alias("pos0", "x"))
+        .select("vec_id", "label", (F.col("pos0") + 1).alias("pos"),
+                F.floor(F.col("x") * 1048576).cast("long").alias("xq")))
+    cent = (flat.groupBy("label", "pos")
+            .agg(F.sum("xq").alias("s")))
+    parts = (flat.join(F.broadcast(cent), ["label", "pos"])
+             .groupBy("vec_id", "label")
+             .agg(F.sum(F.col("xq") * F.col("s")).alias("xc"),
+                  F.sum(F.col("xq") * F.col("xq")).alias("xx")))
+    cnorm = (cent.groupBy("label")
+             .agg(F.sum(F.col("s") * F.col("s")).alias("cc")))
+    cos = F.round(F.col("xc").cast("double")
+                  / (F.sqrt(F.col("xx").cast("double"))
+                     * F.sqrt(F.col("cc").cast("double"))), 6)
+    scored = (parts.join(F.broadcast(cnorm), "label")
+              .select("vec_id", "label", cos.alias("cosine")))
+    w = Window.partitionBy("label").orderBy("cosine", "vec_id")
+    return (scored.withColumn("__rnk", F.row_number().over(w))
+            .filter(F.col("__rnk") <= 3)
+            .select("label", "vec_id", "cosine",
+                    F.col("__rnk").cast("long").alias("rank")))
+
+
+_EVAL_TOK_SQL = """
+  SELECT doc_id, tt.term
+  FROM documents,
+       UNNEST(string_split_regex(lower(trim(text)),
+                                 '[ \\t\\n\\x0b\\f\\r]+')) AS tt(term)
+  WHERE tt.term IN ('spark', 'window', 'merge')"""
+
+
+@register(
+    "ext_retrieval_eval",
+    f"""WITH tok AS ({_EVAL_TOK_SQL}),
+       tf AS (SELECT doc_id, term, count(*) AS tf
+              FROM tok GROUP BY doc_id, term),
+       ranked AS (
+         SELECT term, doc_id,
+                row_number() OVER (PARTITION BY term
+                                   ORDER BY tf DESC, doc_id) AS rnk
+         FROM tf),
+       rel AS (
+         SELECT r.term, r.rnk, (d.lang = 'en') AS is_rel
+         FROM ranked r JOIN documents d USING (doc_id))
+       SELECT term,
+              CAST(min(CASE WHEN is_rel THEN rnk END) AS BIGINT)
+                  AS first_rel_rank,
+              CAST(sum(CASE WHEN is_rel AND rnk <= 10
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                  AS rel_in_top10,
+              CAST(count(*) AS BIGINT) AS n_candidates
+       FROM rel GROUP BY term""",
+    survey="§7.5 retrieval ext (ranking evaluation: MRR/recall@k)",
+    note="retrieval EVALUATION — the metrics loop that closes the "
+         "search family (index/BM25/phrase/RRF build rankings; "
+         "nothing graded them): per query term, rank candidate docs "
+         "by exact term frequency (tf DESC, doc_id tiebreak — the "
+         "integer core of any lexical ranker), mark docs relevant by "
+         "a declared labeling (lang='en' stands in for the judgment "
+         "file of a real eval set), and emit the integer metric "
+         "COMPONENTS: rank of the first relevant hit (reciprocal = "
+         "MRR, derived client-side under the registry quotient "
+         "rule), relevant-in-top-10 (recall@10 numerator), and the "
+         "candidate count. Tokens use the engine-portable explicit "
+         "whitespace class (registry_search._TOK_SQL discipline). "
+         "Plan: tokenize+filter in the scan stage, one (doc,term) "
+         "combinable agg, per-term rank window, broadcast-size "
+         "doc-metadata join. At 100 TB the judgment join keys on "
+         "(query, doc) pairs that fit memory per eval set",
+    tags=("llm-pipeline",))
+def ext_retrieval_eval(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.search import (
+        tokens,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", F.explode(tokens("text")).alias("term"))
+           .filter(F.col("term").isin("spark", "window", "merge")))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), "doc_id")
+    ranked = tf.withColumn("rnk", F.row_number().over(w))
+    rel = (ranked.join(d.select("doc_id", "lang"), "doc_id")
+           .select("term", "rnk",
+                   (F.col("lang") == "en").alias("is_rel")))
+    return (rel.groupBy("term")
+            .agg(F.min(F.when(F.col("is_rel"), F.col("rnk")))
+                 .cast("long").alias("first_rel_rank"),
+                 F.sum(F.when(F.col("is_rel") & (F.col("rnk") <= 10),
+                              1).otherwise(0)).cast("long")
+                 .alias("rel_in_top10"),
+                 F.count("*").cast("long").alias("n_candidates")))
