@@ -117,25 +117,33 @@ def maybe_broadcast(df: DataFrame, probe: DataFrame | None = None
     skipping the column under-counted the payload; r8 advisor
     finding).
 
-    Two refusal paths return ``df`` unhinted and let AQE's runtime
-    statistics decide: broadcast disabled session-wide, and a schema
-    with OPAQUE variable-width columns (array/map/struct — e.g. a
-    768-float embedding is ~6 KB/row, and no cheap per-row length
-    expression bounds it, so hinting either way would be a guess).
+    A schema with OPAQUE variable-width columns (array/map/struct —
+    e.g. a 768-float embedding is ~6 KB/row, and no cheap per-row
+    length expression bounds it) can never be PROVEN broadcastable,
+    but the bounded count still yields one usable fact: when the
+    count alone exceeds the cap the feed is over-threshold on its
+    fixed-width bytes before any payload — merge-hint it. When the
+    count fits, return ``df`` unhinted (hinting broadcast would be a
+    guess) and let AQE's runtime statistics decide. Payloads are
+    measured in BYTES (``octet_length``), not characters — a CJK
+    natural key is up to 4 bytes/char in UTF-8, and a length() count
+    would under-state it against the byte-denominated threshold.
     """
     spark = df.sparkSession
     threshold = _threshold_bytes(spark)
     if threshold <= 0:
         return df  # broadcast disabled session-wide: honor it
     fixed, measured, opaque = _fixed_row_bytes(df.schema)
-    if opaque:
-        return df  # unboundable payload: no hint, AQE decides
     cap = max(1, threshold // fixed)
     src = probe if probe is not None else df
     if any(c not in src.columns for c in measured):
         src = df  # probe can't see every payload column: measure df
+    if opaque:
+        # payload unboundable: the count is still a hard fact
+        n = src.limit(cap + 1).count()
+        return df.hint("merge") if n > cap else df
     aggs = [F.count(F.lit(1)).alias("__n")]
-    aggs += [F.sum(F.coalesce(F.length(F.col(c)), F.lit(0)))
+    aggs += [F.sum(F.coalesce(F.octet_length(F.col(c)), F.lit(0)))
              .alias(f"__len_{i}") for i, c in enumerate(measured)]
     row = src.limit(cap + 1).agg(*aggs).first()
     n = row["__n"]

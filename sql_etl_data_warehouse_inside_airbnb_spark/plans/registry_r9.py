@@ -31,9 +31,11 @@ from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
 def _ivfadc_oracle() -> str:
     """DuckDB oracle running the ENTIRE IVFADC pipeline: seeded-
     hyperplane coarse assignment (plane literals from the same
-    fixed-seed generator the Spark side uses), Hamming-1 multiprobe
-    prune, int8-grid ADC scoring of the survivors, top-``RERANK``
-    shortlist on the integer score, exact-cosine re-rank."""
+    fixed-seed generator the Spark side uses), Hamming-radius-2
+    multiprobe prune (10 arms + the own cell — radius 1 measured
+    recall@5 0.2 at sf0.01, see the entry note), int8-grid ADC
+    scoring of the survivors, top-20 shortlist on the integer score,
+    exact-cosine re-rank."""
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
         _hyperplanes,
         _probe_masks,
@@ -311,12 +313,14 @@ def ext_label_outliers(spark, sf_dir):
                     F.col("__rnk").cast("long").alias("rank")))
 
 
-_EVAL_TOK_SQL = """
-  SELECT doc_id, tt.term
-  FROM documents,
-       UNNEST(string_split_regex(lower(trim(text)),
-                                 '[ \\t\\n\\x0b\\f\\r]+')) AS tt(term)
-  WHERE tt.term IN ('spark', 'window', 'merge')"""
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_search import (  # noqa: E402
+    _TOK_SQL,
+)
+
+# compose the shared portable tokenizer (the ext_keyword_search
+# pattern) rather than duplicating it — the whitespace class was
+# tuned for Java-vs-RE2 \\s semantics and must stay single-sourced
+_EVAL_TOK_SQL = f"{_TOK_SQL} AND tt.term IN ('spark', 'window', 'merge')"
 
 
 @register(

@@ -84,8 +84,9 @@ def test_ts5_has_no_decimal_outputs(spark, sf_dir):
 def test_maybe_broadcast_opaque_varwidth_never_hints(spark):
     """r8 advisor (medium): a schema with array/map/struct columns
     has no cheap per-row length expression — a 768-float embedding is
-    ~6 KB/row against the old flat 24 B guess — so the gate must
-    refuse to hint either way and let AQE's runtime stats decide."""
+    ~6 KB/row against the old flat 24 B guess — so the gate must not
+    broadcast-hint (a guess); a count-fits opaque feed goes unhinted
+    for AQE, and only the count-exceeds fact still merge-hints."""
     from pyspark.sql import functions as F
 
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.merge import (
@@ -95,6 +96,21 @@ def test_maybe_broadcast_opaque_varwidth_never_hints(spark):
     df = spark.range(3).select(
         "id", F.array(F.lit(1.0), F.lit(2.0)).alias("emb"))
     assert maybe_broadcast(df) is df  # unhinted, not broadcast/merge
+
+    # ...but the bounded count is still a hard fact: an opaque feed
+    # whose COUNT alone exceeds the cap is over-threshold before any
+    # payload, so the merge hint (never broadcast) must still fire
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        big = spark.range(200).select(
+            "id", F.array(F.lit(1.0), F.lit(2.0)).alias("emb"))
+        plan = (maybe_broadcast(big)
+                ._jdf.queryExecution().logical().toString())
+        assert "merge" in plan.lower(), plan[:1500]
+        assert "broadcast" not in plan.lower(), plan[:1500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_maybe_broadcast_probe_missing_column_measures_df(spark):
