@@ -693,3 +693,82 @@ def semantic_dedup(df: DataFrame, key_col: str = "vec_id",
             .withColumn("is_survivor", F.row_number().over(w) == 1)
             .select(key_col, "cluster", "centroid_sim", "group_id",
                     "is_survivor"))
+
+
+def ivfadc_portable_topk(df: DataFrame, query: DataFrame, k: int = 10,
+                         key_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         n_planes: int = 4, dim: int = 64,
+                         hamming_probes: int = 2,
+                         rerank: int = 20) -> DataFrame:
+    """Portable IVFADC: the composed prune→ADC→rerank probe with every
+    tier DATA-INDEPENDENT, so the full pipeline is expressible in
+    static ANSI SQL (the hash-checkable twin of :func:`ivf_pq_topk`,
+    whose fitted KMeans centroids never can be).
+
+    Coarse tier: fixed-seed hyperplane buckets (:func:`lsh_bucket`)
+    with Hamming-``hamming_probes`` multiprobe — candidates outside
+    the probed cells are never ADC-scored. Fine tier: per-dimension
+    int8 grid codes (the ``ext_ann_quantized_topk`` scheme; the grid
+    min/max stats are fit over candidates ∪ query, the offline
+    'codebook'), scored by INTEGER dot product — bit-exact across
+    engines. Top-``rerank`` shortlist on the exact integer score
+    (ties by key), exact-cosine re-rank to top-``k``.
+
+    ``df`` is the candidate set (caller excludes the query row, the
+    ANN-family convention); ``query`` is one row. Plan shape: corpus
+    bucketed once in the scan stage, probe arms broadcast, ADC is one
+    broadcast equi-join + map-side-combinable sum, the rerank touches
+    ``rerank`` vectors; at 100 TB the bucket assignment and grid
+    codes are offline index artifacts (cf. registry_r7.ivf_pq_index).
+    """
+    planes = _hyperplanes(dim, n_planes)
+    data = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+    qrow = query.withColumn("__bucket",
+                            lsh_bucket(F.col(vec_col), planes))
+    qb = F.col("__bucket")
+    probes = [qb] + [qb.bitwiseXOR(F.lit(m))
+                     for m in _probe_masks(n_planes, hamming_probes)]
+    probe_df = F.broadcast(
+        qrow.select(F.explode(F.array(*probes)).alias("__bucket")))
+    surv = (data.join(probe_df, "__bucket", "left_semi")
+            .select(key_col, vec_col))
+
+    def _flat(d: DataFrame) -> DataFrame:
+        return (d.select(key_col,
+                         F.posexplode(as_double(F.col(vec_col)))
+                         .alias("pos0", "x"))
+                .select(key_col, (F.col("pos0") + 1).alias("pos"), "x"))
+
+    corpus = df.select(key_col, vec_col).unionByName(
+        query.select(key_col, vec_col))
+    stats = (_flat(corpus).groupBy("pos")
+             .agg(F.min("x").alias("mn"), F.max("x").alias("mx")))
+    code = (F.when(F.col("mx") == F.col("mn"), F.lit(0))
+            .otherwise(F.floor((F.col("x") - F.col("mn")) * 255.0
+                               / (F.col("mx") - F.col("mn"))))
+            .cast("bigint") - 128)
+    qc = (_flat(query)
+          .join(F.broadcast(stats), "pos")
+          .select("pos", code.alias("qcode")))
+    adc = (_flat(surv)
+           .join(F.broadcast(stats), "pos")
+           .select(key_col, "pos", code.alias("c"))
+           .join(F.broadcast(qc), "pos")
+           .groupBy(key_col)
+           .agg(F.sum(F.col("c") * F.col("qcode")).alias("qdot")))
+    short = (adc.orderBy(F.desc("qdot"), key_col).limit(rerank)
+             .select(key_col))
+    qv = F.broadcast(query.select(
+        as_double(F.col(vec_col)).alias("__qv")))
+    cos = F.round(cosine(as_double(F.col(vec_col)), F.col("__qv")), 6)
+    return (df.select(key_col, vec_col)
+            .join(F.broadcast(short), key_col)
+            .crossJoin(qv)
+            .select(F.col(key_col), cos.alias("cosine"))
+            .orderBy(F.desc("cosine"), key_col)
+            .limit(k)
+            .select(key_col, "cosine",
+                    F.row_number().over(
+                        Window.orderBy(F.desc("cosine"), F.col(key_col)))
+                    .cast("long").alias("rank")))

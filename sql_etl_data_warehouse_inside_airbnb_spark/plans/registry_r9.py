@@ -119,63 +119,14 @@ def _ivfadc_oracle() -> str:
     tags=("llm-pipeline",))
 def ext_ann_ivfadc_portable_topk(spark, sf_dir):
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
-        _hyperplanes,
-        _probe_masks,
-        as_double,
-        cosine,
-        lsh_bucket,
+        ivfadc_portable_topk,
     )
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planes = _hyperplanes(64, 4)
-    data = emb.withColumn("__bucket",
-                          lsh_bucket(F.col("embedding"), planes))
-    qrow = data.filter(F.col("vec_id") == 0)
-    qb = F.col("__bucket")
-    probes = [qb] + [qb.bitwiseXOR(F.lit(m))
-                     for m in _probe_masks(4, 2)]
-    probe_df = F.broadcast(
-        qrow.select(F.explode(F.array(*probes)).alias("__bucket")))
-    surv = (data.join(probe_df, "__bucket", "left_semi")
-            .filter(F.col("vec_id") != 0)
-            .select("vec_id", "embedding"))
-
-    def _flat(df):
-        return (df.select("vec_id",
-                          F.posexplode(as_double(F.col("embedding")))
-                          .alias("pos0", "x"))
-                .select("vec_id", (F.col("pos0") + 1).alias("pos"), "x"))
-
-    stats = (_flat(emb).groupBy("pos")
-             .agg(F.min("x").alias("mn"), F.max("x").alias("mx")))
-    code = (F.when(F.col("mx") == F.col("mn"), F.lit(0))
-            .otherwise(F.floor((F.col("x") - F.col("mn")) * 255.0
-                               / (F.col("mx") - F.col("mn"))))
-            .cast("bigint") - 128)
-    qc = (_flat(emb.filter(F.col("vec_id") == 0))
-          .join(F.broadcast(stats), "pos")
-          .select("pos", code.alias("qcode")))
-    adc = (_flat(surv)
-           .join(F.broadcast(stats), "pos")
-           .select("vec_id", "pos", code.alias("c"))
-           .join(F.broadcast(qc), "pos")
-           .groupBy("vec_id")
-           .agg(F.sum(F.col("c") * F.col("qcode")).alias("qdot")))
-    short = adc.orderBy(F.desc("qdot"), "vec_id").limit(20) \
-               .select("vec_id")
-    qv = F.broadcast(qrow.select(
-        as_double(F.col("embedding")).alias("__qv")))
-    cos = F.round(cosine(as_double(F.col("embedding")),
-                         F.col("__qv")), 6)
-    return (emb.join(F.broadcast(short), "vec_id")
-            .crossJoin(qv)
-            .select("vec_id", cos.alias("cosine"))
-            .orderBy(F.desc("cosine"), "vec_id")
-            .limit(5)
-            .select("vec_id", "cosine",
-                    F.row_number().over(
-                        Window.orderBy(F.desc("cosine"), "vec_id"))
-                    .cast("long").alias("rank")))
+    return ivfadc_portable_topk(
+        emb.filter(F.col("vec_id") != 0),
+        emb.filter(F.col("vec_id") == 0),
+        k=5, n_planes=4, dim=64, hamming_probes=2, rerank=20)
 
 
 @register(

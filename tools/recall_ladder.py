@@ -24,6 +24,7 @@ from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (  #
     ivf_assign,
     ivf_pq_topk,
     ivf_topk,
+    ivfadc_portable_topk,
     lsh_topk,
     pq_encode,
     pq_topk,
@@ -83,6 +84,10 @@ def main():
              c, q, ivf_model, books, k=10, n_probe=8, rerank=100,
              assignments=assigned.filter(F.col("vec_id") != qid),
              codes=codes.filter(F.col("vec_id") != qid))),
+        ("IVFADC portable r2, rerank@100",
+         lambda c, q: ivfadc_portable_topk(c, q, k=10,
+                                           hamming_probes=2,
+                                           rerank=100)),
     ]
 
     exacts = {}
