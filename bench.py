@@ -103,6 +103,8 @@ HEADLINE = [
     "ext_domain_quota_sample",         # per-domain quota cap audit (r9)
     "ext_label_outliers",              # noisy-label centroid mining (r9)
     "ext_retrieval_eval",              # MRR/recall@k components (r9)
+    "e10_cohort_retention",            # weekly cohort triangle (r9)
+    "x15_referential_integrity",       # FK orphan audit, 6 edges (r9)
 ]
 
 # Maintenance / offline-build workloads (r5, VERDICT r4 item 5).

@@ -334,3 +334,142 @@ def ext_retrieval_eval(spark, sf_dir):
                               1).otherwise(0)).cast("long")
                  .alias("rel_in_top10"),
                  F.count("*").cast("long").alias("n_candidates")))
+
+
+@register(
+    "e10_cohort_retention",
+    """WITH wk AS (
+         SELECT user_id,
+                CAST(date_trunc('week', ts) AS DATE) AS w,
+                CAST(date_trunc('week', min(ts) OVER (
+                     PARTITION BY user_id)) AS DATE) AS cohort_week
+         FROM events),
+       act AS (SELECT DISTINCT user_id, w, cohort_week FROM wk)
+       SELECT cohort_week,
+              CAST((w - cohort_week) // 7 AS BIGINT) AS week_offset,
+              CAST(count(*) AS BIGINT) AS n_users
+       FROM act GROUP BY cohort_week, week_offset""",
+    survey="§7.5 events ext (cohort retention matrix)",
+    note="weekly cohort retention — the canonical engagement triangle "
+         "(cohort = ISO week of a user's FIRST event; cell (c, k) = "
+         "distinct cohort-c users active in week c+k). Both engines "
+         "truncate weeks to Monday (Spark trunc(d,'week') == DuckDB "
+         "date_trunc('week')), offsets are exact integer day "
+         "differences // 7, counts are integers. The cohort week "
+         "comes from a min-over-user WINDOW rather than a self-join "
+         "with a per-user aggregate, so the plan needs only TWO "
+         "exchanges: one user_id shuffle feeds the window AND the "
+         "(user, week, cohort) distinct (HashPartitioning(user) "
+         "satisfies the wider clustering), then the tiny distinct "
+         "frame shuffles once onto the (cohort, offset) matrix "
+         "cells. At 100 TB the events table is time-partitioned and "
+         "the user shuffle is the one unavoidable move; the matrix "
+         "is weeks x offsets rows — nothing wide ever materializes",
+    tags=("llm-pipeline",))
+def e10_cohort_retention(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        normalize_event_time,
+    )
+
+    ev = normalize_event_time(t(spark, sf_dir, "events"))
+    wu = Window.partitionBy("user_id")
+    wk = (ev.select(
+        "user_id",
+        F.trunc(F.col("ts").cast("date"), "week").alias("w"),
+        F.trunc(F.min(F.col("ts").cast("date")).over(wu), "week")
+        .alias("cohort_week")))
+    act = wk.distinct()
+    return (act.groupBy(
+        "cohort_week",
+        (F.datediff(F.col("w"), F.col("cohort_week")) / 7)
+        .cast("long").alias("week_offset"))
+        .agg(F.count("*").alias("n_users")))
+
+
+@register(
+    "x15_referential_integrity",
+    """WITH pairs AS (
+         SELECT 'lineitem->orders' AS relationship,
+                (SELECT count(*) FROM lineitem) AS n_child,
+                (SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                    AS n_orphans
+         UNION ALL
+         SELECT 'orders->customer',
+                (SELECT count(*) FROM orders),
+                (SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+         UNION ALL
+         SELECT 'lineitem->part',
+                (SELECT count(*) FROM lineitem),
+                (SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+         UNION ALL
+         SELECT 'lineitem->supplier',
+                (SELECT count(*) FROM lineitem),
+                (SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey))
+         UNION ALL
+         SELECT 'customer->nation',
+                (SELECT count(*) FROM customer),
+                (SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+         UNION ALL
+         SELECT 'supplier->nation',
+                (SELECT count(*) FROM supplier),
+                (SELECT count(*) FROM supplier s
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = s.s_nationkey)))
+       SELECT relationship,
+              CAST(n_child AS BIGINT) AS n_child,
+              CAST(n_orphans AS BIGINT) AS n_orphans
+       FROM pairs""",
+    survey="§7.5 quality ext (referential-integrity audit)",
+    note="foreign-key orphan audit across the whole star schema — "
+         "the load-validation gate a warehouse runs after every "
+         "batch (the reference's quality checks validate "
+         "single-table shape; this validates the JOINS its marts "
+         "depend on: every fact row must resolve its dimension "
+         "keys). One row per declared FK edge: child cardinality + "
+         "orphan count via LEFT ANTI join (null-safe NOT EXISTS "
+         "semantics, the j4/j5 family applied as an audit). Spark "
+         "plan: each anti-join broadcasts the smaller dim or "
+         "shuffles on the key, counts are map-side-combinable; the "
+         "six audits are independent branches unioned into a "
+         "6-row report. At 100 TB run per-partition after each "
+         "incremental load — the anti-join prunes to the loaded "
+         "partitions",
+    tags=())
+def x15_referential_integrity(spark, sf_dir):
+    def audit(rel, child, ckey, parent, pkey):
+        c = t(spark, sf_dir, child)
+        p = t(spark, sf_dir, parent).select(pkey)
+        orphans = c.join(p, c[ckey] == p[pkey], "left_anti")
+        return (c.agg(F.count("*").alias("n_child"))
+                .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
+                .select(F.lit(rel).alias("relationship"),
+                        F.col("n_child").cast("long"),
+                        F.col("n_orphans").cast("long")))
+
+    edges = [
+        ("lineitem->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("customer->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("supplier->nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+    ]
+    out = audit(*edges[0])
+    for e in edges[1:]:
+        out = out.unionByName(audit(*e))
+    return out

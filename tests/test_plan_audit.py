@@ -56,6 +56,8 @@ NESTED_LOOP_OK = {
     "ext_mmr_diversify": "BroadcastNestedLoopJoin",
     # broadcast 1-row query vector crossed onto the 20-row shortlist
     "ext_ann_ivfadc_portable_topk": "BroadcastNestedLoopJoin",
+    # six 1-row x 1-row (child-count, orphan-count) audit pairs
+    "x15_referential_integrity": "BroadcastNestedLoopJoin",
     # broadcast 1-row train-count attached to the eval aggregate
     "ext_quality_train_eval": "BroadcastNestedLoopJoin",
     # broadcast 1-row observed (min,max) day span for the WAU clamp
