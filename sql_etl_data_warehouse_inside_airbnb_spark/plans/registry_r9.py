@@ -15,6 +15,21 @@
   across engines). Every stage of the composition — prune, ADC
   shortlist, exact cosine re-rank — is now value-hash-checked,
   anchoring the production IVFADC shape the KMeans twin serves.
+  Operator: ``operators/similarity.py:ivfadc_portable_topk``.
+- ``ext_domain_quota_sample``: per-source quota cap (rank-based
+  domain balancing) with the kept/dropped audit matrix.
+- ``ext_label_outliers``: noisy-label mining — lowest cosine to the
+  own-label centroid, exact cross-engine via integer-grid
+  quantization and integer-sum centroids.
+- ``ext_retrieval_eval``: MRR / recall@10 integer components — the
+  evaluation loop the retrieval family was missing.
+- ``e10_cohort_retention``: the weekly cohort retention triangle,
+  two-exchange plan (window + distinct share one user shuffle).
+- ``x15_referential_integrity``: FK orphan audit over all six
+  star-schema edges (left-anti join counts).
+- ``stream_quota_admission``: batch twin of the stateful ingest
+  admission quota (``streaming/admission.py``) — at most N events
+  per key in declared (ts, event_id) order; stream==batch pinned.
 """
 
 from __future__ import annotations
@@ -473,3 +488,43 @@ def x15_referential_integrity(spark, sf_dir):
     for e in edges[1:]:
         out = out.unionByName(audit(*e))
     return out
+
+
+@register(
+    "stream_quota_admission",
+    """WITH r AS (
+         SELECT event_type,
+                row_number() OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id) AS rn
+         FROM events)
+       SELECT event_type,
+              CAST(sum(CASE WHEN rn <= 1000 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_admitted,
+              CAST(sum(CASE WHEN rn > 1000 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_rejected
+       FROM r GROUP BY event_type""",
+    survey="§7.5 streaming ext (stateful admission quota / rate limit)",
+    note="batch meaning of the custom stateful admission-quota "
+         "operator (streaming/admission.py, applyInPandasWithState): "
+         "the stream keeps (admitted, rejected) running totals per "
+         "event_type as explicit state and admits at most 1000 "
+         "events per key in the DECLARED order (ts, event_id) — the "
+         "ingest-tier rate limiter every pipeline front door runs. "
+         "stream==batch equivalence — a key crossing its cap "
+         "MID-micro-batch and a later batch arriving fully over-cap "
+         "— is pinned in tests/test_r9.py. Batch twin is the "
+         "rank-and-count idiom (ext_domain_quota_sample applied to "
+         "events): window + same-key groupBy, one shuffle. At 100 TB "
+         "stream state is two longs per key — O(keys), never "
+         "O(events)",
+    tags=("llm-pipeline",))
+def stream_quota_admission(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        normalize_event_time,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.streaming.admission import (
+        quota_admit_batch,
+    )
+
+    return quota_admit_batch(
+        normalize_event_time(t(spark, sf_dir, "events")), cap=1000)

@@ -170,6 +170,78 @@ def test_fixed_row_bytes_classification():
     assert fixed == 16 + 8 + 8 + 8 + 8 + 16 + 8
 
 
+# ------------------------------------- streaming admission quota
+
+
+def test_quota_admission_stream_matches_batch(spark, tmp_path):
+    """Two micro-batches under cap=4: 'view' crosses its cap MID
+    first batch (5 events -> 4 admitted, 1 rejected), its second
+    batch arrives fully over-cap, and 'click' never reaches the cap.
+    The final per-key emission must equal the batch twin over the
+    union, and admitted totals must never exceed the cap."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.streaming.admission import (
+        quota_admit_batch,
+        quota_admit_stream,
+    )
+
+    def ts(h, m):
+        return dt.datetime(2024, 3, 1, h, m)
+
+    schema = ["event_id", "ts", "user_id", "event_type", "value",
+              "props"]
+    batch1 = [(i, ts(9, i), 1, "view", 1.0, "{}") for i in range(5)]
+    batch1 += [(10 + i, ts(9, i), 2, "click", 1.0, "{}")
+               for i in range(2)]
+    batch2 = [(20 + i, ts(10, i), 3, "view", 1.0, "{}")
+              for i in range(3)]
+    batch2 += [(30, ts(10, 5), 2, "click", 1.0, "{}")]
+    src = str(tmp_path / "qa_src")
+    os.makedirs(src)
+    for i, rows in enumerate([batch1, batch2]):
+        stage = os.path.join(str(tmp_path), f"qa_stage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"{i}.parquet")
+        shutil.copyfile(part, dest)
+        os.utime(dest, (1_000_000_000 + i * 100,) * 2)
+
+    batch_df = spark.read.parquet(src)
+    expected = {(r.event_type, r.n_admitted, r.n_rejected)
+                for r in quota_admit_batch(batch_df, cap=4).collect()}
+    assert expected == {("view", 4, 4), ("click", 3, 0)}
+
+    stream = (spark.readStream.schema(batch_df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (quota_admit_stream(stream, cap=4)
+         .writeStream.format("memory").queryName("qa")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "qa_ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(180)
+
+    rows = spark.sql("SELECT * FROM qa").collect()
+    per_key: dict = {}
+    for r in rows:
+        per_key.setdefault(r.event_type, []).append(
+            (r.n_admitted, r.n_rejected))
+    # cap is never exceeded, totals are monotone
+    for emits in per_key.values():
+        assert all(a <= 4 for a, _ in emits)
+        assert emits == sorted(emits)
+    final = {(k, v[-1][0], v[-1][1]) for k, v in per_key.items()}
+    assert final == expected
+    # the mid-batch cap crossing and the fully-over-cap second batch
+    assert per_key["view"] == [(4, 1), (4, 4)]
+    assert per_key["click"] == [(2, 0), (3, 0)]
+
+
 # ------------------------------------------- fuzzy-join block audit
 
 
