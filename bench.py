@@ -106,6 +106,7 @@ HEADLINE = [
     "e10_cohort_retention",            # weekly cohort triangle (r9)
     "x15_referential_integrity",       # FK orphan audit, 6 edges (r9)
     "stream_quota_admission",          # stateful ingest rate limit (r9)
+    "ts6_twap_components",             # mergeable TWAP rollup (r9)
 ]
 
 # Maintenance / offline-build workloads (r5, VERDICT r4 item 5).

@@ -292,7 +292,7 @@ _PRIORITY = [
     "ext_ann_ivfadc_portable_topk", "ext_domain_quota_sample",
     "ext_label_outliers", "ext_retrieval_eval",
     "e10_cohort_retention", "x15_referential_integrity",
-    "stream_quota_admission",
+    "stream_quota_admission", "ts6_twap_components",
     # stalest green verdicts (r1 vintage)
     "a18_pivot", "f18_array_functions", "j13_asof_join",
     "j14_range_join", "stream_watermark_late_drop",
@@ -309,7 +309,7 @@ _PRIORITY = [
     "ext_train_split", "f12_case_conditional", "f14_numeric_coercion",
     "f16_metadata_math", "f6_filename_geography", "f7_date_conversion",
     "g1_connected_components", "g2_dedup_clusters", "j10_catalog_join",
-    "j11_broadcast_semi", "j3_cast_key_join",
+    "j11_broadcast_semi",
 ]
 
 

@@ -30,6 +30,9 @@
 - ``stream_quota_admission``: batch twin of the stateful ingest
   admission quota (``streaming/admission.py``) — at most N events
   per key in declared (ts, event_id) order; stream==batch pinned.
+- ``ts6_twap_components``: time-weighted-average components — the
+  TWAP sibling of ts5's VWAP, mergeable integer components
+  (Σ duration·cents, Σ duration), single-exchange plan.
 """
 
 from __future__ import annotations
@@ -528,3 +531,65 @@ def stream_quota_admission(spark, sf_dir):
 
     return quota_admit_batch(
         normalize_event_time(t(spark, sf_dir, "events")), cap=1000)
+
+
+@register(
+    "ts6_twap_components",
+    """WITH o AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(CAST(value AS DECIMAL(19,2)) * 100 AS BIGINT)
+                    AS cents,
+                epoch_us(lead(ts) OVER (
+                    PARTITION BY event_type, CAST(ts AS DATE)
+                    ORDER BY ts, event_id)) - epoch_us(ts) AS dur
+         FROM events)
+       SELECT event_type, day,
+              CAST(count(*) AS BIGINT) AS n_intervals,
+              CAST(sum(dur) AS BIGINT) AS sum_dur_us,
+              CAST(sum(cents * dur) AS BIGINT) AS sum_cents_dur
+       FROM o WHERE dur IS NOT NULL
+       GROUP BY event_type, day""",
+    survey="§7.5 temporal ext (time-weighted average components)",
+    note="TWAP components per (event_type, day) — the time-weighted "
+         "sibling of ts5's VWAP: each observation holds until the "
+         "next one (dur = lead(ts) - ts within the partition, the "
+         "last observation of a day carries no interval — declared), "
+         "and the average derives client-side as sum_cents_dur / "
+         "(100 * sum_dur_us) under the registry quotient rule. "
+         "Components are MERGEABLE integers: value carries exactly 2 "
+         "real decimals so per-row CENTS are exact (double->decimal "
+         "on the RAW column, the ts5 idiom — DECIMAL(19,2) in DuckDB "
+         "so the x100 multiplies in int128, decimal(18,2) in Spark "
+         "so precision stays under 38), durations are exact integer "
+         "micros, and cents x dur sums to ~1e17 at sf0.1 — inside "
+         "int64 (document: at much larger day-partitions scale dur "
+         "to millis). ONE exchange: the lead window and the groupBy "
+         "share the (event_type, day) clustering. At 100 TB the "
+         "events table is day-partitioned so both are partition-local",
+    tags=())
+def ts6_twap_components(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        normalize_event_time,
+    )
+
+    ev = normalize_event_time(t(spark, sf_dir, "events"))
+    # materialize day as an ATTRIBUTE before the window: partitioning
+    # on the cast-expression would leave the downstream groupBy's
+    # clustering unrecognized and buy a second exchange
+    ev = ev.select(
+        "event_type", F.col("ts").cast("date").alias("day"),
+        "ts", "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        .alias("cents"))
+    w = Window.partitionBy("event_type", "day").orderBy("ts",
+                                                        "event_id")
+    ev = ev.select(
+        "event_type", "day", "cents",
+        (F.unix_micros(F.lead("ts").over(w))
+         - F.unix_micros(F.col("ts"))).alias("dur"))
+    return (ev.filter(F.col("dur").isNotNull())
+            .groupBy("event_type", "day")
+            .agg(F.count("*").alias("n_intervals"),
+                 F.sum("dur").alias("sum_dur_us"),
+                 F.sum(F.col("cents") * F.col("dur"))
+                 .alias("sum_cents_dur")))
