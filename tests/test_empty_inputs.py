@@ -87,3 +87,37 @@ def test_week_rollup_on_empty(spark):
                       tsql_week_start("l_shipdate").alias("ws"))
            .agg(F.count("*").alias("n")))
     assert out.count() == 0
+
+
+def test_r9_operators_on_empty(spark):
+    """Round-9 surface: peak concurrency / TWAP / cohort sweeps on an
+    empty events frame, the quota limiter on an empty batch, the
+    IVFADC probe against an empty candidate set — each must return
+    zero rows with the declared schema, never throw."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.events import (
+        peak_concurrency,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
+        ivfadc_portable_topk,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.streaming.admission import (
+        quota_admit_batch,
+    )
+
+    empty_events = spark.createDataFrame(
+        [], "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double")
+    got = peak_concurrency(empty_events)
+    assert got.columns == ["day", "n_sessions", "peak_concurrent"]
+    assert got.count() == 0
+    qa = quota_admit_batch(empty_events, cap=10)
+    assert qa.columns == ["event_type", "n_admitted", "n_rejected"]
+    assert qa.count() == 0
+
+    empty_vecs = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>")
+    query = spark.createDataFrame(
+        [(0, [0.5] * 64)], "vec_id bigint, embedding array<float>")
+    out = ivfadc_portable_topk(empty_vecs, query, k=5)
+    assert out.columns == ["vec_id", "cosine", "rank"]
+    assert out.count() == 0
