@@ -424,3 +424,64 @@ def test_registry_has_no_decimal_typed_outputs(spark, sf_dir):
             if dt.startswith("decimal"):
                 offenders.append((name, col, dt))
     assert not offenders, offenders
+
+
+# -------------------------------------- determinism / conservation
+
+
+def test_r9_rank_entries_are_repartition_invariant(spark, sf_dir):
+    """The rank-based r9 entries break ties on a TOTAL key, so their
+    outputs must be identical under any physical repartitioning (the
+    kfold discipline): quota audit, retrieval eval, TWAP components,
+    and the cohort matrix each re-run on a 13-way repartitioned input
+    path via the same builders — collect sets must match exactly."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
+        REGISTRY,
+    )
+
+    for name in ("ext_domain_quota_sample", "ext_retrieval_eval",
+                 "ts6_twap_components", "e10_cohort_retention"):
+        df = REGISTRY[name].build(spark, sf_dir)
+        base = {tuple(r) for r in df.collect()}
+        again = {tuple(r) for r in
+                 df.repartition(13).collect()}
+        assert base == again, name
+
+
+def test_r9_audits_conserve_totals(spark, sf_dir):
+    """Conservation laws the audits must satisfy: quota kept+dropped
+    accounts for every document and every char; admission
+    admitted+rejected accounts for every event; the FK audit's child
+    counts equal the raw table counts."""
+    from pyspark.sql import functions as F
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
+        REGISTRY,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        read_table,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    quota = REGISTRY["ext_domain_quota_sample"].build(spark, sf_dir) \
+        .collect()
+    assert sum(r.n_docs for r in quota) == docs.count()
+    assert (sum(r.kept_chars + r.dropped_chars for r in quota)
+            == docs.agg(F.sum("n_chars")).first()[0])
+    assert all(r.n_kept <= 8 for r in quota)
+
+    events = read_table(spark, sf_dir, "events")
+    adm = REGISTRY["stream_quota_admission"].build(spark, sf_dir) \
+        .collect()
+    assert (sum(r.n_admitted + r.n_rejected for r in adm)
+            == events.count())
+    assert all(r.n_admitted <= 1000 for r in adm)
+
+    fk = {r.relationship: r for r in
+          REGISTRY["x15_referential_integrity"].build(spark, sf_dir)
+          .collect()}
+    li = read_table(spark, sf_dir, "lineitem").count()
+    assert fk["lineitem->orders"].n_child == li
+    assert fk["lineitem->part"].n_child == li
+    # the synthetic warehouse is referentially intact
+    assert all(r.n_orphans == 0 for r in fk.values())
