@@ -107,6 +107,7 @@ HEADLINE = [
     "x15_referential_integrity",       # FK orphan audit, 6 edges (r9)
     "stream_quota_admission",          # stateful ingest rate limit (r9)
     "ts6_twap_components",             # mergeable TWAP rollup (r9)
+    "ext_mmr_portable_topk",           # quantized-MMR hash anchor (r9)
 ]
 
 # Maintenance / offline-build workloads (r5, VERDICT r4 item 5).

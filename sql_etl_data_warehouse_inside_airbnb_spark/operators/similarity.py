@@ -772,3 +772,109 @@ def ivfadc_portable_topk(df: DataFrame, query: DataFrame, k: int = 10,
                     F.row_number().over(
                         Window.orderBy(F.desc("cosine"), F.col(key_col)))
                     .cast("long").alias("rank")))
+
+
+def grid_codes(df: DataFrame, key_col: str = "vec_id",
+               vec_col: str = "embedding",
+               stats_source: DataFrame | None = None) -> DataFrame:
+    """Per-dimension int8 grid codes (the ``ext_ann_quantized_topk``
+    scheme) as a reusable index artifact: flatten to (key, pos, x),
+    fit per-pos min/max over ``stats_source`` (defaults to ``df`` —
+    pass candidates ∪ query when the query must share the grid), and
+    emit (key, pos, c) with c = floor-affine code centered to
+    [-128, 127]. floor(), not round(): no rounding-tie semantics, so
+    both engines' codes are bit-identical. All integer downstream —
+    ADC dots, pairwise dots, MMR scores — is then exact."""
+    def _flat(d: DataFrame) -> DataFrame:
+        return (d.select(key_col,
+                         F.posexplode(as_double(F.col(vec_col)))
+                         .alias("pos0", "x"))
+                .select(key_col, (F.col("pos0") + 1).alias("pos"), "x"))
+
+    src = stats_source if stats_source is not None else df
+    stats = (_flat(src).groupBy("pos")
+             .agg(F.min("x").alias("mn"), F.max("x").alias("mx")))
+    code = (F.when(F.col("mx") == F.col("mn"), F.lit(0))
+            .otherwise(F.floor((F.col("x") - F.col("mn")) * 255.0
+                               / (F.col("mx") - F.col("mn"))))
+            .cast("bigint") - 128)
+    return (_flat(df).join(F.broadcast(stats), "pos")
+            .select(key_col, "pos", code.alias("c")))
+
+
+def mmr_quantized_topk(df: DataFrame, query: DataFrame, k: int = 5,
+                       shortlist: int = 20, key_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Maximal Marginal Relevance re-rank over INTEGER quantized
+    scores — the oracle-checkable twin of the float/pandas
+    ``ext_mmr_diversify``: greedy selection is inherently sequential,
+    but for a FIXED k it unrolls into k static argmax steps, and with
+    int8-grid dots as both the relevance and the similarity the
+    score ``7·rel − 3·max_sim`` (λ=0.7 scaled ×10) is exact int64 —
+    every step's winner is bit-determined on both engines, no float
+    comparison anywhere.
+
+    Stages: grid codes over candidates ∪ query (the shared
+    'codebook'), integer-ADC relevance to the query, top-``shortlist``
+    by (rel, key), ONE pairwise integer dot table over the shortlist
+    (shortlist² bounded rows), then k unrolled argmax steps each
+    anti-joining the selected set and penalizing by the max pairwise
+    dot to it. Returns (rank, key, mmr_score) — all int64.
+
+    Scale: everything after the relevance scan is bounded by
+    ``shortlist``; the pairwise table is shortlist² rows of three
+    ints. The corpus is touched once (the ADC scan)."""
+    codes = grid_codes(
+        df, key_col, vec_col,
+        stats_source=df.select(key_col, vec_col).unionByName(
+            query.select(key_col, vec_col)))
+    qc = (grid_codes(query, key_col, vec_col,
+                     stats_source=df.select(key_col, vec_col)
+                     .unionByName(query.select(key_col, vec_col)))
+          .select("pos", F.col("c").alias("qcode")))
+    rel = (codes.join(F.broadcast(qc), "pos")
+           .groupBy(key_col)
+           .agg(F.sum(F.col("c") * F.col("qcode")).alias("r")))
+    # EAGER checkpoints: the k unrolled steps each re-reference the
+    # shortlist and the pairwise table; without materialization the
+    # plan tree re-embeds the whole codes subtree O(2^k) times (each
+    # pick's subtree contains every earlier pick's). Both frames are
+    # bounded (shortlist and shortlist^2 rows), so this is the
+    # ivf_pq_index pattern: tiny index artifacts, built once.
+    short = (rel.orderBy(F.desc("r"), key_col).limit(shortlist)
+             .localCheckpoint(eager=True))
+    sc = codes.join(F.broadcast(short.select(key_col)), key_col)
+    pair = (sc.alias("a")
+            .join(sc.alias("b"), "pos")
+            .filter(F.col(f"a.{key_col}") != F.col(f"b.{key_col}"))
+            .groupBy(F.col(f"a.{key_col}").alias("va"),
+                     F.col(f"b.{key_col}").alias("vb"))
+            .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("d"))
+            .localCheckpoint(eager=True))
+
+    first = (short.orderBy(F.desc("r"), key_col).limit(1)
+             .select(F.lit(1).cast("long").alias("rank"),
+                     F.col(key_col),
+                     (F.lit(7) * F.col("r")).alias("mmr_score")))
+    picks = [first]
+    for i in range(2, k + 1):
+        sel = picks[0].select(key_col)
+        for p in picks[1:]:
+            sel = sel.unionByName(p.select(key_col))
+        pen = (pair.join(F.broadcast(
+                   sel.select(F.col(key_col).alias("vb"))), "vb")
+               .groupBy("va").agg(F.max("d").alias("pen")))
+        cand = short.join(sel, key_col, "left_anti")
+        scored = (cand.join(pen, cand[key_col] == pen["va"])
+                  .select(F.col(key_col),
+                          (F.lit(7) * F.col("r")
+                           - F.lit(3) * F.col("pen"))
+                          .alias("mmr_score")))
+        picks.append(
+            scored.orderBy(F.desc("mmr_score"), key_col).limit(1)
+            .select(F.lit(i).cast("long").alias("rank"),
+                    F.col(key_col), F.col("mmr_score")))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

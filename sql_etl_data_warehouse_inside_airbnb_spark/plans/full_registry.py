@@ -293,6 +293,7 @@ _PRIORITY = [
     "ext_label_outliers", "ext_retrieval_eval",
     "e10_cohort_retention", "x15_referential_integrity",
     "stream_quota_admission", "ts6_twap_components",
+    "ext_mmr_portable_topk",
     # stalest green verdicts (r1 vintage)
     "a18_pivot", "f18_array_functions", "j13_asof_join",
     "j14_range_join", "stream_watermark_late_drop",
@@ -309,7 +310,6 @@ _PRIORITY = [
     "ext_train_split", "f12_case_conditional", "f14_numeric_coercion",
     "f16_metadata_math", "f6_filename_geography", "f7_date_conversion",
     "g1_connected_components", "g2_dedup_clusters", "j10_catalog_join",
-    "j11_broadcast_semi",
 ]
 
 

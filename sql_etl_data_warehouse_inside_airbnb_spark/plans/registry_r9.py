@@ -33,6 +33,11 @@
 - ``ts6_twap_components``: time-weighted-average components — the
   TWAP sibling of ts5's VWAP, mergeable integer components
   (Σ duration·cents, Σ duration), single-exchange plan.
+- ``ext_mmr_portable_topk``: the quantized-MMR twin — greedy
+  diversity re-rank unrolled into k static argmax steps over exact
+  int64 scores (7·rel − 3·max_sim on int8-grid dots), fully
+  oracle-expressible. Operator:
+  ``operators/similarity.py:mmr_quantized_topk``.
 """
 
 from __future__ import annotations
@@ -44,6 +49,25 @@ from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
     register,
     t,
 )
+
+
+# shared int8-grid quantizer CTEs (operators/similarity.py:grid_codes
+# twin) — single-sourced so the IVFADC and MMR oracles can never
+# drift from each other
+_GRID_CODES_SQL = """flat AS (
+         SELECT vec_id,
+                generate_subscripts(embedding, 1) AS pos,
+                CAST(unnest(embedding) AS DOUBLE) AS x
+         FROM embeddings),
+       stats AS (
+         SELECT pos, min(x) AS mn, max(x) AS mx FROM flat GROUP BY pos),
+       codes AS (
+         SELECT flat.vec_id, flat.pos,
+                CAST(CASE WHEN s.mx = s.mn THEN 0
+                          ELSE floor((flat.x - s.mn) * 255.0
+                                     / (s.mx - s.mn))
+                     END AS BIGINT) - 128 AS c
+         FROM flat JOIN stats s USING (pos))"""
 
 
 def _ivfadc_oracle() -> str:
@@ -74,20 +98,7 @@ def _ivfadc_oracle() -> str:
        surv AS (
          SELECT b.vec_id FROM b, q
          WHERE b.vec_id <> 0 AND (b.bkt = q.qb{probe_arms})),
-       flat AS (
-         SELECT vec_id,
-                generate_subscripts(embedding, 1) AS pos,
-                CAST(unnest(embedding) AS DOUBLE) AS x
-         FROM embeddings),
-       stats AS (
-         SELECT pos, min(x) AS mn, max(x) AS mx FROM flat GROUP BY pos),
-       codes AS (
-         SELECT flat.vec_id, flat.pos,
-                CAST(CASE WHEN s.mx = s.mn THEN 0
-                          ELSE floor((flat.x - s.mn) * 255.0
-                                     / (s.mx - s.mn))
-                     END AS BIGINT) - 128 AS c
-         FROM flat JOIN stats s USING (pos)),
+       {_GRID_CODES_SQL},
        qc AS (SELECT pos, c AS qcode FROM codes WHERE vec_id = 0),
        adc AS (
          SELECT codes.vec_id,
@@ -593,3 +604,89 @@ def ts6_twap_components(spark, sf_dir):
                  F.sum("dur").alias("sum_dur_us"),
                  F.sum(F.col("cents") * F.col("dur"))
                  .alias("sum_cents_dur")))
+
+
+def _mmr_oracle(k: int = 5) -> str:
+    """DuckDB oracle for the quantized-MMR twin: the greedy loop
+    unrolled into k static argmax CTEs. Each step cross-joins the
+    1-row earlier picks, excludes them, penalizes by the max pairwise
+    integer dot to the selected set, and takes the single best by
+    (mmr DESC, key) — bit-determined because every score is int64."""
+    steps = ["""s1 AS (SELECT vec_id, r, CAST(7 * r AS BIGINT) AS mmr
+                FROM short ORDER BY r DESC, vec_id LIMIT 1)"""]
+    for i in range(2, k + 1):
+        prevs = list(range(1, i))
+        tables = ", ".join([f"s{j}" for j in prevs]
+                           + [f"pair p{j}" for j in prevs])
+        notin = ", ".join(f"s{j}.vec_id" for j in prevs)
+        conds = " AND ".join(
+            f"p{j}.va = s.vec_id AND p{j}.vb = s{j}.vec_id"
+            for j in prevs)
+        pens = ", ".join(f"p{j}.d" for j in prevs)
+        pen = pens if i == 2 else f"greatest({pens})"
+        steps.append(
+            f"""s{i} AS (
+         SELECT s.vec_id, s.r,
+                CAST(7 * s.r - 3 * {pen} AS BIGINT) AS mmr
+         FROM short s, {tables}
+         WHERE s.vec_id NOT IN ({notin}) AND {conds}
+         ORDER BY 7 * s.r - 3 * {pen} DESC, s.vec_id LIMIT 1)""")
+    unions = "\n       UNION ALL\n       ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, vec_id, mmr AS mmr_score "
+        f"FROM s{i}" for i in range(1, k + 1))
+    steps_sql = ",\n       ".join(steps)
+    return f"""WITH {_GRID_CODES_SQL},
+       qc AS (SELECT pos, c AS qcode FROM codes WHERE vec_id = 0),
+       rel AS (
+         SELECT codes.vec_id,
+                CAST(sum(codes.c * qc.qcode) AS BIGINT) AS r
+         FROM codes JOIN qc USING (pos)
+         WHERE codes.vec_id <> 0
+         GROUP BY codes.vec_id),
+       short AS (SELECT vec_id, r FROM rel
+                 ORDER BY r DESC, vec_id LIMIT 20),
+       sc AS (SELECT codes.vec_id, pos, c
+              FROM codes JOIN short USING (vec_id)),
+       pair AS (
+         SELECT a.vec_id AS va, b.vec_id AS vb,
+                CAST(sum(a.c * b.c) AS BIGINT) AS d
+         FROM sc a JOIN sc b USING (pos)
+         WHERE a.vec_id <> b.vec_id
+         GROUP BY a.vec_id, b.vec_id),
+       {steps_sql}
+       {unions}"""
+
+
+@register(
+    "ext_mmr_portable_topk",
+    _mmr_oracle(5),
+    survey="§7.5 retrieval ext (MMR diversity re-rank, quantized twin)",
+    note="the oracle-checkable twin of ext_mmr_diversify (which is "
+         "deliberately rows-only: float greedy argmax has no SQL "
+         "form). Two moves make MMR hash-checkable: greedy selection "
+         "over a FIXED k unrolls into k static argmax steps (no "
+         "recursion — each step excludes the earlier 1-row picks and "
+         "takes the best by score then key), and int8-grid dots "
+         "(grid_codes, the quantized-ANN 'codebook') replace float "
+         "cosines so the MMR score 7·rel − 3·max_sim (λ=0.7 ×10) is "
+         "exact int64 — every comparison bit-determined on both "
+         "engines. Pipeline: integer-ADC relevance scan (the one "
+         "corpus pass), top-20 shortlist, ONE pairwise integer dot "
+         "table (shortlist² bounded rows, eager-checkpointed with "
+         "the shortlist — the ivf_pq_index pattern, else the k "
+         "unrolled steps re-embed the codes subtree O(2^k) times), "
+         "then 5 argmax steps over 20-row frames. Independent-model "
+         "check + selection-diversity property in tests/test_r9.py. "
+         "At 100 TB: corpus cost is the ADC scan; everything after "
+         "is shortlist-bounded",
+    tags=("llm-pipeline",))
+def ext_mmr_portable_topk(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
+        mmr_quantized_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return mmr_quantized_topk(
+        emb.filter(F.col("vec_id") != 0),
+        emb.filter(F.col("vec_id") == 0),
+        k=5, shortlist=20)

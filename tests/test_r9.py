@@ -485,3 +485,68 @@ def test_r9_audits_conserve_totals(spark, sf_dir):
     assert fk["lineitem->part"].n_child == li
     # the synthetic warehouse is referentially intact
     assert all(r.n_orphans == 0 for r in fk.values())
+
+
+# --------------------------------------------- quantized MMR twin
+
+
+def test_mmr_portable_matches_independent_model(spark, sf_dir):
+    """Re-run the ENTIRE quantized-MMR pipeline in plain Python
+    (grid codes -> integer ADC -> top-20 shortlist -> greedy
+    7*rel - 3*max_sim selection with key tiebreaks) and require the
+    registry entry's picks, ranks, AND scores to match exactly —
+    everything is integer, so there is no tolerance."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
+        REGISTRY,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        read_table,
+    )
+
+    vecs = {r.vec_id: [float(x) for x in r.embedding]
+            for r in read_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding").collect()}
+    dim = len(next(iter(vecs.values())))
+    mn = [min(v[p] for v in vecs.values()) for p in range(dim)]
+    mx = [max(v[p] for v in vecs.values()) for p in range(dim)]
+
+    import math
+
+    def code(v):
+        out = []
+        for p in range(dim):
+            if mx[p] == mn[p]:
+                c = 0
+            else:
+                c = math.floor((v[p] - mn[p]) * 255.0 / (mx[p] - mn[p]))
+            out.append(int(c) - 128)
+        return out
+
+    codes = {k: code(v) for k, v in vecs.items()}
+    qc = codes[0]
+    rel = {k: sum(a * b for a, b in zip(c, qc))
+           for k, c in codes.items() if k != 0}
+    short = sorted(rel, key=lambda k: (-rel[k], k))[:20]
+    pair = {(a, b): sum(x * y for x, y in zip(codes[a], codes[b]))
+            for a in short for b in short if a != b}
+    picks, scores = [], []
+    for _ in range(5):
+        best = None
+        for c in short:
+            if c in picks:
+                continue
+            pen = max((pair[(c, s)] for s in picks), default=None)
+            mmr = 7 * rel[c] if pen is None else 7 * rel[c] - 3 * pen
+            if best is None or (mmr, -c) > (best[0], -best[1]):
+                best = (mmr, c)
+        picks.append(best[1])
+        scores.append(best[0])
+
+    got = {r.rank: (r.vec_id, r.mmr_score) for r in
+           REGISTRY["ext_mmr_portable_topk"].build(spark, sf_dir)
+           .collect()}
+    assert got == {i + 1: (picks[i], scores[i]) for i in range(5)}
+    # the diversity penalty must actually bite: MMR's tail picks
+    # differ from the plain relevance top-5 unless the shortlist is
+    # already maximally diverse (then scores still encode penalties)
+    assert all(got[i][1] <= 7 * rel[got[i][0]] for i in range(2, 6))
