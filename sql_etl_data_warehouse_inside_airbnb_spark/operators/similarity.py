@@ -734,26 +734,17 @@ def ivfadc_portable_topk(df: DataFrame, query: DataFrame, k: int = 10,
     surv = (data.join(probe_df, "__bucket", "left_semi")
             .select(key_col, vec_col))
 
-    def _flat(d: DataFrame) -> DataFrame:
-        return (d.select(key_col,
-                         F.posexplode(as_double(F.col(vec_col)))
-                         .alias("pos0", "x"))
-                .select(key_col, (F.col("pos0") + 1).alias("pos"), "x"))
-
+    # ONE fitted codebook (grid_stats over candidates ∪ query) shared
+    # by the query and survivor code frames — the quantizer lives in
+    # exactly one place, so it can never drift between the tiers
+    # (post-round review); survivors encode via their own explode, no
+    # corpus-keyed join, so nothing corpus-sized is ever broadcast
     corpus = df.select(key_col, vec_col).unionByName(
         query.select(key_col, vec_col))
-    stats = (_flat(corpus).groupBy("pos")
-             .agg(F.min("x").alias("mn"), F.max("x").alias("mx")))
-    code = (F.when(F.col("mx") == F.col("mn"), F.lit(0))
-            .otherwise(F.floor((F.col("x") - F.col("mn")) * 255.0
-                               / (F.col("mx") - F.col("mn"))))
-            .cast("bigint") - 128)
-    qc = (_flat(query)
-          .join(F.broadcast(stats), "pos")
-          .select("pos", code.alias("qcode")))
-    adc = (_flat(surv)
-           .join(F.broadcast(stats), "pos")
-           .select(key_col, "pos", code.alias("c"))
+    stats = grid_stats(corpus, key_col, vec_col)
+    qc = (grid_codes(query, key_col, vec_col, stats=stats)
+          .select("pos", F.col("c").alias("qcode")))
+    adc = (grid_codes(surv, key_col, vec_col, stats=stats)
            .join(F.broadcast(qc), "pos")
            .groupBy(key_col)
            .agg(F.sum(F.col("c") * F.col("qcode")).alias("qdot")))
@@ -774,31 +765,46 @@ def ivfadc_portable_topk(df: DataFrame, query: DataFrame, k: int = 10,
                     .cast("long").alias("rank")))
 
 
+def _grid_flat(d: DataFrame, key_col: str, vec_col: str) -> DataFrame:
+    """(key, pos, x) columnar layout — pos is 1-based to mirror SQL
+    generate_subscripts."""
+    return (d.select(key_col,
+                     F.posexplode(as_double(F.col(vec_col)))
+                     .alias("pos0", "x"))
+            .select(key_col, (F.col("pos0") + 1).alias("pos"), "x"))
+
+
+def grid_stats(df: DataFrame, key_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """The int8 grid 'codebook': per-dimension (pos, mn, mx) fit over
+    ``df`` — at 100 TB an offline artifact, fit once over the corpus
+    (pass candidates ∪ query when the query must share the grid)."""
+    return (_grid_flat(df, key_col, vec_col).groupBy("pos")
+            .agg(F.min("x").alias("mn"), F.max("x").alias("mx")))
+
+
 def grid_codes(df: DataFrame, key_col: str = "vec_id",
                vec_col: str = "embedding",
+               stats: DataFrame | None = None,
                stats_source: DataFrame | None = None) -> DataFrame:
     """Per-dimension int8 grid codes (the ``ext_ann_quantized_topk``
     scheme) as a reusable index artifact: flatten to (key, pos, x),
-    fit per-pos min/max over ``stats_source`` (defaults to ``df`` —
-    pass candidates ∪ query when the query must share the grid), and
+    join the broadcast :func:`grid_stats` codebook (pass ``stats`` to
+    share one fitted codebook across several code frames, or
+    ``stats_source`` to fit on a different relation than ``df``), and
     emit (key, pos, c) with c = floor-affine code centered to
     [-128, 127]. floor(), not round(): no rounding-tie semantics, so
     both engines' codes are bit-identical. All integer downstream —
     ADC dots, pairwise dots, MMR scores — is then exact."""
-    def _flat(d: DataFrame) -> DataFrame:
-        return (d.select(key_col,
-                         F.posexplode(as_double(F.col(vec_col)))
-                         .alias("pos0", "x"))
-                .select(key_col, (F.col("pos0") + 1).alias("pos"), "x"))
-
-    src = stats_source if stats_source is not None else df
-    stats = (_flat(src).groupBy("pos")
-             .agg(F.min("x").alias("mn"), F.max("x").alias("mx")))
+    if stats is None:
+        stats = grid_stats(stats_source if stats_source is not None
+                           else df, key_col, vec_col)
     code = (F.when(F.col("mx") == F.col("mn"), F.lit(0))
             .otherwise(F.floor((F.col("x") - F.col("mn")) * 255.0
                                / (F.col("mx") - F.col("mn"))))
             .cast("bigint") - 128)
-    return (_flat(df).join(F.broadcast(stats), "pos")
+    return (_grid_flat(df, key_col, vec_col)
+            .join(F.broadcast(stats), "pos")
             .select(key_col, "pos", code.alias("c")))
 
 
@@ -824,13 +830,11 @@ def mmr_quantized_topk(df: DataFrame, query: DataFrame, k: int = 5,
     Scale: everything after the relevance scan is bounded by
     ``shortlist``; the pairwise table is shortlist² rows of three
     ints. The corpus is touched once (the ADC scan)."""
-    codes = grid_codes(
-        df, key_col, vec_col,
-        stats_source=df.select(key_col, vec_col).unionByName(
-            query.select(key_col, vec_col)))
-    qc = (grid_codes(query, key_col, vec_col,
-                     stats_source=df.select(key_col, vec_col)
-                     .unionByName(query.select(key_col, vec_col)))
+    stats = grid_stats(
+        df.select(key_col, vec_col).unionByName(
+            query.select(key_col, vec_col)), key_col, vec_col)
+    codes = grid_codes(df, key_col, vec_col, stats=stats)
+    qc = (grid_codes(query, key_col, vec_col, stats=stats)
           .select("pos", F.col("c").alias("qcode")))
     rel = (codes.join(F.broadcast(qc), "pos")
            .groupBy(key_col)

@@ -6,12 +6,15 @@ made ONLINE, per event, against a running count.
 
 ``quota_admit_stream`` keeps one state row per event_type holding the
 (admitted, rejected) running totals and emits the updated pair each
-micro-batch. Admission order is DECLARED, not arrival-accidental:
-within each micro-batch the group's rows are sorted by (ts, event_id)
-— the same total order the batch twin ranks by — so stream == batch
-holds whenever micro-batches arrive in event-time order (the file
-source replaying time-partitioned drops, the common backfill shape).
-Out-of-order arrival degrades gracefully: totals still reconcile
+micro-batch. The emitted TOTALS are order-invariant (each batch
+admits min(batch size, remaining quota)), so stream == batch holds
+for the counts whenever micro-batch BOUNDARIES respect event-time
+order (the file source replaying time-partitioned drops, the common
+backfill shape) — no within-batch sort is needed or performed. The
+declared (ts, event_id) order is the batch twin's DEFINITION of which
+individual events are admitted; a per-event variant of this operator
+would sort each group batch by it before slicing. Out-of-order
+arrival degrades gracefully: totals still reconcile
 (admitted + rejected = seen, admitted <= cap); only WHICH individual
 events were admitted can differ, which is true of any online limiter.
 
@@ -59,12 +62,15 @@ def _make_update(cap: int):
 
         (event_type,) = key
         admitted, rejected = state.get if state.exists else (0, 0)
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        # declared admission order — the batch twin's ranking order
-        batch = batch.sort_values(["ts", "event_id"])
-        take = min(len(batch), max(0, cap - admitted))
+        # totals are ORDER-INVARIANT (take = min(n, remaining)), so
+        # no within-batch sort is needed; the declared (ts, event_id)
+        # order only matters for WHICH events are admitted, which
+        # this operator does not emit (a per-event variant would sort
+        # here before slicing) — post-round review finding
+        n = sum(len(pdf) for pdf in pdfs)
+        take = min(n, max(0, cap - admitted))
         admitted += take
-        rejected += len(batch) - take
+        rejected += n - take
         state.update((int(admitted), int(rejected)))
         yield pd.DataFrame({"event_type": [event_type],
                             "n_admitted": [int(admitted)],

@@ -431,21 +431,34 @@ def test_registry_has_no_decimal_typed_outputs(spark, sf_dir):
 
 def test_r9_rank_entries_are_repartition_invariant(spark, sf_dir):
     """The rank-based r9 entries break ties on a TOTAL key, so their
-    outputs must be identical under any physical repartitioning (the
-    kfold discipline): quota audit, retrieval eval, TWAP components,
-    and the cohort matrix each re-run on a 13-way repartitioned input
-    path via the same builders — collect sets must match exactly."""
+    outputs must be identical under any physical partitioning of the
+    INPUT (the kfold discipline). Repartitioning the builder's output
+    would be vacuous — the upstream plan stays byte-identical
+    (post-round review finding) — so this re-plans each builder under
+    perturbed partitioning confs: a prime shuffle-partition count AND
+    a tiny files.maxPartitionBytes (many more input splits, different
+    row-to-task assignment throughout)."""
     from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
         REGISTRY,
     )
 
-    for name in ("ext_domain_quota_sample", "ext_retrieval_eval",
-                 "ts6_twap_components", "e10_cohort_retention"):
-        df = REGISTRY[name].build(spark, sf_dir)
-        base = {tuple(r) for r in df.collect()}
-        again = {tuple(r) for r in
-                 df.repartition(13).collect()}
-        assert base == again, name
+    names = ("ext_domain_quota_sample", "ext_retrieval_eval",
+             "ts6_twap_components", "e10_cohort_retention")
+    base = {n: {tuple(r) for r in
+                REGISTRY[n].build(spark, sf_dir).collect()}
+            for n in names}
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    old_bytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        for n in names:
+            again = {tuple(r) for r in
+                     REGISTRY[n].build(spark, sf_dir).collect()}
+            assert base[n] == again, n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_bytes)
 
 
 def test_r9_audits_conserve_totals(spark, sf_dir):
@@ -545,8 +558,9 @@ def test_mmr_portable_matches_independent_model(spark, sf_dir):
     got = {r.rank: (r.vec_id, r.mmr_score) for r in
            REGISTRY["ext_mmr_portable_topk"].build(spark, sf_dir)
            .collect()}
+    # picks, ranks, AND scores match the independent model exactly —
+    # this single assertion pins the penalties too (scores embed
+    # them); no sign assumption on the pairwise dots (grid codes are
+    # centered, so a max pairwise dot can legitimately be negative
+    # and push a score ABOVE 7*rel — post-round review finding)
     assert got == {i + 1: (picks[i], scores[i]) for i in range(5)}
-    # the diversity penalty must actually bite: MMR's tail picks
-    # differ from the plain relevance top-5 unless the shortlist is
-    # already maximally diverse (then scores still encode penalties)
-    assert all(got[i][1] <= 7 * rel[got[i][0]] for i in range(2, 6))
