@@ -200,16 +200,25 @@ def main() -> None:
                 maintenance[name] = dt
 
     total = round(sum(timings.values()), 3)
+    # SUMMARY FIELDS FIRST, per-query maps LAST, compact separators:
+    # the r9 driver artifact truncated mid-line (66 queries outgrew
+    # its capture buffer) and the totals lived after the map, so the
+    # round lost its headline number (BENCH_r09.json parsed: null).
+    # With this ordering a truncated capture loses per-query DETAIL,
+    # never the summary (r9 verdict item 4).
     print(json.dumps({
         "metric": "headline_query_runtime",
         "value": total,
         "unit": "sec",
+        "sf": float(sf) if sf is not None else None,
+        "headline_total_sec": total,
+        "n_queries": len(timings),
+        "cold_total_sec": round(cold, 3),
+        "maintenance_total_sec": round(sum(maintenance.values()), 3),
+        "n_maintenance": len(maintenance),
         "queries": timings,
         "maintenance": maintenance,
-        "maintenance_total_sec": round(sum(maintenance.values()), 3),
-        "sf": float(sf) if sf is not None else None,
-        "cold_total_sec": round(cold, 3),
-    }))
+    }, separators=(",", ":")))
     spark.stop()
 
 

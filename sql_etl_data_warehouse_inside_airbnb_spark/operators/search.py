@@ -154,6 +154,67 @@ def bm25_topk(df: DataFrame, key_col: str, text_col: str,
             .limit(k))
 
 
+def bm25_portable_topk(df: DataFrame, key_col: str, text_col: str,
+                       terms: list[str], k: int = 10,
+                       k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Hash-checkable BM25 twin of :func:`bm25_topk` (the r9-verdict
+    item-3 conversion): same Okapi/Lucene formula, but every
+    cross-engine float hazard is squeezed out of the COMPARED output:
+
+    - the per-document score is a FIXED-ORDER sum — one conditional
+      aggregate per query term (each holds at most ONE contribution,
+      since tf is already grouped per (doc, term), so no float
+      reduction order exists anywhere), added left-to-right in
+      sorted-term order on both engines;
+    - the sum is rounded to 6 decimals (the ANN family's green
+      round(cosine, 6) precedent) and the top-k cut orders by the
+      ROUNDED score with a key tiebreak, so the cut set is
+      engine-portable even at a boundary tie;
+    - all inputs to the float math are exact int64 (tf, df_t, N, dl)
+      plus avgdl = one int64-sum / int64-count division.
+
+    Plan shape is bm25_topk's (one corpus (doc,term) aggregate, tiny
+    broadcast dictionary, 1-row broadcast stats) with one extra
+    fixed-width pivot aggregate over the hit rows — still zero UDFs,
+    all whole-stage codegen.
+    """
+    if not terms:
+        raise ValueError("bm25_portable_topk needs at least one term")
+    qterms = sorted(set(t.lower() for t in terms))
+    toks = tokens(text_col)
+    base = df.select(F.col(key_col),
+                     F.size(toks).cast("bigint").alias("__dl"),
+                     F.filter(toks, lambda t: t.isin(qterms))
+                     .alias("__hits"))
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_docs"),
+        F.avg("__dl").alias("__avgdl"))
+    tf = (base.select(key_col, "__dl", F.explode("__hits").alias("term"))
+          .groupBy(key_col, "__dl", "term")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    dfreq = (tf.groupBy("term")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("df_t")))
+    idf = F.log((F.col("__n_docs") - F.col("df_t") + F.lit(0.5))
+                / (F.col("df_t") + F.lit(0.5)) + F.lit(1.0))
+    denom = (F.col("tf")
+             + F.lit(k1) * (F.lit(1.0 - b)
+                            + F.lit(b) * F.col("__dl") / F.col("__avgdl")))
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    per_term = (tf.join(F.broadcast(dfreq), "term")
+                .crossJoin(F.broadcast(stats))
+                .groupBy(key_col)
+                .agg(*[F.sum(F.when(F.col("term") == t, contrib))
+                       .alias(f"__c{i}")
+                       for i, t in enumerate(qterms)]))
+    total = F.coalesce(F.col("__c0"), F.lit(0.0))
+    for i in range(1, len(qterms)):
+        total = total + F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
+    score = F.round(total, 6)
+    return (per_term.select(F.col(key_col), score.alias("score"))
+            .orderBy(F.desc("score"), F.col(key_col))
+            .limit(k))
+
+
 def bm25_score_py(docs: dict, terms: list[str],
                   k1: float = 1.2, b: float = 0.75) -> dict:
     """Independent pure-Python BM25 model for pinning the Spark plan

@@ -700,7 +700,9 @@ def ivfadc_portable_topk(df: DataFrame, query: DataFrame, k: int = 10,
                          vec_col: str = "embedding",
                          n_planes: int = 4, dim: int = 64,
                          hamming_probes: int = 2,
-                         rerank: int = 20) -> DataFrame:
+                         rerank: int = 20,
+                         stats: DataFrame | None = None,
+                         codes: DataFrame | None = None) -> DataFrame:
     """Portable IVFADC: the composed prune→ADC→rerank probe with every
     tier DATA-INDEPENDENT, so the full pipeline is expressible in
     static ANSI SQL (the hash-checkable twin of :func:`ivf_pq_topk`,
@@ -710,41 +712,59 @@ def ivfadc_portable_topk(df: DataFrame, query: DataFrame, k: int = 10,
     with Hamming-``hamming_probes`` multiprobe — candidates outside
     the probed cells are never ADC-scored. Fine tier: per-dimension
     int8 grid codes (the ``ext_ann_quantized_topk`` scheme; the grid
-    min/max stats are fit over candidates ∪ query, the offline
-    'codebook'), scored by INTEGER dot product — bit-exact across
-    engines. Top-``rerank`` shortlist on the exact integer score
-    (ties by key), exact-cosine re-rank to top-``k``.
+    min/max stats are fit over the CORPUS ONLY — a query-independent
+    offline 'codebook'; the query's values are clamped into each
+    dimension's [mn, mx] at encode time — see :func:`grid_codes`),
+    scored by INTEGER dot product — bit-exact across engines.
+    Top-``rerank`` shortlist on the exact integer score (ties by
+    key), exact-cosine re-rank to top-``k``.
 
     ``df`` is the candidate set (caller excludes the query row, the
-    ANN-family convention); ``query`` is one row. Plan shape: corpus
-    bucketed once in the scan stage, probe arms broadcast, ADC is one
-    broadcast equi-join + map-side-combinable sum, the rerank touches
-    ``rerank`` vectors; at 100 TB the bucket assignment and grid
-    codes are offline index artifacts (cf. registry_r7.ivf_pq_index).
+    ANN-family convention); ``query`` is one row. ``stats`` and
+    ``codes`` are the OFFLINE index artifacts — the (pos, mn, mx)
+    codebook and the BUCKETED code table (key, bucket, pos, c)
+    (:func:`grid_code_index`). Pass both on a production probe path
+    (the registry does, via registry_r9.portable_grid_index's
+    session-cached eager checkpoints — the r9-verdict fix: no
+    corpus-wide aggregate may run per probe); when omitted they are
+    derived inline from ``df`` (small-data / standalone-test
+    convenience only — still corpus-only, never corpus ∪ query).
+
+    Plan shape (indexed): the probe arms broadcast-semi-prune the
+    codes index on its OWN bucket column (at 100 TB the index is
+    written partitioned by bucket, so this is partition pruning —
+    no corpus expression eval, no key shuffle), the ADC is one
+    broadcast equi-join + map-side-combinable sum, and the rerank
+    touches ``rerank`` raw vectors (cf. registry_r7.ivf_pq_index).
     """
     planes = _hyperplanes(dim, n_planes)
-    data = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
     qrow = query.withColumn("__bucket",
                             lsh_bucket(F.col(vec_col), planes))
     qb = F.col("__bucket")
     probes = [qb] + [qb.bitwiseXOR(F.lit(m))
                      for m in _probe_masks(n_planes, hamming_probes)]
     probe_df = F.broadcast(
-        qrow.select(F.explode(F.array(*probes)).alias("__bucket")))
-    surv = (data.join(probe_df, "__bucket", "left_semi")
-            .select(key_col, vec_col))
+        qrow.select(F.explode(F.array(*probes)).alias("bucket")))
 
-    # ONE fitted codebook (grid_stats over candidates ∪ query) shared
-    # by the query and survivor code frames — the quantizer lives in
-    # exactly one place, so it can never drift between the tiers
-    # (post-round review); survivors encode via their own explode, no
-    # corpus-keyed join, so nothing corpus-sized is ever broadcast
-    corpus = df.select(key_col, vec_col).unionByName(
-        query.select(key_col, vec_col))
-    stats = grid_stats(corpus, key_col, vec_col)
+    # ONE codebook shared by the query and survivor code frames — the
+    # quantizer lives in exactly one place, so it can never drift
+    # between the tiers (post-round review). Fit is corpus-only (the
+    # r9-verdict fix: a codebook fit over candidates ∪ query is
+    # coupled to the query and can never be an offline artifact; the
+    # query is clamped into the grid at encode time instead).
+    if stats is None:
+        stats = grid_stats(df, key_col, vec_col)
     qc = (grid_codes(query, key_col, vec_col, stats=stats)
           .select("pos", F.col("c").alias("qcode")))
-    adc = (grid_codes(surv, key_col, vec_col, stats=stats)
+    if codes is None:
+        data = df.withColumn("bucket", lsh_bucket(F.col(vec_col),
+                                                  planes))
+        surv = (data.join(probe_df, "bucket", "left_semi")
+                .select(key_col, vec_col))
+        scodes = grid_codes(surv, key_col, vec_col, stats=stats)
+    else:
+        scodes = codes.join(probe_df, "bucket", "left_semi")
+    adc = (scodes
            .join(F.broadcast(qc), "pos")
            .groupBy(key_col)
            .agg(F.sum(F.col("c") * F.col("qcode")).alias("qdot")))
@@ -765,20 +785,27 @@ def ivfadc_portable_topk(df: DataFrame, query: DataFrame, k: int = 10,
                     .cast("long").alias("rank")))
 
 
-def _grid_flat(d: DataFrame, key_col: str, vec_col: str) -> DataFrame:
-    """(key, pos, x) columnar layout — pos is 1-based to mirror SQL
-    generate_subscripts."""
-    return (d.select(key_col,
+def _grid_flat(d: DataFrame, key_col: str, vec_col: str,
+               carry: tuple[str, ...] = ()) -> DataFrame:
+    """(key, *carry, pos, x) columnar layout — pos is 1-based to
+    mirror SQL generate_subscripts; ``carry`` columns ride along the
+    explode unchanged (the bucketed code index carries its coarse
+    bucket this way, with no re-join on the key)."""
+    return (d.select(key_col, *carry,
                      F.posexplode(as_double(F.col(vec_col)))
                      .alias("pos0", "x"))
-            .select(key_col, (F.col("pos0") + 1).alias("pos"), "x"))
+            .select(key_col, *carry, (F.col("pos0") + 1).alias("pos"),
+                    "x"))
 
 
 def grid_stats(df: DataFrame, key_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
     """The int8 grid 'codebook': per-dimension (pos, mn, mx) fit over
-    ``df`` — at 100 TB an offline artifact, fit once over the corpus
-    (pass candidates ∪ query when the query must share the grid)."""
+    ``df`` — at 100 TB an offline artifact, fit once over the CORPUS
+    ONLY (query-independent; out-of-range query values are clamped
+    into [mn, mx] by :func:`grid_codes` — the r9-verdict rule: a
+    codebook fit over candidates ∪ query is coupled to the query and
+    can never be an offline index)."""
     return (_grid_flat(df, key_col, vec_col).groupBy("pos")
             .agg(F.min("x").alias("mn"), F.max("x").alias("mx")))
 
@@ -786,7 +813,8 @@ def grid_stats(df: DataFrame, key_col: str = "vec_id",
 def grid_codes(df: DataFrame, key_col: str = "vec_id",
                vec_col: str = "embedding",
                stats: DataFrame | None = None,
-               stats_source: DataFrame | None = None) -> DataFrame:
+               stats_source: DataFrame | None = None,
+               carry: tuple[str, ...] = ()) -> DataFrame:
     """Per-dimension int8 grid codes (the ``ext_ann_quantized_topk``
     scheme) as a reusable index artifact: flatten to (key, pos, x),
     join the broadcast :func:`grid_stats` codebook (pass ``stats`` to
@@ -795,22 +823,52 @@ def grid_codes(df: DataFrame, key_col: str = "vec_id",
     emit (key, pos, c) with c = floor-affine code centered to
     [-128, 127]. floor(), not round(): no rounding-tie semantics, so
     both engines' codes are bit-identical. All integer downstream —
-    ADC dots, pairwise dots, MMR scores — is then exact."""
+    ADC dots, pairwise dots, MMR scores — is then exact.
+
+    Values are CLAMPED into [mn, mx] before coding: a no-op for the
+    corpus the stats were fit on, and the query-side rule that lets
+    the codebook stay corpus-only (a query dimension outside the
+    corpus range codes to the nearest grid edge — the standard
+    saturating-quantizer behavior)."""
     if stats is None:
         stats = grid_stats(stats_source if stats_source is not None
                            else df, key_col, vec_col)
+    x = F.least(F.greatest(F.col("x"), F.col("mn")), F.col("mx"))
     code = (F.when(F.col("mx") == F.col("mn"), F.lit(0))
-            .otherwise(F.floor((F.col("x") - F.col("mn")) * 255.0
+            .otherwise(F.floor((x - F.col("mn")) * 255.0
                                / (F.col("mx") - F.col("mn"))))
             .cast("bigint") - 128)
-    return (_grid_flat(df, key_col, vec_col)
+    return (_grid_flat(df, key_col, vec_col, carry=carry)
             .join(F.broadcast(stats), "pos")
-            .select(key_col, "pos", code.alias("c")))
+            .select(key_col, *carry, "pos", code.alias("c")))
+
+
+def grid_code_index(df: DataFrame, key_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    stats: DataFrame | None = None,
+                    n_planes: int = 4, dim: int = 64) -> DataFrame:
+    """The portable-ANN index-BUILD artifact: the corpus's int8 grid
+    codes WITH the coarse hyperplane bucket on every row —
+    (key, bucket, pos, c). Carrying the bucket inside the code table
+    is what makes the IVFADC probe shuffle-free: the broadcast probe
+    arms semi-prune this one relation directly (at 100 TB it is
+    written partitioned by bucket, so the prune is partition
+    pruning), instead of semi-joining a separate assignment table on
+    the key — a corpus × corpus shuffle. Fit ``stats`` corpus-only
+    (:func:`grid_stats`); registry_r9.portable_grid_index
+    session-caches the eager-checkpointed result."""
+    planes = _hyperplanes(dim, n_planes)
+    withb = df.select(key_col, vec_col,
+                      lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+    return grid_codes(withb, key_col, vec_col, stats=stats,
+                      stats_source=df, carry=("bucket",))
 
 
 def mmr_quantized_topk(df: DataFrame, query: DataFrame, k: int = 5,
                        shortlist: int = 20, key_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       stats: DataFrame | None = None,
+                       codes: DataFrame | None = None) -> DataFrame:
     """Maximal Marginal Relevance re-rank over INTEGER quantized
     scores — the oracle-checkable twin of the float/pandas
     ``ext_mmr_diversify``: greedy selection is inherently sequential,
@@ -820,33 +878,45 @@ def mmr_quantized_topk(df: DataFrame, query: DataFrame, k: int = 5,
     every step's winner is bit-determined on both engines, no float
     comparison anywhere.
 
-    Stages: grid codes over candidates ∪ query (the shared
-    'codebook'), integer-ADC relevance to the query, top-``shortlist``
-    by (rel, key), ONE pairwise integer dot table over the shortlist
-    (shortlist² bounded rows), then k unrolled argmax steps each
-    anti-joining the selected set and penalizing by the max pairwise
-    dot to it. Returns (rank, key, mmr_score) — all int64.
+    Stages: int8 grid codes under a CORPUS-ONLY codebook (``stats`` /
+    ``codes`` are the offline index artifacts — pass both on a
+    production path, e.g. registry_r9.portable_grid_index's
+    session-cached checkpoints; inline derivation from ``df`` is the
+    standalone-test convenience, and the query clamps into the grid
+    per :func:`grid_codes`), integer-ADC relevance to the query,
+    top-``shortlist`` by (rel, key), ONE pairwise integer dot table
+    over the shortlist (shortlist² bounded rows), then k unrolled
+    argmax steps each anti-joining the selected set and penalizing by
+    the max pairwise dot to it. Returns (rank, key, mmr_score) — all
+    int64.
 
     Scale: everything after the relevance scan is bounded by
     ``shortlist``; the pairwise table is shortlist² rows of three
-    ints. The corpus is touched once (the ADC scan)."""
-    stats = grid_stats(
-        df.select(key_col, vec_col).unionByName(
-            query.select(key_col, vec_col)), key_col, vec_col)
-    codes = grid_codes(df, key_col, vec_col, stats=stats)
+    ints. The corpus is touched once (the ADC scan over the codes
+    index — with ``codes`` supplied, no corpus-wide aggregate or
+    explode runs on the probe path at all)."""
+    if stats is None:
+        stats = grid_stats(df, key_col, vec_col)
+    if codes is None:
+        codes = grid_codes(df, key_col, vec_col, stats=stats)
+    else:
+        codes = codes.select(key_col, "pos", "c")
     qc = (grid_codes(query, key_col, vec_col, stats=stats)
           .select("pos", F.col("c").alias("qcode")))
     rel = (codes.join(F.broadcast(qc), "pos")
            .groupBy(key_col)
            .agg(F.sum(F.col("c") * F.col("qcode")).alias("r")))
-    # EAGER checkpoints: the k unrolled steps each re-reference the
-    # shortlist and the pairwise table; without materialization the
-    # plan tree re-embeds the whole codes subtree O(2^k) times (each
-    # pick's subtree contains every earlier pick's). Both frames are
-    # bounded (shortlist and shortlist^2 rows), so this is the
-    # ivf_pq_index pattern: tiny index artifacts, built once.
+    # LAZY checkpoints: the k unrolled steps each re-reference the
+    # shortlist and the pairwise table; without lineage truncation
+    # the plan tree re-embeds the whole codes subtree O(2^k) times
+    # (each pick's subtree contains every earlier pick's). Both
+    # frames are bounded (shortlist and shortlist^2 rows) — the
+    # ivf_pq_index pattern — but eager=False: the LogicalRDD cut
+    # happens at construction either way, while the two Spark jobs
+    # run only when the result is actually materialized, so
+    # schema-only registry sweeps stay free (r9 advisor).
     short = (rel.orderBy(F.desc("r"), key_col).limit(shortlist)
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     sc = codes.join(F.broadcast(short.select(key_col)), key_col)
     pair = (sc.alias("a")
             .join(sc.alias("b"), "pos")
@@ -854,7 +924,7 @@ def mmr_quantized_topk(df: DataFrame, query: DataFrame, k: int = 5,
             .groupBy(F.col(f"a.{key_col}").alias("va"),
                      F.col(f"b.{key_col}").alias("vb"))
             .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("d"))
-            .localCheckpoint(eager=True))
+            .localCheckpoint(eager=False))
 
     first = (short.orderBy(F.desc("r"), key_col).limit(1)
              .select(F.lit(1).cast("long").alias("rank"),

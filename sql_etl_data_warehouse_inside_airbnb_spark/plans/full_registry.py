@@ -70,6 +70,7 @@ import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r6  # noqa: F40
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r7  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r8  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r9  # noqa: F401
+import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r10  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_search  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_surface  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_tpch  # noqa: F401

@@ -1,0 +1,176 @@
+"""Round-10 additions: the two rows-only→hash-green conversions the
+r9 verdict ranked feasible (items 3 and 6), both via the proven r9
+unroll/quantize playbook.
+
+- ``ext_bm25_portable_topk``: hash-checkable Okapi BM25 — the scores
+  are ln-based doubles, but every input is exact int64 (tf, df_t, N,
+  dl; avgdl is one int64-sum / count division), the per-document sum
+  is FIXED-ORDER (one conditional aggregate per query term, each
+  holding at most one contribution — no float reduction order exists),
+  and the compared column is round(score, 6) with the top-k cut on
+  the ROUNDED score + key (the green round(cosine, 6) precedent).
+  Operator: ``operators/search.py:bm25_portable_topk``.
+- ``g9_k_core_portable``: bounded-round synchronous k-core peel —
+  :func:`operators.graph.k_core_rounds` with a FIXED round count, so
+  the pure-integer peel unrolls into static CTEs exactly like the g8
+  LPA oracle. Runs on the same-lang doc successor graph (the g5
+  edge set), whose peel is genuinely iterative (measured
+  rounds-to-fixpoint 6/5/12 at sf0.001/0.01/0.1 for k=2) — the
+  6-round output is the declared bounded-peel contract, equal to the
+  true 2-core where it converges and a documented over-approximation
+  where it does not (the same over-approximation k_core documents at
+  max_rounds exhaustion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
+    register,
+    t,
+)
+
+_BM25_TERMS = ("spark", "window", "merge")
+_K1 = 1.2
+_B = 0.75
+
+
+def _bm25_oracle(terms=_BM25_TERMS, k: int = 20,
+                 k1: float = _K1, b: float = _B) -> str:
+    """DuckDB oracle: identical formula, identical float literals
+    (generated from the SAME Python floats the Spark side puts in
+    lit(), so both engines parse bit-identical doubles), identical
+    left-to-right addition order over the sorted query terms."""
+    qterms = sorted(set(x.lower() for x in terms))
+    inlist = ", ".join(f"'{x}'" for x in qterms)
+    conds = ",\n           ".join(
+        f"sum(CASE WHEN term = '{x}' THEN contrib END) AS c{i}"
+        for i, x in enumerate(qterms))
+    total = " + ".join(f"coalesce(c{i}, 0.0)"
+                       for i in range(len(qterms)))
+    return f"""WITH d AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(lower(trim(text)),
+                    '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS toks
+         FROM documents),
+       base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+       stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                        avg(dl) AS avgdl FROM base),
+       tok AS (SELECT d.doc_id, tt.term
+               FROM d, UNNEST(toks) AS tt(term)
+               WHERE tt.term IN ({inlist})),
+       tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY doc_id, term),
+       dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t
+                 FROM tf GROUP BY term),
+       scored AS (
+         SELECT tf.doc_id, tf.term,
+                ln((s.n_docs - f.df_t + 0.5) / (f.df_t + 0.5) + 1.0)
+                  * tf.tf * {k1 + 1.0!r}
+                  / (tf.tf + {k1!r} * ({1.0 - b!r}
+                                       + {b!r} * b2.dl / s.avgdl))
+                    AS contrib
+         FROM tf
+         JOIN dfreq f USING (term)
+         JOIN base b2 USING (doc_id)
+         CROSS JOIN stats s),
+       per AS (
+         SELECT doc_id,
+           {conds}
+         FROM scored GROUP BY doc_id)
+       SELECT doc_id, round({total}, 6) AS score
+       FROM per
+       ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+@register(
+    "ext_bm25_portable_topk",
+    _bm25_oracle(),
+    survey="§7.5 retrieval ext (BM25, hash-checkable twin)",
+    note="the oracle-paired twin of ext_bm25_topk (rows-only since "
+         "r4 — its per-doc score was a sum of doubles with no "
+         "defined reduction order). Three moves make BM25 "
+         "hash-checkable (operators/search.py:bm25_portable_topk): "
+         "the per-doc sum becomes one conditional aggregate per "
+         "query term — each holds at most ONE contribution because "
+         "tf is already grouped per (doc, term) — added "
+         "left-to-right in sorted-term order on both engines; the "
+         "compared score is round(·, 6) (the ANN family's green "
+         "precedent) with the top-20 cut ordered by the ROUNDED "
+         "score + doc_id, so the cut set is engine-portable at "
+         "boundary ties; and the SQL float literals are generated "
+         "from the same Python floats the Spark lit()s carry, so "
+         "both engines parse bit-identical doubles. Plan: one "
+         "corpus (doc,term) aggregate (the only corpus-sized "
+         "shuffle), broadcast term dictionary, 1-row broadcast "
+         "N/avgdl, fixed-width pivot agg — zero UDFs. Agreement "
+         "with the float bm25_topk ranking pinned in "
+         "tests/test_r10.py",
+    tags=("llm-pipeline",))
+def ext_bm25_portable_topk(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.search import (
+        bm25_portable_topk,
+    )
+
+    return bm25_portable_topk(t(spark, sf_dir, "documents"), "doc_id",
+                              "text", list(_BM25_TERMS), k=20,
+                              k1=_K1, b=_B)
+
+
+def _k_core_oracle(k: int = 2, rounds: int = 6) -> str:
+    """DuckDB oracle for the bounded-round peel: the g8 unroll
+    playbook — each round is one grouped degree count (HAVING >= k)
+    + two key joins restricting the edge set to kept endpoints."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""k{i - 1} AS (
+         SELECT u FROM sym{i - 1} GROUP BY u HAVING count(*) >= {k}),
+       sym{i} AS (
+         SELECT s.u, s.v FROM sym{i - 1} s
+         JOIN k{i - 1} a ON s.u = a.u
+         JOIN k{i - 1} b ON s.v = b.u)""")
+    steps_sql = ",\n       ".join(steps)
+    return f"""WITH e AS (
+         SELECT a.doc_id AS u, b.doc_id AS v
+         FROM documents a JOIN documents b
+           ON (b.doc_id = a.doc_id + 1 OR b.doc_id = a.doc_id + 2)
+          AND b.lang = a.lang),
+       sym0 AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+       {steps_sql}
+       SELECT u AS node, CAST(count(*) AS BIGINT) AS core_degree
+       FROM sym{rounds} GROUP BY u"""
+
+
+@register(
+    "g9_k_core_portable",
+    _k_core_oracle(2, 6),
+    survey="§7.5 graph ext (k-core, bounded-round hash-checkable twin)",
+    note="the oracle-paired twin of g9_k_core (rows-only: its "
+         "fixpoint probe is data-dependent, so no static SQL exists "
+         "for it). operators/graph.py:k_core_rounds fixes the round "
+         "count (6) and peels the same-lang doc successor graph (the "
+         "g5 edge set — genuinely iterative here: measured "
+         "rounds-to-fixpoint 6/5/12 at the three sfs for k=2, "
+         "survivors 72/97/936, vs the user<->bucket graph where "
+         "every peel is 0-2 rounds and usually empty), emitting "
+         "(node, core_degree). Equal to the true 2-core where 6 "
+         "rounds converge (sf0.001/0.01); the declared bounded-peel "
+         "over-approximation where they don't (sf0.1) — the same "
+         "over-approximation k_core documents at max_rounds "
+         "exhaustion, here as contract. All int64; per round one "
+         "combinable degree agg + two semi joins, localCheckpoint "
+         "lineage control, zero driver traffic in the loop. "
+         "Fixpoint-agreement-where-converged pinned in "
+         "tests/test_r10.py")
+def g9_k_core_portable(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.graph import (
+        k_core_rounds,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_graph import (
+        successor_edges,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return k_core_rounds(successor_edges(docs, steps=(1, 2)), k=2,
+                         rounds=6)

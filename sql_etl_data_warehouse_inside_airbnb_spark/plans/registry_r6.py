@@ -392,9 +392,38 @@ def e8_dau_wau(spark, sf_dir):
                     F.coalesce("wau", F.lit(0)).alias("wau")))
 
 
+def _g8_oracle(rounds: int = 5) -> str:
+    """DuckDB oracle for g8: the r9 MMR unroll playbook applied to
+    synchronous LPA — a FIXED round count of pure-integer min-label
+    argmax propagation unrolls into static CTEs (one join + grouped
+    count + row_number argmax per round; ties ORDER BY cnt DESC,
+    label ASC = the Spark side's max(struct(cnt, -label)))."""
+    steps = ["r0 AS (SELECT DISTINCT u AS node, u AS label FROM sym)"]
+    for i in range(1, rounds + 1):
+        steps.append(f"""r{i} AS (
+         SELECT node, label FROM (
+           SELECT s.u AS node, l.label,
+                  row_number() OVER (PARTITION BY s.u
+                                     ORDER BY count(*) DESC, l.label)
+                      AS rn
+           FROM sym s JOIN r{i - 1} l ON s.v = l.node
+           GROUP BY s.u, l.label) t
+         WHERE rn = 1)""")
+    steps_sql = ",\n       ".join(steps)
+    return f"""WITH e AS (
+         SELECT DISTINCT user_id AS u,
+                1000 + event_id % 50 AS v
+         FROM events),
+       sym AS (SELECT u, v FROM e
+               UNION
+               SELECT v AS u, u AS v FROM e),
+       {steps_sql}
+       SELECT node, label FROM r{rounds}"""
+
+
 @register(
     "g8_label_propagation",
-    None,
+    _g8_oracle(5),
     survey="§7.5 graph ext (community detection, LPA)",
     note="synchronous label propagation (5 rounds, deterministic: new "
          "label = most frequent neighbor label, ties to the SMALLEST "
@@ -406,9 +435,11 @@ def e8_dau_wau(spark, sf_dir):
          "round: one equi-join labels x edges, one (node, label) "
          "count, one max_by(struct(cnt, -label)) argmax — all "
          "map-side-combinable, localCheckpoint lineage control like "
-         "g6. Deliberate rows-only: the fixpoint is iterative-"
-         "argmax (no SQL oracle); semantics pinned against an "
-         "independent Python LPA in tests/test_r6.py")
+         "g6. ORACLE-PAIRED since r10 (the r9-verdict item-2 "
+         "conversion): everything is exact int64 and the round count "
+         "is fixed, so the loop unrolls into static CTEs — the MMR "
+         "unroll playbook; the r6 independent-Python-LPA pin stays "
+         "(tests/test_r6.py, tests/test_r10.py)")
 def g8_label_propagation(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     e = (ev.select(F.col("user_id").alias("u"),

@@ -53,21 +53,66 @@ from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
 
 # shared int8-grid quantizer CTEs (operators/similarity.py:grid_codes
 # twin) — single-sourced so the IVFADC and MMR oracles can never
-# drift from each other
+# drift from each other. The codebook fit is CORPUS-ONLY (vec_id <> 0
+# is the entries' candidate set — the r10 re-encode: a stats fit over
+# candidates ∪ query is coupled to the query and can never be an
+# offline index artifact); every row clamps into [mn, mx] at encode
+# time, a no-op for the corpus and the saturating-quantizer rule for
+# the query row.
 _GRID_CODES_SQL = """flat AS (
          SELECT vec_id,
                 generate_subscripts(embedding, 1) AS pos,
                 CAST(unnest(embedding) AS DOUBLE) AS x
          FROM embeddings),
        stats AS (
-         SELECT pos, min(x) AS mn, max(x) AS mx FROM flat GROUP BY pos),
+         SELECT pos, min(x) AS mn, max(x) AS mx FROM flat
+         WHERE vec_id <> 0 GROUP BY pos),
        codes AS (
          SELECT flat.vec_id, flat.pos,
                 CAST(CASE WHEN s.mx = s.mn THEN 0
-                          ELSE floor((flat.x - s.mn) * 255.0
+                          ELSE floor((least(greatest(flat.x, s.mn),
+                                            s.mx) - s.mn) * 255.0
                                      / (s.mx - s.mn))
                      END AS BIGINT) - 128 AS c
          FROM flat JOIN stats s USING (pos))"""
+
+
+# Materialized portable-grid index: the (pos, mn, mx) codebook and
+# the bucketed int8 code table (vec_id, bucket, pos, c) are the
+# index-BUILD artifacts shared by the two portable ANN twins (at
+# 100 TB: written at ingest, the code table partitioned by bucket).
+# localCheckpoint(eager) materializes both ONCE per (session, table)
+# and truncates lineage, so no probe plan contains the corpus
+# posexplode or the min/max codebook fit — the r9-verdict fix (both
+# twins used to re-fit the grid over candidates ∪ query per call).
+# Keyed by (applicationId, sf_dir) only — the artifacts are pure
+# functions of the table (fixed-seed hyperplanes, deterministic grid),
+# so the cache is bounded by the number of sf dirs a session touches.
+_PORTABLE_GRID_INDEX: dict = {}
+
+# Constructed quantized-MMR probes, keyed (applicationId, sf_dir) —
+# see ext_mmr_portable_topk for why construction itself is cached.
+_MMR_PORTABLE: dict = {}
+
+
+def portable_grid_index(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
+        grid_code_index,
+        grid_stats,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _PORTABLE_GRID_INDEX.get(key)
+    if got is None:
+        corpus = (t(spark, sf_dir, "embeddings")
+                  .select("vec_id", "embedding")
+                  .filter(F.col("vec_id") != 0))
+        stats = grid_stats(corpus).localCheckpoint(eager=True)
+        codes = (grid_code_index(corpus, stats=stats)
+                 .localCheckpoint(eager=True))
+        got = (stats, codes)
+        _PORTABLE_GRID_INDEX[key] = got
+    return got
 
 
 def _ivfadc_oracle() -> str:
@@ -136,15 +181,20 @@ def _ivfadc_oracle() -> str:
          "top cosines are ~0.35, too weak for tight LSH cells; "
          "radius 2 measures 0.8/0.6/1.0 across the three sfs). Fine: "
          "per-dimension int8 grid codes, ADC = INTEGER dot of code "
-         "vectors (bit-exact cross-engine; the grid stats are the "
-         "'codebook' — at 100 TB they and the bucket assignments are "
-         "the offline index artifact, cf. registry_r7.ivf_pq_index). "
+         "vectors (bit-exact cross-engine; the codebook is fit "
+         "CORPUS-ONLY and the query clamps into it — r10 re-encode, "
+         "so the stats + bucketed code table are genuine offline "
+         "artifacts, session-cached eager checkpoints via "
+         "portable_grid_index exactly like registry_r7.ivf_pq_index). "
          "Top-20 shortlist on the exact integer score (ties broken "
-         "by key), exact-cosine re-rank to top-5. Plan: corpus is "
-         "bucketed ONCE (scan-stage expressions), probe arms "
-         "broadcast, ADC is one equi-join + combinable sum-groupBy, "
-         "rerank touches 20 vectors. Recall-vs-brute floor pinned in "
-         "tests/test_r9.py",
+         "by key), exact-cosine re-rank to top-5. Plan: the probe "
+         "arms broadcast-semi-prune the checkpointed code index on "
+         "its own bucket column (partition pruning at scale — no "
+         "corpus expression eval, no key shuffle, no corpus-wide "
+         "aggregate anywhere on the probe path — pinned in "
+         "tests/test_r10.py), ADC is one equi-join + combinable "
+         "sum-groupBy, rerank touches 20 vectors. Recall-vs-brute "
+         "floor pinned in tests/test_r9.py",
     tags=("llm-pipeline",))
 def ext_ann_ivfadc_portable_topk(spark, sf_dir):
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
@@ -152,10 +202,12 @@ def ext_ann_ivfadc_portable_topk(spark, sf_dir):
     )
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    stats, codes = portable_grid_index(spark, sf_dir)
     return ivfadc_portable_topk(
         emb.filter(F.col("vec_id") != 0),
         emb.filter(F.col("vec_id") == 0),
-        k=5, n_planes=4, dim=64, hamming_probes=2, rerank=20)
+        k=5, n_planes=4, dim=64, hamming_probes=2, rerank=20,
+        stats=stats, codes=codes)
 
 
 @register(
@@ -670,23 +722,41 @@ def _mmr_oracle(k: int = 5) -> str:
          "(grid_codes, the quantized-ANN 'codebook') replace float "
          "cosines so the MMR score 7·rel − 3·max_sim (λ=0.7 ×10) is "
          "exact int64 — every comparison bit-determined on both "
-         "engines. Pipeline: integer-ADC relevance scan (the one "
-         "corpus pass), top-20 shortlist, ONE pairwise integer dot "
-         "table (shortlist² bounded rows, eager-checkpointed with "
-         "the shortlist — the ivf_pq_index pattern, else the k "
-         "unrolled steps re-embed the codes subtree O(2^k) times), "
-         "then 5 argmax steps over 20-row frames. Independent-model "
-         "check + selection-diversity property in tests/test_r9.py. "
-         "At 100 TB: corpus cost is the ADC scan; everything after "
-         "is shortlist-bounded",
+         "engines. Pipeline: integer-ADC relevance scan over the "
+         "session-cached codes index (portable_grid_index — the r10 "
+         "re-encode: corpus-only codebook, query clamps in, no "
+         "corpus-wide fit on the probe path), top-20 shortlist, ONE "
+         "pairwise integer dot table (shortlist² bounded rows, "
+         "LAZILY localCheckpointed with the shortlist — lineage cut "
+         "at construction, else the k unrolled steps re-embed the "
+         "codes subtree O(2^k) times; lazy so schema-only sweeps "
+         "run zero jobs, r9 advisor), then 5 argmax steps over "
+         "20-row frames. Independent-model check + selection-"
+         "diversity property in tests/test_r9.py. At 100 TB: corpus "
+         "cost is the ADC scan; everything after is shortlist-"
+         "bounded",
     tags=("llm-pipeline",))
 def ext_mmr_portable_topk(spark, sf_dir):
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
         mmr_quantized_topk,
     )
 
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return mmr_quantized_topk(
-        emb.filter(F.col("vec_id") != 0),
-        emb.filter(F.col("vec_id") == 0),
-        k=5, shortlist=20)
+    # Session-cache the CONSTRUCTED probe (r9 advisor): the shortlist
+    # / pair-table checkpoints are lazy, but under AQE even a lazy
+    # localCheckpoint materializes its upstream shuffle stages at
+    # construction (AdaptiveSparkPlanExec.execute runs every stage
+    # but the last), so an uncached build would still cost ~7 jobs on
+    # every schema-only registry sweep. One construction per
+    # (session, table); bounded like _PORTABLE_GRID_INDEX.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _MMR_PORTABLE.get(key)
+    if got is None:
+        emb = t(spark, sf_dir, "embeddings").select("vec_id",
+                                                    "embedding")
+        stats, codes = portable_grid_index(spark, sf_dir)
+        got = mmr_quantized_topk(
+            emb.filter(F.col("vec_id") != 0),
+            emb.filter(F.col("vec_id") == 0),
+            k=5, shortlist=20, stats=stats, codes=codes)
+        _MMR_PORTABLE[key] = got
+    return got

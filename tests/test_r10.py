@@ -1,0 +1,234 @@
+"""Round-10 additions and repairs:
+
+- The portable ANN twins' grid codebook is now an OFFLINE artifact
+  (the r9-verdict item 1): grid stats fit corpus-only (never
+  candidates ∪ query — the query clamps into the grid instead), and
+  the registry probe paths read session-cached eager-checkpointed
+  (stats, bucketed-codes) tables via registry_r9.portable_grid_index
+  — zero corpus-wide aggregates on any probe plan.
+- g8_label_propagation gains a DuckDB oracle (5 synchronous rounds
+  unrolled into static CTEs — the r9 MMR playbook applied to integer
+  min-label/argmax propagation).
+- ext_bm25_portable_topk: hash-checkable BM25 twin (fixed-order
+  per-term sum of rounded contributions).
+- g9_k_core_portable: bounded-round integer peeling twin.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import read_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ----------------------------------------- portable ANN index probes
+
+
+def test_portable_ann_probe_plans_use_materialized_index(spark, sf_dir):
+    """The r9-verdict item-1 pin (the ivf_pq pattern applied to the
+    portable twins): neither probe plan may contain the grid codebook
+    FIT — no min/max aggregate over the corpus posexplode anywhere —
+    and both must read the checkpointed index (ExistingRDD). The only
+    explode allowed in the IVFADC plan is the 1-row query branch; the
+    MMR plan (post-checkpoint) contains none at all. No
+    SortMergeJoin: the bucket prune is a broadcast semi on the code
+    index's own bucket column, never a corpus × corpus key shuffle."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
+        REGISTRY,
+    )
+
+    ivfadc = _plan(REGISTRY["ext_ann_ivfadc_portable_topk"]
+                   .build(spark, sf_dir))
+    assert "ExistingRDD" in ivfadc
+    for tok in ("partial_min", "partial_max", "min(x", "max(x",
+                "SortMergeJoin", "ArrowEvalPython", "BatchEvalPython"):
+        assert tok not in ivfadc, (tok, ivfadc[:3000])
+    assert ivfadc.count("posexplode") == 1, ivfadc[:3000]
+
+    mmr = _plan(REGISTRY["ext_mmr_portable_topk"].build(spark, sf_dir))
+    assert "ExistingRDD" in mmr
+    for tok in ("partial_min", "min(x", "max(x", "posexplode",
+                "SortMergeJoin", "Scan parquet"):
+        assert tok not in mmr, (tok, mmr[:3000])
+
+
+def test_portable_ann_warm_rebuild_runs_no_jobs(spark, sf_dir):
+    """Schema-only registry sweeps must stay free (r9 advisor): once
+    the session caches are warm, re-BUILDING either portable twin
+    runs zero Spark jobs — the index build and the MMR shortlist/pair
+    stages are once-per-(session, table) costs, not per-build
+    costs."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
+        REGISTRY,
+    )
+
+    names = ("ext_ann_ivfadc_portable_topk", "ext_mmr_portable_topk")
+    for n in names:  # warm the caches
+        REGISTRY[n].build(spark, sf_dir)
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs_for(name):
+        before = len(tracker.getJobIdsForGroup())
+        REGISTRY[name].build(spark, sf_dir)
+        return len(tracker.getJobIdsForGroup()) - before
+
+    # the MMR probe is construction-cached outright: zero jobs
+    assert jobs_for("ext_mmr_portable_topk") == 0
+    # the IVFADC build may only pay what ANY parquet-reading builder
+    # pays (spark.read.parquet's 1-task footer job) — nothing from
+    # the probe itself (no stats fit, no shortlist/pair stages)
+    assert jobs_for("ext_ann_ivfadc_portable_topk") \
+        <= jobs_for("s1_scan_project")
+
+
+def test_grid_codes_clamp_saturates(spark):
+    """The corpus-only codebook rule: a query dimension outside the
+    corpus [mn, mx] codes to the nearest grid edge (-128 / 127), the
+    saturating-quantizer behavior that keeps the fit
+    query-independent."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
+        grid_codes,
+        grid_stats,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 10.0]), (2, [1.0, 20.0])],
+        "vec_id bigint, embedding array<double>")
+    query = spark.createDataFrame(
+        [(0, [-5.0, 25.0])], "vec_id bigint, embedding array<double>")
+    stats = grid_stats(corpus)
+    got = {r.pos: r.c for r in
+           grid_codes(query, stats=stats).collect()}
+    assert got == {1: -128, 2: 127}
+    # corpus rows are unaffected by the clamp (it is a no-op inside
+    # the fitted range): edges code to -128 / 127 exactly
+    cc = {(r.vec_id, r.pos): r.c for r in
+          grid_codes(corpus, stats=stats).collect()}
+    assert cc == {(1, 1): -128, (1, 2): -128, (2, 1): 127, (2, 2): 127}
+
+
+def test_portable_grid_index_is_session_cached(spark, sf_dir):
+    """Same (session, table) → the SAME checkpointed artifacts (no
+    refit, identity equality — the ivf_pq_index discipline); the
+    cache is keyed per table so distinct sf dirs stay distinct."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r9 import (
+        portable_grid_index,
+    )
+
+    s1, c1 = portable_grid_index(spark, sf_dir)
+    s2, c2 = portable_grid_index(spark, sf_dir)
+    assert s1 is s2 and c1 is c2
+    assert set(c1.columns) == {"vec_id", "bucket", "pos", "c"}
+
+
+# ------------------------------------------------------- g8 oracle
+
+
+def test_g8_oracle_matches_independent_python_lpa(spark, sf_dir):
+    """g8's new DuckDB oracle is the unrolled twin of the Spark loop;
+    this keeps the ORIGINAL r6 pin too — an independent Python LPA
+    (synchronous, most-frequent-neighbor-label, ties to smallest)
+    must agree with the Spark entry exactly."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
+        REGISTRY,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    edges = {(int(r.u), int(r.v)) for r in
+             ev.select(F.col("user_id").alias("u"),
+                       (F.lit(1000) + F.col("event_id") % 50)
+                       .alias("v")).distinct().collect()}
+    sym = edges | {(v, u) for u, v in edges}
+    nbrs: dict[int, list[int]] = {}
+    for u, v in sym:
+        nbrs.setdefault(u, []).append(v)
+    labels = {n: n for n in nbrs}
+    for _ in range(5):
+        new = {}
+        for n, vs in nbrs.items():
+            cnt: dict[int, int] = {}
+            for v in vs:
+                lv = labels[v]
+                cnt[lv] = cnt.get(lv, 0) + 1
+            new[n] = min(cnt, key=lambda l: (-cnt[l], l))
+        labels = new
+
+    got = {r.node: r.label for r in
+           REGISTRY["g8_label_propagation"].build(spark, sf_dir)
+           .collect()}
+    assert got == labels
+
+
+# ---------------------------------------------------- bm25 portable
+
+
+def test_bm25_portable_matches_float_twin_and_python_model(spark,
+                                                           sf_dir):
+    """The portable twin must be the SAME ranker, just re-encoded:
+    its rounded scores equal the float bm25_topk's rounded scores on
+    the same corpus/terms, and both match the independent Python
+    model (bm25_score_py) within rounding."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.search import (
+        bm25_score_py,
+        bm25_topk,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
+        REGISTRY,
+    )
+
+    terms = ["spark", "window", "merge"]
+    got = {r.doc_id: r.score for r in
+           REGISTRY["ext_bm25_portable_topk"].build(spark, sf_dir)
+           .collect()}
+    assert len(got) == 20
+
+    docs_df = read_table(spark, sf_dir, "documents")
+    flt = {r.doc_id: round(r.score, 6) for r in
+           bm25_topk(docs_df, "doc_id", "text", terms, k=20).collect()}
+    assert got == flt
+
+    docs = {r.doc_id: r.text for r in
+            docs_df.select("doc_id", "text").collect()}
+    model = bm25_score_py(docs, terms)
+    for d, s in got.items():
+        assert abs(model[d] - s) < 1e-6, (d, s, model[d])
+
+
+# ------------------------------------------------- k-core portable
+
+
+def test_k_core_rounds_equals_fixpoint_where_converged(spark, sf_dir):
+    """At sf0.001 the doc-successor 2-core peel converges in 6 rounds
+    (measured), so the bounded-round twin must equal the true k_core
+    fixpoint exactly — nodes AND in-core degrees. Also pin the
+    non-vacuity that motivated this graph: the peel removes nodes
+    (the raw node set strictly shrinks), so the entry exercises
+    iteration, not just a degree filter."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.graph import (
+        k_core,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
+        REGISTRY,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_graph import (
+        successor_edges,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    edges = successor_edges(docs, steps=(1, 2))
+    got = {(r.node, r.core_degree) for r in
+           REGISTRY["g9_k_core_portable"].build(spark, sf_dir)
+           .collect()}
+    fix = {(r.node, r.core_degree) for r in
+           k_core(edges, k=2).collect()}
+    assert got == fix
+    n_raw = (edges.selectExpr("src AS n").union(
+        edges.selectExpr("dst AS n")).distinct().count())
+    assert len(got) < n_raw

@@ -520,8 +520,14 @@ def test_mmr_portable_matches_independent_model(spark, sf_dir):
             for r in read_table(spark, sf_dir, "embeddings")
             .select("vec_id", "embedding").collect()}
     dim = len(next(iter(vecs.values())))
-    mn = [min(v[p] for v in vecs.values()) for p in range(dim)]
-    mx = [max(v[p] for v in vecs.values()) for p in range(dim)]
+    # r10 re-encode: the codebook fits over the CORPUS ONLY (the
+    # candidate set excludes the query row 0) and every value clamps
+    # into [mn, mx] at encode time — a no-op for the corpus, the
+    # saturating-quantizer rule for the query
+    mn = [min(v[p] for k, v in vecs.items() if k != 0)
+          for p in range(dim)]
+    mx = [max(v[p] for k, v in vecs.items() if k != 0)
+          for p in range(dim)]
 
     import math
 
@@ -531,7 +537,8 @@ def test_mmr_portable_matches_independent_model(spark, sf_dir):
             if mx[p] == mn[p]:
                 c = 0
             else:
-                c = math.floor((v[p] - mn[p]) * 255.0 / (mx[p] - mn[p]))
+                x = min(max(v[p], mn[p]), mx[p])
+                c = math.floor((x - mn[p]) * 255.0 / (mx[p] - mn[p]))
             out.append(int(c) - 128)
         return out
 
