@@ -108,6 +108,7 @@ HEADLINE = [
     "stream_quota_admission",          # stateful ingest rate limit (r9)
     "ts6_twap_components",             # mergeable TWAP rollup (r9)
     "ext_mmr_portable_topk",           # quantized-MMR hash anchor (r9)
+    "ext_bm25_portable_topk",          # hash-checkable BM25 twin (r10)
 ]
 
 # Maintenance / offline-build workloads (r5, VERDICT r4 item 5).
@@ -127,6 +128,13 @@ MAINTENANCE = [
                                    # build(), so it prices here, not
                                    # in the headline noop timings)
     "g8_label_propagation",        # LPA community rounds (r6, same)
+    "g6_pagerank_portable",        # fixed-point PageRank twin (r10;
+                                   # 5 rounds + dangling scalar run
+                                   # in build(), like g6/g7/g8)
+    "g9_k_core_portable",          # bounded 6-round peel twin (r10;
+                                   # the peel's eager checkpoints run
+                                   # in build() — headline would time
+                                   # only the final degree aggregate)
 ]
 
 

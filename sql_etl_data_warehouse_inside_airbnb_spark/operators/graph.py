@@ -337,3 +337,75 @@ def k_core_rounds(edges: DataFrame, k: int, rounds: int,
                .localCheckpoint())
     return (sym.groupBy(F.col("u").alias("node"))
             .agg(F.count("*").cast("bigint").alias("core_degree")))
+
+
+def pagerank_fixed_point(edges: DataFrame, iterations: int = 5,
+                         scale: int = 1_000_000_000_000,
+                         src: str = "src", dst: str = "dst"
+                         ) -> DataFrame:
+    """Integer fixed-point PageRank — the ORACLE-CHECKABLE twin of
+    :func:`pagerank` (the r10 unroll playbook's float-iterative
+    conversion): ranks live in 1/``scale`` units as exact int64, the
+    damping 0.85 is the rational 85/100 applied as integer
+    multiply-then-floor-divide, and the round count is FIXED — so
+    every arithmetic step is bit-identical on any engine with int64
+    floor division (Spark ``div`` == DuckDB ``//``, verified), and
+    the whole computation unrolls into static SQL CTEs.
+
+    Declared semantics (the floor losses are part of the contract,
+    not noise): r0 = scale // N for every node; each round every
+    node gets  teleport + (85 * (insum + dang_share)) // 100  where
+    teleport = (15 * scale) // (100 * N),
+    insum = Σ_{u→v} r(u) // out_deg(u), and
+    dang_share = (Σ_{out_deg(u)=0} r(u)) // N. Total mass stays ≤
+    scale (floors only ever drop units); pinned in tests.
+
+    Scale shape: per round ONE shuffle on the destination key (the
+    contributions aggregate) + a broadcast-joined out-degree table;
+    the dangling mass is a bounded scalar aggregate (the g6
+    L1-delta precedent — one 1-row collect per round, zero data rows
+    driver-side). Rounds are eager-localCheckpointed (lineage
+    control, the g6 discipline). N and the teleport are plan
+    literals derived from one bounded count.
+    """
+    e = (edges.select(F.col(src).alias("esrc"), F.col(dst).alias("edst"))
+         .distinct().localCheckpoint(eager=True))
+    nodes = (e.select(F.col("esrc").alias("node"))
+             .unionByName(e.select(F.col("edst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    # checkpointed like the float twin's: re-joined (and anti-joined
+    # for the dangling mass) every round — without materialization
+    # the degree aggregate re-runs ~10x per call
+    outdeg = (e.groupBy(F.col("esrc").alias("node"))
+              .agg(F.count("*").cast("bigint").alias("deg"))
+              .localCheckpoint(eager=True))
+    n = nodes.count()
+    if n == 0:
+        # empty graph: same contract as pagerank() — empty frame out,
+        # and no ZeroDivisionError from the teleport constant
+        return nodes.select("node",
+                            F.lit(0).cast("bigint").alias("rank_fp"))
+    teleport = (15 * scale) // (100 * n)
+    ranks = nodes.withColumn("r", F.lit(scale // n).cast("bigint"))
+    for _ in range(iterations):
+        dang_row = (ranks.join(outdeg, "node", "left_anti")
+                    .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("d"))
+                    .first())
+        dang_share = int(dang_row["d"]) // n
+        contrib = (e.join(ranks, F.col("esrc") == F.col("node"))
+                   .join(F.broadcast(
+                       outdeg.withColumnRenamed("node", "onode")),
+                       F.col("esrc") == F.col("onode"))
+                   .select(F.col("edst").alias("node"),
+                           F.expr("r div deg").alias("c")))
+        insum = contrib.groupBy("node").agg(
+            F.sum("c").cast("bigint").alias("insum"))
+        ranks = (nodes.join(insum, "node", "left")
+                 .select(F.col("node"),
+                         (F.lit(teleport)
+                          + F.expr(f"(85 * (coalesce(insum, "
+                                   f"CAST(0 AS BIGINT)) "
+                                   f"+ {dang_share})) div 100"))
+                         .cast("bigint").alias("r"))
+                 .localCheckpoint(eager=True))
+    return ranks.select("node", F.col("r").alias("rank_fp"))

@@ -123,8 +123,16 @@ def maybe_broadcast(df: DataFrame, probe: DataFrame | None = None
     but the bounded count still yields one usable fact: when the
     count alone exceeds the cap the feed is over-threshold on its
     fixed-width bytes before any payload — merge-hint it. When the
-    count fits, return ``df`` unhinted (hinting broadcast would be a
-    guess) and let AQE's runtime statistics decide. Payloads are
+    count fits, the decision is delegated to AQE's RUNTIME size
+    statistics (the only party that can see the opaque payload) —
+    but only when AQE is actually on: with adaptive execution
+    disabled, an unhinted return would hand the choice back to
+    Catalyst's ESTIMATE-driven static planner, which can still pick
+    BroadcastHashJoin on a feed whose array payload is far over
+    threshold (the OOM this gate exists to kill; r9 advisor), so the
+    non-adaptive path conservatively merge-hints instead — the cost
+    is one avoidable shuffle on a small weird-schema feed in a
+    legacy-config session, never an executor OOM. Payloads are
     measured in BYTES (``octet_length``), not characters — a CJK
     natural key is up to 4 bytes/char in UTF-8, and a length() count
     would under-state it against the byte-denominated threshold.
@@ -141,7 +149,11 @@ def maybe_broadcast(df: DataFrame, probe: DataFrame | None = None
     if opaque:
         # payload unboundable: the count is still a hard fact
         n = src.limit(cap + 1).count()
-        return df.hint("merge") if n > cap else df
+        if n > cap:
+            return df.hint("merge")
+        aqe = str(spark.conf.get("spark.sql.adaptive.enabled",
+                                 "true")).lower() == "true"
+        return df if aqe else df.hint("merge")
     aggs = [F.count(F.lit(1)).alias("__n")]
     aggs += [F.sum(F.coalesce(F.octet_length(F.col(c)), F.lit(0)))
              .alias(f"__len_{i}") for i, c in enumerate(measured)]

@@ -273,44 +273,76 @@ _R08_GREEN = frozenset({
     'w1_merge_dedup_latest', 'w2_first_per_group',
 })
 
+# Round-9 greens: the first fully clean window — 50/50
+# (CORRECTNESS_r09.json): ts5's integer-cents re-verdict, the two
+# r8-changed builders, all ten r9 additions, and the r1/r2-vintage
+# refresh block. NOTE: the two portable ANN twins re-encoded in r10
+# (corpus-only codebook) are deliberately ALSO in _PRIORITY — a
+# front-block listing overrides green placement.
+_R09_GREEN = frozenset({
+    'a11_count_scalars', 'a18_pivot', 'a2_region_segment_view',
+    'a8_per_key_count', 'e10_cohort_retention',
+    'e9_peak_concurrency', 'ext_ann_batch_topk',
+    'ext_ann_brute_topk', 'ext_ann_ivfadc_portable_topk',
+    'ext_bpe_token_count', 'ext_chunk_documents',
+    'ext_data_prep_pipeline', 'ext_decontaminate',
+    'ext_dedup_embedding', 'ext_dedup_exact',
+    'ext_dedup_ngram_jaccard', 'ext_dedup_winnow_pairs',
+    'ext_domain_quota_sample', 'ext_fingerprint',
+    'ext_fuzzy_blocked_join', 'ext_grouped_median',
+    'ext_label_outliers', 'ext_lang_id', 'ext_lang_id_udf',
+    'ext_mmr_portable_topk', 'ext_multimodal_image_meta',
+    'ext_multimodal_meta', 'ext_pii_redact', 'ext_quality_score',
+    'ext_repetition_filter', 'ext_retrieval_eval',
+    'ext_text_quality', 'ext_token_count', 'ext_train_split',
+    'f12_case_conditional', 'f14_numeric_coercion',
+    'f16_metadata_math', 'f18_array_functions',
+    'f6_filename_geography', 'f7_date_conversion',
+    'g1_connected_components', 'g2_dedup_clusters',
+    'j10_catalog_join', 'j13_asof_join', 'j14_range_join',
+    'stream_quota_admission', 'stream_watermark_late_drop',
+    'ts5_vwap_components', 'ts6_twap_components',
+    'x15_referential_integrity',
+})
+
 _GREEN = (_R01_GREEN | _R02_GREEN | _R03_GREEN | _R04_GREEN
-          | _R05_GREEN | _R06_GREEN | _R07_GREEN | _R08_GREEN)
+          | _R05_GREEN | _R06_GREEN | _R07_GREEN | _R08_GREEN
+          | _R09_GREEN)
 
 # Explicit front of the queue — the ~50-entry adjudication window.
-# Round 9: lead with ts5's re-verdict (lo/hi re-encoded as integer
-# cents BIGINT — its DECIMAL(18,6) outputs were the registry's only
-# decimal-typed compared columns, now banned by tools/parity.py),
-# then the two r8-green entries whose BUILDERS changed this round
-# (ext_fuzzy_blocked_join gained a length band in its block key;
-# e9_peak_concurrency's sweep distributes on (day,hour) with carried
-# prefix offsets), then the new r9 entries, then the stalest-verdict
-# greens (r1/r2 vintage) to refresh old verdicts with the spare
-# window slots.
+# Round 10: lead with the two portable ANN twins whose ENCODING
+# changed this round (corpus-only codebook + query clamp, probe paths
+# now on the session-cached checkpointed index — the r9-verdict item
+# 1, so their r9 greens are stale), then the four rows-only→oracle
+# conversions (g8's unrolled-LPA oracle, the BM25 portable twin, the
+# bounded-round k-core twin, the fixed-point PageRank twin — verdict
+# items 2/3/6 + the same playbook extended to g6), then 44 of the 49
+# r3-vintage greens (the stalest block after r9 refreshed the r1/r2
+# vintages; verdict item 5 says burn the r3/r4 blocks down — the 5
+# deferred io-roundtrip/outlier/snapshot rows and the whole r4 block
+# are r11's window).
 _PRIORITY = [
-    "ts5_vwap_components",
-    "ext_fuzzy_blocked_join", "e9_peak_concurrency",
-    # new r9 oracle-paired entries
-    "ext_ann_ivfadc_portable_topk", "ext_domain_quota_sample",
-    "ext_label_outliers", "ext_retrieval_eval",
-    "e10_cohort_retention", "x15_referential_integrity",
-    "stream_quota_admission", "ts6_twap_components",
-    "ext_mmr_portable_topk",
-    # stalest green verdicts (r1 vintage)
-    "a18_pivot", "f18_array_functions", "j13_asof_join",
-    "j14_range_join", "stream_watermark_late_drop",
-    # r2 vintage
-    "a11_count_scalars", "a2_region_segment_view", "a8_per_key_count",
-    "ext_ann_batch_topk", "ext_ann_brute_topk", "ext_bpe_token_count",
-    "ext_chunk_documents", "ext_data_prep_pipeline",
-    "ext_decontaminate", "ext_dedup_embedding", "ext_dedup_exact",
-    "ext_dedup_ngram_jaccard", "ext_dedup_winnow_pairs",
-    "ext_fingerprint", "ext_grouped_median", "ext_lang_id",
-    "ext_lang_id_udf", "ext_multimodal_image_meta",
-    "ext_multimodal_meta", "ext_pii_redact", "ext_quality_score",
-    "ext_repetition_filter", "ext_text_quality", "ext_token_count",
-    "ext_train_split", "f12_case_conditional", "f14_numeric_coercion",
-    "f16_metadata_math", "f6_filename_geography", "f7_date_conversion",
-    "g1_connected_components", "g2_dedup_clusters", "j10_catalog_join",
+    # re-encoded this round (r9 verdicts stale by construction)
+    "ext_ann_ivfadc_portable_topk", "ext_mmr_portable_topk",
+    # new/converted oracle-paired entries (r10)
+    "g8_label_propagation", "ext_bm25_portable_topk",
+    "g9_k_core_portable", "g6_pagerank_portable",
+    # stalest green verdicts (r3 vintage, 44 of 49)
+    "a15_two_stage_salted_agg", "a20_unpivot", "a21_grouping_sets",
+    "a22_percentile_disc", "a23_collect_sorted", "a25_min_max_by",
+    "a26_bitwise_agg", "a27_stats_moments", "a28_filtered_bool_aggs",
+    "a29_grouping_id", "a30_listagg", "a31_mode_argmax", "a32_median",
+    "ext_ann_lsh_topk", "ext_chunk_dedup", "ext_chunk_pack_pipeline",
+    "ext_dedup_minhash_banded", "ext_dedup_ppjoin", "ext_line_dedup",
+    "ext_multimodal_audio_meta", "ext_multimodal_video_meta",
+    "ext_training_manifest", "f17_json_extract", "f24_higher_order",
+    "f27_from_json_struct", "j12_salted_skew_join", "j15_cross_join",
+    "j16_left_outer", "j17_full_outer", "j18_null_safe_join",
+    "j19_star_join_rollup", "j20_scd2_apply", "p11_like_predicates",
+    "set_except_all", "set_intersect_all", "set_union_by_name",
+    "sq_exists_correlated", "sq_scalar_threshold",
+    "w10_topk_per_group", "w6_value_windows", "w7_dist_ladder",
+    "w8_ntile", "w9_time_range_frame", "x1_quality_report",
 ]
 
 

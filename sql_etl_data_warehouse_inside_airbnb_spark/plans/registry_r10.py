@@ -174,3 +174,88 @@ def g9_k_core_portable(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     return k_core_rounds(successor_edges(docs, steps=(1, 2)), k=2,
                          rounds=6)
+
+
+_PR_SCALE = 1_000_000_000_000
+
+
+def _pagerank_oracle(rounds: int = 5, scale: int = _PR_SCALE) -> str:
+    """DuckDB oracle for the fixed-point PageRank twin: the g8/k-core
+    unroll playbook on a float-iterative algorithm — every round is
+    one dangling-mass scalar, one contributions aggregate (int64
+    floor division r // out_deg), and one damped update
+    teleport + (85 * (insum + dang // N)) // 100, all BIGINT."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""d{i} AS (
+         SELECT coalesce(sum(r.r), 0) AS dang
+         FROM r{i - 1} r LEFT JOIN od ON od.node = r.node
+         WHERE od.node IS NULL),
+       s{i} AS (
+         SELECT e.dst AS node, CAST(sum(r.r // od.deg) AS BIGINT)
+                    AS insum
+         FROM e JOIN r{i - 1} r ON e.src = r.node
+         JOIN od ON od.node = e.src
+         GROUP BY e.dst),
+       r{i} AS (
+         SELECT n.node,
+                CAST((SELECT (15 * {scale}) // (100 * ns.n) FROM ns)
+                     + (85 * (coalesce(s.insum, 0)
+                              + (SELECT d.dang // ns.n
+                                 FROM d{i} d, ns))) // 100
+                     AS BIGINT) AS r
+         FROM nodes n LEFT JOIN s{i} s ON s.node = n.node)""")
+    steps_sql = ",\n       ".join(steps)
+    return f"""WITH e AS (
+         SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+         FROM documents a JOIN documents b
+           ON (b.doc_id = a.doc_id + 1 OR b.doc_id = a.doc_id + 2)
+          AND b.lang = a.lang),
+       nodes AS (SELECT src AS node FROM e
+                 UNION
+                 SELECT dst AS node FROM e),
+       ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+              FROM e GROUP BY src),
+       r0 AS (SELECT node,
+                     CAST((SELECT {scale} // ns.n FROM ns) AS BIGINT)
+                         AS r
+              FROM nodes),
+       {steps_sql}
+       SELECT node, r AS rank_fp FROM r{rounds}"""
+
+
+@register(
+    "g6_pagerank_portable",
+    _pagerank_oracle(5),
+    survey="§7.5 graph ext (PageRank, fixed-point hash-checkable twin)",
+    note="the oracle-paired twin of g6_pagerank (rows-only: float "
+         "iteration + L1 convergence have no cross-engine-exact SQL "
+         "form). operators/graph.py:pagerank_fixed_point re-encodes "
+         "the whole recurrence in int64 fixed point (1e-12 units): "
+         "damping 85/100 as integer multiply-then-floor-divide, "
+         "per-edge contribution r // out_deg, dangling mass "
+         "redistributed as dang // N, round count FIXED at 5 — so "
+         "every step is bit-identical on both engines (Spark div == "
+         "DuckDB //, verified) and the loop unrolls into static "
+         "CTEs. Graph: same-lang doc successors at steps 1 and 2 "
+         "(out-degree 0-2, dangling run-ends — non-vacuous mass "
+         "redistribution). The floor losses are DECLARED semantics "
+         "(mass stays <= scale, only ever dropping units); agreement "
+         "with an independent pure-Python fixed-point model and the "
+         "float pagerank's ranking pinned in tests/test_r10.py. Per "
+         "round: one dst-key shuffle + broadcast out-degree join + "
+         "one bounded 1-row dangling scalar (the g6 L1-delta "
+         "precedent); rounds eager-localCheckpointed (g6 lineage "
+         "discipline)")
+def g6_pagerank_portable(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_graph import (
+        successor_edges,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return pagerank_fixed_point(successor_edges(docs, steps=(1, 2)),
+                                iterations=5, scale=_PR_SCALE)

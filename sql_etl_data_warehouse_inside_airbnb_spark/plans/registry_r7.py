@@ -180,24 +180,34 @@ _IVF_PQ_INDEX: dict = {}
 
 
 def ivf_pq_index(spark, sf_dir, emb, model, books):
-    """Cache key includes the fitted model/codebook IDENTITIES, not
+    """The index must match the fitted model/codebook IDENTITIES, not
     just (session, table): a caller passing a differently-fitted
     model for the same session+table must get a matching index, not
     a stale one (r8 advisor finding). ``books`` is a plain nested
-    list (unhashable), so identity is keyed by ``id()`` — safe ONLY
+    list (unhashable), so identity is checked by ``id()`` — safe ONLY
     because the cached value also holds strong references to the
-    keyed objects, so they can never be collected and their ids never
-    reused. The registry path always passes the session-cached
-    artifacts, so for it this still means one materialization per
-    (session, table)."""
+    checked objects, so they can never be collected and their ids
+    never reused.
+
+    BOUNDED (r9 advisor): the dict is keyed by (applicationId,
+    sf_dir) alone and holds exactly ONE (model, books, index) entry
+    per key — a refit for the same session+table REPLACES the stale
+    entry instead of accumulating beside it, so a recall_ladder-style
+    sweep that refits repeatedly holds at most one pinned pair of
+    checkpoints per table. The evicted entry's references are
+    dropped; once the JVM-side LogicalRDD objects become unreachable,
+    Spark's ContextCleaner unpersists the orphaned checkpoint blocks
+    (reference-tracking cleanup — the same mechanism that reclaims
+    any persisted RDD that goes out of scope). The registry path
+    passes the session-cached model/books, so for it this is still
+    one materialization per (session, table), now with a hard bound."""
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
         ivf_assign,
         pq_encode,
     )
-    cache_key = (spark.sparkContext.applicationId, sf_dir,
-                 id(model), id(books))
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
     got = _IVF_PQ_INDEX.get(cache_key)
-    if got is None:
+    if got is None or got[2] is not model or got[3] is not books:
         assignments = ivf_assign(emb, model).localCheckpoint(eager=True)
         codes = (pq_encode(emb, "vec_id", "embedding", books)
                  .localCheckpoint(eager=True))

@@ -46,6 +46,8 @@ NESTED_LOOP_OK = {
     "x7_freshness_report": "BroadcastNestedLoopJoin",
     # broadcast 1-row (N, avgdl) corpus stats for BM25
     "ext_bm25_topk": "BroadcastNestedLoopJoin",
+    # same 1-row stats cross join in the hash-checkable BM25 twin
+    "ext_bm25_portable_topk": "BroadcastNestedLoopJoin",
     # broadcast 1-row percentile-boundary vector for the histogram cut
     "a35_equidepth_histogram": "BroadcastNestedLoopJoin",
     # broadcast 1-row baseline decile-cut row (same idiom as a35)
@@ -193,13 +195,15 @@ def test_registry_priority_names_resolve():
     assert not missing, missing
     names = list(fr.REGISTRY)
     assert len(names) == len(set(names))
-    # round 9: the single r8 red leads for its re-verdict (lo/hi
-    # re-encoded as integer cents), then the two r8-green entries
-    # whose builders changed this round (fuzzy join's banded block
-    # key; e9's hour-distributed sweep), then the new r9 entry
-    assert names[:4] == ["ts5_vwap_components", "ext_fuzzy_blocked_join",
-                         "e9_peak_concurrency",
-                         "ext_ann_ivfadc_portable_topk"]
+    # round 10: the two portable ANN twins lead (their ENCODING
+    # changed — corpus-only codebook, index-backed probes — so the
+    # r9 greens are stale by construction), then the three
+    # rows-only→oracle conversions of this round
+    assert names[:5] == ["ext_ann_ivfadc_portable_topk",
+                         "ext_mmr_portable_topk",
+                         "g8_label_propagation",
+                         "ext_bm25_portable_topk",
+                         "g9_k_core_portable"]
     # every green entry not deliberately re-presented in the front
     # sits behind every entry still waiting for a verdict
     back = {n for n in fr._GREEN if n not in fr._PRIORITY}
@@ -213,8 +217,10 @@ def test_registry_priority_names_resolve():
     deliberate_rows_only = {"ext_dedup_minhash", "ext_dedup_simhash",
                             # r6 additions: iterative-argmax / greedy
                             # ops with no SQL form, model-pinned in
-                            # test_r6.py
-                            "g8_label_propagation",
+                            # test_r6.py (g8 left this set in r10 —
+                            # its fixed round count unrolls, so it is
+                            # oracle-paired now; g9's fixpoint stays,
+                            # twinned by g9_k_core_portable)
                             "ext_mmr_diversify",
                             "ext_quality_train_eval",
                             "g9_k_core",
@@ -230,16 +236,17 @@ def test_registry_priority_names_resolve():
     for n in deliberate_rows_only:
         assert fr.REGISTRY[n].oracle is None, n
     # closure invariant: every entry lacking ANY prior-round verdict
-    # row — plus the r8 red and the builders changed this round —
-    # must sit inside the window, so round 9 adjudicates all of them
+    # row — plus the entries whose encoding/oracle changed this round
+    # — must sit inside the window, so round 10 adjudicates all of
+    # them
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     adjudicated = set()
-    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json")):
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         adjudicated |= set(json.load(open(f)))
     if adjudicated:  # absent in a bare checkout
         pending = [n for n in names if n not in adjudicated
-                   or n in ("ts5_vwap_components",
-                            "ext_fuzzy_blocked_join",
-                            "e9_peak_concurrency")]
+                   or n in ("ext_ann_ivfadc_portable_topk",
+                            "ext_mmr_portable_topk",
+                            "g8_label_propagation")]
         outside = [n for n in pending if names.index(n) >= 50]
         assert not outside, outside

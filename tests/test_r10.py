@@ -232,3 +232,110 @@ def test_k_core_rounds_equals_fixpoint_where_converged(spark, sf_dir):
     n_raw = (edges.selectExpr("src AS n").union(
         edges.selectExpr("dst AS n")).distinct().count())
     assert len(got) < n_raw
+
+
+# ------------------------------------------- bounded index caches
+
+
+def test_ivf_pq_index_cache_is_bounded(spark, sf_dir):
+    """r9 advisor: repeated refits for the same (session, table) must
+    REPLACE the cached index (at most one pinned checkpoint pair per
+    key), never accumulate beside it — and a replacement fitted model
+    must get a fresh index, not the stale one (the r8 rule kept)."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
+        fit_ivf_quantizer,
+        fit_pq_codebooks,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans import registry_r7
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    saved = registry_r7._IVF_PQ_INDEX.pop(key, None)
+    try:
+        m1 = fit_ivf_quantizer(emb, n_clusters=4)
+        m2 = fit_ivf_quantizer(emb, n_clusters=4)
+        books = fit_pq_codebooks(emb, m=4, n_codes=4)
+        a1, c1 = registry_r7.ivf_pq_index(spark, sf_dir, emb, m1, books)
+        assert len([k for k in registry_r7._IVF_PQ_INDEX
+                    if k == key]) == 1
+        a1b, _ = registry_r7.ivf_pq_index(spark, sf_dir, emb, m1, books)
+        assert a1b is a1  # same identities → cache hit
+        a2, _ = registry_r7.ivf_pq_index(spark, sf_dir, emb, m2, books)
+        assert a2 is not a1  # refit → fresh index...
+        assert len([k for k in registry_r7._IVF_PQ_INDEX
+                    if k == key]) == 1  # ...REPLACING the old entry
+    finally:
+        if saved is not None:
+            registry_r7._IVF_PQ_INDEX[key] = saved
+        else:
+            registry_r7._IVF_PQ_INDEX.pop(key, None)
+
+
+# --------------------------------------------- fixed-point pagerank
+
+
+def test_pagerank_fixed_point_matches_independent_model(spark, sf_dir):
+    """Re-run the ENTIRE fixed-point recurrence in plain Python (same
+    graph, same int64 floor divisions, same 5 rounds) and require the
+    registry entry to match exactly — everything is integer, so there
+    is no tolerance. Also pin mass conservation (floors only drop
+    units: 0 < Σ rank_fp <= scale) and ranking sanity vs the float
+    pagerank: the fixed-point top node is in the float top three
+    (the twins share semantics up to 1e-12-unit floors and the float
+    version's extra convergence rounds)."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.graph import (
+        pagerank,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
+        REGISTRY,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_graph import (
+        successor_edges,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    edges = {(int(r.src), int(r.dst)) for r in
+             successor_edges(docs, steps=(1, 2)).collect()}
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    scale = 10 ** 12
+    outdeg: dict[int, int] = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    teleport = (15 * scale) // (100 * n)
+    r = {x: scale // n for x in nodes}
+    for _ in range(5):
+        dang = sum(rv for x, rv in r.items() if x not in outdeg)
+        share = dang // n
+        insum = {x: 0 for x in nodes}
+        for u, v in edges:
+            insum[v] += r[u] // outdeg[u]
+        r = {x: teleport + (85 * (insum[x] + share)) // 100
+             for x in nodes}
+
+    got = {row.node: row.rank_fp for row in
+           REGISTRY["g6_pagerank_portable"].build(spark, sf_dir)
+           .collect()}
+    assert got == r
+    assert 0 < sum(got.values()) <= scale
+
+    flt = {row.node: row.rank for row in
+           pagerank(successor_edges(docs, steps=(1, 2)),
+                    max_iterations=20).collect()}
+    top_fp = max(got, key=lambda x: (got[x], -x))
+    float_top3 = sorted(flt, key=lambda x: -flt[x])[:3]
+    assert top_fp in float_top3, (top_fp, float_top3)
+
+
+def test_pagerank_fixed_point_empty_edges(spark):
+    """Empty edge set → empty (node, rank_fp) frame with the declared
+    schema, never a driver-side ZeroDivisionError (the float twin's
+    n == 0 contract, kept by the fixed-point twin)."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    out = pagerank_fixed_point(empty, iterations=3)
+    assert out.columns == ["node", "rank_fp"]
+    assert out.count() == 0

@@ -95,7 +95,21 @@ def test_maybe_broadcast_opaque_varwidth_never_hints(spark):
 
     df = spark.range(3).select(
         "id", F.array(F.lit(1.0), F.lit(2.0)).alias("emb"))
-    assert maybe_broadcast(df) is df  # unhinted, not broadcast/merge
+    assert maybe_broadcast(df) is df  # unhinted → AQE runtime stats
+
+    # r9 advisor closure: the unhinted delegation is TO AQE — with
+    # adaptive execution disabled, Catalyst's estimate-driven static
+    # planner could still pick a broadcast on an over-threshold
+    # array payload, so the non-adaptive path merge-hints instead
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = (maybe_broadcast(df)
+                ._jdf.queryExecution().logical().toString())
+        assert "merge" in plan.lower(), plan[:1500]
+        assert "broadcast" not in plan.lower(), plan[:1500]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
 
     # ...but the bounded count is still a hard fact: an opaque feed
     # whose COUNT alone exceeds the cap is over-threshold before any
