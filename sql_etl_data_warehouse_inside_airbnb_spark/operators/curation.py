@@ -618,3 +618,82 @@ def novelty_ingest(batch: DataFrame, index: DataFrame,
     delta = (batch_first.join(index.select("gram"), "gram", "left_anti")
              .select("gram", F.col("__batch_first").alias("first_key")))
     return scores, delta
+
+
+# Portable-Bloom hash family: (rh * A_i + B_i) mod P mod m, with the
+# base-31 rolling hash as the input. A_i are the Knuth / xxPrime32 /
+# murmur3-c2 multiplicative constants — all < 4.3e9, so with
+# rh < P ≈ 1e9 the product stays under 2^63 (no overflow on either
+# engine); B_i decorrelate the three functions.
+BLOOM_PORTABLE_A = (2_654_435_761, 2_246_822_519, 3_266_489_917)
+BLOOM_PORTABLE_B = (1, 7, 13)
+
+
+def bloom_decontaminate_portable(df: DataFrame, bench_df: DataFrame,
+                                 key_col: str, text_col: str,
+                                 bench_text_col: str | None = None,
+                                 n: int = 5,
+                                 m_bits: int = 1 << 20) -> DataFrame:
+    """ORACLE-CHECKABLE twin of :func:`bloom_decontaminate` (the r10
+    conversion sweep reaching the sketch family): the same
+    m-bit / k=3 Bloom prefilter, but every hash is ENGINE-PORTABLE
+    arithmetic — the base-31 rolling hash of the shingle
+    (functions/text.py:rolling_hash, already oracle-anchored) pushed
+    through three multiply-add-mod functions — so the built bitmap,
+    every membership test, and the flagged set are bit-identical
+    across engines and the entry can be value-hash-checked (the
+    xxhash64 original is inherently rows-only).
+
+    Same contract as the original: no false NEGATIVES by Bloom
+    construction (flagged ⊇ exactly-contaminated, asserted in
+    tests); false positives re-check downstream. Masks use 32-bit
+    words (w = p div 32, bit = 2^(p mod 32)): bit 63 of a 64-bit
+    word is sign-territory on both engines and DuckDB's BIGINT shift
+    overflows there — 32-bit words keep every mask a small positive
+    int64 with zero two's-complement caveats.
+
+    Scale shape mirrors the original: the bitmap is m/8 bytes built
+    from the benchmark shingles (one explode + bit_or groupBy),
+    broadcast; the corpus pass is explode + three position rows per
+    shingle + one broadcast word join — linear, no pairwise step.
+    The only added cost vs xxhash64 is the per-shingle codepoint
+    fold, the price of portability."""
+    btc = bench_text_col or text_col
+    mod = F.lit(1_000_000_007)
+    pow2 = F.array(*[F.lit(1 << i).cast("bigint") for i in range(32)])
+
+    def positions(rh: Column) -> Column:
+        return F.array(*[
+            ((rh * F.lit(a) + F.lit(b)) % mod) % F.lit(m_bits)
+            for a, b in zip(BLOOM_PORTABLE_A, BLOOM_PORTABLE_B)])
+
+    def bit_mask(p: Column) -> Column:
+        return F.element_at(pow2, (p % 32).cast("int") + 1)
+
+    bench_sh = (bench_df.select(F.explode(shingles(btc, n)).alias("sh"))
+                .distinct()
+                .select(rolling_hash(F.col("sh"), prefix_len=None)
+                        .alias("__rh")))
+    bpos = bench_sh.select(
+        F.explode(positions(F.col("__rh"))).alias("p"))
+    bitmap = (bpos.select(F.expr("p div 32").alias("w"),
+                          bit_mask(F.col("p")).alias("b"))
+              .groupBy("w")
+              .agg(F.bit_or("b").cast("bigint").alias("mask")))
+
+    corpus = (df.select(F.col(key_col),
+                        F.explode(shingles(text_col, n)).alias("sh"))
+              .select(key_col, "sh",
+                      rolling_hash(F.col("sh"), prefix_len=None)
+                      .alias("__rh")))
+    probes = corpus.select(
+        key_col, "sh", F.explode(positions(F.col("__rh"))).alias("p"))
+    hits = (probes
+            .join(F.broadcast(bitmap), F.expr("p div 32") == F.col("w"))
+            .filter(F.col("mask").bitwiseAND(bit_mask(F.col("p")))
+                    != 0)
+            .groupBy(key_col, "sh")
+            .agg(F.count(F.lit(1)).alias("__nset")))
+    return (hits.filter(F.col("__nset") == len(BLOOM_PORTABLE_A))
+            .select(F.col(key_col).alias("flagged_doc_id"))
+            .distinct())

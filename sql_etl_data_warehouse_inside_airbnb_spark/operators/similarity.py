@@ -885,16 +885,29 @@ def mmr_quantized_topk(df: DataFrame, query: DataFrame, k: int = 5,
     standalone-test convenience, and the query clamps into the grid
     per :func:`grid_codes`), integer-ADC relevance to the query,
     top-``shortlist`` by (rel, key), ONE pairwise integer dot table
-    over the shortlist (shortlist² bounded rows), then k unrolled
-    argmax steps each anti-joining the selected set and penalizing by
-    the max pairwise dot to it. Returns (rank, key, mmr_score) — all
-    int64.
+    over the shortlist (shortlist² bounded rows), then the k greedy
+    argmax steps unrolled as HIGHER-ORDER ARRAY EXPRESSIONS over the
+    collected shortlist/pair arrays — ONE projection on a 1-row
+    frame. Returns (rank, key, mmr_score) — all int64.
+
+    Why arrays and not k chained limit-1 DataFrames (the r9 shape):
+    the greedy tail is a ≤ shortlist²-row problem, and scheduling it
+    as ~17 adaptive micro-stages cost more wall-clock at sf0.1
+    (~1.2 s) than the corpus ADC scan itself — at any scale, work
+    bounded by a constant belongs in one task, not thirty. The
+    collected arrays are bounded BY CONSTRUCTION (shortlist and
+    shortlist² structs), each upstream frame is referenced exactly
+    once (no O(2^k) plan re-embedding, so no checkpoints and no
+    construction-time Spark jobs either — the r9 advisor's
+    schema-sweep concern dissolves), and every argmax is
+    array_max over struct(mmr, -key): max mmr, ties to the SMALLEST
+    key — bit-identical to the oracle's ORDER BY mmr DESC, key.
 
     Scale: everything after the relevance scan is bounded by
     ``shortlist``; the pairwise table is shortlist² rows of three
     ints. The corpus is touched once (the ADC scan over the codes
-    index — with ``codes`` supplied, no corpus-wide aggregate or
-    explode runs on the probe path at all)."""
+    index — with ``codes`` supplied, no corpus-wide aggregate runs
+    on the probe path at all)."""
     if stats is None:
         stats = grid_stats(df, key_col, vec_col)
     if codes is None:
@@ -906,49 +919,61 @@ def mmr_quantized_topk(df: DataFrame, query: DataFrame, k: int = 5,
     rel = (codes.join(F.broadcast(qc), "pos")
            .groupBy(key_col)
            .agg(F.sum(F.col("c") * F.col("qcode")).alias("r")))
-    # LAZY checkpoints: the k unrolled steps each re-reference the
-    # shortlist and the pairwise table; without lineage truncation
-    # the plan tree re-embeds the whole codes subtree O(2^k) times
-    # (each pick's subtree contains every earlier pick's). Both
-    # frames are bounded (shortlist and shortlist^2 rows) — the
-    # ivf_pq_index pattern — but eager=False: the LogicalRDD cut
-    # happens at construction either way, while the two Spark jobs
-    # run only when the result is actually materialized, so
-    # schema-only registry sweeps stay free (r9 advisor).
+    # LAZY checkpoints on the two bounded frames: `short` is consumed
+    # twice (the collected array and the pair build) and `sc` twice
+    # more via pair — without the cut, every materialization re-runs
+    # the corpus ADC scan ~3×. Both frames are shortlist-bounded;
+    # construction-time stage cost is absorbed once per session by
+    # the registry's probe cache (registry_r9._MMR_PORTABLE).
     short = (rel.orderBy(F.desc("r"), key_col).limit(shortlist)
              .localCheckpoint(eager=False))
     sc = codes.join(F.broadcast(short.select(key_col)), key_col)
+    # sc is shortlist-bounded BY CONSTRUCTION (shortlist × dim code
+    # rows) — broadcast the self-join side so the static planner
+    # never costs a shuffle-merge on pos for it
     pair = (sc.alias("a")
-            .join(sc.alias("b"), "pos")
+            .join(F.broadcast(sc.alias("b")), "pos")
             .filter(F.col(f"a.{key_col}") != F.col(f"b.{key_col}"))
             .groupBy(F.col(f"a.{key_col}").alias("va"),
                      F.col(f"b.{key_col}").alias("vb"))
             .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("d"))
             .localCheckpoint(eager=False))
 
-    first = (short.orderBy(F.desc("r"), key_col).limit(1)
-             .select(F.lit(1).cast("long").alias("rank"),
-                     F.col(key_col),
-                     (F.lit(7) * F.col("r")).alias("mmr_score")))
-    picks = [first]
+    ss = short.agg(F.collect_list(
+        F.struct(F.col(key_col).alias("k"), F.col("r").alias("r")))
+        .alias("ss"))
+    pp = pair.agg(F.collect_list(F.struct("va", "vb", "d"))
+                  .alias("pp"))
+    one = ss.crossJoin(F.broadcast(pp))  # 1 row × 1 row
+
+    # pick i: argmax over the not-yet-selected shortlist of
+    # 7*rel - 3*max_pairwise_dot_to_selected, ties to smallest key —
+    # struct(m, -k) max gives exactly (m DESC, k ASC). The pair
+    # table is complete over the shortlist (every a != b), so the
+    # penalty array is never empty once sel is non-empty.
+    one = one.withColumn(
+        "p1", F.expr("array_max(transform(ss, "
+                     "x -> struct(7 * x.r AS m, -x.k AS nk)))"))
+    one = one.withColumn("sel1", F.expr("array(-p1.nk)"))
     for i in range(2, k + 1):
-        sel = picks[0].select(key_col)
-        for p in picks[1:]:
-            sel = sel.unionByName(p.select(key_col))
-        pen = (pair.join(F.broadcast(
-                   sel.select(F.col(key_col).alias("vb"))), "vb")
-               .groupBy("va").agg(F.max("d").alias("pen")))
-        cand = short.join(sel, key_col, "left_anti")
-        scored = (cand.join(pen, cand[key_col] == pen["va"])
-                  .select(F.col(key_col),
-                          (F.lit(7) * F.col("r")
-                           - F.lit(3) * F.col("pen"))
-                          .alias("mmr_score")))
-        picks.append(
-            scored.orderBy(F.desc("mmr_score"), key_col).limit(1)
-            .select(F.lit(i).cast("long").alias("rank"),
-                    F.col(key_col), F.col("mmr_score")))
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
-    return out
+        one = one.withColumn(f"p{i}", F.expr(
+            f"array_max(transform("
+            f"  filter(ss, c -> NOT array_contains(sel{i - 1}, c.k)),"
+            f"  c -> struct(7 * c.r - 3 * array_max(transform("
+            f"         filter(pp, p -> p.va = c.k"
+            f"                    AND array_contains(sel{i - 1}, p.vb)),"
+            f"         p -> p.d)) AS m,"
+            f"       -c.k AS nk)))"))
+        if i < k:
+            one = one.withColumn(
+                f"sel{i}",
+                F.expr(f"array_append(sel{i - 1}, -p{i}.nk)"))
+    rows = ", ".join(
+        f"struct(CAST({i} AS BIGINT) AS rank, -p{i}.nk AS {key_col}, "
+        f"p{i}.m AS mmr_score)" for i in range(1, k + 1))
+    # filter(): an empty candidate set (empty corpus, or k beyond the
+    # shortlist) yields NULL picks — drop them instead of emitting
+    # null rows, preserving the relational version's empty-output
+    # contract
+    return one.select(F.inline(F.expr(
+        f"filter(array({rows}), s -> s.{key_col} IS NOT NULL)")))

@@ -32,9 +32,20 @@ which adjudicates ~the first 50 entries per round:
   canonicalizer-limit rule, encoded into tools/parity.py), followed by
   the entries whose builders changed this round (e8's literal WAU
   bounds became an observed-span broadcast; MERGE/CDC broadcasts are
-  now size-gated) and the round-7 in-round additions.
+  now size-gated) and the round-7 in-round additions;
+- rounds 8-9: the ts5 decimal red isolated (r8) and closed (r9,
+  integer cents) — r9 was the first fully clean window (50/50,
+  CORRECTNESS_r09.json) and began the stale-verdict refresh rotation
+  (r1/r2 vintages re-verified);
+- round 10 (this order): the two portable ANN twins lead — their
+  ENCODING changed (corpus-only codebook, query clamped in,
+  session-cached checkpointed index on the probe path: the r9
+  verdict's one design finding) — followed by five rows-only→oracle
+  conversions via the unroll/quantize playbook (g8 LPA unrolled,
+  BM25 fixed-order sums, bounded-round k-core, fixed-point PageRank,
+  portable-hash Bloom prefilter), then 43 r3-vintage refreshes.
 
-Entries with a green CORRECTNESS row from r1-r6 move to the back;
+Entries with a green CORRECTNESS row from r1-r9 move to the back;
 within any remaining never-checked tail, oracle-paired entries sit
 ahead of rows-only ones. Every name stays present; only dict
 insertion order changes.
@@ -315,11 +326,12 @@ _GREEN = (_R01_GREEN | _R02_GREEN | _R03_GREEN | _R04_GREEN
 # now on the session-cached checkpointed index — the r9-verdict item
 # 1, so their r9 greens are stale), then the four rows-only→oracle
 # conversions (g8's unrolled-LPA oracle, the BM25 portable twin, the
-# bounded-round k-core twin, the fixed-point PageRank twin — verdict
-# items 2/3/6 + the same playbook extended to g6), then 44 of the 49
-# r3-vintage greens (the stalest block after r9 refreshed the r1/r2
-# vintages; verdict item 5 says burn the r3/r4 blocks down — the 5
-# deferred io-roundtrip/outlier/snapshot rows and the whole r4 block
+# bounded-round k-core twin, the fixed-point PageRank twin, the
+# portable Bloom prefilter — verdict items 2/3/6 + the same playbook
+# extended to g6 and the sketch family), then 43 of the 49 r3-vintage
+# greens (the stalest block after r9 refreshed the r1/r2 vintages;
+# verdict item 5 says burn the r3/r4 blocks down — the 6 deferred
+# io-roundtrip/outlier/snapshot/quality rows and the whole r4 block
 # are r11's window).
 _PRIORITY = [
     # re-encoded this round (r9 verdicts stale by construction)
@@ -327,7 +339,8 @@ _PRIORITY = [
     # new/converted oracle-paired entries (r10)
     "g8_label_propagation", "ext_bm25_portable_topk",
     "g9_k_core_portable", "g6_pagerank_portable",
-    # stalest green verdicts (r3 vintage, 44 of 49)
+    "ext_decontaminate_bloom_portable",
+    # stalest green verdicts (r3 vintage, 43 of 49)
     "a15_two_stage_salted_agg", "a20_unpivot", "a21_grouping_sets",
     "a22_percentile_disc", "a23_collect_sorted", "a25_min_max_by",
     "a26_bitwise_agg", "a27_stats_moments", "a28_filtered_bool_aggs",
@@ -342,7 +355,7 @@ _PRIORITY = [
     "set_except_all", "set_intersect_all", "set_union_by_name",
     "sq_exists_correlated", "sq_scalar_threshold",
     "w10_topk_per_group", "w6_value_windows", "w7_dist_ladder",
-    "w8_ntile", "w9_time_range_frame", "x1_quality_report",
+    "w8_ntile", "w9_time_range_frame",
 ]
 
 

@@ -259,3 +259,98 @@ def g6_pagerank_portable(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     return pagerank_fixed_point(successor_edges(docs, steps=(1, 2)),
                                 iterations=5, scale=_PR_SCALE)
+
+
+def _bloom_portable_oracle(m_bits: int = 1 << 20) -> str:
+    """DuckDB oracle for the portable Bloom prefilter: the shared
+    5-gram shingle SQL (registry_graph._SHINGLE5_SQL semantics), the
+    base-31 rolling-hash fold (registry_wide._RH_SQL idiom, applied
+    to the shingle instead of the text prefix), and the same three
+    multiply-add-mod hash functions; 32-bit words, bit_or bitmap,
+    membership = all three bits set."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.curation import (
+        BLOOM_PORTABLE_A,
+        BLOOM_PORTABLE_B,
+    )
+
+    sh5 = """list_distinct(list_transform(
+             generate_series(1,
+               len(string_split_regex(trim(text), '\\s+')) - 4),
+             i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                  string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                  string_split_regex(trim(text), '\\s+')[i+2] || ' ' ||
+                  string_split_regex(trim(text), '\\s+')[i+3] || ' ' ||
+                  string_split_regex(trim(text), '\\s+')[i+4]))"""
+    rh = """CASE WHEN length(sh) = 0 THEN 0 ELSE list_reduce(
+             list_transform(range(1, length(sh) + 1),
+               i -> CAST(ascii(substr(sh, CAST(i AS INTEGER), 1))
+                         AS BIGINT)),
+             (a, b) -> (a * 31 + b) % 1000000007) END"""
+    arms = "\n         UNION ALL\n         ".join(
+        f"SELECT sh, ((rh * {a} + {b}) % 1000000007) % {m_bits} AS p "
+        f"FROM b_rh" for a, b in zip(BLOOM_PORTABLE_A,
+                                     BLOOM_PORTABLE_B))
+    carms = "\n         UNION ALL\n         ".join(
+        f"SELECT doc_id, sh, ((rh * {a} + {b}) % 1000000007) "
+        f"% {m_bits} AS p FROM c_rh"
+        for a, b in zip(BLOOM_PORTABLE_A, BLOOM_PORTABLE_B))
+    return f"""WITH bench_sh AS (
+         SELECT DISTINCT g.sh FROM documents,
+                LATERAL unnest({sh5}) AS g(sh)
+         WHERE doc_id % 17 = 0
+           AND len(string_split_regex(trim(text), '\\s+')) >= 5),
+       b_rh AS (SELECT sh, {rh} AS rh FROM bench_sh),
+       b_pos AS (
+         {arms}),
+       bitmap AS (
+         SELECT p // 32 AS w,
+                bit_or(CAST(2 ** (p % 32) AS BIGINT)) AS mask
+         FROM b_pos GROUP BY p // 32),
+       corpus_sh AS (
+         SELECT doc_id, g.sh FROM documents,
+                LATERAL unnest({sh5}) AS g(sh)
+         WHERE len(string_split_regex(trim(text), '\\s+')) >= 5),
+       c_rh AS (SELECT doc_id, sh, {rh} AS rh FROM corpus_sh),
+       c_pos AS (
+         {carms}),
+       hits AS (
+         SELECT c.doc_id, c.sh, count(*) AS nset
+         FROM c_pos c JOIN bitmap m ON m.w = c.p // 32
+         WHERE (m.mask & CAST(2 ** (c.p % 32) AS BIGINT)) <> 0
+         GROUP BY c.doc_id, c.sh)
+       SELECT DISTINCT doc_id AS flagged_doc_id
+       FROM hits WHERE nset = 3"""
+
+
+@register(
+    "ext_decontaminate_bloom_portable",
+    _bloom_portable_oracle(),
+    survey="§7.5 decontamination (Bloom prefilter, hash-checkable twin)",
+    note="the oracle-paired twin of ext_decontaminate_bloom (rows-"
+         "only: xxhash64 bit positions are engine-specific) — the "
+         "sketch family's first value-hash anchor. Same m=2^20 / k=3 "
+         "Bloom prefilter over the same planted benchmark (doc_id%17 "
+         "docs' 5-gram shingles), but the hash family is portable "
+         "arithmetic: the base-31 rolling hash of each shingle (the "
+         "green ext_rolling_hash_fingerprint fold) through three "
+         "multiply-add-mod-P functions (Knuth/xxPrime/murmur "
+         "constants, products bounded under 2^63), so bitmap build, "
+         "membership tests, and the flagged set are bit-identical "
+         "cross-engine. 32-bit bitmap words dodge the bit-63 "
+         "two's-complement trap on both engines. Bloom contract "
+         "kept: flagged ⊇ exactly-contaminated (no false negatives, "
+         "pinned vs ext_decontaminate in tests/test_r10.py). Plan: "
+         "bitmap = one explode + bit_or groupBy (broadcast, m/8 "
+         "bytes); corpus pass = explode + 3 position rows/shingle + "
+         "broadcast word join — linear, no pairwise step, no UDF "
+         "(the rolling hash is an aggregate() fold in codegen)",
+    tags=("llm-pipeline",))
+def ext_decontaminate_bloom_portable(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.curation import (
+        bloom_decontaminate_portable,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    return bloom_decontaminate_portable(docs, bench, "doc_id", "text",
+                                        n=5)

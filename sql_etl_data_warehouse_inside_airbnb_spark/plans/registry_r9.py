@@ -726,28 +726,30 @@ def _mmr_oracle(k: int = 5) -> str:
          "session-cached codes index (portable_grid_index — the r10 "
          "re-encode: corpus-only codebook, query clamps in, no "
          "corpus-wide fit on the probe path), top-20 shortlist, ONE "
-         "pairwise integer dot table (shortlist² bounded rows, "
-         "LAZILY localCheckpointed with the shortlist — lineage cut "
-         "at construction, else the k unrolled steps re-embed the "
-         "codes subtree O(2^k) times; lazy so schema-only sweeps "
-         "run zero jobs, r9 advisor), then 5 argmax steps over "
-         "20-row frames. Independent-model check + selection-"
-         "diversity property in tests/test_r9.py. At 100 TB: corpus "
-         "cost is the ADC scan; everything after is shortlist-"
-         "bounded",
+         "pairwise integer dot table (shortlist² bounded rows), "
+         "then the 5 greedy argmax steps as higher-order ARRAY "
+         "expressions over the collected shortlist/pair arrays — "
+         "one projection on a 1-row frame (r10: the r9 shape ran "
+         "the constant-bounded greedy tail as ~17 adaptive micro-"
+         "stages costing more than the corpus scan; constant work "
+         "belongs in one task — and with each frame referenced "
+         "once there is no O(2^k) re-embedding, hence no "
+         "checkpoints and no construction jobs at all). "
+         "Independent-model check + selection-diversity property "
+         "in tests/test_r9.py. At 100 TB: corpus cost is the ADC "
+         "scan; everything after is shortlist-bounded",
     tags=("llm-pipeline",))
 def ext_mmr_portable_topk(spark, sf_dir):
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
         mmr_quantized_topk,
     )
 
-    # Session-cache the CONSTRUCTED probe (r9 advisor): the shortlist
-    # / pair-table checkpoints are lazy, but under AQE even a lazy
-    # localCheckpoint materializes its upstream shuffle stages at
-    # construction (AdaptiveSparkPlanExec.execute runs every stage
-    # but the last), so an uncached build would still cost ~7 jobs on
-    # every schema-only registry sweep. One construction per
-    # (session, table); bounded like _PORTABLE_GRID_INDEX.
+    # Session-cache the CONSTRUCTED probe: since the r10 array
+    # re-shape the build runs no checkpoint jobs at all, so this now
+    # only saves the spark.read.parquet footer job and the (deep)
+    # plan construction on schema-only registry sweeps. One
+    # construction per (session, table); bounded like
+    # _PORTABLE_GRID_INDEX.
     key = (spark.sparkContext.applicationId, sf_dir)
     got = _MMR_PORTABLE.get(key)
     if got is None:

@@ -58,6 +58,9 @@ NESTED_LOOP_OK = {
     "ext_mmr_diversify": "BroadcastNestedLoopJoin",
     # broadcast 1-row query vector crossed onto the 20-row shortlist
     "ext_ann_ivfadc_portable_topk": "BroadcastNestedLoopJoin",
+    # 1-row × 1-row cross of the collected shortlist/pair arrays
+    # (the r10 array-expression greedy tail)
+    "ext_mmr_portable_topk": "BroadcastNestedLoopJoin",
     # six 1-row x 1-row (child-count, orphan-count) audit pairs
     "x15_referential_integrity": "BroadcastNestedLoopJoin",
     # broadcast 1-row train-count attached to the eval aggregate

@@ -52,6 +52,12 @@ def test_portable_ann_probe_plans_use_materialized_index(spark, sf_dir):
         assert tok not in ivfadc, (tok, ivfadc[:3000])
     assert ivfadc.count("posexplode") == 1, ivfadc[:3000]
 
+    # MMR: the probe plan is two checkpointed bounded frames
+    # (shortlist + pair table) collected to arrays and one greedy
+    # array-expression projection — the ADC scan, the query explode,
+    # and the codebook live INSIDE the checkpoints, so the steady
+    # plan has no parquet scan, no explode, no codebook fit, no
+    # shuffle-merge join at all
     mmr = _plan(REGISTRY["ext_mmr_portable_topk"].build(spark, sf_dir))
     assert "ExistingRDD" in mmr
     for tok in ("partial_min", "min(x", "max(x", "posexplode",
@@ -339,3 +345,27 @@ def test_pagerank_fixed_point_empty_edges(spark):
     out = pagerank_fixed_point(empty, iterations=3)
     assert out.columns == ["node", "rank_fp"]
     assert out.count() == 0
+
+
+# ----------------------------------------------- portable bloom
+
+
+def test_bloom_portable_no_false_negatives(spark, sf_dir):
+    """The Bloom contract carried over to the portable twin: the
+    flagged set must CONTAIN the exactly-contaminated set (false
+    positives allowed — they re-check downstream; false negatives
+    never). Also pin that the prefilter is not saturated: it flags
+    fewer docs than the corpus."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
+        REGISTRY,
+    )
+
+    flagged = {r.flagged_doc_id for r in
+               REGISTRY["ext_decontaminate_bloom_portable"]
+               .build(spark, sf_dir).collect()}
+    exact = {r.contaminated_doc_id for r in
+             REGISTRY["ext_decontaminate"].build(spark, sf_dir)
+             .collect()}
+    assert exact <= flagged, sorted(exact - flagged)[:10]
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert len(flagged) < n_docs
