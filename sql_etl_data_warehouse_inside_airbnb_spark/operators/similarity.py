@@ -896,10 +896,14 @@ def mmr_quantized_topk(df: DataFrame, query: DataFrame, k: int = 5,
     (~1.2 s) than the corpus ADC scan itself — at any scale, work
     bounded by a constant belongs in one task, not thirty. The
     collected arrays are bounded BY CONSTRUCTION (shortlist and
-    shortlist² structs), each upstream frame is referenced exactly
-    once (no O(2^k) plan re-embedding, so no checkpoints and no
-    construction-time Spark jobs either — the r9 advisor's
-    schema-sweep concern dissolves), and every argmax is
+    shortlist² structs); `short` and the pair table stay LAZILY
+    localCheckpointed because `short` is still consumed three ways
+    (its array, and both sides of the pair build) — without the cut
+    each materialization re-runs the corpus ADC scan ~3×. Under AQE
+    that still means ~7 construction-time stage jobs per UNCACHED
+    build (lazy checkpoint executes all-but-last upstream stages at
+    plan-to-RDD time); the registry absorbs them once per session
+    via its probe cache (registry_r9._MMR_PORTABLE). Every argmax is
     array_max over struct(mmr, -key): max mmr, ties to the SMALLEST
     key — bit-identical to the oracle's ORDER BY mmr DESC, key.
 

@@ -732,9 +732,11 @@ def _mmr_oracle(k: int = 5) -> str:
          "one projection on a 1-row frame (r10: the r9 shape ran "
          "the constant-bounded greedy tail as ~17 adaptive micro-"
          "stages costing more than the corpus scan; constant work "
-         "belongs in one task — and with each frame referenced "
-         "once there is no O(2^k) re-embedding, hence no "
-         "checkpoints and no construction jobs at all). "
+         "belongs in one task. The shortlist/pair frames stay "
+         "lazily checkpointed — short feeds its array AND both "
+         "pair sides, else the ADC scan re-runs 3× per probe — so "
+         "an uncached build still pays ~7 AQE stage jobs, absorbed "
+         "once per session by the _MMR_PORTABLE cache). "
          "Independent-model check + selection-diversity property "
          "in tests/test_r9.py. At 100 TB: corpus cost is the ADC "
          "scan; everything after is shortlist-bounded",
@@ -744,12 +746,13 @@ def ext_mmr_portable_topk(spark, sf_dir):
         mmr_quantized_topk,
     )
 
-    # Session-cache the CONSTRUCTED probe: since the r10 array
-    # re-shape the build runs no checkpoint jobs at all, so this now
-    # only saves the spark.read.parquet footer job and the (deep)
-    # plan construction on schema-only registry sweeps. One
-    # construction per (session, table); bounded like
-    # _PORTABLE_GRID_INDEX.
+    # Session-cache the CONSTRUCTED probe (r9 advisor): the
+    # shortlist/pair checkpoints are lazy, but under AQE even a lazy
+    # localCheckpoint materializes its upstream shuffle stages at
+    # plan-to-RDD time (all but the final stage), so an UNCACHED
+    # build still costs ~7 jobs — measured, index pre-built — on
+    # every schema-only registry sweep. One construction per
+    # (session, table); bounded like _PORTABLE_GRID_INDEX.
     key = (spark.sparkContext.applicationId, sf_dir)
     got = _MMR_PORTABLE.get(key)
     if got is None:
