@@ -43,7 +43,8 @@ which adjudicates ~the first 50 entries per round:
   verdict's one design finding) — followed by five rows-only→oracle
   conversions via the unroll/quantize playbook (g8 LPA unrolled,
   BM25 fixed-order sums, bounded-round k-core, fixed-point PageRank,
-  portable-hash Bloom prefilter), then 43 r3-vintage refreshes.
+  portable-hash Bloom prefilter), the new ORC roundtrip probe, then
+  42 r3-vintage refreshes.
 
 Entries with a green CORRECTNESS row from r1-r9 move to the back;
 within any remaining never-checked tail, oracle-paired entries sit
@@ -328,19 +329,19 @@ _GREEN = (_R01_GREEN | _R02_GREEN | _R03_GREEN | _R04_GREEN
 # conversions (g8's unrolled-LPA oracle, the BM25 portable twin, the
 # bounded-round k-core twin, the fixed-point PageRank twin, the
 # portable Bloom prefilter — verdict items 2/3/6 + the same playbook
-# extended to g6 and the sketch family), then 43 of the 49 r3-vintage
-# greens (the stalest block after r9 refreshed the r1/r2 vintages;
-# verdict item 5 says burn the r3/r4 blocks down — the 6 deferred
-# io-roundtrip/outlier/snapshot/quality rows and the whole r4 block
-# are r11's window).
+# extended to g6 and the sketch family) and the new s19 ORC probe,
+# then 42 of the 49 r3-vintage greens (the stalest block after r9
+# refreshed the r1/r2 vintages; verdict item 5 says burn the r3/r4
+# blocks down — the 7 deferred io-roundtrip/window/outlier/snapshot/
+# quality rows and the whole r4 block are r11's window).
 _PRIORITY = [
     # re-encoded this round (r9 verdicts stale by construction)
     "ext_ann_ivfadc_portable_topk", "ext_mmr_portable_topk",
     # new/converted oracle-paired entries (r10)
     "g8_label_propagation", "ext_bm25_portable_topk",
     "g9_k_core_portable", "g6_pagerank_portable",
-    "ext_decontaminate_bloom_portable",
-    # stalest green verdicts (r3 vintage, 43 of 49)
+    "ext_decontaminate_bloom_portable", "s19_orc_roundtrip",
+    # stalest green verdicts (r3 vintage, 42 of 49)
     "a15_two_stage_salted_agg", "a20_unpivot", "a21_grouping_sets",
     "a22_percentile_disc", "a23_collect_sorted", "a25_min_max_by",
     "a26_bitwise_agg", "a27_stats_moments", "a28_filtered_bool_aggs",
@@ -355,7 +356,7 @@ _PRIORITY = [
     "set_except_all", "set_intersect_all", "set_union_by_name",
     "sq_exists_correlated", "sq_scalar_threshold",
     "w10_topk_per_group", "w6_value_windows", "w7_dist_ladder",
-    "w8_ntile", "w9_time_range_frame",
+    "w8_ntile",
 ]
 
 

@@ -579,3 +579,48 @@ def s18_jsonl_roundtrip(spark, sf_dir):
         F.sum("doc_id").alias("id_sum"),
         F.sum(F.length("gnarly")).cast("bigint").alias("char_sum"),
         F.countDistinct("lang").alias("n_langs"))
+
+
+@register(
+    "s19_orc_roundtrip",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+              CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags
+       FROM lineitem
+       WHERE l_quantity > 25""",
+    survey="S9/S3 ext (ORC source/sink — the other columnar format)",
+    note="ORC roundtrip probe (the s18 JSONL pattern on the columnar "
+         "axis): lineitem's key/quantity/flag projection goes "
+         "through write_format(orc, zlib) and a SCHEMA'D "
+         "read_format(orc) back with a quantity filter, then is "
+         "checksummed; the oracle computes the same aggregates "
+         "straight from the parquet source, so a green hash "
+         "certifies the ORC sink+scan round trip value-exactly AND "
+         "that the filter applied on the read-back path (the "
+         "predicate reaches the ORC scan as a pushed filter — "
+         "pinned in tests/test_r10.py; a migration user's existing "
+         "ORC warehouse reads through the same two calls). "
+         "l_quantity is integer-valued by generation, so the BIGINT "
+         "cast sum is exact on both engines",
+    tags=())
+def s19_orc_roundtrip(spark, sf_dir):
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        read_format,
+        write_format,
+    )
+
+    li = (t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_returnflag"))
+    base = os.path.join(_TMP, "s19_orc")
+    write_format(li, base, fmt="orc", compression="zlib")
+    rt = read_format(
+        spark, base, fmt="orc",
+        schema="l_orderkey bigint, l_quantity double, "
+               "l_returnflag string")
+    return (rt.filter(F.col("l_quantity") > 25)
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("l_orderkey").alias("key_sum"),
+                 F.sum(F.col("l_quantity").cast("bigint"))
+                 .alias("qty_sum"),
+                 F.countDistinct("l_returnflag").alias("n_flags")))

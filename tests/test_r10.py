@@ -378,3 +378,28 @@ def test_bloom_portable_no_false_negatives(spark, sf_dir):
     assert exact <= flagged, sorted(exact - flagged)[:10]
     n_docs = read_table(spark, sf_dir, "documents").count()
     assert len(flagged) < n_docs
+
+
+# ------------------------------------------------- ORC roundtrip
+
+
+def test_orc_readback_pushes_filter(spark, sf_dir):
+    """The s19 probe's read-back filter must reach the ORC scan as a
+    pushed predicate (the migration path for an existing ORC
+    warehouse: same pruning behavior as the parquet scans). Plan
+    .toString() truncates pushed-filter lists, so capture
+    explain('formatted') instead (verify-skill gotcha)."""
+    import contextlib
+    import io
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
+        REGISTRY,
+    )
+
+    df = REGISTRY["s19_orc_roundtrip"].build(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Scan orc" in plan, plan[:2000]
+    assert "GreaterThan(l_quantity,25.0)" in plan, plan[:3000]
