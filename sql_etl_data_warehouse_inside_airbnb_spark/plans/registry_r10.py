@@ -1,6 +1,8 @@
-"""Round-10 additions: the two rows-only→hash-green conversions the
-r9 verdict ranked feasible (items 3 and 6), both via the proven r9
-unroll/quantize playbook.
+"""Round-10 additions: four rows-only→hash-green conversions via the
+proven r9 unroll/quantize playbook — the two the r9 verdict ranked
+feasible (items 3 and 6: BM25, bounded k-core) plus two the same
+playbook unlocked (fixed-point PageRank for the float-iterative
+family, the portable-hash Bloom prefilter for the sketch family).
 
 - ``ext_bm25_portable_topk``: hash-checkable Okapi BM25 — the scores
   are ln-based doubles, but every input is exact int64 (tf, df_t, N,
