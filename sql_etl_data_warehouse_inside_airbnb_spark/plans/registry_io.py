@@ -34,8 +34,10 @@ from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
 )
 from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
     compact_parquet,
+    read_format,
     read_pipe_csv,
     split_quarantine,
+    write_format,
     write_pipe_csv,
 )
 
@@ -567,10 +569,6 @@ def s18_jsonl_roundtrip(spark, sf_dir):
                             F.lit('"\ncafé ✓ \\')).alias("gnarly"),
                    "lang"))
     base = os.path.join(_TMP, "s18_jsonl")
-    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
-        read_format,
-        write_format,
-    )
     write_format(raw, base, fmt="json", compression="gzip")
     rt = read_format(spark, base, fmt="json",
                      schema="doc_id bigint, gnarly string, lang string")
@@ -605,11 +603,6 @@ def s18_jsonl_roundtrip(spark, sf_dir):
          "cast sum is exact on both engines",
     tags=())
 def s19_orc_roundtrip(spark, sf_dir):
-    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
-        read_format,
-        write_format,
-    )
-
     li = (t(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_quantity", "l_returnflag"))
     base = os.path.join(_TMP, "s19_orc")
