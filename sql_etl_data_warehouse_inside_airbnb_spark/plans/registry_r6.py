@@ -398,9 +398,10 @@ def _g8_oracle(rounds: int = 5) -> str:
     argmax propagation unrolls into static CTEs (one join + grouped
     count + row_number argmax per round; ties ORDER BY cnt DESC,
     label ASC = the Spark side's max(struct(cnt, -label)))."""
-    steps = ["r0 AS (SELECT DISTINCT u AS node, u AS label FROM sym)"]
+    steps = ["r0 AS MATERIALIZED "
+             "(SELECT DISTINCT u AS node, u AS label FROM sym)"]
     for i in range(1, rounds + 1):
-        steps.append(f"""r{i} AS (
+        steps.append(f"""r{i} AS MATERIALIZED (
          SELECT node, label FROM (
            SELECT s.u AS node, l.label,
                   row_number() OVER (PARTITION BY s.u
@@ -410,11 +411,12 @@ def _g8_oracle(rounds: int = 5) -> str:
            GROUP BY s.u, l.label) t
          WHERE rn = 1)""")
     steps_sql = ",\n       ".join(steps)
-    return f"""WITH e AS (
+    return f"""WITH e AS MATERIALIZED (
          SELECT DISTINCT user_id AS u,
                 1000 + event_id % 50 AS v
          FROM events),
-       sym AS (SELECT u, v FROM e
+       sym AS MATERIALIZED (
+               SELECT u, v FROM e
                UNION
                SELECT v AS u, u AS v FROM e),
        {steps_sql}

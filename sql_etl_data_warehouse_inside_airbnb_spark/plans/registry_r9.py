@@ -59,15 +59,15 @@ from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
 # offline index artifact); every row clamps into [mn, mx] at encode
 # time, a no-op for the corpus and the saturating-quantizer rule for
 # the query row.
-_GRID_CODES_SQL = """flat AS (
+_GRID_CODES_SQL = """flat AS MATERIALIZED (
          SELECT vec_id,
                 generate_subscripts(embedding, 1) AS pos,
                 CAST(unnest(embedding) AS DOUBLE) AS x
          FROM embeddings),
-       stats AS (
+       stats AS MATERIALIZED (
          SELECT pos, min(x) AS mn, max(x) AS mx FROM flat
          WHERE vec_id <> 0 GROUP BY pos),
-       codes AS (
+       codes AS MATERIALIZED (
          SELECT flat.vec_id, flat.pos,
                 CAST(CASE WHEN s.mx = s.mn THEN 0
                           ELSE floor((least(greatest(flat.x, s.mn),
@@ -695,11 +695,13 @@ def _mmr_oracle(k: int = 5) -> str:
          FROM codes JOIN qc USING (pos)
          WHERE codes.vec_id <> 0
          GROUP BY codes.vec_id),
-       short AS (SELECT vec_id, r FROM rel
+       short AS MATERIALIZED (
+                 SELECT vec_id, r FROM rel
                  ORDER BY r DESC, vec_id LIMIT 20),
-       sc AS (SELECT codes.vec_id, pos, c
+       sc AS MATERIALIZED (
+              SELECT codes.vec_id, pos, c
               FROM codes JOIN short USING (vec_id)),
-       pair AS (
+       pair AS MATERIALIZED (
          SELECT a.vec_id AS va, b.vec_id AS vb,
                 CAST(sum(a.c * b.c) AS BIGINT) AS d
          FROM sc a JOIN sc b USING (pos)
