@@ -1,7 +1,9 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+a JSON detail line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...} followed by a compact summary-only
+JSON line (same fields minus the per-query maps) as the FINAL stdout
+line, so a tail-truncating capture always retains the totals.
 
 Each query is materialized with the noop sink (full execution, no
 driver collect). Methodology: one unmeasured warmup pass over every
@@ -208,13 +210,16 @@ def main() -> None:
                 maintenance[name] = dt
 
     total = round(sum(timings.values()), 3)
-    # SUMMARY FIELDS FIRST, per-query maps LAST, compact separators:
-    # the r9 driver artifact truncated mid-line (66 queries outgrew
-    # its capture buffer) and the totals lived after the map, so the
-    # round lost its headline number (BENCH_r09.json parsed: null).
-    # With this ordering a truncated capture loses per-query DETAIL,
-    # never the summary (r9 verdict item 4).
-    print(json.dumps({
+    # TWO lines (r10 verdict item 1, third attempt — tail-proof):
+    # the driver stores only the TAIL of bench stdout, so any single
+    # line that outgrows the capture loses whatever sits at its FRONT
+    # (r9 lost the trailing totals; r10's summary-first reorder lost
+    # them again, truncated from the other end). Printing the full
+    # detail line FIRST and then a ~170-byte summary-only line LAST
+    # means the tail always retains a complete, json-parseable record
+    # no matter how long the per-query maps grow; the detail line
+    # remains above it for regex recovery.
+    summary = {
         "metric": "headline_query_runtime",
         "value": total,
         "unit": "sec",
@@ -224,9 +229,12 @@ def main() -> None:
         "cold_total_sec": round(cold, 3),
         "maintenance_total_sec": round(sum(maintenance.values()), 3),
         "n_maintenance": len(maintenance),
-        "queries": timings,
-        "maintenance": maintenance,
-    }, separators=(",", ":")))
+    }
+    print(json.dumps({**summary,
+                      "queries": timings,
+                      "maintenance": maintenance},
+                     separators=(",", ":")))
+    print(json.dumps(summary, separators=(",", ":")))
     spark.stop()
 
 
