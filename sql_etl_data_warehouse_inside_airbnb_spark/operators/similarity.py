@@ -20,6 +20,7 @@ import random
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 
 def as_double(arr: Column) -> Column:
@@ -695,6 +696,22 @@ def semantic_dedup(df: DataFrame, key_col: str = "vec_id",
                     "is_survivor"))
 
 
+def _require_paired_index(stats: DataFrame | None,
+                          codes: DataFrame | None, fn: str) -> None:
+    """The (stats, codes) offline index is ONE artifact: the code
+    table is only meaningful under the codebook it was encoded with.
+    Accepting them independently lets a caller score a query against
+    a mismatched quantizer (codes built under another codebook, or
+    codes with an inline refit of stats) with no error — so require
+    both or neither (r10 advisor)."""
+    if (stats is None) != (codes is None):
+        raise ValueError(
+            f"{fn}: pass `stats` and `codes` together (they are one "
+            "offline index artifact — the grid_stats codebook and the "
+            "code table encoded under it) or neither; got only "
+            + ("`codes`" if stats is None else "`stats`"))
+
+
 def ivfadc_portable_topk(df: DataFrame, query: DataFrame, k: int = 10,
                          key_col: str = "vec_id",
                          vec_col: str = "embedding",
@@ -737,6 +754,7 @@ def ivfadc_portable_topk(df: DataFrame, query: DataFrame, k: int = 10,
     broadcast equi-join + map-side-combinable sum, and the rerank
     touches ``rerank`` raw vectors (cf. registry_r7.ivf_pq_index).
     """
+    _require_paired_index(stats, codes, "ivfadc_portable_topk")
     planes = _hyperplanes(dim, n_planes)
     qrow = query.withColumn("__bucket",
                             lsh_bucket(F.col(vec_col), planes))
@@ -888,7 +906,10 @@ def mmr_quantized_topk(df: DataFrame, query: DataFrame, k: int = 5,
     over the shortlist (shortlist² bounded rows), then the k greedy
     argmax steps unrolled as HIGHER-ORDER ARRAY EXPRESSIONS over the
     collected shortlist/pair arrays — ONE projection on a 1-row
-    frame. Returns (rank, key, mmr_score) — all int64.
+    frame. Returns (rank, key, mmr_score) — all int64. ``key_col``
+    must be NUMERIC (the unrolled argmax negates it for the
+    smallest-key tiebreak; enforced with a ValueError — use
+    ``ext_mmr_diversify`` for string keys).
 
     Why arrays and not k chained limit-1 DataFrames (the r9 shape):
     the greedy tail is a ≤ shortlist²-row problem, and scheduling it
@@ -912,6 +933,19 @@ def mmr_quantized_topk(df: DataFrame, query: DataFrame, k: int = 5,
     ints. The corpus is touched once (the ADC scan over the codes
     index — with ``codes`` supplied, no corpus-wide aggregate runs
     on the probe path at all)."""
+    _require_paired_index(stats, codes, "mmr_quantized_topk")
+    # the unrolled greedy tail NEGATES the key inside the array
+    # expressions (struct(m, -k): max mmr, ties to the smallest key),
+    # so the key column must be numeric — a string key worked in the
+    # r9 relational shape (orderBy desc, key) but here would fail at
+    # analysis time with an opaque cannot-resolve error (r10 advisor)
+    if not isinstance(df.schema[key_col].dataType, NumericType):
+        raise ValueError(
+            f"mmr_quantized_topk: key column {key_col!r} must be "
+            f"numeric (got {df.schema[key_col].dataType.simpleString()})"
+            " — the unrolled argmax negates the key for its "
+            "smallest-key tiebreak; use ext_mmr_diversify for "
+            "non-numeric keys")
     if stats is None:
         stats = grid_stats(df, key_col, vec_col)
     if codes is None:

@@ -25,6 +25,7 @@ and a rename-atomic compaction rewrite.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import functions as F
 
@@ -43,6 +44,25 @@ from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
 
 _TMP = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".tmp_probe")
+
+
+def _sf_token(sf_dir: str) -> str:
+    """Identifier-safe token derived from sf_dir's basename — usable
+    both as a path segment and inside a catalog table name (dots in
+    'sf0.01' would need backticks as an identifier)."""
+    return re.sub(r"[^A-Za-z0-9_]", "_",
+                  os.path.basename(os.path.normpath(sf_dir)) or "sf")
+
+
+def _probe_dir(sf_dir: str, name: str) -> str:
+    """Probe scratch path scoped by SCALE FACTOR (r10 advisor): the
+    roundtrip probes write to fixed paths, so building one entry at a
+    second sf in the same process used to overwrite the first sf's
+    files — and the lazily-evaluated DataFrame returned for the first
+    build would then read the other scale's data. A token derived
+    from sf_dir (its basename) keeps each scale's probe files
+    disjoint."""
+    return os.path.join(_TMP, _sf_token(sf_dir), name)
 
 
 @register(
@@ -86,7 +106,7 @@ def s8_quarantine_roundtrip(spark, sf_dir):
                    F.col("o_custkey").cast("string").alias("o_custkey")))
     good, reject = split_quarantine(raw, "o_orderkey", "bigint")
     cols = ["o_orderkey", "o_custkey"]
-    base = os.path.join(_TMP, "s8_quarantine")
+    base = _probe_dir(sf_dir, "s8_quarantine")
     write_pipe_csv(good, os.path.join(base, "good"))
     write_pipe_csv(reject, os.path.join(base, "reject"))
 
@@ -122,7 +142,7 @@ def s8_quarantine_roundtrip(spark, sf_dir):
          "never O(data)")
 def s5_header_scan(spark, sf_dir):
     sup = t(spark, sf_dir, "supplier")
-    path = os.path.join(_TMP, "s5_header", "supplier")
+    path = os.path.join(_probe_dir(sf_dir, "s5_header"), "supplier")
     write_pipe_csv(sup, path)
     header = read_pipe_csv(spark, path)   # no schema: columns from header
     # .columns reads the analyzed schema — never a data job
@@ -149,7 +169,7 @@ def s5_header_scan(spark, sf_dir):
          "and that the rewrite actually compacted (files_after < "
          "files_before)")
 def s11_compaction_roundtrip(spark, sf_dir):
-    path = os.path.join(_TMP, "s11_compact", "supplier")
+    path = os.path.join(_probe_dir(sf_dir, "s11_compact"), "supplier")
     (t(spark, sf_dir, "supplier")
      .select("s_suppkey", "s_name")
      .repartition(16)
@@ -193,7 +213,7 @@ def s10_partition_prune_roundtrip(spark, sf_dir):
         read_format,
         write_format,
     )
-    path = os.path.join(_TMP, "s10_partitioned", "orders")
+    path = os.path.join(_probe_dir(sf_dir, "s10_partitioned"), "orders")
     write_format(
         t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
         path, partition_by=["o_orderpriority"])
@@ -239,7 +259,7 @@ def s13_schema_evolution_roundtrip(spark, sf_dir):
         read_format,
         write_format,
     )
-    path = os.path.join(_TMP, "s13_evolution", "supplier")
+    path = os.path.join(_probe_dir(sf_dir, "s13_evolution"), "supplier")
     supp = t(spark, sf_dir, "supplier")
     write_format(supp.filter(F.col("s_suppkey") % 2 == 0)
                  .select("s_suppkey", "s_name"), path)
@@ -289,14 +309,20 @@ def s14_bucketed_join_roundtrip(spark, sf_dir):
     # against the HOST PROCESS's cwd (the correctness driver's, not
     # this repo's), which the probe neither controls nor knows to be
     # writable
-    write_bucketed(li, "s14_b_lineitem", ["l_orderkey"], n_buckets=8,
+    # table NAMES carry the sf token too: the catalog is process-wide,
+    # so a fixed name would repoint the table when a second scale
+    # factor builds in the same session — the same staleness the
+    # _probe_dir path scoping removes (r10 advisor)
+    tok = _sf_token(sf_dir)
+    tli, tord = f"s14_b_lineitem_{tok}", f"s14_b_orders_{tok}"
+    write_bucketed(li, tli, ["l_orderkey"], n_buckets=8,
                    sort_cols=["l_orderkey"], overwrite_location=True,
-                   location=os.path.join(_TMP, "s14_b_lineitem"))
-    write_bucketed(o, "s14_b_orders", ["o_orderkey"], n_buckets=8,
+                   location=_probe_dir(sf_dir, "s14_b_lineitem"))
+    write_bucketed(o, tord, ["o_orderkey"], n_buckets=8,
                    sort_cols=["o_orderkey"], overwrite_location=True,
-                   location=os.path.join(_TMP, "s14_b_orders"))
-    joined = spark.table("s14_b_lineitem").join(
-        spark.table("s14_b_orders"),
+                   location=_probe_dir(sf_dir, "s14_b_orders"))
+    joined = spark.table(tli).join(
+        spark.table(tord),
         F.col("l_orderkey") == F.col("o_orderkey"))
     return (joined.groupBy("o_orderpriority")
             .agg(F.count("*").alias("n_items"),
@@ -351,7 +377,7 @@ def s15_zorder_layout_roundtrip(spark, sf_dir):
         read_format,
         write_format,
     )
-    path = os.path.join(_TMP, "s15_zorder", "lineitem")
+    path = os.path.join(_probe_dir(sf_dir, "s15_zorder"), "lineitem")
     li = (t(spark, sf_dir, "lineitem")
           .select("l_partkey", "l_suppkey", "l_orderkey")
           .withColumn("z", _morton16(F.col("l_partkey"),
@@ -398,7 +424,7 @@ def j22_dynamic_partition_prune(spark, sf_dir):
         read_format,
         write_format,
     )
-    path = os.path.join(_TMP, "j22_dpp", "orders")
+    path = os.path.join(_probe_dir(sf_dir, "j22_dpp"), "orders")
     write_format(
         t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
         path, partition_by=["o_orderpriority"])
@@ -446,7 +472,7 @@ def s16_multiline_csv_roundtrip(spark, sf_dir):
     raw = (t(spark, sf_dir, "supplier")
            .select(F.col("s_suppkey").cast("string").alias("s_suppkey"),
                    gnarly.alias("gnarly")))
-    base = os.path.join(_TMP, "s16_multiline")
+    base = _probe_dir(sf_dir, "s16_multiline")
     write_pipe_csv(raw, base)
     rt = read_pipe_csv(spark, base, columns=["s_suppkey", "gnarly"])
     nl = F.length("gnarly") - F.length(F.regexp_replace("gnarly", "\n", ""))
@@ -486,7 +512,7 @@ def s17_key_erasure_roundtrip(spark, sf_dir):
         erase_keys,
     )
 
-    path = os.path.join(_TMP, "s17_erasure", "orders")
+    path = os.path.join(_probe_dir(sf_dir, "s17_erasure"), "orders")
     if os.path.isdir(path):
         shutil.rmtree(path)
     orders = t(spark, sf_dir, "orders").select(
@@ -568,7 +594,7 @@ def s18_jsonl_roundtrip(spark, sf_dir):
                    F.concat(F.col("text"),
                             F.lit('"\ncafé ✓ \\')).alias("gnarly"),
                    "lang"))
-    base = os.path.join(_TMP, "s18_jsonl")
+    base = _probe_dir(sf_dir, "s18_jsonl")
     write_format(raw, base, fmt="json", compression="gzip")
     rt = read_format(spark, base, fmt="json",
                      schema="doc_id bigint, gnarly string, lang string")
@@ -605,7 +631,7 @@ def s18_jsonl_roundtrip(spark, sf_dir):
 def s19_orc_roundtrip(spark, sf_dir):
     li = (t(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_quantity", "l_returnflag"))
-    base = os.path.join(_TMP, "s19_orc")
+    base = _probe_dir(sf_dir, "s19_orc")
     write_format(li, base, fmt="orc", compression="zlib")
     rt = read_format(
         spark, base, fmt="orc",

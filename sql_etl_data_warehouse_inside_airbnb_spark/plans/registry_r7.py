@@ -32,6 +32,8 @@ cosine stability arguments in registry_ext._lsh_oracle_sql).
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import functions as F
 
 from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
@@ -172,11 +174,12 @@ def ext_hard_negatives(spark, sf_dir):
 # Materialized IVF+PQ index: the (assignments, codes) tables are the
 # index-BUILD artifacts (at 100 TB: written at ingest, partitioned by
 # cluster). localCheckpoint(eager) materializes both ONCE per
-# (session, table) and truncates lineage, so no probe plan contains
-# the corpus vector scan, the assignment UDF, or the pq_encode pandas
-# UDF — the r7-verdict fix (the probe used to re-assign the whole
-# corpus per query).
-_IVF_PQ_INDEX: dict = {}
+# (session, table, fitted model) and truncates lineage, so no probe
+# plan contains the corpus vector scan, the assignment UDF, or the
+# pq_encode pandas UDF — the r7-verdict fix (the probe used to
+# re-assign the whole corpus per query).
+_IVF_PQ_INDEX: OrderedDict = OrderedDict()
+_IVF_PQ_INDEX_CAP = 4
 
 
 def ivf_pq_index(spark, sf_dir, emb, model, books):
@@ -184,35 +187,44 @@ def ivf_pq_index(spark, sf_dir, emb, model, books):
     just (session, table): a caller passing a differently-fitted
     model for the same session+table must get a matching index, not
     a stale one (r8 advisor finding). ``books`` is a plain nested
-    list (unhashable), so identity is checked by ``id()`` — safe ONLY
-    because the cached value also holds strong references to the
-    checked objects, so they can never be collected and their ids
-    never reused.
+    list (unhashable), so identity is keyed by ``id()`` — safe ONLY
+    because each live cache entry also holds strong references to its
+    keyed objects, so a cached id can never be collected and reused
+    (a colliding id could only come from a DEAD object, and dead
+    objects have no cache entry).
 
-    BOUNDED (r9 advisor): the dict is keyed by (applicationId,
-    sf_dir) alone and holds exactly ONE (model, books, index) entry
-    per key — a refit for the same session+table REPLACES the stale
-    entry instead of accumulating beside it, so a recall_ladder-style
-    sweep that refits repeatedly holds at most one pinned pair of
-    checkpoints per table. The evicted entry's references are
-    dropped; once the JVM-side LogicalRDD objects become unreachable,
-    Spark's ContextCleaner unpersists the orphaned checkpoint blocks
-    (reference-tracking cleanup — the same mechanism that reclaims
-    any persisted RDD that goes out of scope). The registry path
-    passes the session-cached model/books, so for it this is still
-    one materialization per (session, table), now with a hard bound."""
+    BOUNDED LRU (r9 + r10 advisors): keyed (applicationId, sf_dir,
+    id(model), id(books)), capped at ``_IVF_PQ_INDEX_CAP`` entries
+    with least-recently-used eviction. The r9 fix's single slot per
+    (session, table) thrashed when two LIVE fitted models alternate
+    in one session (a recall-ladder sweep comparing quantizers
+    rebuilt and re-checkpointed both artifacts on every alternation);
+    a small LRU keeps the handful of models such a sweep holds live
+    while still hard-bounding pinned checkpoints. Evicted entries'
+    references are dropped; once the JVM-side LogicalRDD objects
+    become unreachable, Spark's ContextCleaner unpersists the
+    orphaned checkpoint blocks (reference-tracking cleanup — the same
+    mechanism that reclaims any persisted RDD that goes out of
+    scope). The registry path passes the session-cached model/books,
+    so for it this is still one materialization per (session,
+    table)."""
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
         ivf_assign,
         pq_encode,
     )
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cache_key = (spark.sparkContext.applicationId, sf_dir,
+                 id(model), id(books))
     got = _IVF_PQ_INDEX.get(cache_key)
-    if got is None or got[2] is not model or got[3] is not books:
+    if got is None:
         assignments = ivf_assign(emb, model).localCheckpoint(eager=True)
         codes = (pq_encode(emb, "vec_id", "embedding", books)
                  .localCheckpoint(eager=True))
         got = (assignments, codes, model, books)
         _IVF_PQ_INDEX[cache_key] = got
+        while len(_IVF_PQ_INDEX) > _IVF_PQ_INDEX_CAP:
+            _IVF_PQ_INDEX.popitem(last=False)
+    else:
+        _IVF_PQ_INDEX.move_to_end(cache_key)
     return got[:2]
 
 

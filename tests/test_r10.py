@@ -252,11 +252,13 @@ def test_k_core_rounds_equals_fixpoint_where_converged(spark, sf_dir):
 # ------------------------------------------- bounded index caches
 
 
-def test_ivf_pq_index_cache_is_bounded(spark, sf_dir):
-    """r9 advisor: repeated refits for the same (session, table) must
-    REPLACE the cached index (at most one pinned checkpoint pair per
-    key), never accumulate beside it — and a replacement fitted model
-    must get a fresh index, not the stale one (the r8 rule kept)."""
+def test_ivf_pq_index_cache_is_bounded_lru(spark, sf_dir):
+    """r9 advisor: pinned index checkpoints must be hard-bounded; a
+    replacement fitted model must get a fresh index, never the stale
+    one (the r8 rule kept). r10 advisor: two LIVE models alternating
+    in one session (a recall-ladder sweep comparing quantizers) must
+    BOTH stay cached — the old single slot rebuilt and
+    re-checkpointed both artifacts on every alternation."""
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
         fit_ivf_quantizer,
         fit_pq_codebooks,
@@ -264,26 +266,34 @@ def test_ivf_pq_index_cache_is_bounded(spark, sf_dir):
     from sql_etl_data_warehouse_inside_airbnb_spark.plans import registry_r7
 
     emb = read_table(spark, sf_dir, "embeddings")
-    key = (spark.sparkContext.applicationId, sf_dir)
-    saved = registry_r7._IVF_PQ_INDEX.pop(key, None)
+    saved = dict(registry_r7._IVF_PQ_INDEX)
+    registry_r7._IVF_PQ_INDEX.clear()
     try:
         m1 = fit_ivf_quantizer(emb, n_clusters=4)
         m2 = fit_ivf_quantizer(emb, n_clusters=4)
         books = fit_pq_codebooks(emb, m=4, n_codes=4)
         a1, c1 = registry_r7.ivf_pq_index(spark, sf_dir, emb, m1, books)
-        assert len([k for k in registry_r7._IVF_PQ_INDEX
-                    if k == key]) == 1
         a1b, _ = registry_r7.ivf_pq_index(spark, sf_dir, emb, m1, books)
         assert a1b is a1  # same identities → cache hit
         a2, _ = registry_r7.ivf_pq_index(spark, sf_dir, emb, m2, books)
-        assert a2 is not a1  # refit → fresh index...
-        assert len([k for k in registry_r7._IVF_PQ_INDEX
-                    if k == key]) == 1  # ...REPLACING the old entry
+        assert a2 is not a1  # different fitted model → fresh index
+        # the alternating-sweep pattern: BOTH live models stay cached
+        a1c, _ = registry_r7.ivf_pq_index(spark, sf_dir, emb, m1, books)
+        a2c, _ = registry_r7.ivf_pq_index(spark, sf_dir, emb, m2, books)
+        assert a1c is a1 and a2c is a2
+        assert len(registry_r7._IVF_PQ_INDEX) == 2
+        # hard bound: filling past the cap evicts least-recently-used
+        extra = [fit_ivf_quantizer(emb, n_clusters=4) for _ in
+                 range(registry_r7._IVF_PQ_INDEX_CAP)]
+        for m in extra:
+            registry_r7.ivf_pq_index(spark, sf_dir, emb, m, books)
+        assert (len(registry_r7._IVF_PQ_INDEX)
+                == registry_r7._IVF_PQ_INDEX_CAP)
+        a1d, _ = registry_r7.ivf_pq_index(spark, sf_dir, emb, m1, books)
+        assert a1d is not a1  # m1 was evicted → rebuilt fresh
     finally:
-        if saved is not None:
-            registry_r7._IVF_PQ_INDEX[key] = saved
-        else:
-            registry_r7._IVF_PQ_INDEX.pop(key, None)
+        registry_r7._IVF_PQ_INDEX.clear()
+        registry_r7._IVF_PQ_INDEX.update(saved)
 
 
 # --------------------------------------------- fixed-point pagerank
