@@ -137,6 +137,9 @@ MAINTENANCE = [
                                    # the peel's eager checkpoints run
                                    # in build() — headline would time
                                    # only the final degree aggregate)
+    "ext_bpe_train_portable",      # zero-collect BPE trainer twin
+                                   # (r11; 6 unrolled merge rounds,
+                                   # eager checkpoints in build())
 ]
 
 

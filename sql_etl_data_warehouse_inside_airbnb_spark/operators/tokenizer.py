@@ -111,6 +111,87 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 16,
     return merges, vocab
 
 
+def bpe_train_portable_merges(df: DataFrame, text_col: str,
+                              n_merges: int = 6) -> DataFrame:
+    """Bounded-round BPE training with ZERO driver traffic — the
+    hash-checkable twin of :func:`bpe_train` (the g6_pagerank_portable
+    playbook applied to the last untwinned iterative family).
+
+    :func:`bpe_train` is driver-looped because each round's chosen
+    pair is collect()ed and inlined into the next round's plan. The
+    twin removes the collect by keeping the chosen pair AS A RELATION:
+    each of the FIXED ``n_merges`` rounds is (1) a pair-count
+    aggregate over the vocab, (2) a 1-row argmax
+    (count DESC, left ASC, right ASC — the same total-order tiebreak),
+    and (3) a broadcast cross join applying the winner to every word
+    via one string ``replace`` — so the whole loop unrolls into static
+    relational algebra, expressible as DuckDB CTEs.
+
+    The symbol encoding that makes replace() correct: a word's symbol
+    list is one string with every symbol wrapped ``' ' + sym + '\\t'``
+    (symbols are whitespace-split tokens plus ``</w>``, so they can
+    never contain the wrapper characters). Merging (l, r) is then
+    ``replace(s, ' l\\t r\\t', ' lr\\t')`` — each wrapped symbol is
+    self-delimited, so occurrences never share boundary characters and
+    leftmost non-overlapping replace-all IS the greedy left-to-right
+    merge rule (a just-merged ``lr`` can complete no new occurrence:
+    that would need r == lr or l == '', both impossible). Equality
+    with the driver-looped trainer for the same round count is pinned
+    in tests/test_tokenizer.py.
+
+    Returns (merge_rank, l_sym, r_sym, merged, pair_count) — strings
+    and int64 only, no early stop: exactly ``n_merges`` rows (fewer
+    only when the vocab runs out of pairs entirely, matching the
+    oracle's empty-argmax cascade).
+
+    Scale: per round one map-side-combinable pair aggregate over
+    |vocab| rows + a 1-row TakeOrdered + a broadcast-1-row rewrite;
+    rounds are eager-localCheckpointed (the g6/g8 lineage discipline,
+    and why this belongs in the MAINTENANCE bench suite — the work
+    runs in build()). Driver traffic: zero rows.
+    """
+    vocab = (word_vocab(df, text_col)
+             .select(F.concat(
+                 F.lit(" "),
+                 F.array_join(_initial_symbols(F.col("w")), "\t "),
+                 F.lit("\t")).alias("s"),
+                 F.col("cnt"))
+             .localCheckpoint(eager=True))
+    merge_rows = []
+    for rank in range(1, n_merges + 1):
+        syms = F.split(F.expr("substring(s, 2, length(s) - 2)"), "\t ")
+        n = F.size("syms")
+        pairs = (vocab
+                 .select("cnt", syms.alias("syms"))
+                 .filter(n >= 2)
+                 .select("cnt", F.explode(F.arrays_zip(
+                     F.slice("syms", F.lit(1), n - 1).alias("l"),
+                     F.slice("syms", F.lit(2), n - 1).alias("r")))
+                     .alias("p"))
+                 .groupBy(F.col("p.l").alias("l"),
+                          F.col("p.r").alias("r"))
+                 .agg(F.sum("cnt").alias("pc")))
+        best = (pairs.orderBy(F.desc("pc"), "l", "r").limit(1)
+                .localCheckpoint(eager=True))
+        pat = F.concat(F.lit(" "), F.col("l"), F.lit("\t "),
+                       F.col("r"), F.lit("\t"))
+        rep = F.concat(F.lit(" "), F.col("l"), F.col("r"), F.lit("\t"))
+        vocab = (vocab.crossJoin(F.broadcast(best))
+                 .select(F.replace(F.col("s"), pat, rep).alias("s"),
+                         F.col("cnt"))
+                 .localCheckpoint(eager=True))
+        merge_rows.append(best.select(
+            F.lit(rank).cast("bigint").alias("merge_rank"),
+            F.col("l").alias("l_sym"),
+            F.col("r").alias("r_sym"),
+            F.concat("l", "r").alias("merged"),
+            F.col("pc").cast("bigint").alias("pair_count")))
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out
+
+
 def merges_df(spark, merges: list[tuple]) -> DataFrame:
     """Merge list → DataFrame (rank, left, right, merged, pair_count)
     — the model artifact as a relation."""

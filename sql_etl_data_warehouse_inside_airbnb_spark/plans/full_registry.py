@@ -37,16 +37,22 @@ which adjudicates ~the first 50 entries per round:
   integer cents) — r9 was the first fully clean window (50/50,
   CORRECTNESS_r09.json) and began the stale-verdict refresh rotation
   (r1/r2 vintages re-verified);
-- round 10 (this order): the two portable ANN twins lead — their
-  ENCODING changed (corpus-only codebook, query clamped in,
-  session-cached checkpointed index on the probe path: the r9
-  verdict's one design finding) — followed by five rows-only→oracle
-  conversions via the unroll/quantize playbook (g8 LPA unrolled,
-  BM25 fixed-order sums, bounded-round k-core, fixed-point PageRank,
-  portable-hash Bloom prefilter), the new ORC roundtrip probe, then
-  42 r3-vintage refreshes.
+- round 10: the two portable ANN twins led (their ENCODING changed —
+  corpus-only codebook, query clamped in, session-cached checkpointed
+  index on the probe path: the r9 verdict's one design finding),
+  followed by five rows-only→oracle conversions via the
+  unroll/quantize playbook (g8 LPA unrolled, BM25 fixed-order sums,
+  bounded-round k-core, fixed-point PageRank, portable-hash Bloom
+  prefilter), the new ORC roundtrip probe, then 42 r3-vintage
+  refreshes — 50/50 clean, the second consecutive fully green window;
+- round 11 (this order): the BPE bounded-round portable twin (the
+  last iterative family without a hash anchor) leads, then the full
+  r4-vintage block less one (ext_decontaminate_bloom, deferred to r12
+  behind its fresh r10-green portable sibling) — the r10 verdict's
+  item-2 rotation; r12 closes with the 14 r2 + 7 r3 remnants + that
+  one r4 row.
 
-Entries with a green CORRECTNESS row from r1-r9 move to the back;
+Entries with a green CORRECTNESS row from r1-r10 move to the back;
 within any remaining never-checked tail, oracle-paired entries sit
 ahead of rows-only ones. Every name stays present; only dict
 insertion order changes.
@@ -83,6 +89,7 @@ import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r7  # noqa: F40
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r8  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r9  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r10  # noqa: F401
+import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r11  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_search  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_surface  # noqa: F401
 import sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_tpch  # noqa: F401
@@ -317,46 +324,72 @@ _R09_GREEN = frozenset({
     'x15_referential_integrity',
 })
 
+# Round-10 greens: the second consecutive fully clean window — 50/50
+# (CORRECTNESS_r10.json): the two re-encoded portable ANN twins, the
+# five rows-only→oracle conversions, the s19 ORC probe, and the
+# 42-entry r3-vintage refresh block.
+_R10_GREEN = frozenset({
+    'a15_two_stage_salted_agg', 'a20_unpivot', 'a21_grouping_sets',
+    'a22_percentile_disc', 'a23_collect_sorted', 'a25_min_max_by',
+    'a26_bitwise_agg', 'a27_stats_moments', 'a28_filtered_bool_aggs',
+    'a29_grouping_id', 'a30_listagg', 'a31_mode_argmax', 'a32_median',
+    'ext_ann_ivfadc_portable_topk', 'ext_ann_lsh_topk',
+    'ext_bm25_portable_topk', 'ext_chunk_dedup',
+    'ext_chunk_pack_pipeline', 'ext_decontaminate_bloom_portable',
+    'ext_dedup_minhash_banded', 'ext_dedup_ppjoin', 'ext_line_dedup',
+    'ext_mmr_portable_topk', 'ext_multimodal_audio_meta',
+    'ext_multimodal_video_meta', 'ext_training_manifest',
+    'f17_json_extract', 'f24_higher_order', 'f27_from_json_struct',
+    'g6_pagerank_portable', 'g8_label_propagation',
+    'g9_k_core_portable', 'j12_salted_skew_join', 'j15_cross_join',
+    'j16_left_outer', 'j17_full_outer', 'j18_null_safe_join',
+    'j19_star_join_rollup', 'j20_scd2_apply', 'p11_like_predicates',
+    's19_orc_roundtrip', 'set_except_all', 'set_intersect_all',
+    'set_union_by_name', 'sq_exists_correlated', 'sq_scalar_threshold',
+    'w10_topk_per_group', 'w6_value_windows', 'w7_dist_ladder',
+    'w8_ntile',
+})
+
 _GREEN = (_R01_GREEN | _R02_GREEN | _R03_GREEN | _R04_GREEN
           | _R05_GREEN | _R06_GREEN | _R07_GREEN | _R08_GREEN
-          | _R09_GREEN)
+          | _R09_GREEN | _R10_GREEN)
 
 # Explicit front of the queue — the ~50-entry adjudication window.
-# Round 10: lead with the two portable ANN twins whose ENCODING
-# changed this round (corpus-only codebook + query clamp, probe paths
-# now on the session-cached checkpointed index — the r9-verdict item
-# 1, so their r9 greens are stale), then the four rows-only→oracle
-# conversions (g8's unrolled-LPA oracle, the BM25 portable twin, the
-# bounded-round k-core twin, the fixed-point PageRank twin, the
-# portable Bloom prefilter — verdict items 2/3/6 + the same playbook
-# extended to g6 and the sketch family) and the new s19 ORC probe,
-# then 42 of the 49 r3-vintage greens (the stalest block after r9
-# refreshed the r1/r2 vintages; verdict item 5 says burn the r3/r4
-# blocks down — the 7 deferred io-roundtrip/window/outlier/snapshot/
-# quality rows and the whole r4 block are r11's window).
+# Round 11 (VERDICT r10 item 2: front-load the r4 block, the stalest
+# vintage after r10 refreshed r3): the one in-round addition leads
+# (ext_bpe_train_portable, the BPE bounded-round twin — verdict
+# stretch item 5), then 49 of the 50 r4-vintage greens. The one
+# deferred r4 row is ext_decontaminate_bloom — it is the entry most
+# strongly twinned by a FRESH hash-green sibling
+# (ext_decontaminate_bloom_portable, r10) — and joins the 14 r2 + 7
+# r3 remnants in r12's closing window (verdict item 3: nothing older
+# than r5 vintage after r12).
 _PRIORITY = [
-    # re-encoded this round (r9 verdicts stale by construction)
-    "ext_ann_ivfadc_portable_topk", "ext_mmr_portable_topk",
-    # new/converted oracle-paired entries (r10)
-    "g8_label_propagation", "ext_bm25_portable_topk",
-    "g9_k_core_portable", "g6_pagerank_portable",
-    "ext_decontaminate_bloom_portable", "s19_orc_roundtrip",
-    # stalest green verdicts (r3 vintage, 42 of 49)
-    "a15_two_stage_salted_agg", "a20_unpivot", "a21_grouping_sets",
-    "a22_percentile_disc", "a23_collect_sorted", "a25_min_max_by",
-    "a26_bitwise_agg", "a27_stats_moments", "a28_filtered_bool_aggs",
-    "a29_grouping_id", "a30_listagg", "a31_mode_argmax", "a32_median",
-    "ext_ann_lsh_topk", "ext_chunk_dedup", "ext_chunk_pack_pipeline",
-    "ext_dedup_minhash_banded", "ext_dedup_ppjoin", "ext_line_dedup",
-    "ext_multimodal_audio_meta", "ext_multimodal_video_meta",
-    "ext_training_manifest", "f17_json_extract", "f24_higher_order",
-    "f27_from_json_struct", "j12_salted_skew_join", "j15_cross_join",
-    "j16_left_outer", "j17_full_outer", "j18_null_safe_join",
-    "j19_star_join_rollup", "j20_scd2_apply", "p11_like_predicates",
-    "set_except_all", "set_intersect_all", "set_union_by_name",
-    "sq_exists_correlated", "sq_scalar_threshold",
-    "w10_topk_per_group", "w6_value_windows", "w7_dist_ladder",
-    "w8_ntile",
+    # new oracle-paired entry (r11) — parity-verified at 3 sfs
+    "ext_bpe_train_portable",
+    # the r4-vintage block (49 of 50)
+    "a19_approx_distinct", "a24_approx_percentile",
+    "a33_hll_sketch_union", "e1_funnel_stages", "e2_retention_cohorts",
+    "e3_event_transitions", "e4_conversion_latency",
+    "ext_ann_quantized_topk", "ext_c4_filters", "ext_gopher_quality",
+    "ext_lang_detect_lib", "ext_trigram_familiarity",
+    "f19_explode_tokens", "f20_map_functions", "f21_string_ladder",
+    "f22_date_ladder", "f23_regexp_extract_all", "f26_null_ladder",
+    "f28_str_to_map", "f29_width_bucket", "f30_try_arithmetic",
+    "f31_explode_outer", "f32_sequence_gapfill", "g3_dedup_survivors",
+    "j22_dynamic_partition_prune", "s10_partition_prune_roundtrip",
+    "s13_schema_evolution_roundtrip", "s14_bucketed_join_roundtrip",
+    "s15_zorder_layout_roundtrip", "sql_surface_view_query",
+    "tpch_q10_returned_items", "tpch_q12_line_priority",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_part_count",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customer", "tpch_q19_disjunctive_revenue",
+    "tpch_q1_pricing_summary", "tpch_q22_global_sales_opportunity",
+    "tpch_q3_shipping_priority", "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tsql_dialect_rollup", "x7_freshness_report",
 ]
 
 

@@ -92,6 +92,15 @@ PYTHON_NODES = ("BatchEvalPython", "ArrowEvalPython",
                 "FlatMapGroupsInPandas", "MapInPandas", "PythonUDTF",
                 "FlatMapGroupsInPandasWithState", "ArrowAggregatePython")
 
+# 4. Offline-index invariant (r10 verdict item 4, tools/
+# probe_audit.py): no probe plan may fit a quantizer codebook inline
+# (posexplode + partial min/max/avg + TakeOrderedAndProject — the
+# r7/r9 smell where every ANN query re-scanned the corpus to fit the
+# grid it then scored against). Only the self-contained quantize+
+# score DEMO entry is allowed to carry the signature — its semantics
+# ARE the inline fit, documented since r4.
+INLINE_FIT_OK = {"ext_ann_quantized_topk"}
+
 
 def test_registry_wide_plan_audit(spark, sf_dir):
     plans = {}
@@ -144,6 +153,33 @@ def test_registry_wide_plan_audit(spark, sf_dir):
             if cls == "window-chain":
                 mergeable.append((name, wide, narrow))
     assert not mergeable, mergeable
+
+    # 4. offline-index invariant: no inline-codebook-fit probes
+    spec = importlib.util.spec_from_file_location(
+        "probe_audit", os.path.join(repo, "tools", "probe_audit.py"))
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+    inline_fits = [n for n, p in plans.items() if pa.inline_fit_probe(p)]
+    assert set(inline_fits) <= INLINE_FIT_OK, (
+        sorted(set(inline_fits) - INLINE_FIT_OK))
+    # the allowlist must stay honest (the demo entry still carries
+    # its declared signature), and the detector must actually FIRE on
+    # a deliberately-inlined probe: the IVFADC twin built WITHOUT its
+    # index artifacts fits the grid inline by construction
+    assert set(inline_fits) == INLINE_FIT_OK, inline_fits
+    from pyspark.sql import functions as F
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
+        ivfadc_portable_topk,
+    )
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    inlined = ivfadc_portable_topk(emb.filter(F.col("vec_id") != 0),
+                                   emb.filter(F.col("vec_id") == 0), k=3)
+    assert pa.inline_fit_probe(
+        inlined._jdf.queryExecution().executedPlan().toString())
 
 
 def test_dedup_block_keys_are_composed(spark, sf_dir):
@@ -198,15 +234,11 @@ def test_registry_priority_names_resolve():
     assert not missing, missing
     names = list(fr.REGISTRY)
     assert len(names) == len(set(names))
-    # round 10: the two portable ANN twins lead (their ENCODING
-    # changed — corpus-only codebook, index-backed probes — so the
-    # r9 greens are stale by construction), then the three
-    # rows-only→oracle conversions of this round
-    assert names[:5] == ["ext_ann_ivfadc_portable_topk",
-                         "ext_mmr_portable_topk",
-                         "g8_label_propagation",
-                         "ext_bm25_portable_topk",
-                         "g9_k_core_portable"]
+    # round 11: the one in-round addition (the BPE portable twin)
+    # leads, then the r4-vintage refresh block (verdict item 2)
+    assert names[:3] == ["ext_bpe_train_portable",
+                         "a19_approx_distinct",
+                         "a24_approx_percentile"]
     # every green entry not deliberately re-presented in the front
     # sits behind every entry still waiting for a verdict
     back = {n for n in fr._GREEN if n not in fr._PRIORITY}
@@ -239,17 +271,14 @@ def test_registry_priority_names_resolve():
     for n in deliberate_rows_only:
         assert fr.REGISTRY[n].oracle is None, n
     # closure invariant: every entry lacking ANY prior-round verdict
-    # row — plus the entries whose encoding/oracle changed this round
-    # — must sit inside the window, so round 10 adjudicates all of
-    # them
+    # row must sit inside the window, so round 11 adjudicates all of
+    # them (this round the only such entry is the new BPE twin — no
+    # existing builder's output encoding changed)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     adjudicated = set()
     for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         adjudicated |= set(json.load(open(f)))
     if adjudicated:  # absent in a bare checkout
-        pending = [n for n in names if n not in adjudicated
-                   or n in ("ext_ann_ivfadc_portable_topk",
-                            "ext_mmr_portable_topk",
-                            "g8_label_propagation")]
+        pending = [n for n in names if n not in adjudicated]
         outside = [n for n in pending if names.index(n) >= 50]
         assert not outside, outside

@@ -141,3 +141,43 @@ def test_encode_empty_doc_drops_out(spark):
     out = {r["id"] for r in
            bpe_encode_counts(df, "id", "text", merges).collect()}
     assert out == {1}
+
+
+def test_portable_twin_equals_driver_looped_trainer(spark, sf_dir):
+    """ext_bpe_train_portable's contract (r11): the bounded-round
+    zero-collect twin produces EXACTLY the driver-looped trainer's
+    merge table for the same round count (no early stop engaged:
+    min_pair_count=1)."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.tokenizer import (
+        bpe_train_portable_merges,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    merges, _ = bpe_train(docs, "text", n_merges=6, min_pair_count=1)
+    got = [(r.merge_rank, r.l_sym, r.r_sym, r.merged, r.pair_count)
+           for r in bpe_train_portable_merges(docs, "text", n_merges=6)
+           .orderBy("merge_rank").collect()]
+    assert got == [(rank + 1, l, r, m, pc)
+                   for rank, l, r, m, pc in merges]
+
+
+def test_portable_twin_wrapped_replace_is_greedy(spark):
+    """The wrapped-symbol replace must equal the greedy fold on the
+    adversarial overlap cases: runs of the same symbol ('a a a a' →
+    'aa aa', not 'aa a a') and a merge whose result could complete a
+    new occurrence."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.tokenizer import (
+        bpe_train_portable_merges,
+    )
+
+    # 'aaaaaa' → symbols a×6,</w>: round-1 (a,a) has FIVE adjacent
+    # occurrences but greedy left-to-right merges only three
+    # non-overlapping ones → [aa,aa,aa,</w>]; round 2 then sees
+    # (aa,aa)×2 vs (aa,</w>)×1 — the 2-count winner certifies the
+    # replace really produced the greedy rewrite, not 'aa a a...'
+    df = spark.createDataFrame([("aaaaaa",)], ["text"])
+    rows = {(r.merge_rank, r.l_sym, r.r_sym, r.pair_count)
+            for r in bpe_train_portable_merges(df, "text", n_merges=2)
+            .collect()}
+    assert (1, "a", "a", 5) in rows
+    assert (2, "aa", "aa", 2) in rows
