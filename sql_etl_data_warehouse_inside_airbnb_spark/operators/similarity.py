@@ -698,18 +698,20 @@ def semantic_dedup(df: DataFrame, key_col: str = "vec_id",
 
 def _require_paired_index(stats: DataFrame | None,
                           codes: DataFrame | None, fn: str) -> None:
-    """The (stats, codes) offline index is ONE artifact: the code
-    table is only meaningful under the codebook it was encoded with.
-    Accepting them independently lets a caller score a query against
-    a mismatched quantizer (codes built under another codebook, or
-    codes with an inline refit of stats) with no error — so require
-    both or neither (r10 advisor)."""
-    if (stats is None) != (codes is None):
+    """The code table is only meaningful under the codebook it was
+    encoded with, so ``codes`` WITHOUT ``stats`` is a contract
+    violation: the inline refit it would trigger scores the query
+    against a quantizer the codes were never encoded under, silently
+    (r10 advisor). The converse direction is safe and allowed —
+    with only ``stats`` supplied the functions derive the code frames
+    UNDER that codebook, so no mismatch is possible (it just pays an
+    inline encode per call: the standalone/test path)."""
+    if codes is not None and stats is None:
         raise ValueError(
-            f"{fn}: pass `stats` and `codes` together (they are one "
-            "offline index artifact — the grid_stats codebook and the "
-            "code table encoded under it) or neither; got only "
-            + ("`codes`" if stats is None else "`stats`"))
+            f"{fn}: `codes` requires the `stats` codebook it was "
+            "encoded under (they are one offline index artifact); "
+            "an inline stats refit would silently mismatch the "
+            "supplied code table")
 
 
 def ivfadc_portable_topk(df: DataFrame, query: DataFrame, k: int = 10,

@@ -24,6 +24,7 @@ and a rename-atomic compaction rewrite.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
 
@@ -47,11 +48,18 @@ _TMP = os.path.join(os.path.dirname(os.path.dirname(
 
 
 def _sf_token(sf_dir: str) -> str:
-    """Identifier-safe token derived from sf_dir's basename — usable
-    both as a path segment and inside a catalog table name (dots in
-    'sf0.01' would need backticks as an identifier)."""
-    return re.sub(r"[^A-Za-z0-9_]", "_",
-                  os.path.basename(os.path.normpath(sf_dir)) or "sf")
+    """Identifier-safe token derived from sf_dir — usable both as a
+    path segment and inside a catalog table name (dots in 'sf0.01'
+    would need backticks as an identifier). The readable basename is
+    suffixed with a short hash of the FULL normalized path: two
+    distinct dirs whose basenames collide (.../genA/sf0.1 vs
+    .../genB/sf0.1, or 'sf0.1' vs 'sf0_1' after sanitizing) must not
+    share a token, or the cross-scale clobber this helper exists to
+    prevent comes right back (post-round review)."""
+    full = os.path.normpath(os.path.abspath(sf_dir))
+    base = re.sub(r"[^A-Za-z0-9_]", "_",
+                  os.path.basename(full) or "sf")
+    return f"{base}_{hashlib.md5(full.encode()).hexdigest()[:6]}"
 
 
 def _probe_dir(sf_dir: str, name: str) -> str:

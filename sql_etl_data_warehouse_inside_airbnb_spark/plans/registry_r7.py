@@ -179,7 +179,11 @@ def ext_hard_negatives(spark, sf_dir):
 # pq_encode pandas UDF — the r7-verdict fix (the probe used to
 # re-assign the whole corpus per query).
 _IVF_PQ_INDEX: OrderedDict = OrderedDict()
-_IVF_PQ_INDEX_CAP = 4
+# max live (model, books) index pairs PER (session, table) — eviction
+# never crosses tables, so a sweep over many scale dirs keeps one
+# pinned index per table (the r9 bound) while two models alternating
+# on ONE table both stay cached (the r10 fix)
+_IVF_PQ_INDEX_CAP = 2
 
 
 def ivf_pq_index(spark, sf_dir, emb, model, books):
@@ -193,27 +197,30 @@ def ivf_pq_index(spark, sf_dir, emb, model, books):
     (a colliding id could only come from a DEAD object, and dead
     objects have no cache entry).
 
-    BOUNDED LRU (r9 + r10 advisors): keyed (applicationId, sf_dir,
-    id(model), id(books)), capped at ``_IVF_PQ_INDEX_CAP`` entries
-    with least-recently-used eviction. The r9 fix's single slot per
-    (session, table) thrashed when two LIVE fitted models alternate
-    in one session (a recall-ladder sweep comparing quantizers
-    rebuilt and re-checkpointed both artifacts on every alternation);
-    a small LRU keeps the handful of models such a sweep holds live
-    while still hard-bounding pinned checkpoints. Evicted entries'
-    references are dropped; once the JVM-side LogicalRDD objects
-    become unreachable, Spark's ContextCleaner unpersists the
-    orphaned checkpoint blocks (reference-tracking cleanup — the same
-    mechanism that reclaims any persisted RDD that goes out of
-    scope). The registry path passes the session-cached model/books,
-    so for it this is still one materialization per (session,
-    table)."""
+    BOUNDED LRU PER (session, table) (r9 + r10 advisors + post-round
+    review): keyed (applicationId, sf_dir, id(model), id(books)),
+    with least-recently-used eviction WITHIN the same (applicationId,
+    sf_dir) group once it exceeds ``_IVF_PQ_INDEX_CAP`` entries. The
+    r9 fix's single slot per (session, table) thrashed when two LIVE
+    fitted models alternate in one session (a recall-ladder sweep
+    comparing quantizers rebuilt and re-checkpointed both artifacts
+    on every alternation); a GLOBAL pool would reintroduce the same
+    thrash across tables (a round-robin over 5 scale dirs evicts each
+    table's index before it is revisited). Group-scoped eviction
+    preserves both bounds: ≤ cap pinned pairs per table, eviction
+    never crosses tables. Evicted entries' references are dropped;
+    once the JVM-side LogicalRDD objects become unreachable, Spark's
+    ContextCleaner unpersists the orphaned checkpoint blocks
+    (reference-tracking cleanup — the same mechanism that reclaims
+    any persisted RDD that goes out of scope). The registry path
+    passes the session-cached model/books, so for it this is still
+    one materialization per (session, table)."""
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
         ivf_assign,
         pq_encode,
     )
-    cache_key = (spark.sparkContext.applicationId, sf_dir,
-                 id(model), id(books))
+    group = (spark.sparkContext.applicationId, sf_dir)
+    cache_key = (*group, id(model), id(books))
     got = _IVF_PQ_INDEX.get(cache_key)
     if got is None:
         assignments = ivf_assign(emb, model).localCheckpoint(eager=True)
@@ -221,8 +228,9 @@ def ivf_pq_index(spark, sf_dir, emb, model, books):
                  .localCheckpoint(eager=True))
         got = (assignments, codes, model, books)
         _IVF_PQ_INDEX[cache_key] = got
-        while len(_IVF_PQ_INDEX) > _IVF_PQ_INDEX_CAP:
-            _IVF_PQ_INDEX.popitem(last=False)
+        siblings = [k for k in _IVF_PQ_INDEX if k[:2] == group]
+        while len(siblings) > _IVF_PQ_INDEX_CAP:
+            _IVF_PQ_INDEX.pop(siblings.pop(0))  # LRU within the group
     else:
         _IVF_PQ_INDEX.move_to_end(cache_key)
     return got[:2]

@@ -159,14 +159,16 @@ def test_registry_wide_plan_audit(spark, sf_dir):
         "probe_audit", os.path.join(repo, "tools", "probe_audit.py"))
     pa = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(pa)
-    inline_fits = [n for n, p in plans.items() if pa.inline_fit_probe(p)]
-    assert set(inline_fits) <= INLINE_FIT_OK, (
-        sorted(set(inline_fits) - INLINE_FIT_OK))
-    # the allowlist must stay honest (the demo entry still carries
-    # its declared signature), and the detector must actually FIRE on
-    # a deliberately-inlined probe: the IVFADC twin built WITHOUT its
-    # index artifacts fits the grid inline by construction
-    assert set(inline_fits) == INLINE_FIT_OK, inline_fits
+    # equality asserts both directions at once: no unlisted entry
+    # carries the signature AND the allowlisted demo entry still does
+    # (a stale allowlist is a silent hole in the guard)
+    inline_fits = {n for n, p in plans.items() if pa.inline_fit_probe(p)}
+    assert inline_fits == INLINE_FIT_OK, {
+        "unexpected": sorted(inline_fits - INLINE_FIT_OK),
+        "lost": sorted(INLINE_FIT_OK - inline_fits)}
+    # the detector must actually FIRE on a deliberately-inlined
+    # probe: the IVFADC twin built WITHOUT its index artifacts fits
+    # the grid inline by construction
     from pyspark.sql import functions as F
 
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (

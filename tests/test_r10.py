@@ -258,7 +258,10 @@ def test_ivf_pq_index_cache_is_bounded_lru(spark, sf_dir):
     one (the r8 rule kept). r10 advisor: two LIVE models alternating
     in one session (a recall-ladder sweep comparing quantizers) must
     BOTH stay cached — the old single slot rebuilt and
-    re-checkpointed both artifacts on every alternation."""
+    re-checkpointed both artifacts on every alternation. Post-round
+    review: the bound is PER (session, table) — eviction never
+    crosses tables, so a round-robin over many scale dirs keeps one
+    pinned index per table."""
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.similarity import (
         fit_ivf_quantizer,
         fit_pq_codebooks,
@@ -281,16 +284,24 @@ def test_ivf_pq_index_cache_is_bounded_lru(spark, sf_dir):
         a1c, _ = registry_r7.ivf_pq_index(spark, sf_dir, emb, m1, books)
         a2c, _ = registry_r7.ivf_pq_index(spark, sf_dir, emb, m2, books)
         assert a1c is a1 and a2c is a2
-        assert len(registry_r7._IVF_PQ_INDEX) == 2
-        # hard bound: filling past the cap evicts least-recently-used
+        # another TABLE's index is outside this group's bound
+        ox, _ = registry_r7.ivf_pq_index(spark, sf_dir + "#other",
+                                         emb, m1, books)
+        # hard per-group bound: filling past the cap evicts the
+        # group's least-recently-used, never the other table's entry
         extra = [fit_ivf_quantizer(emb, n_clusters=4) for _ in
                  range(registry_r7._IVF_PQ_INDEX_CAP)]
         for m in extra:
             registry_r7.ivf_pq_index(spark, sf_dir, emb, m, books)
-        assert (len(registry_r7._IVF_PQ_INDEX)
+        group = (spark.sparkContext.applicationId, sf_dir)
+        assert (len([k for k in registry_r7._IVF_PQ_INDEX
+                     if k[:2] == group])
                 == registry_r7._IVF_PQ_INDEX_CAP)
+        oxb, _ = registry_r7.ivf_pq_index(spark, sf_dir + "#other",
+                                          emb, m1, books)
+        assert oxb is ox  # cross-table entry survived the churn
         a1d, _ = registry_r7.ivf_pq_index(spark, sf_dir, emb, m1, books)
-        assert a1d is not a1  # m1 was evicted → rebuilt fresh
+        assert a1d is not a1  # m1 was evicted in-group → rebuilt fresh
     finally:
         registry_r7._IVF_PQ_INDEX.clear()
         registry_r7._IVF_PQ_INDEX.update(saved)
