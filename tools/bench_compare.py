@@ -1,0 +1,65 @@
+"""Compare two bench artifacts (or raw bench stdout) per query.
+
+Usage: python tools/bench_compare.py OLD NEW
+
+Each input may be a BENCH_r*.json driver artifact (whose `raw` tail
+may be truncated — per-query timings are recovered by regex) or a
+file holding bench.py stdout. Prints per-query ratios (NEW/OLD) for
+the shared headline set, the geometric mean, and every query whose
+ratio exceeds 1.3 (the r10 verdict's investigation threshold).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+import sys
+
+
+def timings(path: str) -> dict[str, float]:
+    text = open(path).read()
+    # candidate JSON payloads: the whole file (a driver artifact),
+    # else each line (bench stdout: detail line + summary line)
+    candidates = [text] + list(reversed(text.strip().splitlines()))
+    for cand in candidates:
+        try:
+            d = json.loads(cand)
+        except ValueError:
+            continue
+        if not isinstance(d, dict):
+            continue
+        if isinstance(d.get("queries"), dict) and d["queries"]:
+            return {k: float(v) for k, v in d["queries"].items()}
+        parsed = d.get("parsed")
+        if (isinstance(parsed, dict)
+                and isinstance(parsed.get("queries"), dict)):
+            return {k: float(v) for k, v in parsed["queries"].items()}
+        if isinstance(d.get("tail"), str):
+            text = d["tail"]
+            break
+    # regex recovery from a (possibly truncated) tail
+    got = dict(re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', text))
+    drop = {"value", "sf", "headline_total_sec", "n_queries",
+            "cold_total_sec", "maintenance_total_sec", "n_maintenance"}
+    return {k: float(v) for k, v in got.items() if k not in drop}
+
+
+def main() -> None:
+    old, new = timings(sys.argv[1]), timings(sys.argv[2])
+    shared = sorted(set(old) & set(new))
+    if not shared:
+        print("no shared queries")
+        return
+    ratios = {q: new[q] / old[q] for q in shared if old[q] > 0}
+    geo = math.exp(sum(math.log(r) for r in ratios.values())
+                   / len(ratios))
+    print(f"shared={len(shared)} geomean={geo:.3f}")
+    for q, r in sorted(ratios.items(), key=lambda kv: -kv[1]):
+        if r > 1.3:
+            print(f"  >1.3x  {q}: {old[q]:.3f} -> {new[q]:.3f} "
+                  f"({r:.2f}x)")
+
+
+if __name__ == "__main__":
+    main()
