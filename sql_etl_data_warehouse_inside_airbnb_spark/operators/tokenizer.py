@@ -173,19 +173,28 @@ def bpe_train_portable_merges(df: DataFrame, text_col: str,
                  .agg(F.sum("cnt").alias("pc")))
         best = (pairs.orderBy(F.desc("pc"), "l", "r").limit(1)
                 .localCheckpoint(eager=True))
-        pat = F.concat(F.lit(" "), F.col("l"), F.lit("\t "),
-                       F.col("r"), F.lit("\t"))
-        rep = F.concat(F.lit(" "), F.col("l"), F.col("r"), F.lit("\t"))
-        vocab = (vocab.crossJoin(F.broadcast(best))
-                 .select(F.replace(F.col("s"), pat, rep).alias("s"),
-                         F.col("cnt"))
-                 .localCheckpoint(eager=True))
+        if rank < n_merges:
+            # the final round's winner is returned but its vocab
+            # rewrite would never be consumed — skip the wasted
+            # |vocab|-row job + pinned checkpoint (post-round review)
+            pat = F.concat(F.lit(" "), F.col("l"), F.lit("\t "),
+                           F.col("r"), F.lit("\t"))
+            rep = F.concat(F.lit(" "), F.col("l"), F.col("r"),
+                           F.lit("\t"))
+            vocab = (vocab.crossJoin(F.broadcast(best))
+                     .select(F.replace(F.col("s"), pat, rep)
+                             .alias("s"), F.col("cnt"))
+                     .localCheckpoint(eager=True))
         merge_rows.append(best.select(
             F.lit(rank).cast("bigint").alias("merge_rank"),
             F.col("l").alias("l_sym"),
             F.col("r").alias("r_sym"),
             F.concat("l", "r").alias("merged"),
             F.col("pc").cast("bigint").alias("pair_count")))
+    if not merge_rows:  # n_merges=0: empty table, like bpe_train's []
+        return df.sparkSession.createDataFrame(
+            [], "merge_rank bigint, l_sym string, r_sym string, "
+                "merged string, pair_count bigint")
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionByName(m)

@@ -181,3 +181,18 @@ def test_portable_twin_wrapped_replace_is_greedy(spark):
             .collect()}
     assert (1, "a", "a", 5) in rows
     assert (2, "aa", "aa", 2) in rows
+
+
+def test_portable_twin_zero_rounds_is_empty(spark):
+    """n_merges=0 returns an empty typed merge table — the same
+    degenerate-input grace as bpe_train's ([], vocab) (post-round
+    review: it used to IndexError)."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.tokenizer import (
+        bpe_train_portable_merges,
+    )
+
+    df = spark.createDataFrame([("ab ab",)], ["text"])
+    out = bpe_train_portable_merges(df, "text", n_merges=0)
+    assert out.count() == 0
+    assert out.columns == ["merge_rank", "l_sym", "r_sym", "merged",
+                           "pair_count"]

@@ -51,7 +51,16 @@ def main() -> None:
     if not shared:
         print("no shared queries")
         return
+    # bench.py rounds to ms, so a sub-ms query records 0.0 — those
+    # have no meaningful ratio; report them instead of hiding them
+    zeros = [q for q in shared if old[q] == 0]
+    for q in zeros:
+        print(f"  no-ratio (old=0.000) {q}: new={new[q]:.3f}")
     ratios = {q: new[q] / old[q] for q in shared if old[q] > 0}
+    if not ratios:
+        print(f"shared={len(shared)}, all old timings 0.000 — "
+              "no ratios")
+        return
     geo = math.exp(sum(math.log(r) for r in ratios.values())
                    / len(ratios))
     print(f"shared={len(shared)} geomean={geo:.3f}")
