@@ -212,16 +212,24 @@ def main() -> None:
             if name not in maintenance or dt < maintenance[name]:
                 maintenance[name] = dt
 
+    for line in emit_lines(sf, cold, timings, maintenance):
+        print(line)
+    spark.stop()
+
+
+def emit_lines(sf: str | None, cold: float, timings: dict[str, float],
+               maintenance: dict[str, float]) -> list[str]:
+    """TWO output lines (r10 verdict item 1, third attempt —
+    tail-proof): the driver stores only the TAIL of bench stdout, so
+    any single line that outgrows the capture loses whatever sits at
+    its FRONT (r9 lost the trailing totals; r10's summary-first
+    reorder lost them again, truncated from the other end). The full
+    detail line goes FIRST and a ~170-byte summary-only line LAST, so
+    the tail always retains a complete, json-parseable record no
+    matter how long the per-query maps grow; the detail line remains
+    above it for regex recovery. The format is pinned by
+    tests/test_bench_emit.py."""
     total = round(sum(timings.values()), 3)
-    # TWO lines (r10 verdict item 1, third attempt — tail-proof):
-    # the driver stores only the TAIL of bench stdout, so any single
-    # line that outgrows the capture loses whatever sits at its FRONT
-    # (r9 lost the trailing totals; r10's summary-first reorder lost
-    # them again, truncated from the other end). Printing the full
-    # detail line FIRST and then a ~170-byte summary-only line LAST
-    # means the tail always retains a complete, json-parseable record
-    # no matter how long the per-query maps grow; the detail line
-    # remains above it for regex recovery.
     summary = {
         "metric": "headline_query_runtime",
         "value": total,
@@ -233,12 +241,11 @@ def main() -> None:
         "maintenance_total_sec": round(sum(maintenance.values()), 3),
         "n_maintenance": len(maintenance),
     }
-    print(json.dumps({**summary,
-                      "queries": timings,
-                      "maintenance": maintenance},
-                     separators=(",", ":")))
-    print(json.dumps(summary, separators=(",", ":")))
-    spark.stop()
+    return [json.dumps({**summary,
+                        "queries": timings,
+                        "maintenance": maintenance},
+                       separators=(",", ":")),
+            json.dumps(summary, separators=(",", ":"))]
 
 
 if __name__ == "__main__":
