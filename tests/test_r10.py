@@ -90,9 +90,14 @@ def test_portable_ann_warm_rebuild_runs_no_jobs(spark, sf_dir):
     tracker = spark.sparkContext.statusTracker()
 
     def jobs_for(name):
-        before = len(tracker.getJobIdsForGroup())
+        # compare MAX job id (global, monotonic), never len(): the
+        # status tracker retains a bounded job list, so late in a
+        # long suite len() deltas corrupt as old ids are evicted
+        # while new ones append (flaked once at ~1000 suite jobs)
+        before = max(tracker.getJobIdsForGroup(), default=-1)
         REGISTRY[name].build(spark, sf_dir)
-        return len(tracker.getJobIdsForGroup()) - before
+        return (max(tracker.getJobIdsForGroup(), default=before)
+                - before)
 
     # the MMR probe is construction-cached outright: zero jobs
     assert jobs_for("ext_mmr_portable_topk") == 0
