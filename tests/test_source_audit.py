@@ -16,8 +16,8 @@ same change.
 
 from __future__ import annotations
 
+import ast
 import os
-import re
 
 PKG = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))),
@@ -44,7 +44,13 @@ COLLECT_OK = {
 }
 
 
-def _sites(pattern: str) -> dict[str, int]:
+def _sites(method: str, calls_only: bool = True) -> dict[str, int]:
+    """Count `.{method}(...)` sites by AST, not line regex (r11
+    advisor note): a '#' inside a string no longer hides the rest of
+    the line, and a call split across lines — `.collect(\\n)` — is one
+    Attribute-call node regardless of layout. With calls_only=False,
+    ANY attribute reference named `method` counts (even uncalled —
+    e.g. a `toPandas` passed around as a bound method)."""
     got: dict[str, int] = {}
     for root, _dirs, files in os.walk(PKG):
         for f in files:
@@ -52,19 +58,24 @@ def _sites(pattern: str) -> dict[str, int]:
                 continue
             path = os.path.join(root, f)
             rel = os.path.relpath(path, PKG)
-            n = 0
-            for line in open(path, encoding="utf-8"):
-                stripped = line.lstrip()
-                if stripped.startswith("#"):
-                    continue
-                n += len(re.findall(pattern, line.split("#")[0]))
+            tree = ast.parse(open(path, encoding="utf-8").read(),
+                             filename=path)
+            if calls_only:
+                n = sum(1 for node in ast.walk(tree)
+                        if isinstance(node, ast.Call)
+                        and isinstance(node.func, ast.Attribute)
+                        and node.func.attr == method)
+            else:
+                n = sum(1 for node in ast.walk(tree)
+                        if isinstance(node, ast.Attribute)
+                        and node.attr == method)
             if n:
                 got[rel] = n
     return got
 
 
 def test_collect_sites_are_allowlisted():
-    got = _sites(r"\.collect\(\)")
+    got = _sites("collect")
     assert got == COLLECT_OK, {
         "new/changed": {k: v for k, v in got.items()
                         if COLLECT_OK.get(k) != v},
@@ -73,4 +84,4 @@ def test_collect_sites_are_allowlisted():
 
 
 def test_no_topandas_anywhere():
-    assert _sites(r"\.toPandas\(\)") == {}
+    assert _sites("toPandas", calls_only=False) == {}

@@ -29,12 +29,19 @@ def timings(path: str) -> dict[str, float]:
             continue
         if not isinstance(d, dict):
             continue
+        # merge headline + maintenance so the JSON path compares the
+        # SAME query set the regex-recovery path does (which cannot
+        # tell the two maps apart in a truncated tail) — the names
+        # are disjoint registry keys, so a plain merge is lossless
         if isinstance(d.get("queries"), dict) and d["queries"]:
-            return {k: float(v) for k, v in d["queries"].items()}
+            both = {**d["queries"], **(d.get("maintenance") or {})}
+            return {k: float(v) for k, v in both.items()}
         parsed = d.get("parsed")
         if (isinstance(parsed, dict)
                 and isinstance(parsed.get("queries"), dict)):
-            return {k: float(v) for k, v in parsed["queries"].items()}
+            both = {**parsed["queries"],
+                    **(parsed.get("maintenance") or {})}
+            return {k: float(v) for k, v in both.items()}
         if isinstance(d.get("tail"), str):
             text = d["tail"]
             break
