@@ -105,8 +105,20 @@ def minhash_candidate_pairs(df: DataFrame, key_col: str, text_col: str,
     given the fixed seed. Returns (key_a, key_b, jaccard_distance)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
+    # The lazy localCheckpoint is a PLAN BARRIER, not an optimization:
+    # approxSimilarityJoin's self-join rewrite evaluates the LSH hash
+    # UDF on rows the size(sh) > 0 filter excludes (observed on Spark
+    # 4.1.2 — a corpus containing any doc with < n tokens, e.g. an
+    # empty or whitespace-only document, crashes the join with
+    # "Must have at least 1 non zero entry" even though model
+    # .transform() on the SAME filtered relation succeeds; surfaced
+    # by tools/hostile_parity.py's hostile-text mode). The barrier
+    # pins the filter below the UDF. It also stops the self-join from
+    # re-tokenizing the corpus once per side — at scale the shingle
+    # relation materializes once and feeds both.
     sh = (df.select(F.col(key_col), shingles(text_col).alias("sh"))
-          .filter(F.size("sh") > 0))
+          .filter(F.size("sh") > 0)
+          .localCheckpoint(eager=False))
     tf = HashingTF(inputCol="sh", outputCol="features", binary=True,
                    numFeatures=num_features)
     feats = tf.transform(sh)

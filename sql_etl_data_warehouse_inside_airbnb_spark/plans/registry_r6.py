@@ -115,7 +115,10 @@ def g7_bfs_hops(spark, sf_dir):
     """WITH b AS (SELECT event_type,
                          quantile_disc(value, 0.05) AS lo,
                          quantile_disc(value, 0.95) AS hi
-                  FROM events GROUP BY event_type)
+                  FROM events
+                  WHERE value BETWEEN -1.7976931348623157E308
+                                  AND  1.7976931348623157E308
+                  GROUP BY event_type)
        SELECT event_id, e.event_type,
               CASE WHEN value < lo THEN lo
                    WHEN value > hi THEN hi
@@ -128,7 +131,17 @@ def g7_bfs_hops(spark, sf_dir):
          "rows carry labels). percentile_disc selects actual data "
          "values (a22's exactness argument) and the clamp only ever "
          "emits a data value or a boundary — both raw doubles, no "
-         "derived arithmetic, so the driver hash is exact. Plan: one "
+         "derived arithmetic, so the driver hash is exact. The "
+         "boundary aggregate reads FINITE values only (the BETWEEN "
+         "±DBL_MAX guard excludes ±Inf, and NaN because both engines "
+         "order NaN above every value so NaN <= DBL_MAX is false — "
+         "r12 hostile-data finding: NaN inside the percentile input "
+         "contaminates the bounds DIFFERENTLY per engine, and a "
+         "non-finite row should be clamped, not allowed to move the "
+         "clamp); non-finite VALUES then clamp through the same CASE "
+         "(NaN and +Inf compare greater than hi on both engines → "
+         "hi; -Inf → lo), so the repair covers them. Identity on "
+         "all-finite data — the driver hash is unchanged. Plan: one "
          "5-row boundary aggregate broadcast-hash-joined back on the "
          "group key (equi join, never a nested loop); at 100 TB the "
          "boundary table is per-group stats, O(groups), and the scan "
@@ -141,7 +154,10 @@ def f33_winsorize(spark, sf_dir):
                                (ORDER BY value) AS lo,
                              percentile_disc(0.95) WITHIN GROUP
                                (ORDER BY value) AS hi
-                      FROM events_f33 GROUP BY event_type)
+                      FROM events_f33
+                      WHERE value BETWEEN -1.7976931348623157E308
+                                      AND  1.7976931348623157E308
+                      GROUP BY event_type)
            SELECT event_id, e.event_type,
                   CASE WHEN value < lo THEN lo
                        WHEN value > hi THEN hi

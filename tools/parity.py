@@ -165,6 +165,59 @@ def coarse_arrow_type(t) -> str:
     return str(t)  # includes hugeint -> "int128" etc.
 
 
+def check_entry(q, spark, con, sf_dir):
+    """Run one registry entry on Spark and its oracle on DuckDB and
+    compare with the driver-mirror rules above. Returns (status, msg)
+    where status ∈ {'ok', 'rows', 'fail'} — 'rows' is the weaker
+    no-oracle check. Factored out of main() so the hostile-data sweep
+    (tools/hostile_parity.py) applies the IDENTICAL comparison to its
+    degenerate-input table variants."""
+    try:
+        sdf = q.build(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+    except Exception as e:
+        return "fail", f"spark error: {e}"
+    if q.oracle is None:
+        return "rows", f"{len(srows)} rows (no oracle)"
+    try:
+        otbl = con.execute(q.oracle).arrow()
+        ocols = otbl.column_names
+        orows = list(zip(*(otbl.column(i).to_pylist()
+                           for i in range(otbl.num_columns)))) \
+            if otbl.num_columns else []
+    except Exception as e:
+        return "fail", f"duckdb error: {e}"
+    if scols != ocols:
+        return "fail", f"column order {scols} != {ocols}"
+    stypes = [coarse_spark_type(dt) for _, dt in sdf.dtypes]
+    otypes = [coarse_arrow_type(otbl.schema.field(i).type)
+              for i in range(otbl.num_columns)]
+    if stypes != otypes:
+        bad = [(c, s, o) for c, s, o in zip(scols, stypes, otypes)
+               if s != o]
+        return "fail", f"dtype class mismatch {bad}"
+    dec = (decimal_typed_columns(scols, stypes)
+           or decimal_typed_columns(ocols, otypes))
+    if dec:
+        return "fail", (f"DECIMAL-typed compared column(s) "
+                        f"{dec} — driver canon is representation-"
+                        f"sensitive; re-encode as int64 scaled ints, "
+                        f"strings, or round(double,2)")
+    wide = (decimal_width_violations(scols, srows)
+            or decimal_width_violations(ocols, orows))
+    if wide:
+        return "fail", (f"decimal exceeds float64-exact width "
+                        f"(driver canon hazard) — stringify: {wide}")
+    sk, ok = rows_key(scols, srows), rows_key(ocols, orows)
+    if len(sk) != len(ok):
+        return "fail", f"rowcount spark={len(sk)} duckdb={len(ok)}"
+    if sk != ok:
+        diffs = [(a, b) for a, b in zip(sk, ok) if a != b][:3]
+        return "fail", f"value mismatch, first diffs: {diffs}"
+    return "ok", f"{len(sk)} rows"
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     filters = sys.argv[2:]
@@ -185,67 +238,14 @@ def main():
              if not filters or any(f in n for f in filters)]
     failed = []
     for name in names:
-        q = REGISTRY[name]
-        try:
-            sdf = q.build(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:
-            print(f"FAIL  {name}: spark error: {e}")
+        status, msg = check_entry(REGISTRY[name], spark, con, sf_dir)
+        if status == "fail":
+            print(f"FAIL  {name}: {msg}")
             failed.append(name)
-            continue
-        if q.oracle is None:
-            print(f"rows  {name}: {len(srows)} rows (no oracle)")
-            continue
-        try:
-            otbl = con.execute(q.oracle).arrow()
-            ocols = otbl.column_names
-            orows = list(zip(*(otbl.column(i).to_pylist()
-                               for i in range(otbl.num_columns)))) \
-                if otbl.num_columns else []
-        except Exception as e:
-            print(f"FAIL  {name}: duckdb error: {e}")
-            failed.append(name)
-            continue
-        if scols != ocols:
-            print(f"FAIL  {name}: column order {scols} != {ocols}")
-            failed.append(name)
-            continue
-        stypes = [coarse_spark_type(dt) for _, dt in sdf.dtypes]
-        otypes = [coarse_arrow_type(otbl.schema.field(i).type)
-                  for i in range(otbl.num_columns)]
-        if stypes != otypes:
-            bad = [(c, s, o) for c, s, o in zip(scols, stypes, otypes)
-                   if s != o]
-            print(f"FAIL  {name}: dtype class mismatch {bad}")
-            failed.append(name)
-            continue
-        dec = (decimal_typed_columns(scols, stypes)
-               or decimal_typed_columns(ocols, otypes))
-        if dec:
-            print(f"FAIL  {name}: DECIMAL-typed compared column(s) "
-                  f"{dec} — driver canon is representation-sensitive; "
-                  f"re-encode as int64 scaled ints, strings, or "
-                  f"round(double,2)")
-            failed.append(name)
-            continue
-        wide = (decimal_width_violations(scols, srows)
-                or decimal_width_violations(ocols, orows))
-        if wide:
-            print(f"FAIL  {name}: decimal exceeds float64-exact width "
-                  f"(driver canon hazard) — stringify: {wide}")
-            failed.append(name)
-            continue
-        sk, ok = rows_key(scols, srows), rows_key(ocols, orows)
-        if len(sk) != len(ok):
-            print(f"FAIL  {name}: rowcount spark={len(sk)} duckdb={len(ok)}")
-            failed.append(name)
-        elif sk != ok:
-            diffs = [(a, b) for a, b in zip(sk, ok) if a != b][:3]
-            print(f"FAIL  {name}: value mismatch, first diffs: {diffs}")
-            failed.append(name)
+        elif status == "rows":
+            print(f"rows  {name}: {msg}")
         else:
-            print(f"ok    {name}: {len(sk)} rows")
+            print(f"ok    {name}: {msg}")
     print(f"\n{len(names) - len(failed)}/{len(names)} match", flush=True)
     spark.stop()
     sys.exit(1 if failed else 0)
