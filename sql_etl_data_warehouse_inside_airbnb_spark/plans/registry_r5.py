@@ -111,7 +111,10 @@ def e7_position_attribution(spark, sf_dir):
                    AS BIGINT) AS n_base,
               CAST(count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-16')
                    AS BIGINT) AS n_cur
-       FROM events GROUP BY event_type, value_bucket""",
+       FROM events
+       WHERE value BETWEEN -1.7976931348623157E308
+                       AND  1.7976931348623157E308
+       GROUP BY event_type, value_bucket""",
     survey="§7.5 monitoring ext (distribution drift / PSI)",
     note="distribution-drift bin counts between a baseline and a "
          "current snapshot slice (operators/quality.py:"
@@ -120,7 +123,11 @@ def e7_position_attribution(spark, sf_dir):
          "chi-square drift monitors a corpus pipeline runs between "
          "ingests. The oracle's closed-form CASE carries an explicit "
          "below-range branch (value < 0 -> 0) to match width_bucket "
-         "for any input domain, not just the current [0, 560] one. "
+         "for any input domain, not just the current [0, 560] one; "
+         "both sides bin FINITE values only (r12 hostile finding: "
+         "Spark width_bucket(NaN) is NULL where the CASE lands NaN "
+         "above-range — identity on finite data, non-finite rates "
+         "belong to a14's profile, not a drift bin). "
          "Counts are integer-exact conditional sums in ONE "
          "scan + one shuffle on the bin key (never two jobs diffed "
          "driver-side); the PSI scalar itself is log-of-quotient "
@@ -134,7 +141,14 @@ def e7_position_attribution(spark, sf_dir):
          "bin cardinality) with stream==batch pinned in "
          "tests/test_streaming_monitor.py")
 def x11_drift_psi(spark, sf_dir):
-    ev = t(spark, sf_dir, "events")
+    # finite values only (r12 hostile finding): Spark's width_bucket
+    # maps NaN to NULL where the oracle's closed-form CASE lands it in
+    # the above-range bucket — cross-engine-undefined, so the binned
+    # relation is restricted to finite doubles (identity on finite
+    # data; track non-finite RATES with a14's profile, not a drift bin)
+    dbl_max = 1.7976931348623157e308
+    ev = (t(spark, sf_dir, "events")
+          .filter(F.col("value").between(-dbl_max, dbl_max)))
     return drift_bin_counts(
         ev,
         F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
@@ -348,7 +362,9 @@ _DECILE_CASE = """CASE
            quantile_disc(value, 0.5) AS q5, quantile_disc(value, 0.6) AS q6,
            quantile_disc(value, 0.7) AS q7, quantile_disc(value, 0.8) AS q8,
            quantile_disc(value, 0.9) AS q9
-         FROM events WHERE ts < TIMESTAMP '2024-01-16')
+         FROM events WHERE ts < TIMESTAMP '2024-01-16'
+           AND value BETWEEN -1.7976931348623157E308
+                         AND  1.7976931348623157E308)
        SELECT bucket,
               CAST(count(*) FILTER (WHERE ts <  TIMESTAMP '2024-01-16')
                    AS BIGINT) AS n_base,
@@ -367,8 +383,14 @@ _DECILE_CASE = """CASE
          "runs (fixed-width bins — x11 — shift meaning when the range "
          "drifts); under no drift every decile holds ~10% of current "
          "rows, and psi_from_counts turns the report into the scalar "
-         "client-side. 1-row broadcast cross join (allowlisted "
-         "pattern), no global sort anywhere")
+         "client-side. The cut aggregate reads FINITE baseline values "
+         "only (r12 hostile finding: NaN inside the percentile input "
+         "moves the deciles differently per engine — the f33 guard; "
+         "identity on finite data); non-finite rows still COUNT, "
+         "landing in the edge buckets through the CASE (NaN/+Inf > "
+         "q9 → 10, -Inf ≤ q1 → 1, identical on both engines). 1-row "
+         "broadcast cross join (allowlisted pattern), no global sort "
+         "anywhere")
 def x12_drift_equidepth(spark, sf_dir):
     t(spark, sf_dir, "events").createOrReplaceTempView("events_x12")
     qs = ", ".join(
@@ -376,7 +398,9 @@ def x12_drift_equidepth(spark, sf_dir):
         for i in range(1, 10))
     return spark.sql(
         f"""WITH b AS (SELECT {qs} FROM events_x12
-                       WHERE ts < TIMESTAMP '2024-01-16')
+                       WHERE ts < TIMESTAMP '2024-01-16'
+                         AND value BETWEEN -1.7976931348623157E308
+                                       AND  1.7976931348623157E308)
             SELECT bucket,
                    CAST(count(*) FILTER (WHERE ts < TIMESTAMP
                         '2024-01-16') AS BIGINT) AS n_base,

@@ -123,7 +123,7 @@ def g7_bfs_hops(spark, sf_dir):
               CASE WHEN value < lo THEN lo
                    WHEN value > hi THEN hi
                    ELSE value END AS value_w
-       FROM events e JOIN b ON e.event_type = b.event_type""",
+       FROM events e LEFT JOIN b ON e.event_type = b.event_type""",
     survey="§2.8 ext (feature engineering — percentile clamp)",
     note="per-group winsorization: clamp each value into its group's "
          "[p05, p95] — the outlier REPAIR step feature pipelines run "
@@ -140,12 +140,15 @@ def g7_bfs_hops(spark, sf_dir):
          "non-finite row should be clamped, not allowed to move the "
          "clamp); non-finite VALUES then clamp through the same CASE "
          "(NaN and +Inf compare greater than hi on both engines → "
-         "hi; -Inf → lo), so the repair covers them. Identity on "
-         "all-finite data — the driver hash is unchanged. Plan: one "
-         "5-row boundary aggregate broadcast-hash-joined back on the "
-         "group key (equi join, never a nested loop); at 100 TB the "
-         "boundary table is per-group stats, O(groups), and the scan "
-         "stays single-pass")
+         "hi; -Inf → lo), so the repair covers them. LEFT join: a "
+         "group with NO finite values has no bounds row — its rows "
+         "pass through unclamped (NULL bounds fall to ELSE) rather "
+         "than vanish with an inner join (post-review fix). Identity "
+         "on all-finite data — the driver hash is unchanged. Plan: "
+         "one 5-row boundary aggregate broadcast-hash-joined back on "
+         "the group key (equi join, never a nested loop); at 100 TB "
+         "the boundary table is per-group stats, O(groups), and the "
+         "scan stays single-pass")
 def f33_winsorize(spark, sf_dir):
     t(spark, sf_dir, "events").createOrReplaceTempView("events_f33")
     return spark.sql(
@@ -162,7 +165,8 @@ def f33_winsorize(spark, sf_dir):
                   CASE WHEN value < lo THEN lo
                        WHEN value > hi THEN hi
                        ELSE value END AS value_w
-           FROM events_f33 e JOIN b ON e.event_type = b.event_type""")
+           FROM events_f33 e
+           LEFT JOIN b ON e.event_type = b.event_type""")
 
 
 @register(
@@ -170,7 +174,8 @@ def f33_winsorize(spark, sf_dir):
     """SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
                                AS VARCHAR), 1, 1) AS BIGINT) AS digit,
               CAST(count(*) AS BIGINT) AS n
-       FROM orders WHERE o_totalprice >= 1
+       FROM orders
+       WHERE o_totalprice BETWEEN 1 AND 1.7976931348623157E308
        GROUP BY digit""",
     survey="§7.5 monitoring ext (Benford first-digit audit)",
     note="first-significant-digit distribution of order totals — the "
@@ -186,7 +191,14 @@ def f33_winsorize(spark, sf_dir):
          "(quotient rule). At 100 TB this is a metadata-cheap full "
          "scan or a per-partition incremental rollup (x5's pattern)")
 def x13_benford_first_digit(spark, sf_dir):
-    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    # BETWEEN 1 AND DBL_MAX, not >= 1 (r12 hostile finding): both
+    # engines order NaN above every value, so NaN >= 1 is TRUE and a
+    # NaN total reaches floor→BIGINT where DuckDB errors and Spark
+    # doesn't — the first digit is only defined for finite amounts.
+    # Identity on finite data.
+    o = (t(spark, sf_dir, "orders")
+         .filter(F.col("o_totalprice")
+                 .between(1, 1.7976931348623157e308)))
     digit = (F.substring(F.floor("o_totalprice").cast("bigint")
                          .cast("string"), 1, 1).cast("bigint"))
     return (o.groupBy(digit.alias("digit"))

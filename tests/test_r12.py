@@ -62,12 +62,13 @@ def test_winsorize_bounds_ignore_nonfinite(spark, sf_dir):
         os.path.join(tmp, "events.parquet"))
     out = REGISTRY["f33_winsorize"].build(spark, tmp).collect()
 
-    # expected bounds from the FINITE values only
-    finite = [r for r in poisoned.collect()
-              if r.value is not None and math.isfinite(r.value)]
+    # one collect feeds both the expected-bounds computation and the
+    # per-row input lookup
+    rows_in = poisoned.collect()
     by_type: dict[str, list[float]] = {}
-    for r in finite:
-        by_type.setdefault(r.event_type, []).append(r.value)
+    for r in rows_in:
+        if r.value is not None and math.isfinite(r.value):
+            by_type.setdefault(r.event_type, []).append(r.value)
     bounds = {}
     for t, vals in by_type.items():
         vals.sort()
@@ -76,13 +77,46 @@ def test_winsorize_bounds_ignore_nonfinite(spark, sf_dir):
         hi = vals[max(0, math.ceil(0.95 * n) - 1)]
         bounds[t] = (lo, hi)
 
-    vals_in = {r.event_id: r.value for r in poisoned.collect()}
+    vals_in = {r.event_id: r.value for r in rows_in}
     assert out
     for r in out:
-        lo, hi = bounds[r.event_type]
         v = vals_in[r.event_id]
-        # every output is inside the finite bounds...
+        if v is None:
+            # NULL input passes the CASE's ELSE unchanged
+            assert r.value_w is None, r
+            continue
+        lo, hi = bounds[r.event_type]
+        # every non-NULL output is inside the finite bounds...
         assert lo <= r.value_w <= hi, (r, lo, hi)
         # ...and non-finite inputs were REPAIRED, not propagated
-        if v is not None and not math.isfinite(v):
+        if not math.isfinite(v):
             assert r.value_w in (lo, hi), (r, v, lo, hi)
+
+
+def test_winsorize_group_with_no_finite_values_survives(spark):
+    """Post-review fix: a group whose values are ALL non-finite has no
+    bounds row — its rows must pass through unclamped (LEFT join +
+    NULL bounds fall to the CASE's ELSE), not vanish with an inner
+    join."""
+    import os
+    import tempfile
+
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
+        REGISTRY,
+    )
+
+    rows = ([(i, "2024-01-01 00:00:00", i, "allnan", float("nan"), "{}")
+             for i in range(5)]
+            + [(100 + i, "2024-01-01 00:00:00", i, "normal",
+                float(i), "{}") for i in range(40)])
+    df = (spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, "
+              "event_type string, value double, props string")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    tmp = tempfile.mkdtemp(prefix="r12_nofin_")
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    out = REGISTRY["f33_winsorize"].build(spark, tmp).collect()
+    assert len(out) == len(rows)
+    allnan = [r for r in out if r.event_type == "allnan"]
+    assert len(allnan) == 5
+    assert all(math.isnan(r.value_w) for r in allnan), allnan

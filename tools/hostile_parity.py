@@ -21,10 +21,11 @@ well-formed fixtures every prior round used:
   ANN entry (any ordering is "a" top-k) so a cross-engine diff there
   adjudicates nothing — documented exclusion, not an oversight.
 
-Scope: the 50 NEWEST entries by first-adjudication round (computed
-from CORRECTNESS_r*.json, the same vintage source the rotation uses),
-i.e. the r6-r11 additions — the code with the fewest rounds of field
-exposure. Streaming twins run their batch form like everywhere else.
+Scope: the newest entries by first-adjudication round (computed from
+CORRECTNESS_r*.json, the same vintage source the rotation uses) down
+to whichever round crosses the 50-entry mark, with that boundary
+round included WHOLE — currently the full r6-r11 block, 54 entries.
+Streaming twins run their batch form like everywhere else.
 
 Divergences are triaged, not auto-failed: a real robustness bug gets
 fixed; a cross-engine SEMANTIC difference on degenerate input (e.g.
@@ -48,7 +49,11 @@ import duckdb
 
 from tools.parity import TABLES, check_entry
 
-# key column per table (deterministic onerow cut + hostile injection)
+# key column per table (hostile injection modulus). ORDER_KEYS is the
+# deterministic onerow cut — lineitem needs the composite because
+# l_orderkey alone has duplicates even at sf0.001 (2 rows share the
+# minimum), so a single-column ORDER BY LIMIT 1 could materialize
+# either row across runs.
 KEYS = {
     "region": "r_regionkey", "nation": "n_nationkey",
     "customer": "c_custkey", "supplier": "s_suppkey",
@@ -56,6 +61,7 @@ KEYS = {
     "lineitem": "l_orderkey", "events": "event_id",
     "documents": "doc_id", "embeddings": "vec_id",
 }
+ORDER_KEYS = {**KEYS, "lineitem": "l_orderkey, l_linenumber"}
 
 # scalar DOUBLE columns eligible for NaN/Inf injection
 DOUBLE_COLS = {
@@ -100,7 +106,7 @@ def build_mode_dir(base: str, mode: str, out: str) -> None:
             sel = f"SELECT * FROM '{src}' LIMIT 0"
         elif mode == "onerow":
             sel = (f"SELECT * FROM '{src}' "
-                   f"ORDER BY {KEYS[tbl]} LIMIT 1")
+                   f"ORDER BY {ORDER_KEYS[tbl]} LIMIT 1")
         elif mode == "hostile":
             exprs = []
             for c in cols:
@@ -117,6 +123,12 @@ def build_mode_dir(base: str, mode: str, out: str) -> None:
 
 
 def newest_entries(n: int = 50) -> list[str]:
+    """Entries first adjudicated in the newest rounds. The cut never
+    splits a round mid-block: a plain [:n] silently dropped the
+    alphabetical tail of the boundary round (x11-x14 of the r6 block
+    — 4 of 54 entries with zero hostile coverage while the docstring
+    claimed the whole block), so the boundary round is included
+    WHOLE and the sweep may run slightly more than n entries."""
     import glob
     import json
     import re
@@ -127,13 +139,22 @@ def newest_entries(n: int = 50) -> list[str]:
         r = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
         for k in json.load(open(f)):
             first.setdefault(k, r)
-    return sorted(first, key=lambda k: (-first[k], k))[:n]
+    ranked = sorted(first, key=lambda k: (-first[k], k))
+    if len(ranked) > n:
+        cutoff_round = first[ranked[n - 1]]
+        ranked = [k for k in ranked if first[k] >= cutoff_round]
+    return ranked
 
 
-# (mode, entry) -> reason. A pinned pair still RUNS; its divergence is
-# reported as "pinned" and does not fail the sweep. Adding a pair here
-# requires the reason to name the cross-engine semantic, and a pair
-# that STOPS diverging fails the sweep (stale pin = a hole).
+# (mode, entry) -> (match, reason). A pinned pair still RUNS; its
+# failure is accepted ONLY when `match` appears in the failure
+# message — a pinned entry failing in a NEW way (e.g. a genuine value
+# mismatch on an entry pinned for a cast error) still fails the
+# sweep. A pair that stops diverging fails as STALE-PIN, and a pin
+# whose (mode, entry) is outside the swept set fails as UNSWEPT-PIN
+# (typo, or the sliding newest-window evicted it — either way the
+# promise "this divergence is still being checked" would be silently
+# broken).
 #
 # The two hostile findings that were BUGS, not semantics, were fixed
 # instead of pinned: ext_dedup_minhash crashed when the corpus held
@@ -143,34 +164,44 @@ def newest_entries(n: int = 50) -> list[str]:
 # percentile input move the clamp bounds differently per engine
 # (bounds now computed over finite values only, identical output on
 # all-finite data).
-EXPECTED: dict[tuple[str, str], str] = {
-    ("empty", "ext_quality_train_eval"):
+EXPECTED: dict[tuple[str, str], tuple[str, str]] = {
+    ("empty", "ext_quality_train_eval"): (
+        "Nothing has been added",
         "trainer fails loudly on an empty training corpus (pyspark.ml "
-        "LBFGS: 'Nothing has been added to this summarizer') — a "
-        "scheduled training job on an empty slice SHOULD error, not "
-        "silently emit an unusable model",
-    ("empty", "ext_ann_ivf_pq_topk"):
+        "LBFGS summarizer requires >= 1 row) — a scheduled training "
+        "job on an empty slice SHOULD error, not silently emit an "
+        "unusable model"),
+    ("empty", "ext_ann_ivf_pq_topk"): (
+        "fit",
         "KMeans coarse-quantizer fit on a zero-vector corpus raises — "
         "an index BUILD on degenerate input fails loudly (FAISS "
-        "errors on train size < k the same way)",
-    ("onerow", "ext_ann_ivf_pq_topk"):
+        "errors on train size < k the same way)"),
+    ("onerow", "ext_ann_ivf_pq_topk"): (
+        "fit",
         "KMeans k=16 fit on a 1-vector corpus raises — same "
-        "fail-loud index-build posture as the empty mode",
-    ("hostile", "s19_orc_roundtrip"):
+        "fail-loud index-build posture as the empty mode"),
+    ("hostile", "s19_orc_roundtrip"): (
+        "CAST_OVERFLOW",
         "integer-cents money encoding is finite-domain by contract: "
         "Spark ANSI raises CAST_OVERFLOW casting Inf to BIGINT — "
-        "fail-loud on corrupt money beats try_cast's silent NULL",
-    ("hostile", "ts5_vwap_components"):
+        "fail-loud on corrupt money beats try_cast's silent NULL"),
+    ("hostile", "ts5_vwap_components"): (
+        "CAST_OVERFLOW",
         "same finite-domain cents contract: Spark ANSI CAST_OVERFLOW "
-        "on Inf*price cents — fail-loud on corrupt money",
-    ("hostile", "a36_weighted_median"):
+        "on Inf*price cents — fail-loud on corrupt money"),
+    ("hostile", "a36_weighted_median"): (
+        "CAST_OVERFLOW",
         "same finite-domain cents contract on the integer-scaled "
-        "weighted-quantile encoding — Spark ANSI CAST_OVERFLOW on Inf",
-    ("hostile", "ts6_twap_components"):
-        "DuckDB refuses CAST(-inf AS DECIMAL(19,2)) (conversion "
-        "error) — the oracle side of the finite-domain money "
-        "contract fails loudly where Spark's decimal cast nulls; "
-        "divergent error surfacing, same contract",
+        "weighted-quantile encoding — Spark ANSI CAST_OVERFLOW on Inf"),
+    ("hostile", "ts6_twap_components"): (
+        "duckdb error",  # message names whichever non-finite row the
+        # scan hits first ('Could not cast value -inf to DECIMAL' /
+        # 'value nan ... out of range for ... INT128'), so match the
+        # error CLASS: the oracle side errored
+        "DuckDB refuses to cast non-finite doubles to DECIMAL/INT128 "
+        "(conversion error) — the oracle side of the finite-domain "
+        "money contract fails loudly where Spark's decimal cast "
+        "nulls; divergent error surfacing, same contract"),
 }
 
 
@@ -203,25 +234,34 @@ def main() -> None:
                         f"FROM '{mdir}/{tbl}.parquet'")
         for name in names:
             status, msg = check_entry(REGISTRY[name], spark, con, mdir)
-            pinned = (mode, name) in EXPECTED
-            if status == "fail" and pinned:
-                print(f"pinned {mode:7s} {name}: "
-                      f"{EXPECTED[(mode, name)]}")
+            pin = EXPECTED.get((mode, name))
+            if status == "fail" and pin and pin[0] in msg:
+                print(f"pinned {mode:7s} {name}: {pin[1]}")
             elif status == "fail":
-                print(f"FAIL   {mode:7s} {name}: {msg}")
+                why = (" (pinned for a DIFFERENT failure: "
+                       f"'{pin[0]}' not in message)" if pin else "")
+                print(f"FAIL   {mode:7s} {name}: {msg}{why}")
                 bad.append((mode, name))
-            elif pinned:
+            elif pin:
                 print(f"STALE-PIN {mode:7s} {name}: now {status} — "
                       f"remove its EXPECTED entry")
                 stale.append((mode, name))
             else:
                 print(f"{status:6s} {mode:7s} {name}: {msg}")
         con.close()
+    # every pin whose mode ran must have been exercised — a typo'd
+    # name or a window slide that evicted a pinned entry silently
+    # disables both the pin and its stale-pin enforcement otherwise
+    unswept = [(m, n) for (m, n) in EXPECTED
+               if m in modes and n not in names]
+    for m, n in unswept:
+        print(f"UNSWEPT-PIN {m:7s} {n}: not in the swept entry set — "
+              f"fix the name or re-scope the pin")
     n_runs = len(modes) * len(names)
     print(f"\n{n_runs - len(bad) - len(stale)}/{n_runs} clean "
           f"({len(EXPECTED)} pinned)", flush=True)
     spark.stop()
-    sys.exit(1 if (bad or stale) else 0)
+    sys.exit(1 if (bad or stale or unswept) else 0)
 
 
 if __name__ == "__main__":
