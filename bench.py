@@ -193,34 +193,6 @@ def main() -> None:
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
 
-    # SECOND independent headline session, min-merged (r11 verdict
-    # item 2): in-session min-of-3 does not capture SESSION-level
-    # noise — identical trees measured in different sessions differed
-    # by ~8% geomean (r11: the builder's min-merged idle runs sat
-    # 1.079 over the artifact of the same commit), because heap
-    # layout, GC schedule, and accumulated JIT state are per-session
-    # draws. A fresh SparkSession in the same JVM re-rolls those
-    # while keeping codegen/JIT caches hot (same pattern as the
-    # maintenance session below), so two passes here cost ~+60 s at
-    # sf0.1 and the per-query min across BOTH sessions is the
-    # steady-state estimator the round-over-round comparison needs —
-    # the artifact itself internalizes the two-run methodology
-    # instead of requiring manual idle re-runs. No warmup pass: the
-    # JVM is already hot, and pass 1 absorbs the session's cold
-    # file-index listing with pass 2 free of it (the min discards
-    # whichever is slower).
-    spark.stop()
-    spark = get_spark("bench-2")
-    spark.sparkContext.setLogLevel("ERROR")
-    for name in HEADLINE:
-        for _ in range(2):
-            df = REGISTRY[name].build(spark, sf_dir)
-            t0 = time.perf_counter()
-            materialize(df)
-            dt = round(time.perf_counter() - t0, 3)
-            if dt < timings[name]:
-                timings[name] = dt
-
     # maintenance workloads: work happens in build(), so the timer
     # wraps build+materialize; one warmup then min of two (they are
     # the most expensive entries — a third pass buys little precision
@@ -231,7 +203,13 @@ def main() -> None:
     # state (heap fragmentation, GC pressure, cached fragments) must
     # not couple the two suites in either direction — the headline
     # numbers stay comparable to pre-maintenance rounds by
-    # construction, not by luck.
+    # construction, not by luck. POSITION MATTERS for the same
+    # reason: this session runs second-in-process (exactly where it
+    # sat in every prior round's artifact) — when the r12 two-session
+    # headline change first pushed maintenance to third-in-process,
+    # the whole suite measured a consistent 1.5-2x slower on
+    # untouched code (two headline sessions' heap churn), which would
+    # have read as a regression in every cross-round comparison.
     spark.stop()
     spark = get_spark("bench-maintenance")
     spark.sparkContext.setLogLevel("ERROR")
@@ -244,6 +222,37 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             if name not in maintenance or dt < maintenance[name]:
                 maintenance[name] = dt
+
+    # SECOND independent headline session, min-merged (r11 verdict
+    # item 2): in-session min-of-3 does not capture SESSION-level
+    # noise — identical trees measured in different sessions differed
+    # by ~8% geomean (r11: the builder's min-merged idle runs sat
+    # 1.079 over the artifact of the same commit), because heap
+    # layout, GC schedule, and accumulated JIT state are per-session
+    # draws. A fresh SparkSession in the same JVM re-rolls those
+    # while keeping codegen/JIT caches hot (same pattern as the
+    # maintenance session above), so two passes here cost ~+60 s at
+    # sf0.1 and the per-query min across BOTH sessions is the
+    # steady-state estimator the round-over-round comparison needs —
+    # the artifact itself internalizes the two-run methodology
+    # instead of requiring manual idle re-runs. It runs LAST so the
+    # maintenance session keeps its historical second-in-process JVM
+    # position (comment above); the min can only tighten headline
+    # numbers, so running it after maintenance's heap churn is safe.
+    # No warmup pass: the JVM is already hot, and pass 1 absorbs the
+    # session's cold file-index listing with pass 2 free of it (the
+    # min discards whichever is slower).
+    spark.stop()
+    spark = get_spark("bench-2")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in HEADLINE:
+        for _ in range(2):
+            df = REGISTRY[name].build(spark, sf_dir)
+            t0 = time.perf_counter()
+            materialize(df)
+            dt = round(time.perf_counter() - t0, 3)
+            if dt < timings[name]:
+                timings[name] = dt
 
     for line in emit_lines(sf, cold, timings, maintenance):
         print(line)

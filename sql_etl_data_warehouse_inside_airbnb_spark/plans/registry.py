@@ -67,6 +67,24 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+# The finite-values guard (r12 hostile-data convention): float64 max,
+# whose repr both engines parse to the same bit pattern. `x BETWEEN
+# -DBL_MAX AND DBL_MAX` keeps exactly the finite non-NULL doubles —
+# ±Inf are outside the range and NaN fails `<= DBL_MAX` because both
+# engines order NaN above every value. One shared literal so the
+# 17-digit constant cannot drift between the Spark and oracle sides
+# of an entry (post-review: it was hand-repeated 8x).
+DBL_MAX = 1.7976931348623157e308
+DBL_MAX_SQL = "1.7976931348623157E308"
+
+
+def finite_sql(col: str) -> str:
+    """SQL fragment keeping only finite (non-NULL, non-NaN, non-Inf)
+    values of a double column — identical semantics in Spark SQL and
+    DuckDB (see DBL_MAX note)."""
+    return f"{col} BETWEEN -{DBL_MAX_SQL} AND {DBL_MAX_SQL}"
+
+
 def exact_sum(col: str, digits: int):
     """Order-independent SUM over a double column: sum exactly in
     decimal, cast back to double, round. FP addition is not

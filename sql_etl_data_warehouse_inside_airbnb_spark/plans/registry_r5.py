@@ -38,6 +38,8 @@ from sql_etl_data_warehouse_inside_airbnb_spark.operators.search import (
     tokens,
 )
 from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
+    DBL_MAX,
+    finite_sql,
     register,
     t,
 )
@@ -102,7 +104,7 @@ def e7_position_attribution(spark, sf_dir):
 
 @register(
     "x11_drift_psi",
-    """SELECT event_type,
+    f"""SELECT event_type,
               CASE WHEN value >= 500 THEN 11
                    WHEN value < 0 THEN 0
                    ELSE 1 + CAST(floor(value / 50) AS BIGINT)
@@ -112,8 +114,7 @@ def e7_position_attribution(spark, sf_dir):
               CAST(count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-16')
                    AS BIGINT) AS n_cur
        FROM events
-       WHERE value BETWEEN -1.7976931348623157E308
-                       AND  1.7976931348623157E308
+       WHERE value IS NULL OR {finite_sql('value')}
        GROUP BY event_type, value_bucket""",
     survey="§7.5 monitoring ext (distribution drift / PSI)",
     note="distribution-drift bin counts between a baseline and a "
@@ -124,10 +125,13 @@ def e7_position_attribution(spark, sf_dir):
          "ingests. The oracle's closed-form CASE carries an explicit "
          "below-range branch (value < 0 -> 0) to match width_bucket "
          "for any input domain, not just the current [0, 560] one; "
-         "both sides bin FINITE values only (r12 hostile finding: "
-         "Spark width_bucket(NaN) is NULL where the CASE lands NaN "
-         "above-range — identity on finite data, non-finite rates "
-         "belong to a14's profile, not a drift bin). "
+         "both sides bin finite values PLUS the NULL bucket and drop "
+         "only NaN/±Inf (r12 hostile finding: Spark width_bucket(NaN) "
+         "is NULL where the CASE lands NaN above-range — "
+         "cross-engine-undefined, while the NULL bucket is consistent "
+         "on both engines and a feed going NULL is drift signal; "
+         "identity on finite data, non-finite RATES belong to a14's "
+         "profile). "
          "Counts are integer-exact conditional sums in ONE "
          "scan + one shuffle on the bin key (never two jobs diffed "
          "driver-side); the PSI scalar itself is log-of-quotient "
@@ -144,11 +148,14 @@ def x11_drift_psi(spark, sf_dir):
     # finite values only (r12 hostile finding): Spark's width_bucket
     # maps NaN to NULL where the oracle's closed-form CASE lands it in
     # the above-range bucket — cross-engine-undefined, so the binned
-    # relation is restricted to finite doubles (identity on finite
-    # data; track non-finite RATES with a14's profile, not a drift bin)
-    dbl_max = 1.7976931348623157e308
+    # relation keeps finite doubles AND NULLs (the NULL bucket was
+    # always cross-engine-consistent and IS drift signal — a feed
+    # going NULL must move the monitor; post-review fix) and drops
+    # only NaN/±Inf (identity on finite data; track non-finite RATES
+    # with a14's profile, not a drift bin)
     ev = (t(spark, sf_dir, "events")
-          .filter(F.col("value").between(-dbl_max, dbl_max)))
+          .filter(F.col("value").isNull()
+                  | F.col("value").between(-DBL_MAX, DBL_MAX)))
     return drift_bin_counts(
         ev,
         F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
@@ -347,6 +354,7 @@ def j26_asof_tolerance(spark, sf_dir):
 
 
 _DECILE_CASE = """CASE
+         WHEN value IS NULL THEN CAST(NULL AS BIGINT)
          WHEN value <= q1 THEN 1 WHEN value <= q2 THEN 2
          WHEN value <= q3 THEN 3 WHEN value <= q4 THEN 4
          WHEN value <= q5 THEN 5 WHEN value <= q6 THEN 6
@@ -363,8 +371,7 @@ _DECILE_CASE = """CASE
            quantile_disc(value, 0.7) AS q7, quantile_disc(value, 0.8) AS q8,
            quantile_disc(value, 0.9) AS q9
          FROM events WHERE ts < TIMESTAMP '2024-01-16'
-           AND value BETWEEN -1.7976931348623157E308
-                         AND  1.7976931348623157E308)
+           AND {finite_sql('value')})
        SELECT bucket,
               CAST(count(*) FILTER (WHERE ts <  TIMESTAMP '2024-01-16')
                    AS BIGINT) AS n_base,
@@ -388,7 +395,11 @@ _DECILE_CASE = """CASE
          "moves the deciles differently per engine — the f33 guard; "
          "identity on finite data); non-finite rows still COUNT, "
          "landing in the edge buckets through the CASE (NaN/+Inf > "
-         "q9 → 10, -Inf ≤ q1 → 1, identical on both engines). 1-row "
+         "q9 → 10, -Inf ≤ q1 → 1, identical on both engines), and "
+         "NULL values form their own NULL bucket (explicit first "
+         "branch — aligned with x11's width_bucket(NULL) semantics "
+         "rather than silently counting NULLs as top-decile mass). "
+         "1-row "
          "broadcast cross join (allowlisted pattern), no global sort "
          "anywhere")
 def x12_drift_equidepth(spark, sf_dir):
@@ -399,8 +410,7 @@ def x12_drift_equidepth(spark, sf_dir):
     return spark.sql(
         f"""WITH b AS (SELECT {qs} FROM events_x12
                        WHERE ts < TIMESTAMP '2024-01-16'
-                         AND value BETWEEN -1.7976931348623157E308
-                                       AND  1.7976931348623157E308)
+                         AND {finite_sql('value')})
             SELECT bucket,
                    CAST(count(*) FILTER (WHERE ts < TIMESTAMP
                         '2024-01-16') AS BIGINT) AS n_base,

@@ -36,6 +36,8 @@ from sql_etl_data_warehouse_inside_airbnb_spark.operators.search import (
     tokens,
 )
 from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
+    DBL_MAX_SQL,
+    finite_sql,
     register,
     t,
 )
@@ -112,12 +114,11 @@ def g7_bfs_hops(spark, sf_dir):
 
 @register(
     "f33_winsorize",
-    """WITH b AS (SELECT event_type,
+    f"""WITH b AS (SELECT event_type,
                          quantile_disc(value, 0.05) AS lo,
                          quantile_disc(value, 0.95) AS hi
                   FROM events
-                  WHERE value BETWEEN -1.7976931348623157E308
-                                  AND  1.7976931348623157E308
+                  WHERE {finite_sql('value')}
                   GROUP BY event_type)
        SELECT event_id, e.event_type,
               CASE WHEN value < lo THEN lo
@@ -152,14 +153,13 @@ def g7_bfs_hops(spark, sf_dir):
 def f33_winsorize(spark, sf_dir):
     t(spark, sf_dir, "events").createOrReplaceTempView("events_f33")
     return spark.sql(
-        """WITH b AS (SELECT event_type,
+        f"""WITH b AS (SELECT event_type,
                              percentile_disc(0.05) WITHIN GROUP
                                (ORDER BY value) AS lo,
                              percentile_disc(0.95) WITHIN GROUP
                                (ORDER BY value) AS hi
                       FROM events_f33
-                      WHERE value BETWEEN -1.7976931348623157E308
-                                      AND  1.7976931348623157E308
+                      WHERE {finite_sql('value')}
                       GROUP BY event_type)
            SELECT event_id, e.event_type,
                   CASE WHEN value < lo THEN lo
@@ -171,11 +171,11 @@ def f33_winsorize(spark, sf_dir):
 
 @register(
     "x13_benford_first_digit",
-    """SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+    f"""SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
                                AS VARCHAR), 1, 1) AS BIGINT) AS digit,
               CAST(count(*) AS BIGINT) AS n
        FROM orders
-       WHERE o_totalprice BETWEEN 1 AND 1.7976931348623157E308
+       WHERE o_totalprice BETWEEN 1 AND {DBL_MAX_SQL}
        GROUP BY digit""",
     survey="§7.5 monitoring ext (Benford first-digit audit)",
     note="first-significant-digit distribution of order totals — the "
@@ -198,7 +198,7 @@ def x13_benford_first_digit(spark, sf_dir):
     # Identity on finite data.
     o = (t(spark, sf_dir, "orders")
          .filter(F.col("o_totalprice")
-                 .between(1, 1.7976931348623157e308)))
+                 .between(1, float(DBL_MAX_SQL))))
     digit = (F.substring(F.floor("o_totalprice").cast("bigint")
                          .cast("string"), 1, 1).cast("bigint"))
     return (o.groupBy(digit.alias("digit"))

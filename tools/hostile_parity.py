@@ -147,14 +147,16 @@ def newest_entries(n: int = 50) -> list[str]:
 
 
 # (mode, entry) -> (match, reason). A pinned pair still RUNS; its
-# failure is accepted ONLY when `match` appears in the failure
-# message — a pinned entry failing in a NEW way (e.g. a genuine value
-# mismatch on an entry pinned for a cast error) still fails the
-# sweep. A pair that stops diverging fails as STALE-PIN, and a pin
-# whose (mode, entry) is outside the swept set fails as UNSWEPT-PIN
-# (typo, or the sliding newest-window evicted it — either way the
-# promise "this divergence is still being checked" would be silently
-# broken).
+# failure is accepted ONLY when one of the `match` alternatives (a
+# string or tuple of strings — distinctive fragments of the OBSERVED
+# exception texts, never a generic prefix like 'duckdb error') appears
+# in the failure message — a pinned entry failing in a NEW way (e.g. a
+# genuine value mismatch on an entry pinned for a cast error) still
+# fails the sweep. A pair that stops diverging fails as STALE-PIN, and
+# a pin whose (mode, entry) is outside MODES x swept-entries fails as
+# UNSWEPT-PIN (typo in either half, or the sliding newest-window
+# evicted it — either way the promise "this divergence is still being
+# checked" would be silently broken).
 #
 # The two hostile findings that were BUGS, not semantics, were fixed
 # instead of pinned: ext_dedup_minhash crashed when the corpus held
@@ -164,7 +166,8 @@ def newest_entries(n: int = 50) -> list[str]:
 # percentile input move the clamp bounds differently per engine
 # (bounds now computed over finite values only, identical output on
 # all-finite data).
-EXPECTED: dict[tuple[str, str], tuple[str, str]] = {
+EXPECTED: dict[tuple[str, str],
+               tuple[str | tuple[str, ...], str]] = {
     ("empty", "ext_quality_train_eval"): (
         "Nothing has been added",
         "trainer fails loudly on an empty training corpus (pyspark.ml "
@@ -172,14 +175,16 @@ EXPECTED: dict[tuple[str, str], tuple[str, str]] = {
         "job on an empty slice SHOULD error, not silently emit an "
         "unusable model"),
     ("empty", "ext_ann_ivf_pq_topk"): (
-        "fit",
-        "KMeans coarse-quantizer fit on a zero-vector corpus raises — "
-        "an index BUILD on degenerate input fails loudly (FAISS "
-        "errors on train size < k the same way)"),
+        "Nothing has been added",
+        "KMeans coarse-quantizer fit on a zero-vector corpus raises "
+        "(the ml Summarizer sees no rows) — an index BUILD on "
+        "degenerate input fails loudly (FAISS errors on train size "
+        "< k the same way)"),
     ("onerow", "ext_ann_ivf_pq_topk"): (
-        "fit",
-        "KMeans k=16 fit on a 1-vector corpus raises — same "
-        "fail-loud index-build posture as the empty mode"),
+        "ArrayIndexOutOfBoundsException",
+        "KMeans k=16 fit on a 1-vector corpus raises (the k|| init "
+        "sampler indexes past the single point) — same fail-loud "
+        "index-build posture as the empty mode"),
     ("hostile", "s19_orc_roundtrip"): (
         "CAST_OVERFLOW",
         "integer-cents money encoding is finite-domain by contract: "
@@ -194,15 +199,17 @@ EXPECTED: dict[tuple[str, str], tuple[str, str]] = {
         "same finite-domain cents contract on the integer-scaled "
         "weighted-quantile encoding — Spark ANSI CAST_OVERFLOW on Inf"),
     ("hostile", "ts6_twap_components"): (
-        "duckdb error",  # message names whichever non-finite row the
-        # scan hits first ('Could not cast value -inf to DECIMAL' /
-        # 'value nan ... out of range for ... INT128'), so match the
-        # error CLASS: the oracle side errored
+        # whichever non-finite row the scan hits first decides the
+        # message — both observed DuckDB conversion errors are listed
+        ("Could not cast value", "can't be cast"),
         "DuckDB refuses to cast non-finite doubles to DECIMAL/INT128 "
         "(conversion error) — the oracle side of the finite-domain "
         "money contract fails loudly where Spark's decimal cast "
         "nulls; divergent error surfacing, same contract"),
 }
+
+
+ALL_MODES = ("empty", "onerow", "hostile")
 
 
 def main() -> None:
@@ -235,11 +242,13 @@ def main() -> None:
         for name in names:
             status, msg = check_entry(REGISTRY[name], spark, con, mdir)
             pin = EXPECTED.get((mode, name))
-            if status == "fail" and pin and pin[0] in msg:
+            alts = ((pin[0],) if isinstance(pin[0], str)
+                    else pin[0]) if pin else ()
+            if status == "fail" and any(a in msg for a in alts):
                 print(f"pinned {mode:7s} {name}: {pin[1]}")
             elif status == "fail":
-                why = (" (pinned for a DIFFERENT failure: "
-                       f"'{pin[0]}' not in message)" if pin else "")
+                why = (" (pinned for a DIFFERENT failure: none of "
+                       f"{alts} in message)" if pin else "")
                 print(f"FAIL   {mode:7s} {name}: {msg}{why}")
                 bad.append((mode, name))
             elif pin:
@@ -249,14 +258,17 @@ def main() -> None:
             else:
                 print(f"{status:6s} {mode:7s} {name}: {msg}")
         con.close()
-    # every pin whose mode ran must have been exercised — a typo'd
-    # name or a window slide that evicted a pinned entry silently
-    # disables both the pin and its stale-pin enforcement otherwise
+    # every pin must be exercisable — a typo'd MODE (validated
+    # against the static MODE set, not this run's argv subset), a
+    # typo'd name, or a window slide that evicted a pinned entry
+    # silently disables both the pin and its stale-pin enforcement
+    # otherwise
     unswept = [(m, n) for (m, n) in EXPECTED
-               if m in modes and n not in names]
+               if m not in ALL_MODES
+               or (m in modes and n not in names)]
     for m, n in unswept:
-        print(f"UNSWEPT-PIN {m:7s} {n}: not in the swept entry set — "
-              f"fix the name or re-scope the pin")
+        print(f"UNSWEPT-PIN {m:7s} {n}: unknown mode or not in the "
+              f"swept entry set — fix the key or re-scope the pin")
     n_runs = len(modes) * len(names)
     print(f"\n{n_runs - len(bad) - len(stale)}/{n_runs} clean "
           f"({len(EXPECTED)} pinned)", flush=True)
