@@ -92,8 +92,14 @@ def profile_csv_file(spark, path: str, columns: list[str] | None = None,
 
 
 def _violations(cond: Column) -> Column:
-    # NOT true == false or NULL: nulls are violations, not passes
-    return F.sum(F.when(cond, F.lit(0)).otherwise(F.lit(1)))
+    # NOT true == false or NULL: nulls are violations, not passes.
+    # coalesce: SUM over ZERO rows is NULL, but the truthful report
+    # for an empty slice is 0 violations — the oracle's COUNT(*)
+    # FILTER form already says 0, and the r12 full-registry empty
+    # sweep caught the Spark side answering NULL (identity on any
+    # non-empty input: a 0/1 sum is never NULL there).
+    return F.coalesce(F.sum(F.when(cond, F.lit(0)).otherwise(F.lit(1))),
+                      F.lit(0))
 
 
 def expectation_report(df: DataFrame, row_checks: dict[str, Column],

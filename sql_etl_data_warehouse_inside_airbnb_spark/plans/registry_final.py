@@ -670,42 +670,57 @@ def x1_quality_report(spark, sf_dir):
 
 @register(
     "x6_profile_table",
-    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM customer)
-       SELECT 'c_custkey' AS "column", 'bigint' AS dtype, n.n_rows,
-              CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_nulls,
-              CAST(10000 * sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
-                   // greatest(n.n_rows, 1) AS BIGINT) AS null_bp,
+    """SELECT 'c_custkey' AS "column", 'bigint' AS dtype,
+              (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_rows,
+              CAST(coalesce(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END),
+                   0) AS BIGINT) AS n_nulls,
+              CAST(10000 * coalesce(sum(CASE WHEN c_custkey IS NULL
+                                    THEN 1 ELSE 0 END), 0)
+                   // greatest((SELECT count(*) FROM customer), 1)
+                   AS BIGINT) AS null_bp,
               CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
               min(CAST(c_custkey AS VARCHAR)) AS min_value,
               max(CAST(c_custkey AS VARCHAR)) AS max_value
-       FROM customer, n GROUP BY n.n_rows
+       FROM customer
        UNION ALL
-       SELECT 'c_name', 'string', n.n_rows,
-              CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-              CAST(10000 * sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
-                   // greatest(n.n_rows, 1) AS BIGINT),
-              CAST(count(DISTINCT c_name) AS BIGINT),
-              min(c_name), max(c_name)
-       FROM customer, n GROUP BY n.n_rows
+       SELECT 'c_name' AS "column", 'string' AS dtype,
+              (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_rows,
+              CAST(coalesce(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END),
+                   0) AS BIGINT) AS n_nulls,
+              CAST(10000 * coalesce(sum(CASE WHEN c_name IS NULL
+                                    THEN 1 ELSE 0 END), 0)
+                   // greatest((SELECT count(*) FROM customer), 1)
+                   AS BIGINT) AS null_bp,
+              CAST(count(DISTINCT c_name) AS BIGINT) AS n_distinct,
+              min(c_name) AS min_value,
+              max(c_name) AS max_value
+       FROM customer
        UNION ALL
-       SELECT 'c_nationkey', 'int', n.n_rows,
-              CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
-                   AS BIGINT),
-              CAST(10000 * sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
-                   // greatest(n.n_rows, 1) AS BIGINT),
-              CAST(count(DISTINCT c_nationkey) AS BIGINT),
-              min(CAST(c_nationkey AS VARCHAR)), max(CAST(c_nationkey AS VARCHAR))
-       FROM customer, n GROUP BY n.n_rows
+       SELECT 'c_nationkey' AS "column", 'int' AS dtype,
+              (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_rows,
+              CAST(coalesce(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END),
+                   0) AS BIGINT) AS n_nulls,
+              CAST(10000 * coalesce(sum(CASE WHEN c_nationkey IS NULL
+                                    THEN 1 ELSE 0 END), 0)
+                   // greatest((SELECT count(*) FROM customer), 1)
+                   AS BIGINT) AS null_bp,
+              CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_distinct,
+              min(CAST(c_nationkey AS VARCHAR)) AS min_value,
+              max(CAST(c_nationkey AS VARCHAR)) AS max_value
+       FROM customer
        UNION ALL
-       SELECT 'c_mktsegment', 'string', n.n_rows,
-              CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
-                   AS BIGINT),
-              CAST(10000 * sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
-                   // greatest(n.n_rows, 1) AS BIGINT),
-              CAST(count(DISTINCT c_mktsegment) AS BIGINT),
-              min(c_mktsegment), max(c_mktsegment)
-       FROM customer, n GROUP BY n.n_rows""",
+       SELECT 'c_mktsegment' AS "column", 'string' AS dtype,
+              (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_rows,
+              CAST(coalesce(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END),
+                   0) AS BIGINT) AS n_nulls,
+              CAST(10000 * coalesce(sum(CASE WHEN c_mktsegment IS NULL
+                                    THEN 1 ELSE 0 END), 0)
+                   // greatest((SELECT count(*) FROM customer), 1)
+                   AS BIGINT) AS null_bp,
+              CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_distinct,
+              min(c_mktsegment) AS min_value,
+              max(c_mktsegment) AS max_value
+       FROM customer""",
     survey="EDA surface (data_analyzer.py:102-150)",
     note="per-column table profile — the 'profile this file' menu "
          "entry (operators/quality.py:profile_table): every column's "

@@ -33,8 +33,12 @@ DuckDB raises casting NaN to INTEGER where Spark yields NULL) gets
 pinned in EXPECTED below with the reason — the sweep then enforces
 that the set never silently grows.
 
-Usage: python tools/hostile_parity.py [base_sf_dir] [mode ...]
-       (default base /root/testdata/sf0.001, all three modes)
+Usage: python tools/hostile_parity.py [base_sf_dir] [mode ...] [--all]
+       (default base /root/testdata/sf0.001, all three modes;
+       --all widens the scope from the newest block to the ENTIRE
+       registry — used for the empty-mode full sweep, since an empty
+       partition is the one degenerate input every operator meets at
+       100 TB regardless of vintage)
 """
 
 from __future__ import annotations
@@ -198,6 +202,56 @@ EXPECTED: dict[tuple[str, str],
         "CAST_OVERFLOW",
         "same finite-domain cents contract on the integer-scaled "
         "weighted-quantile encoding — Spark ANSI CAST_OVERFLOW on Inf"),
+    # --all empty-sweep pins (full-registry scope, r12): the same two
+    # fail-loud classes, on older-vintage entries
+    ("empty", "ext_ann_ivf_topk"): (
+        "Nothing has been added",
+        "KMeans IVF quantizer fit on a zero-vector corpus raises — "
+        "fail-loud index build (same class as ext_ann_ivf_pq_topk)"),
+    ("empty", "ext_semantic_dedup"): (
+        "Nothing has been added",
+        "SemDeDup's KMeans clustering fit on a zero-vector corpus "
+        "raises — fail-loud index build"),
+    ("empty", "ext_ann_pq_topk"): (
+        "need at least that many sample vectors",
+        "the PQ codebook fit raises its own descriptive error on a "
+        "corpus smaller than n_codes — deliberate fail-loud guard in "
+        "operators/similarity.py"),
+    ("empty", "a16_rollup"): (
+        "rowcount spark=0 duckdb=1",
+        "Spark grouping sets omit the grand-total row on EMPTY input "
+        "where the SQL standard (and DuckDB/Postgres) emit one zero-"
+        "count row for the () set — engine-level semantic difference, "
+        "not expressible away without changing non-empty semantics"),
+    ("empty", "a17_cube"): (
+        "rowcount spark=0 duckdb=1",
+        "same Spark grouping-sets-on-empty semantic as a16"),
+    ("empty", "a21_grouping_sets"): (
+        "rowcount spark=0 duckdb=1",
+        "same Spark grouping-sets-on-empty semantic as a16"),
+    ("empty", "a29_grouping_id"): (
+        "rowcount spark=0 duckdb=1",
+        "same Spark grouping-sets-on-empty semantic as a16"),
+    ("empty", "s11_compaction_roundtrip"): (
+        "compaction did not reduce files",
+        "the probe's own contract: compaction must REDUCE the file "
+        "count, and an empty table writes a single file — probe "
+        "precondition (needs a multi-file table), fails loudly"),
+    ("empty", "s10_partition_prune_roundtrip"): (
+        "UNABLE_TO_INFER_SCHEMA",
+        "the probe writes a PARTITIONED copy of its base and re-reads "
+        "it; an all-empty base writes zero parquet files so the "
+        "re-read cannot infer a schema — the prune ratio the probe "
+        "asserts is undefined on an empty table (probe precondition)"),
+    ("empty", "j22_dynamic_partition_prune"): (
+        "UNABLE_TO_INFER_SCHEMA",
+        "same empty-partitioned-write precondition as s10 — DPP over "
+        "zero partitions has nothing to prune or assert"),
+    ("empty", "s17_key_erasure_roundtrip"): (
+        "UNABLE_TO_INFER_SCHEMA",
+        "same empty-partitioned-write precondition — the probe "
+        "VERIFIES erasure happened, which is vacuous with no "
+        "partitions; fails loudly rather than report vacuous success"),
     ("hostile", "ts6_twap_components"): (
         # whichever non-finite row the scan hits first decides the
         # message — both observed DuckDB conversion errors are listed
@@ -213,8 +267,10 @@ ALL_MODES = ("empty", "onerow", "hostile")
 
 
 def main() -> None:
-    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    modes = sys.argv[2:] or ["empty", "onerow", "hostile"]
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    sweep_all = "--all" in sys.argv[1:]
+    base = args[0] if args else "/root/testdata/sf0.001"
+    modes = args[1:] or ["empty", "onerow", "hostile"]
 
     from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
         REGISTRY,
@@ -223,7 +279,8 @@ def main() -> None:
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     scratch = os.path.join(repo, ".tmp_probe", "hostile")
-    names = [n for n in newest_entries(50) if n in REGISTRY]
+    names = (list(REGISTRY) if sweep_all
+             else [n for n in newest_entries(50) if n in REGISTRY])
 
     spark = get_spark("hostile-parity", master="local[8]",
                       extra_conf={"spark.sql.shuffle.partitions": "8"})
@@ -259,16 +316,18 @@ def main() -> None:
                 print(f"{status:6s} {mode:7s} {name}: {msg}")
         con.close()
     # every pin must be exercisable — a typo'd MODE (validated
-    # against the static MODE set, not this run's argv subset), a
-    # typo'd name, or a window slide that evicted a pinned entry
-    # silently disables both the pin and its stale-pin enforcement
-    # otherwise
+    # against the static MODE set, not this run's argv subset) or a
+    # typo'd/removed NAME (validated against the REGISTRY, not this
+    # run's scope: full-registry pins from the --all empty sweep are
+    # legitimate even when a default newest-block run doesn't reach
+    # them — stale-pin enforcement then only fires on the runs that
+    # do, i.e. the per-round --all empty sweep) silently disables
+    # both the pin and its stale-pin enforcement otherwise
     unswept = [(m, n) for (m, n) in EXPECTED
-               if m not in ALL_MODES
-               or (m in modes and n not in names)]
+               if m not in ALL_MODES or n not in REGISTRY]
     for m, n in unswept:
-        print(f"UNSWEPT-PIN {m:7s} {n}: unknown mode or not in the "
-              f"swept entry set — fix the key or re-scope the pin")
+        print(f"UNSWEPT-PIN {m:7s} {n}: unknown mode or not a "
+              f"registry entry — fix the key or re-scope the pin")
     n_runs = len(modes) * len(names)
     print(f"\n{n_runs - len(bad) - len(stale)}/{n_runs} clean "
           f"({len(EXPECTED)} pinned)", flush=True)
