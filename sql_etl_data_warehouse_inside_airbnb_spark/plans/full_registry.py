@@ -50,12 +50,21 @@ which adjudicates ~the first 50 entries per round:
   less one (ext_decontaminate_bloom, deferred to r12 behind its fresh
   r10-green portable sibling) — the r10 verdict's item-2 rotation;
   46 hash-green + 4 rows-only-by-design, 0 fails;
-- round 12 (this order): the rotation-closure window — the three
-  re-encoded sketch entries (rows-only → tolerance-anchored oracle
-  pairs, r11 verdict item 3) lead, then the 14 r2 + 7 r3 remnants,
-  the deferred ext_decontaminate_bloom, and the 25 oldest r5-vintage
-  refreshes; after it nothing in the registry is older than r5
-  vintage and rotation becomes steady-state maintenance.
+- round 12: the rotation-closure window — the three re-encoded
+  sketch entries (rows-only → tolerance-anchored oracle pairs, r11
+  verdict item 3) led, then the 14 r2 + 7 r3 remnants, the deferred
+  ext_decontaminate_bloom, and the 25 oldest r5-vintage refreshes;
+  43 hash-green + 7 rows-only-by-design, zero failures — after it
+  nothing in the registry is older than r5 vintage and rotation is
+  steady-state maintenance;
+- round 13 (this order): the first GENERATOR-EMITTED window
+  (tools/gen_priority.py, r12 verdict item 7): all 22 r5-vintage
+  entries + all 26 r6 + the 2 oldest r7 by name (a16_rollup,
+  a17_cube). In-round re-encodes go in _FRONT below and lead the
+  window; tests/test_plan_audit.py recomputes the window from the
+  CORRECTNESS_r*.json artifacts and asserts _PRIORITY equals it, so
+  the committed head is a check on the generator's output, not on
+  hand edits.
 
 Entries with a green CORRECTNESS row from r1-r10 move to the back;
 within any remaining never-checked tail, oracle-paired entries sit
@@ -385,55 +394,109 @@ _R11_GREEN = frozenset({
     'tpch_q8_market_share', 'tsql_dialect_rollup', 'x7_freshness_report',
 })
 
+# Round-12 greens: the fourth consecutive fully clean window — all
+# 50 rows of CORRECTNESS_r12.json (43 hash-green + 7
+# rows-only-by-design recorded err:"no_oracle" with rows returned:
+# the ANN ivf/pq pair, bm25, the BPE train/encode pair, the Bloom
+# base entry, semantic_dedup — each twinned by a hash-green portable
+# sibling).
+_R12_GREEN = frozenset({
+    'a19_approx_distinct', 'a24_approx_percentile',
+    'a33_hll_sketch_union', 'a35_equidepth_histogram',
+    'e5_sessionization', 'e6_attribution_last_touch',
+    'ext_ann_ivf_topk', 'ext_ann_pq_topk', 'ext_bm25_topk',
+    'ext_bpe_encode_counts', 'ext_bpe_train_merges',
+    'ext_contamination_matrix', 'ext_decontaminate_bloom',
+    'ext_dsir_components', 'ext_dup_ngram_fraction',
+    'ext_embedding_quantize', 'ext_filter_funnel',
+    'ext_hashed_linear_score', 'ext_inverted_index',
+    'ext_keyword_search', 'ext_label_balance', 'ext_label_centroid',
+    'ext_multimodal_embed_ann', 'ext_rolling_hash_fingerprint',
+    'ext_semantic_dedup', 'ext_sequence_pack', 'ext_source_mixture',
+    'ext_source_stats', 'ext_stratified_sample', 'j11_broadcast_semi',
+    'j3_cast_key_join', 'j5_not_in_anti', 'o6_full_sort',
+    'o7_distinct_sorted_limit', 'p2_add_default_column',
+    'p3_column_drop', 'p5_null_empty_predicates',
+    's11_compaction_roundtrip', 's5_header_scan',
+    's8_quarantine_roundtrip', 'stream_interval_join',
+    'stream_session', 'stream_sliding', 'stream_stateful_totals',
+    'stream_tumbling', 'w9_time_range_frame', 'x1_quality_report',
+    'x2_outlier_mad', 'x3_snapshot_diff', 'x6_profile_table',
+})
+
 _GREEN = (_R01_GREEN | _R02_GREEN | _R03_GREEN | _R04_GREEN
           | _R05_GREEN | _R06_GREEN | _R07_GREEN | _R08_GREEN
-          | _R09_GREEN | _R10_GREEN | _R11_GREEN)
+          | _R09_GREEN | _R10_GREEN | _R11_GREEN | _R12_GREEN)
+
+# In-round re-encodes: entries whose OUTPUT ENCODING changed this
+# round and therefore need a fresh hash verdict ahead of every green
+# refresh (the r10 ANN-twin / r12 sketch-contract precedent). This is
+# the --front input to tools/gen_priority.py; after changing it (or
+# adding registry entries) RE-RUN the generator and paste its output
+# below — test_plan_audit replays compute_priority(REGISTRY,
+# vintages, 50, _FRONT) and asserts _PRIORITY equals it verbatim.
+_FRONT: list[str] = []
 
 # Explicit front of the queue — the ~50-entry adjudication window.
-# Round 12 (VERDICT r11 items 1+3): the rotation-closure window.
-# The three sketch entries lead — their ENCODING changed this round
-# (rows-only → oracle-paired tolerance contracts: output is
-# (group, exact, within_tol) where within_tol compares each engine's
-# OWN approximation against the shared exact value — so they need
-# fresh hash verdicts, the same precedent as the r10 re-encoded ANN
-# twins). Then the 14 r2 + 7 r3 remnants and the deliberately
-# deferred ext_decontaminate_bloom (the last r4 row), then the 25
-# oldest r5-vintage greens by name order. The 3 slots the verdict
-# earmarked for extra r5 refreshes (28) are re-spent on its own
-# item-3 conversions — changed encodings outrank green refreshes,
-# and the histogram goal (nothing older than r5 after r12) holds
-# either way. The 3 r5 rows that wait for r13: ext_target_encoding,
-# ext_tfidf_topterms, ext_url_parse.
+# Round 13 (VERDICT r12 items 1+7): emitted VERBATIM by
+# `python tools/gen_priority.py` (vintage = max round per entry
+# across CORRECTNESS_r*.json, numeric file order; window = _FRONT +
+# never-adjudicated + the 50 oldest by (vintage, name)):
+# all 22 r5-vintage entries (incl. ext_target_encoding,
+# ext_tfidf_topterms, ext_url_parse — the three the r12 sketch
+# conversions displaced) + all 26 r6 + a16_rollup/a17_cube (the 2
+# oldest r7 by name).
 _PRIORITY = [
-    # re-encoded this round (r11 verdict item 3) — tolerance-anchored
-    # oracle conversions, parity-verified at 3 sfs before placement
-    "a19_approx_distinct", "a24_approx_percentile",
-    "a33_hll_sketch_union",
-    # the 14 r2-vintage remnants
-    "j11_broadcast_semi", "j3_cast_key_join", "j5_not_in_anti",
-    "o6_full_sort", "o7_distinct_sorted_limit", "p2_add_default_column",
-    "p3_column_drop", "p5_null_empty_predicates", "stream_interval_join",
-    "stream_session", "stream_sliding", "stream_stateful_totals",
-    "stream_tumbling", "x6_profile_table",
-    # the 7 r3-vintage remnants
-    "s11_compaction_roundtrip", "s5_header_scan",
-    "s8_quarantine_roundtrip", "w9_time_range_frame",
-    "x1_quality_report", "x2_outlier_mad", "x3_snapshot_diff",
-    # the last r4 row (deferred from r11 behind its r10-green
-    # portable sibling)
-    "ext_decontaminate_bloom",
-    # the 25 oldest r5-vintage greens by name order
-    "a35_equidepth_histogram", "e5_sessionization",
-    "e6_attribution_last_touch", "ext_ann_ivf_topk", "ext_ann_pq_topk",
-    "ext_bm25_topk", "ext_bpe_encode_counts", "ext_bpe_train_merges",
-    "ext_contamination_matrix", "ext_dsir_components",
-    "ext_dup_ngram_fraction", "ext_embedding_quantize",
-    "ext_filter_funnel", "ext_hashed_linear_score",
-    "ext_inverted_index", "ext_keyword_search", "ext_label_balance",
-    "ext_label_centroid", "ext_multimodal_embed_ann",
-    "ext_rolling_hash_fingerprint", "ext_semantic_dedup",
-    "ext_sequence_pack", "ext_source_mixture", "ext_source_stats",
-    "ext_stratified_sample",
+    "ext_target_encoding",
+    "ext_tfidf_topterms",
+    "ext_url_parse",
+    "ext_vocab_topk",
+    "ext_winnow_fingerprint",
+    "g4_dedup_survivors_argmax",
+    "g5_triangle_count",
+    "g6_pagerank",
+    "j25_grid_distance_join",
+    "s16_multiline_csv_roundtrip",
+    "s17_key_erasure_roundtrip",
+    "stream_dedup_ingest",
+    "stream_interval_join_outer",
+    "stream_static_enrich",
+    "ts1_interpolate",
+    "ts2_resample_ohlc",
+    "u6_udtf_tokenize",
+    "u7_pandas_udaf_maxgap",
+    "x10_skew_report",
+    "x4_fuzzy_match",
+    "x5_incremental_agg",
+    "x9_integrity_report",
+    "e7_position_attribution",
+    "ext_cooccurrence_pmi",
+    "ext_dedup_ingest_minhash",
+    "ext_dedup_minhash",
+    "ext_dedup_simhash",
+    "ext_dup_span_coverage",
+    "ext_hybrid_rrf",
+    "ext_mmr_diversify",
+    "ext_negative_samples",
+    "ext_ngram_novelty",
+    "ext_novelty_ingest",
+    "ext_phrase_search",
+    "ext_quality_train_eval",
+    "f33_winsorize",
+    "f34_variant_json",
+    "f35_recursive_hierarchy",
+    "g7_bfs_hops",
+    "g9_k_core",
+    "j26_asof_tolerance",
+    "m1_frequent_itemsets",
+    "s18_jsonl_roundtrip",
+    "ts4_gap_islands",
+    "x11_drift_psi",
+    "x12_drift_equidepth",
+    "x13_benford_first_digit",
+    "x14_rowhash_checksum",
+    "a16_rollup",
+    "a17_cube",
 ]
 
 

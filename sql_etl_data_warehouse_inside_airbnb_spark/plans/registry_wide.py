@@ -472,7 +472,11 @@ def a23_collect_sorted(spark, sf_dir):
          "within_tol) where within_tol asserts each engine's OWN "
          "approximation lands within max(5% rel, 1.0 abs) of the "
          "exact discrete percentile — generous vs the GK rank-error "
-         "n/10000 bound, deterministic on fixed data. The exact side "
+         "n/10000 bound. (Spark's GK sketch is deterministic on fixed "
+         "data; DuckDB's approx_quantile is a t-digest whose result "
+         "can vary with parallel merge order — the tolerance is wide "
+         "enough to absorb that nondeterminism, which is the contract, "
+         "not bitwise stability of the sketch itself.) The exact side "
          "(a22's percentile_disc expression inline) exists to make "
          "the sketch hash-checkable; the production scale path is the "
          "sketch alone (tracking also asserted in tests/test_ext.py)")

@@ -17,6 +17,12 @@ import re
 import sys
 
 
+def _merge(headline: dict, maintenance: dict) -> dict[str, float]:
+    clash = sorted(set(headline) & set(maintenance))
+    assert not clash, f"headline/maintenance key collision: {clash}"
+    return {k: float(v) for k, v in {**headline, **maintenance}.items()}
+
+
 def timings(path: str) -> dict[str, float]:
     text = open(path).read()
     # candidate JSON payloads: the whole file (a driver artifact),
@@ -31,17 +37,16 @@ def timings(path: str) -> dict[str, float]:
             continue
         # merge headline + maintenance so the JSON path compares the
         # SAME query set the regex-recovery path does (which cannot
-        # tell the two maps apart in a truncated tail) — the names
-        # are disjoint registry keys, so a plain merge is lossless
+        # tell the two maps apart in a truncated tail) — enforced
+        # disjoint so a future name collision fails loudly instead of
+        # a maintenance timing silently overwriting a headline one
         if isinstance(d.get("queries"), dict) and d["queries"]:
-            both = {**d["queries"], **(d.get("maintenance") or {})}
-            return {k: float(v) for k, v in both.items()}
+            return _merge(d["queries"], d.get("maintenance") or {})
         parsed = d.get("parsed")
         if (isinstance(parsed, dict)
                 and isinstance(parsed.get("queries"), dict)):
-            both = {**parsed["queries"],
-                    **(parsed.get("maintenance") or {})}
-            return {k: float(v) for k, v in both.items()}
+            return _merge(parsed["queries"],
+                          parsed.get("maintenance") or {})
         if isinstance(d.get("tail"), str):
             text = d["tail"]
             break

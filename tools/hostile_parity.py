@@ -139,7 +139,15 @@ def newest_entries(n: int = 50) -> list[str]:
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     first: dict[str, int] = {}
-    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+    # sort NUMERICALLY by round — setdefault's first-wins semantics
+    # depend on ascending round order, and a lexicographic sort would
+    # silently mis-assign vintages the moment a round number stops
+    # zero-padding to the same width (r13 vs r2, r100 vs r99)
+    files = sorted(
+        glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")),
+        key=lambda f: int(re.search(r"r(\d+)",
+                                    os.path.basename(f)).group(1)))
+    for f in files:
         r = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
         for k in json.load(open(f)):
             first.setdefault(k, r)
@@ -279,8 +287,18 @@ def main() -> None:
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     scratch = os.path.join(repo, ".tmp_probe", "hostile")
-    names = (list(REGISTRY) if sweep_all
-             else [n for n in newest_entries(50) if n in REGISTRY])
+    if sweep_all:
+        names = list(REGISTRY)
+    else:
+        ranked = newest_entries(50)
+        gone = [n for n in ranked if n not in REGISTRY]
+        if gone:
+            # adjudicated names no longer in the registry (renamed or
+            # removed entries) would otherwise silently lose hostile
+            # coverage — surface them instead of quietly narrowing
+            print(f"WARNING: {len(gone)} adjudicated names not in "
+                  f"REGISTRY, excluded from sweep: {gone}")
+        names = [n for n in ranked if n in REGISTRY]
 
     spark = get_spark("hostile-parity", master="local[8]",
                       extra_conf={"spark.sql.shuffle.partitions": "8"})
