@@ -19,7 +19,11 @@ reported number is the per-query min across both sessions: in-session
 repetition cannot see session-level noise (heap layout, GC schedule),
 which measured ~8% geomean between identical trees. The cold
 first-pass total is reported alongside as ``cold_total_sec`` so both
-numbers are visible.
+numbers are visible. Since round 13 (r12 verdict item 3) the
+MAINTENANCE suite gets the same treatment: a second fresh session
+(fourth in-process, after the headline partner) re-runs it twice and
+the reported maintenance numbers are per-query mins across both
+sessions.
 
 Two measurement notes: (1) a query that persists an intermediate
 (trigram_familiarity's per-doc count table) legitimately reuses it
@@ -253,6 +257,31 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             if dt < timings[name]:
                 timings[name] = dt
+
+    # SECOND maintenance session, min-merged (r12 verdict item 3):
+    # the r12 artifact's only >1.3x entry (ext_bpe_train_portable
+    # 2.22x on a comment-only diff) and both residual wide-variance
+    # entries (g6_pagerank, s17) were maintenance rows measured in a
+    # single session — the same session-level noise the headline
+    # suite closed in r12. This session runs FOURTH in-process so the
+    # primary keeps its historical second-in-process position (the
+    # measured 1.5-2x position sensitivity documented above applies
+    # to the PRIMARY'S comparability across rounds; a min-merge
+    # partner can only tighten numbers, so its own position is safe
+    # by construction). Same shape as the headline partner: no
+    # warmup, two passes, pass 1 absorbs the fresh session's cold
+    # file-index listing and the min discards whichever pass is
+    # slower.
+    spark.stop()
+    spark = get_spark("bench-maintenance-2")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in MAINTENANCE:
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(REGISTRY[name].build(spark, sf_dir))
+            dt = round(time.perf_counter() - t0, 3)
+            if dt < maintenance[name]:
+                maintenance[name] = dt
 
     for line in emit_lines(sf, cold, timings, maintenance):
         print(line)

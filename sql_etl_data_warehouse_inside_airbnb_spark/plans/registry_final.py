@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
+    finite_sql,
     register,
     t,
 )
@@ -178,8 +179,9 @@ def a31_mode_argmax(spark, sf_dir):
 
 @register(
     "a32_median",
-    """SELECT l_returnflag,
-              median(CAST(l_quantity AS DOUBLE)) AS median_qty,
+    f"""SELECT l_returnflag,
+              median(CAST(CASE WHEN {finite_sql('l_quantity')}
+                          THEN l_quantity END AS DOUBLE)) AS median_qty,
               CAST(COUNT(*) AS BIGINT) AS n
        FROM lineitem GROUP BY l_returnflag""",
     survey="§2.4 ext (exact median)",
@@ -188,14 +190,20 @@ def a31_mode_argmax(spark, sf_dir):
          "even-count interpolation (a+b)/2 is exact FP there, dodging "
          "the quotient-rounding trap (registry docstring). DuckDB's "
          "median over DECIMAL truncates to the lower middle — the "
-         "oracle casts to DOUBLE first (verified). Exact median is a "
-         "full-sort-per-group op; the 100 TB path is a24's "
+         "oracle casts to DOUBLE first (verified). The median input is "
+         "finite-guarded on BOTH sides (r13 hostile sweep: engines "
+         "place NaN differently inside quantile order statistics, so "
+         "a single NaN silently shifted every median; identity on "
+         "finite data — quantiles are over finite values by contract, "
+         "NULLs are skipped by median on both engines). Exact median "
+         "is a full-sort-per-group op; the 100 TB path is a24's "
          "approx_percentile sketch — this entry is the correctness "
          "anchor the sketch's error bound is measured against")
 def a32_median(spark, sf_dir):
+    qty = F.when(F.expr(finite_sql("l_quantity")), F.col("l_quantity"))
     return (t(spark, sf_dir, "lineitem")
             .groupBy("l_returnflag")
-            .agg(F.median("l_quantity").alias("median_qty"),
+            .agg(F.median(qty).alias("median_qty"),
                  F.count("*").alias("n")))
 
 
@@ -378,11 +386,17 @@ def f30_try_arithmetic(spark, sf_dir):
          "stats would drop exactly the short documents they should "
          "count as zero). Same RE2/Java-regex-portable pattern "
          "discipline as f23; oracle is DuckDB's LEFT JOIN LATERAL "
-         "unnest, the relational definition of the outer generator")
+         "unnest, the relational definition of the outer generator. "
+         "idx=0 (full match) is EXPLICIT: Spark's regexp_extract_all "
+         "defaults to group 1 and validates the group count only when "
+         "a row actually matches, so a groupless pattern passes on any "
+         "corpus with no 11+-letter word and crashes on the first one "
+         "that has any (r13 hostile sweep found it via the 10k-char "
+         "token; DuckDB extracts the full match either way)")
 def f31_explode_outer(spark, sf_dir):
     d = (t(spark, sf_dir, "documents")
          .filter(F.col("doc_id") % 7 == 0))
-    arr = F.regexp_extract_all("text", F.lit("[A-Za-z]{11,}"))
+    arr = F.regexp_extract_all("text", F.lit("[A-Za-z]{11,}"), F.lit(0))
     return d.select("doc_id", F.explode_outer(arr).alias("token"))
 
 

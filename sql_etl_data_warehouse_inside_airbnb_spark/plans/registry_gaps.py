@@ -21,6 +21,7 @@ from sql_etl_data_warehouse_inside_airbnb_spark.functions.cleaning import (
 )
 from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
     exact_sum,
+    finite_sql,
     register,
     t,
 )
@@ -354,21 +355,29 @@ def ext_bpe_token_count(spark, sf_dir):
 
 @register(
     "ext_grouped_median",
-    """SELECT c_mktsegment,
-              quantile_cont(c_acctbal, 0.5) AS median_acctbal,
+    f"""SELECT c_mktsegment,
+              quantile_cont(CASE WHEN {finite_sql('c_acctbal')}
+                            THEN c_acctbal END, 0.5) AS median_acctbal,
               CAST(COUNT(*) AS BIGINT) AS n
        FROM customer GROUP BY c_mktsegment""",
     survey="§2.10 UDF surface (applyInPandas grouped-map)",
     note="per-group median via applyInPandas (pandas quantile, linear "
          "interpolation == DuckDB quantile_cont); the grouped-map "
-         "Arrow surface the reference's generic-UDF row promises")
+         "Arrow surface the reference's generic-UDF row promises. "
+         "Quantile input finite-guarded on both sides (r13 hostile "
+         "sweep: pandas quantile skips NaN but lets ±Inf participate "
+         "in the order statistic, DuckDB's NULL-skip differs — "
+         "quantiles are over finite values by contract; n still "
+         "counts every row; identity on finite data)")
 def ext_grouped_median(spark, sf_dir):
+    import numpy as np
     import pandas as pd
 
     def median(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        bal = pdf["c_acctbal"]
         return pd.DataFrame({
             "c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
-            "median_acctbal": [pdf["c_acctbal"].quantile(0.5)],
+            "median_acctbal": [bal[np.isfinite(bal)].quantile(0.5)],
             "n": [len(pdf)],
         })
 

@@ -22,6 +22,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
+    finite_sql,
     register,
     t,
 )
@@ -132,8 +133,10 @@ def g2_dedup_clusters(spark, sf_dir):
 
 @register(
     "x2_outlier_mad",
-    """WITH c AS (SELECT c_mktsegment,
-                         CAST(c_acctbal AS DOUBLE) AS bal FROM customer),
+    f"""WITH c AS (SELECT c_mktsegment,
+                         CAST(CASE WHEN {finite_sql('c_acctbal')}
+                              THEN c_acctbal END AS DOUBLE) AS bal
+                  FROM customer),
        med AS (SELECT c_mktsegment, median(bal) AS med
                FROM c GROUP BY 1),
        dev AS (SELECT c.c_mktsegment, abs(c.bal - m.med) AS adev
@@ -157,10 +160,17 @@ def g2_dedup_clusters(spark, sf_dir):
          "plan shape is unchanged. Compared columns are integer "
          "counts; the 1.5*MAD threshold comparison is double but both "
          "engines compute it from identical operands (CAST to DOUBLE "
-         "pinned in the oracle — DuckDB median over DECIMAL truncates)")
+         "pinned in the oracle — DuckDB median over DECIMAL truncates). "
+         "bal finite-guarded on both sides (r13 hostile sweep: a NaN "
+         "inside either median shifted the MAD differently per engine; "
+         "non-finite rows keep their row for n_rows, contribute NULL "
+         "deviations which both engines' medians and filtered counts "
+         "skip; identity on finite data)")
 def x2_outlier_mad(spark, sf_dir):
     c = t(spark, sf_dir, "customer").select(
-        "c_mktsegment", F.col("c_acctbal").cast("double").alias("bal"))
+        "c_mktsegment",
+        F.when(F.expr(finite_sql("c_acctbal")),
+               F.col("c_acctbal").cast("double")).alias("bal"))
     med = c.groupBy("c_mktsegment").agg(F.median("bal").alias("med"))
     dev = (c.join(F.broadcast(med), "c_mktsegment")
            .select("c_mktsegment",

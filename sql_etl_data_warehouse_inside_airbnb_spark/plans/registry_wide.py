@@ -32,6 +32,7 @@ from sql_etl_data_warehouse_inside_airbnb_spark.operators.dedup import (
     winnow_fingerprints,
 )
 from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
+    finite_sql,
     register,
     t,
 )
@@ -337,27 +338,35 @@ def ext_dedup_winnow_pairs(spark, sf_dir):
 
 @register(
     "a22_percentile_disc",
-    """SELECT o_orderstatus,
-              quantile_disc(o_totalprice, 0.25) AS p25,
-              quantile_disc(o_totalprice, 0.50) AS p50,
-              quantile_disc(o_totalprice, 0.75) AS p75
+    f"""SELECT o_orderstatus,
+              quantile_disc(CASE WHEN {finite_sql('o_totalprice')}
+                            THEN o_totalprice END, 0.25) AS p25,
+              quantile_disc(CASE WHEN {finite_sql('o_totalprice')}
+                            THEN o_totalprice END, 0.50) AS p50,
+              quantile_disc(CASE WHEN {finite_sql('o_totalprice')}
+                            THEN o_totalprice END, 0.75) AS p75
        FROM orders GROUP BY o_orderstatus""",
     survey="§2.4 ext (ordered-set aggregate)",
     note="discrete percentiles (WITHIN GROUP ordered-set syntax, the "
          "spark.sql surface) — percentile_disc SELECTS an actual row "
          "value, no interpolation/division, so raw doubles compare "
          "exactly; the interpolating exact-median twin is "
-         "ext_grouped_median (applyInPandas)")
+         "ext_grouped_median (applyInPandas). Finite-guarded on both "
+         "sides (r13 hostile sweep: NaN placement inside the quantile "
+         "order statistic differs across engines; quantiles are over "
+         "finite values by contract, identity on finite data)")
 def a22_percentile_disc(spark, sf_dir):
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders_a22")
+    fin = (f"CASE WHEN {finite_sql('o_totalprice')} "
+           f"THEN o_totalprice END")
     return spark.sql(
-        """SELECT o_orderstatus,
+        f"""SELECT o_orderstatus,
                   percentile_disc(0.25) WITHIN GROUP
-                    (ORDER BY o_totalprice) AS p25,
+                    (ORDER BY {fin}) AS p25,
                   percentile_disc(0.50) WITHIN GROUP
-                    (ORDER BY o_totalprice) AS p50,
+                    (ORDER BY {fin}) AS p50,
                   percentile_disc(0.75) WITHIN GROUP
-                    (ORDER BY o_totalprice) AS p75
+                    (ORDER BY {fin}) AS p75
            FROM orders_a22 GROUP BY o_orderstatus""")
 
 
@@ -444,24 +453,22 @@ def a23_collect_sorted(spark, sf_dir):
 
 @register(
     "a24_approx_percentile",
-    """SELECT o_orderstatus,
-              CAST(quantile_disc(o_totalprice, 0.25) AS DOUBLE) AS p25,
-              CAST(quantile_disc(o_totalprice, 0.50) AS DOUBLE) AS p50,
-              CAST(quantile_disc(o_totalprice, 0.75) AS DOUBLE) AS p75,
-              CAST(abs(approx_quantile(CAST(o_totalprice AS DOUBLE), 0.25)
-                       - CAST(quantile_disc(o_totalprice, 0.25) AS DOUBLE))
-                     <= greatest(0.05 * CAST(quantile_disc(o_totalprice,
-                                             0.25) AS DOUBLE), 1.0)
-                   AND abs(approx_quantile(CAST(o_totalprice AS DOUBLE), 0.50)
-                       - CAST(quantile_disc(o_totalprice, 0.50) AS DOUBLE))
-                     <= greatest(0.05 * CAST(quantile_disc(o_totalprice,
-                                             0.50) AS DOUBLE), 1.0)
-                   AND abs(approx_quantile(CAST(o_totalprice AS DOUBLE), 0.75)
-                       - CAST(quantile_disc(o_totalprice, 0.75) AS DOUBLE))
-                     <= greatest(0.05 * CAST(quantile_disc(o_totalprice,
-                                             0.75) AS DOUBLE), 1.0)
+    f"""SELECT o_orderstatus, p25, p50, p75,
+              CAST(abs(a25 - p25) <= greatest(0.05 * p25, 1.0)
+                   AND abs(a50 - p50) <= greatest(0.05 * p50, 1.0)
+                   AND abs(a75 - p75) <= greatest(0.05 * p75, 1.0)
                    AS BIGINT) AS within_tol
-       FROM orders GROUP BY o_orderstatus""",
+       FROM (SELECT o_orderstatus,
+                    CAST(quantile_disc(fin, 0.25) AS DOUBLE) AS p25,
+                    CAST(quantile_disc(fin, 0.50) AS DOUBLE) AS p50,
+                    CAST(quantile_disc(fin, 0.75) AS DOUBLE) AS p75,
+                    approx_quantile(CAST(fin AS DOUBLE), 0.25) AS a25,
+                    approx_quantile(CAST(fin AS DOUBLE), 0.50) AS a50,
+                    approx_quantile(CAST(fin AS DOUBLE), 0.75) AS a75
+             FROM (SELECT o_orderstatus,
+                          CASE WHEN {finite_sql('o_totalprice')}
+                          THEN o_totalprice END AS fin FROM orders)
+             GROUP BY o_orderstatus) s""",
     survey="§7.5 scale path for a22 (quantile sketch)",
     note="approx_percentile (Greenwald-Khanna sketch, accuracy 10000) "
          "per o_orderstatus — the 100 TB substitute for exact "
@@ -479,29 +486,35 @@ def a23_collect_sorted(spark, sf_dir):
          "not bitwise stability of the sketch itself.) The exact side "
          "(a22's percentile_disc expression inline) exists to make "
          "the sketch hash-checkable; the production scale path is the "
-         "sketch alone (tracking also asserted in tests/test_ext.py)")
+         "sketch alone (tracking also asserted in tests/test_ext.py). "
+         "Inputs finite-guarded on both sides (r13 hostile sweep; "
+         "identity on finite data)")
 def a24_approx_percentile(spark, sf_dir):
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders_a24")
     return spark.sql(
-        """SELECT o_orderstatus, p25, p50, p75,
+        f"""SELECT o_orderstatus, p25, p50, p75,
                   CAST(abs(a25 - p25) <= greatest(0.05 * p25, 1.0)
                        AND abs(a50 - p50) <= greatest(0.05 * p50, 1.0)
                        AND abs(a75 - p75) <= greatest(0.05 * p75, 1.0)
                        AS BIGINT) AS within_tol
            FROM (SELECT o_orderstatus,
                         CAST(percentile_disc(0.25) WITHIN GROUP
-                          (ORDER BY o_totalprice) AS DOUBLE) AS p25,
+                          (ORDER BY fin) AS DOUBLE) AS p25,
                         CAST(percentile_disc(0.50) WITHIN GROUP
-                          (ORDER BY o_totalprice) AS DOUBLE) AS p50,
+                          (ORDER BY fin) AS DOUBLE) AS p50,
                         CAST(percentile_disc(0.75) WITHIN GROUP
-                          (ORDER BY o_totalprice) AS DOUBLE) AS p75,
-                        CAST(approx_percentile(o_totalprice, 0.25, 10000)
+                          (ORDER BY fin) AS DOUBLE) AS p75,
+                        CAST(approx_percentile(fin, 0.25, 10000)
                              AS DOUBLE) AS a25,
-                        CAST(approx_percentile(o_totalprice, 0.50, 10000)
+                        CAST(approx_percentile(fin, 0.50, 10000)
                              AS DOUBLE) AS a50,
-                        CAST(approx_percentile(o_totalprice, 0.75, 10000)
+                        CAST(approx_percentile(fin, 0.75, 10000)
                              AS DOUBLE) AS a75
-                 FROM orders_a24 GROUP BY o_orderstatus) s""")
+                 FROM (SELECT o_orderstatus,
+                              CASE WHEN {finite_sql('o_totalprice')}
+                              THEN o_totalprice END AS fin
+                       FROM orders_a24)
+                 GROUP BY o_orderstatus) s""")
 
 
 @register(

@@ -268,7 +268,75 @@ EXPECTED: dict[tuple[str, str],
         "(conversion error) — the oracle side of the finite-domain "
         "money contract fails loudly where Spark's decimal cast "
         "nulls; divergent error surfacing, same contract"),
+    # r13 onerow --all pins: the same fail-loud classes on
+    # older-vintage entries the default newest-block sweep never
+    # reached
+    ("onerow", "s17_key_erasure_roundtrip"): (
+        "UNABLE_TO_INFER_SCHEMA",
+        "the probe erases the partition of its target key; with ONE "
+        "row that is the only partition, so the verify re-read finds "
+        "zero parquet files — same probe precondition as its empty "
+        "pin (erasure verification is vacuous without partitions)"),
+    ("onerow", "ext_ann_ivf_topk"): (
+        "ArrayIndexOutOfBoundsException",
+        "KMeans IVF quantizer fit on a 1-vector corpus raises (the "
+        "k|| init sampler indexes past the single point) — fail-loud "
+        "index build, same class as ext_ann_ivf_pq_topk"),
+    ("onerow", "ext_semantic_dedup"): (
+        "ArrayIndexOutOfBoundsException",
+        "SemDeDup's KMeans clustering fit on a 1-vector corpus "
+        "raises — fail-loud index build, same class as the IVF pins"),
+    ("onerow", "ext_ann_pq_topk"): (
+        "need at least that many sample vectors",
+        "the PQ codebook fit raises its own descriptive error on a "
+        "corpus smaller than n_codes (here 1 < 16) — the deliberate "
+        "fail-loud guard in operators/similarity.py, same as its "
+        "empty pin"),
 }
+
+# r13 hostile --all (the first non-finite sweep over the FULL
+# registry): every entry whose oracle uses the exact-decimal-sum /
+# integer-scaled encoding meets the injected NaN/±Inf in ONE shared
+# engine-level semantic, measured precisely this round: Spark (ANSI
+# on) casts non-finite DOUBLE -> DECIMAL to NULL — the rows silently
+# leave the exact sums, which is the engine's product behavior for
+# corrupt floats (the x-family monitoring entries exist to surface
+# their rate) — while DuckDB raises a conversion error on the same
+# cast ("Could not cast value inf to DECIMAL(18,6)" / "Type DOUBLE
+# with value nan can't be cast ... INT64"). The oracle side of the
+# exactness recipe is finite-domain by construction; the divergence
+# is error SURFACING, not values. Pinned per entry (not blanket) so
+# STALE-PIN still fires the moment any of them stops diverging.
+# Entries whose divergence was a silent VALUE mismatch were fixed
+# with finite guards instead (the a22/a24/a32/ext_grouped_median/
+# x2_outlier_mad quantile family and f31's latent regex-group crash).
+ORACLE_NONFINITE_CAST = frozenset({
+    "a14_profile", "a16_rollup", "a17_cube", "a18_pivot",
+    "a1_pricing_summary", "a21_grouping_sets", "a27_stats_moments",
+    "a2_region_segment_view", "a34_corr_components",
+    "a35_equidepth_histogram", "a3_count_distinct",
+    "a6_money_clean_agg", "a7_weekly_rollup", "ext_target_encoding",
+    "f29_width_bucket", "j19_star_join_rollup", "j7_agg_join",
+    "s17_key_erasure_roundtrip", "sq_scalar_threshold",
+    "sql_surface_view_query", "stream_session", "stream_sliding",
+    "stream_stateful_totals", "stream_static_enrich",
+    "stream_tumbling", "tpch_q10_returned_items",
+    "tpch_q14_promo_effect", "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customer", "tpch_q1_pricing_summary",
+    "tpch_q22_global_sales_opportunity", "tpch_q3_shipping_priority",
+    "tpch_q8_market_share", "ts2_resample_ohlc", "w4_running_frames",
+    "w5_rank_ladder", "w7_dist_ladder", "w9_time_range_frame",
+    "x5_incremental_agg",
+})
+_NONFINITE_REASON = (
+    "oracle-side finite-domain exact-decimal/int encoding: DuckDB "
+    "raises casting injected NaN/Inf where Spark's ANSI decimal cast "
+    "nulls them out of the sum — divergent error surfacing of one "
+    "semantic (see ORACLE_NONFINITE_CAST block comment)")
+for _n in sorted(ORACLE_NONFINITE_CAST):
+    EXPECTED[("hostile", _n)] = (
+        ("Could not cast value", "can't be cast"), _NONFINITE_REASON)
 
 
 ALL_MODES = ("empty", "onerow", "hostile")
