@@ -374,10 +374,12 @@ def ext_grouped_median(spark, sf_dir):
     import pandas as pd
 
     def median(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        bal = pdf["c_acctbal"]
+        fin = pdf["c_acctbal"][np.isfinite(pdf["c_acctbal"])]
         return pd.DataFrame({
             "c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
-            "median_acctbal": [bal[np.isfinite(bal)].quantile(0.5)],
+            # None, not pandas' NaN-on-empty: a group with NO finite
+            # value must emit NULL like quantile_cont over all-NULL
+            "median_acctbal": [fin.quantile(0.5) if len(fin) else None],
             "n": [len(pdf)],
         })
 

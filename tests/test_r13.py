@@ -90,3 +90,23 @@ def test_quantile_entries_treat_nonfinite_as_null(
                        REGISTRY[name].build(spark, t_clean).collect()))
         assert a == b, (name, a[:3], b[:3])
         assert a, name  # non-vacuous: groups survived the poisoning
+
+
+def test_grouped_median_all_nonfinite_group_emits_null(spark):
+    """Review finding: pandas quantile over an EMPTY (all-filtered)
+    series returns NaN where the oracle's quantile_cont over all-NULL
+    returns NULL — the builder must emit None for such a group."""
+    rows = ([("allnan", i, float("nan")) for i in range(4)]
+            + [("normal", 100 + i, float(i)) for i in range(9)])
+    df = spark.createDataFrame(
+        [(seg, k, v, "n", 0.0) for seg, k, v in rows],
+        "c_mktsegment string, c_custkey bigint, c_acctbal double, "
+        "c_name string, c_x double").drop("c_x")
+    tmp = tempfile.mkdtemp(prefix="r13_gm_")
+    df.write.mode("overwrite").parquet(os.path.join(tmp,
+                                                    "customer.parquet"))
+    out = {r.c_mktsegment: (r.median_acctbal, r.n)
+           for r in REGISTRY["ext_grouped_median"].build(spark,
+                                                         tmp).collect()}
+    assert out["allnan"] == (None, 4), out
+    assert out["normal"] == (4.0, 9), out

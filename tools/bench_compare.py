@@ -19,7 +19,9 @@ import sys
 
 def _merge(headline: dict, maintenance: dict) -> dict[str, float]:
     clash = sorted(set(headline) & set(maintenance))
-    assert not clash, f"headline/maintenance key collision: {clash}"
+    if clash:  # not assert: must survive python -O
+        raise ValueError(
+            f"headline/maintenance key collision: {clash}")
     return {k: float(v) for k, v in {**headline, **maintenance}.items()}
 
 

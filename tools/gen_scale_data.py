@@ -47,9 +47,14 @@ KEYED = {
     "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
     "lineitem": {"l_orderkey": "orders", "l_partkey": "part",
                  "l_suppkey": "supplier"},
-    "events": {"event_id": "events", "user_id": "events_user"},
+    # events.user_id is an FK into customer.c_custkey (the enrich
+    # joins pair them), and embeddings.vec_id pairs 1:1 with
+    # documents.doc_id (the training-manifest join) — both must use
+    # the REFERENCED table's stride or shard-i rows join shard-0's
+    # dimension rows, violating the within-shard invariant
+    "events": {"event_id": "events", "user_id": "customer"},
     "documents": {"doc_id": "documents"},
-    "embeddings": {"vec_id": "embeddings"},
+    "embeddings": {"vec_id": "documents"},
 }
 COPY_ONLY = ["region", "nation"]
 

@@ -135,20 +135,19 @@ def newest_entries(n: int = 50) -> list[str]:
     WHOLE and the sweep may run slightly more than n entries."""
     import glob
     import json
-    import re
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     first: dict[str, int] = {}
-    # sort NUMERICALLY by round — setdefault's first-wins semantics
-    # depend on ascending round order, and a lexicographic sort would
-    # silently mis-assign vintages the moment a round number stops
-    # zero-padding to the same width (r13 vs r2, r100 vs r99)
-    files = sorted(
-        glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")),
-        key=lambda f: int(re.search(r"r(\d+)",
-                                    os.path.basename(f)).group(1)))
+    # sort NUMERICALLY by round (round_of is the one shared parser —
+    # tools/gen_priority.py owns it): setdefault's first-wins
+    # semantics depend on ascending round order, and a lexicographic
+    # sort would silently mis-assign vintages the moment a round
+    # number stops zero-padding to the same width (r13 vs r2)
+    from tools.gen_priority import round_of
+    files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")),
+                   key=round_of)
     for f in files:
-        r = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        r = round_of(f)
         for k in json.load(open(f)):
             first.setdefault(k, r)
     ranked = sorted(first, key=lambda k: (-first[k], k))
