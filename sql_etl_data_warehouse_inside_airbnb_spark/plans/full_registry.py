@@ -58,9 +58,13 @@ which adjudicates ~the first 50 entries per round:
   nothing in the registry is older than r5 vintage and rotation is
   steady-state maintenance;
 - round 13 (this order): the first GENERATOR-EMITTED window
-  (tools/gen_priority.py, r12 verdict item 7): all 22 r5-vintage
-  entries + all 26 r6 + the 2 oldest r7 by name (a16_rollup,
-  a17_cube). In-round re-encodes go in _FRONT below and lead the
+  (tools/gen_priority.py, r12 verdict item 7): the in-round
+  ext_fuzzy_blocked_join re-encode (_FRONT — the sf0.5 scale
+  measurement caught the original's quadratic candidate growth;
+  its radius-bounded PassJoin replacement changes the output and
+  needs a fresh hash verdict) + all 22 r5-vintage entries + all 26
+  r6 + a16_rollup (a17_cube, displaced by the front entry, rotates
+  r14). In-round re-encodes go in _FRONT below and lead the
   window; tests/test_plan_audit.py recomputes the window from the
   CORRECTNESS_r*.json artifacts and asserts _PRIORITY equals it, so
   the committed head is a check on the generator's output, not on
@@ -435,7 +439,7 @@ _GREEN = (_R01_GREEN | _R02_GREEN | _R03_GREEN | _R04_GREEN
 # adding registry entries) RE-RUN the generator and paste its output
 # below — test_plan_audit replays compute_priority(REGISTRY,
 # vintages, 50, _FRONT) and asserts _PRIORITY equals it verbatim.
-_FRONT: list[str] = []
+_FRONT: list[str] = ["ext_fuzzy_blocked_join"]
 
 # Explicit front of the queue — the ~50-entry adjudication window.
 # Round 13 (VERDICT r12 items 1+7): emitted VERBATIM by
@@ -447,6 +451,7 @@ _FRONT: list[str] = []
 # conversions displaced) + all 26 r6 + a16_rollup/a17_cube (the 2
 # oldest r7 by name).
 _PRIORITY = [
+    "ext_fuzzy_blocked_join",
     "ext_target_encoding",
     "ext_tfidf_topterms",
     "ext_url_parse",
@@ -496,7 +501,6 @@ _PRIORITY = [
     "x13_benford_first_digit",
     "x14_rowhash_checksum",
     "a16_rollup",
-    "a17_cube",
 ]
 
 

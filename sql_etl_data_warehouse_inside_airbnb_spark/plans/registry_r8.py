@@ -16,9 +16,10 @@ Five workloads the r1-r7 surface brackets but doesn't express:
 - ``ext_fuzzy_blocked_join``: entity-resolution fuzzy matching — the
   classic record-linkage shape (Fellegi-Sunter blocking; cf. the
   dedup family's PPJoin, which matches on token-set Jaccard, not
-  character edits). Candidates come from a blocking equi-join, never
-  all-pairs; Levenshtein scores only in-block pairs; a per-record
-  window keeps the best match.
+  character edits). Re-encoded r13: radius-bounded (edit <= 2) best
+  match with PassJoin segment-keyed candidates — the r8-r12 version
+  joined on a fixed-cardinality block key, which the sf0.1→sf0.5
+  scale measurement showed to be quadratic in data size (SCALE.md).
 - ``w11_running_distinct``: running COUNT(DISTINCT) per key over
   event time — incremental cardinality (catalog breadth per
   supplier, unique-users-to-date) that a plain window cannot express
@@ -95,16 +96,15 @@ def ext_kfold_assign(spark, sf_dir):
     """WITH p AS (SELECT p_partkey, p_name, p_brand, p_size,
                       length(p_name) AS len
                FROM part),
-       a AS (SELECT p.*, len + d AS arm
-             FROM p CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d)),
        cand AS (
          SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
                 CAST(levenshtein(a.p_name, b.p_name) AS BIGINT)
                     AS edit_dist
-         FROM a JOIN p b
+         FROM p a JOIN p b
            ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-          AND a.arm = b.len
-          AND a.p_partkey <> b.p_partkey)
+          AND abs(a.len - b.len) <= 1
+          AND a.p_partkey <> b.p_partkey
+         WHERE levenshtein(a.p_name, b.p_name) <= 2)
        SELECT part_a, part_b, edit_dist
        FROM (SELECT cand.*,
                     row_number() OVER (PARTITION BY part_a
@@ -112,51 +112,126 @@ def ext_kfold_assign(spark, sf_dir):
                         AS rn
              FROM cand)
        WHERE rn = 1""",
-    survey="§7.5 dedup/ER ext (blocked fuzzy match, edit distance)",
-    note="entity-resolution fuzzy matching: each part's best in-block "
-         "match by Levenshtein distance on the name — the classic "
-         "record-linkage probe (blocking + per-pair string distance + "
-         "best-candidate pick) that the dedup family lacks: PPJoin "
-         "matches token SETS (Jaccard), winnowing matches substrings; "
-         "edit distance catches typo-class variants neither sees. "
-         "Candidates come from a blocking EQUI-join on the COMPOSED "
-         "key (p_brand, p_size, name-length band) — the "
-         "test_plan_audit.py composed-block-key discipline, r9: the "
-         "bare (brand,size) key had ~1250 FIXED blocks, so Σ block² "
-         "grew quadratically with data. The length band fragments "
-         "every hot block, and three probe arms (len−1, len, len+1) "
-         "exploded on the LEFT side keep the declared radius "
-         "complete: every pair with |Δlen| ≤ 1 — the length change a "
-         "single edit can make — is a candidate, each exactly once "
-         "(arm values are distinct). A per-record row_number window "
-         "keeps the single best match (deterministic tiebreak: "
-         "distance, then key). levenshtein() is the same classic DP "
-         "metric in Spark and DuckDB, and integer distances hash "
-         "exactly. At 100 TB: the join shuffles on the composed "
-         "block key only (never all-pairs; max block size pinned in "
-         "tests/test_r9.py), and the window partitions per record — "
-         "no global sort",
+    survey="§7.5 dedup/ER ext (radius-bounded fuzzy match, PassJoin)",
+    note="entity-resolution fuzzy matching, re-encoded r13 after the "
+         "sf0.1→sf0.5 scale measurement caught the original "
+         "quadratic: best in-block match by Levenshtein, now "
+         "RADIUS-BOUNDED (edit_dist <= 2 — the production "
+         "record-linkage contract; a 'best match' at distance 20 is "
+         "not a match) with PassJoin-style candidate generation "
+         "(Li/Deng/Feng, PVLDB 2011). The original joined on the "
+         "composed (brand, size, length-band) key alone — a "
+         "FIXED-cardinality key (6024 micro-blocks at every sf), so "
+         "block sizes grow ∝ n and candidates Σb² ∝ n²: measured "
+         "199k pairs at sf0.1 → 5.38M at sf0.5 (27× for 5× data; "
+         "exponent 1.86 in SCALE.md). The re-encode keys the join on "
+         "CONTENT: each indexed name splits into K+1 = 3 contiguous "
+         "segments; by pigeonhole, ≤ K = 2 edits leave ≥ 1 segment "
+         "intact, position-shifted by at most the ±K net indels "
+         "before it, so (brand, size, partner-len, slot, segment) "
+         "equi-keys are a COMPLETE candidate filter. The probe side "
+         "enumerates ≤ 45 bounded substrings per record (3 partner "
+         "lengths × 3 slots × 5 shifts); only names under K+1 = 3 "
+         "chars (cannot hold 3 non-empty segments) fall back to a "
+         "whole-block key — a degenerate population, empty in this "
+         "schema. Candidate volume now scales "
+         "with content diversity instead of block², then DISTINCT "
+         "pairs, ONE Levenshtein DP each, radius filter, per-record "
+         "best by (distance, key) — deterministic. The oracle "
+         "computes the same output brute-force within blocks; "
+         "candidate completeness is pinned against brute force in "
+         "tests/test_r8.py and tests/test_r9.py. At 100 TB: shuffle "
+         "∝ segment keys (content-keyed, cardinality grows with "
+         "data), never block-pairs; no global sort",
     tags=("llm-pipeline",))
 def ext_fuzzy_blocked_join(spark, sf_dir):
-    p = (t(spark, sf_dir, "part")
-         .select("p_partkey", "p_name", "p_brand", "p_size")
-         .withColumn("__len", F.length("p_name")))
-    a = p.withColumn(
-        "__arm", F.explode(F.array(F.col("__len") - 1, F.col("__len"),
-                                   F.col("__len") + 1)))
-    cand = (a.alias("a")
-            .join(p.alias("b"),
-                  (F.col("a.p_brand") == F.col("b.p_brand"))
-                  & (F.col("a.p_size") == F.col("b.p_size"))
-                  & (F.col("a.__arm") == F.col("b.__len"))
-                  & (F.col("a.p_partkey") != F.col("b.p_partkey")))
-            .select(F.col("a.p_partkey").alias("part_a"),
-                    F.col("b.p_partkey").alias("part_b"),
-                    F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-                    .cast("long").alias("edit_dist")))
+    cand = (_fuzzy_candidate_pairs(spark, sf_dir)
+            .select(F.col("a_key").alias("part_a"),
+                    F.col("b_key").alias("part_b"),
+                    F.levenshtein("a_name", "b_name").cast("long")
+                    .alias("edit_dist"))
+            .filter(F.col("edit_dist") <= 2))
     w = Window.partitionBy("part_a").orderBy("edit_dist", "part_b")
     return (cand.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def _fuzzy_candidate_pairs(spark, sf_dir):
+    """PassJoin segment-keyed candidate generation for
+    ext_fuzzy_blocked_join: DISTINCT (a_key, a_name, b_key, b_name)
+    pairs sharing a (brand, size, partner-len, slot, segment) key —
+    a complete filter for (|Δlen| <= 1, edit <= 2) by pigeonhole.
+    Factored out so tests/test_r9.py can audit the candidate volume
+    against the band-pair count the old block join scored."""
+    p = (t(spark, sf_dir, "part")
+         .select("p_partkey", "p_name", "p_brand", "p_size")
+         .withColumn("__len", F.length("p_name")))
+    # index side: the 3 contiguous segments of every name (slot 2
+    # takes the remainder); names under 3 chars (cannot hold 3
+    # non-empty segments) get a whole-block key
+    seg_expr = F.expr("""
+        CASE WHEN __len >= 3 THEN
+          transform(sequence(0, 2), s -> struct(
+            s AS slot,
+            substring(p_name,
+                      CASE WHEN s = 2 THEN 2 * (__len div 3) + 1
+                           ELSE s * (__len div 3) + 1 END,
+                      CASE WHEN s = 2 THEN __len - 2 * (__len div 3)
+                           ELSE __len div 3 END) AS seg))
+        ELSE array(struct(-1 AS slot, '' AS seg))
+        END""")
+    build = (p.select("p_partkey", "p_name", "p_brand", "p_size",
+                      "__len", F.explode(seg_expr).alias("sg"))
+             .select(F.col("p_partkey").alias("b_key"),
+                     F.col("p_name").alias("b_name"),
+                     F.col("p_brand").alias("b_brand"),
+                     F.col("p_size").alias("b_size"),
+                     F.col("__len").alias("b_len"),
+                     F.col("sg.slot").alias("slot"),
+                     F.col("sg.seg").alias("seg")))
+    # probe side: for every admissible partner length lp = len ± 1
+    # and slot, every substring a <=2-edit transcript could leave
+    # the partner's untouched segment at (canonical start ± 2)
+    probe_expr = F.expr("""
+        flatten(transform(sequence(-1, 1), dl ->
+          CASE WHEN __len + dl >= 3 THEN
+            filter(
+              flatten(transform(sequence(0, 2), s ->
+                transform(sequence(-2, 2), sh -> struct(
+                  __len + dl AS blen,
+                  s AS slot,
+                  (CASE WHEN s = 2 THEN 2 * ((__len + dl) div 3)
+                        ELSE s * ((__len + dl) div 3) END) + sh
+                      AS pos,
+                  CASE WHEN s = 2
+                       THEN (__len + dl) - 2 * ((__len + dl) div 3)
+                       ELSE (__len + dl) div 3 END AS sl)))),
+              x -> x.pos >= 0 AND x.pos + x.sl <= __len)
+          ELSE array(struct(__len + dl AS blen, -1 AS slot,
+                            0 AS pos, 0 AS sl))
+          END))""")
+    probe = (p.select("p_partkey", "p_name", "p_brand", "p_size",
+                      "__len", F.explode(probe_expr).alias("pr"))
+             .select(F.col("p_partkey").alias("a_key"),
+                     F.col("p_name").alias("a_name"),
+                     "p_brand", "p_size",
+                     F.col("pr.blen").alias("blen"),
+                     F.col("pr.slot").alias("pslot"),
+                     F.when(F.col("pr.slot") == -1, F.lit(""))
+                      .otherwise(F.expr(
+                          "substring(p_name, pr.pos + 1, pr.sl)"))
+                     .alias("pseg")))
+    cand = (probe.join(
+                build,
+                (F.col("p_brand") == F.col("b_brand"))
+                & (F.col("p_size") == F.col("b_size"))
+                & (F.col("blen") == F.col("b_len"))
+                & (F.col("pslot") == F.col("slot"))
+                & (F.col("pseg") == F.col("seg"))
+                & (F.col("a_key") != F.col("b_key")))
+            .select("a_key", "a_name", "b_key", "b_name")
+            .distinct())
+    return cand
 
 
 @register(

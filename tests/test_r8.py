@@ -3,9 +3,12 @@
 - ext_kfold_assign: fold ids are total (every doc in exactly one of
   k folds), deterministic across repartitionings, and the audit
   matrix accounts for every document exactly once.
-- ext_fuzzy_blocked_join: best-match semantics verified against an
-  independent Python Levenshtein on a hand-built frame; candidates
-  never cross blocks.
+- ext_fuzzy_blocked_join (re-encoded r13, radius-bounded PassJoin):
+  the full output equals an independent Python brute-force of the
+  declared contract (same block, |Δlen| <= 1, edit <= 2, best by
+  (dist, key)) on a hand-built frame that exercises substitutions,
+  an indel that shifts every segment, 1-char segments, cross-length
+  segment alignment, and the sub-3-char whole-block fallback.
 - w11_running_distinct: running distinct cardinality equals the
   Python prefix-set size at every row of a hand-built sequence.
 """
@@ -62,29 +65,47 @@ def test_fuzzy_blocked_join_model_check(spark):
 
     rows = [
         (1, "linen azure tomato navajo ghost", "B1", 5),
-        (2, "linen azure tomato navajo frost", "B1", 5),  # dist 3 to 1
-        (3, "wheat khaki orange papaya smoke", "B1", 5),
-        (4, "linen azure tomato navajo ghost", "B2", 5),  # other block
-        (5, "solo in its block", "B3", 9),
+        (2, "linen azure tomato navajo frost", "B1", 5),   # 2 subs to 1
+        (3, "wheat khaki orange papaya smoke", "B1", 5),   # out of radius
+        (4, "linen azure tomato navajo ghost", "B2", 5),   # other block
+        (5, "solo in its block", "B3", 9),                 # singleton
+        (6, "linen azure tomato navajo ghos", "B1", 5),    # del: dist 1 to 1
+        (7, "xlinen azure tomato navajo ghost", "B1", 5),  # front ins:
+        #   shifts every PassJoin segment — exercises the ±2 probe shift
+        (8, "abcd", "B4", 1),                              # 1-char
+        (9, "abce", "B4", 1),                              # segments
+        (10, "abcdefgh", "B5", 1),                         # len 8 vs
+        (11, "abcdefghi", "B5", 1),  # len 9 — Δlen segment alignment
+        (12, "ab", "B6", 1),         # len < 3: whole-block fallback
+        (13, "ba", "B6", 1),         # dist 2 to 12, found via fallback
     ]
     df = spark.createDataFrame(
         rows, ["p_partkey", "p_name", "p_brand", "p_size"])
     with tempfile.TemporaryDirectory() as tmp:
         df.write.parquet(os.path.join(tmp, "part.parquet"))
-        got = {r.part_a: r for r in
+        got = {r.part_a: (r.part_b, r.edit_dist) for r in
                ext_fuzzy_blocked_join(spark, tmp).collect()}
-    # singleton blocks produce no match row; cross-block identical
-    # names (1 vs 4) never pair
-    assert set(got) == {1, 2, 3}
-    assert got[1].part_b == 2 and got[2].part_b == 1
-    by_key = {r[0]: r[1] for r in rows}
-    for a, r in got.items():
-        assert r.edit_dist == _lev(by_key[a], by_key[r.part_b])
-    # key tiebreak: 3's nearest in-block names are equidistant-ish;
-    # recompute the true best independently
-    cands = {(k, _lev(by_key[3], by_key[k])) for k in (1, 2)}
-    best = min(cands, key=lambda kd: (kd[1], kd[0]))
-    assert (got[3].part_b, got[3].edit_dist) == best
+    # independent brute-force model of the full declared contract:
+    # same (brand, size), |Δlen| <= 1, edit <= 2, best by (dist, key)
+    expect = {}
+    for a, an, ab, asz in rows:
+        cands = [(_lev(an, bn), b) for b, bn, bb, bsz in rows
+                 if (bb, bsz) == (ab, asz) and b != a
+                 and abs(len(an) - len(bn)) <= 1]
+        cands = [(d, b) for d, b in cands if d <= 2]
+        if cands:
+            d, b = min(cands)
+            expect[a] = (b, d)
+    assert got == expect
+    # the model itself behaves as designed: radius drops 3, the
+    # deletion wins 1's tiebreak (6 and 7 both at dist 1 → lower
+    # key), 1-char segments still pair 8↔9, cross-length segment
+    # alignment pairs 10↔11, and the sub-3-char fallback pairs 12↔13
+    assert 3 not in got and 4 not in got and 5 not in got
+    assert got[1] == (6, 1) and got[6] == (1, 1) and got[7] == (1, 1)
+    assert got[8] == (9, 1) and got[9] == (8, 1)
+    assert got[10] == (11, 1) and got[11] == (10, 1)
+    assert got[12] == (13, 2) and got[13] == (12, 2)
 
 
 def test_running_distinct_matches_prefix_sets(spark, sf_dir):

@@ -7,8 +7,11 @@
   either engine (representation-sensitivity: trailing-zero scale
   survives canon().normalize() locally but not the driver's pandas
   canon).
-- ext_fuzzy_blocked_join block key gains a length band; max block
-  size is audited here so the Σblock² candidate cost stays bounded.
+- ext_fuzzy_blocked_join (re-encoded r13 to radius-bounded PassJoin
+  after the sf0.5 scale check caught the block join's Σblock² ∝ n²):
+  output equals the brute-force band join at sf0.01, the executed
+  plan joins on segment content, and the candidate volume is audited
+  against the band-pair count the old encoding scored.
 - e9_peak_concurrency sweep distributes on (day, hour) with carried
   prefix offsets instead of a single per-day sort partition.
 """
@@ -259,13 +262,15 @@ def test_quota_admission_stream_matches_batch(spark, tmp_path):
 # ------------------------------------------- fuzzy-join block audit
 
 
-def test_fuzzy_blocked_join_blocks_are_banded(spark, sf_dir):
-    """r9: the ER fuzzy join must block on the COMPOSED key
-    (brand, size, length band), never bare (brand, size). Three
-    pins: (a) the physical join keys include the band, (b) the
-    composed key fragments blocks (more blocks, smaller max block,
-    smaller Σblock² = the actual candidate cost), and (c) the worst
-    composed block stays under a declared bound at this sf."""
+def test_fuzzy_blocked_join_passjoin_complete_and_filtering(spark):
+    """r13 re-encode pins (the sf0.1→sf0.5 scale check caught the
+    original composed-block join growing its candidate set ∝ n² —
+    SCALE.md): (a) COMPLETENESS — on real sf0.01 data the PassJoin
+    output equals the brute-force band join's radius-2 best rows
+    exactly; (b) the physical join is keyed on CONTENT (the segment
+    columns appear in the executed plan's join keys); (c) the
+    segment filter actually FILTERS — distinct candidate pairs stay
+    well under the band-pair volume the old encoding examined."""
     from pyspark.sql import functions as F
 
     from sql_etl_data_warehouse_inside_airbnb_spark.plans.full_registry import (
@@ -274,40 +279,46 @@ def test_fuzzy_blocked_join_blocks_are_banded(spark, sf_dir):
     from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
         read_table,
     )
+    from pyspark.sql import Window
 
-    df = REGISTRY["ext_fuzzy_blocked_join"].build(spark, sf_dir)
+    sf01 = "/root/testdata/sf0.01"  # sf0.001 has no in-radius pair
+    df = REGISTRY["ext_fuzzy_blocked_join"].build(spark, sf01)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "__arm" in plan and "__len" in plan, plan[:2000]
+    assert "pseg" in plan and "slot" in plan, plan[:2000]
 
-    p = (read_table(spark, sf_dir, "part")
+    p = (read_table(spark, sf01, "part")
+         .select("p_partkey", "p_name", "p_brand", "p_size")
          .withColumn("__len", F.length("p_name")))
-    bare = p.groupBy("p_brand", "p_size").count()
-    comp = p.groupBy("p_brand", "p_size", "__len").count()
-    n_bare, n_comp = bare.count(), comp.count()
-    mx_bare = bare.agg(F.max("count")).first()[0]
-    mx_comp = comp.agg(F.max("count")).first()[0]
-    assert n_comp > n_bare, (n_comp, n_bare)
-    assert mx_comp < mx_bare, (mx_comp, mx_bare)
-    # true candidate cost: ordered pairs the join actually produces
-    # (same brand+size, distinct keys, |Δlen| <= 1) vs the bare
-    # block's c*(c-1)
-    cand_bare = bare.agg(
-        F.sum(F.col("count") * (F.col("count") - 1))).first()[0]
-    lite = p.select("p_partkey", "p_brand", "p_size", "__len")
-    cand_band = (lite.alias("a")
-                 .join(lite.alias("b"),
-                       (F.col("a.p_brand") == F.col("b.p_brand"))
-                       & (F.col("a.p_size") == F.col("b.p_size"))
-                       & (F.col("a.p_partkey") != F.col("b.p_partkey"))
-                       & (F.abs(F.col("a.__len") - F.col("b.__len"))
-                          <= 1))
-                 .count())
-    assert cand_band < cand_bare, (cand_band, cand_bare)
-    # declared per-sf bound: sf0.001 max 2, sf0.01 max 4, sf0.1
-    # max 13 measured — pin ~2x headroom
-    n = p.count()
-    bound = 8 if n <= 2000 else 26
-    assert mx_comp <= bound, (mx_comp, bound)
+    band = (p.alias("a")
+            .join(p.alias("b"),
+                  (F.col("a.p_brand") == F.col("b.p_brand"))
+                  & (F.col("a.p_size") == F.col("b.p_size"))
+                  & (F.col("a.p_partkey") != F.col("b.p_partkey"))
+                  & (F.abs(F.col("a.__len") - F.col("b.__len")) <= 1))
+            .select(F.col("a.p_partkey").alias("part_a"),
+                    F.col("b.p_partkey").alias("part_b"),
+                    F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+                    .cast("long").alias("edit_dist")))
+    n_band = band.count()
+    w = Window.partitionBy("part_a").orderBy("edit_dist", "part_b")
+    brute = (band.filter(F.col("edit_dist") <= 2)
+             .withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") == 1).drop("__rn"))
+    got = {(r.part_a, r.part_b, r.edit_dist) for r in df.collect()}
+    exp = {(r.part_a, r.part_b, r.edit_dist) for r in brute.collect()}
+    assert got == exp and len(got) > 50, (len(got), len(exp))
+    # (c) the content key prunes: candidate DISTINCT pairs (before
+    # the DP/radius filter) < the n_band pairs the old block join
+    # scored, measured 924 vs 2014 at sf0.01 (the constant factor is
+    # modest on TPC-H's 92-color vocabulary — the structural win is
+    # the GROWTH LAW, pinned empirically in SCALE.md: band pairs
+    # grow ∝ n², segment candidates ∝ n on content-decorrelated
+    # shards). Pin the fixed-data fact with margin.
+    from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry_r8 import (
+        _fuzzy_candidate_pairs,
+    )
+    n_seg = _fuzzy_candidate_pairs(spark, sf01).count()
+    assert n_seg < n_band * 0.6, (n_seg, n_band)
 
 
 # --------------------------------------- distributed sweep (e9 r9)

@@ -22,6 +22,13 @@ quadratically by duplication:
 - embeddings.embedding: shard i rotates the vector by i positions —
   within-shard geometry (all pairwise distances) is preserved,
   cross-shard cosines decorrelate;
+- part.p_name: per-shard rot-N substitution cipher (r13 — p_name
+  became a similarity column when ext_fuzzy_blocked_join was
+  re-encoded to edit-distance matching; without decorrelation,
+  TPC-H's fixed 92-color vocabulary makes cross-shard segment keys
+  collide and the measured candidate growth is the replication's,
+  not the operator's). A cipher, not a token suffix: it preserves
+  lengths and all within-shard edit distances exactly;
 - nation/region: fixed dimensions, copied once (as at every TPC-H
   scale factor).
 
@@ -98,6 +105,27 @@ def main() -> None:
                     exprs.append(
                         r"CAST(length(regexp_replace(text, '(\S+)', "
                         rf"'\1_c{i}', 'g')) AS BIGINT) AS n_chars")
+                elif tbl == "part" and c == "p_name" and i > 0:
+                    # p_name is a similarity column since the r13
+                    # ext_fuzzy_blocked_join re-encode (edit-distance
+                    # matching). Decorrelate with a per-shard rot-N
+                    # substitution cipher: injective char maps
+                    # preserve string lengths and every within-shard
+                    # edit distance EXACTLY (shard i is isomorphic to
+                    # shard 0), while any cross-shard segment
+                    # containing a letter can never collide — so the
+                    # fuzzy join's true matches and candidate volume
+                    # scale linearly by construction and the
+                    # measurement is the operator's growth, not the
+                    # vocabulary replication's. (A token-suffix like
+                    # documents.text inflates within-shard segment
+                    # collisions ~2.6x — every token shares the
+                    # suffix — so lengths/distances would drift.)
+                    az = "abcdefghijklmnopqrstuvwxyz"
+                    rot = az[5 * i % 26:] + az[:5 * i % 26]
+                    exprs.append(
+                        f"translate(p_name, '{az}', '{rot}') "
+                        f"AS p_name")
                 elif tbl == "embeddings" and c == "embedding" and i > 0:
                     # rotate by i: list_concat(tail, head) keeps the
                     # FLOAT[] element type and within-shard geometry
