@@ -85,6 +85,20 @@ def finite_sql(col: str) -> str:
     return f"{col} BETWEEN -{DBL_MAX_SQL} AND {DBL_MAX_SQL}"
 
 
+def finite_case(col: str) -> str:
+    """SQL: the column's value where finite, else NULL — the shared
+    NULLs-out wrapper of the quantile/median family (r13 review: it
+    was hand-repeated ~9x across five entries; one body so the Spark
+    and oracle sides of an entry cannot drift, same rationale as
+    DBL_MAX)."""
+    return f"CASE WHEN {finite_sql(col)} THEN {col} END"
+
+
+def finite_col(col: str):
+    """Spark Column twin of finite_case."""
+    return F.when(F.expr(finite_sql(col)), F.col(col))
+
+
 def exact_sum(col: str, digits: int):
     """Order-independent SUM over a double column: sum exactly in
     decimal, cast back to double, round. FP addition is not

@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
-    finite_sql,
+    finite_case,
+    finite_col,
     register,
     t,
 )
@@ -180,8 +181,8 @@ def a31_mode_argmax(spark, sf_dir):
 @register(
     "a32_median",
     f"""SELECT l_returnflag,
-              median(CAST(CASE WHEN {finite_sql('l_quantity')}
-                          THEN l_quantity END AS DOUBLE)) AS median_qty,
+              median(CAST({finite_case('l_quantity')}
+                          AS DOUBLE)) AS median_qty,
               CAST(COUNT(*) AS BIGINT) AS n
        FROM lineitem GROUP BY l_returnflag""",
     survey="§2.4 ext (exact median)",
@@ -200,7 +201,7 @@ def a31_mode_argmax(spark, sf_dir):
          "approx_percentile sketch — this entry is the correctness "
          "anchor the sketch's error bound is measured against")
 def a32_median(spark, sf_dir):
-    qty = F.when(F.expr(finite_sql("l_quantity")), F.col("l_quantity"))
+    qty = finite_col("l_quantity")
     return (t(spark, sf_dir, "lineitem")
             .groupBy("l_returnflag")
             .agg(F.median(qty).alias("median_qty"),

@@ -21,7 +21,7 @@ from sql_etl_data_warehouse_inside_airbnb_spark.functions.cleaning import (
 )
 from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
     exact_sum,
-    finite_sql,
+    finite_case,
     register,
     t,
 )
@@ -356,8 +356,8 @@ def ext_bpe_token_count(spark, sf_dir):
 @register(
     "ext_grouped_median",
     f"""SELECT c_mktsegment,
-              quantile_cont(CASE WHEN {finite_sql('c_acctbal')}
-                            THEN c_acctbal END, 0.5) AS median_acctbal,
+              quantile_cont({finite_case('c_acctbal')}, 0.5)
+                  AS median_acctbal,
               CAST(COUNT(*) AS BIGINT) AS n
        FROM customer GROUP BY c_mktsegment""",
     survey="§2.10 UDF surface (applyInPandas grouped-map)",

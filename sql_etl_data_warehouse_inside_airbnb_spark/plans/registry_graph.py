@@ -22,7 +22,8 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
-    finite_sql,
+    finite_case,
+    finite_col,
     register,
     t,
 )
@@ -134,8 +135,8 @@ def g2_dedup_clusters(spark, sf_dir):
 @register(
     "x2_outlier_mad",
     f"""WITH c AS (SELECT c_mktsegment,
-                         CAST(CASE WHEN {finite_sql('c_acctbal')}
-                              THEN c_acctbal END AS DOUBLE) AS bal
+                         CAST({finite_case('c_acctbal')}
+                              AS DOUBLE) AS bal
                   FROM customer),
        med AS (SELECT c_mktsegment, median(bal) AS med
                FROM c GROUP BY 1),
@@ -169,8 +170,7 @@ def g2_dedup_clusters(spark, sf_dir):
 def x2_outlier_mad(spark, sf_dir):
     c = t(spark, sf_dir, "customer").select(
         "c_mktsegment",
-        F.when(F.expr(finite_sql("c_acctbal")),
-               F.col("c_acctbal").cast("double")).alias("bal"))
+        finite_col("c_acctbal").cast("double").alias("bal"))
     med = c.groupBy("c_mktsegment").agg(F.median("bal").alias("med"))
     dev = (c.join(F.broadcast(med), "c_mktsegment")
            .select("c_mktsegment",

@@ -32,7 +32,7 @@ from sql_etl_data_warehouse_inside_airbnb_spark.operators.dedup import (
     winnow_fingerprints,
 )
 from sql_etl_data_warehouse_inside_airbnb_spark.plans.registry import (
-    finite_sql,
+    finite_case,
     register,
     t,
 )
@@ -339,12 +339,12 @@ def ext_dedup_winnow_pairs(spark, sf_dir):
 @register(
     "a22_percentile_disc",
     f"""SELECT o_orderstatus,
-              quantile_disc(CASE WHEN {finite_sql('o_totalprice')}
-                            THEN o_totalprice END, 0.25) AS p25,
-              quantile_disc(CASE WHEN {finite_sql('o_totalprice')}
-                            THEN o_totalprice END, 0.50) AS p50,
-              quantile_disc(CASE WHEN {finite_sql('o_totalprice')}
-                            THEN o_totalprice END, 0.75) AS p75
+              quantile_disc({finite_case('o_totalprice')}, 0.25)
+                  AS p25,
+              quantile_disc({finite_case('o_totalprice')}, 0.50)
+                  AS p50,
+              quantile_disc({finite_case('o_totalprice')}, 0.75)
+                  AS p75
        FROM orders GROUP BY o_orderstatus""",
     survey="§2.4 ext (ordered-set aggregate)",
     note="discrete percentiles (WITHIN GROUP ordered-set syntax, the "
@@ -357,8 +357,7 @@ def ext_dedup_winnow_pairs(spark, sf_dir):
          "finite values by contract, identity on finite data)")
 def a22_percentile_disc(spark, sf_dir):
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders_a22")
-    fin = (f"CASE WHEN {finite_sql('o_totalprice')} "
-           f"THEN o_totalprice END")
+    fin = finite_case("o_totalprice")
     return spark.sql(
         f"""SELECT o_orderstatus,
                   percentile_disc(0.25) WITHIN GROUP
@@ -466,8 +465,8 @@ def a23_collect_sorted(spark, sf_dir):
                     approx_quantile(CAST(fin AS DOUBLE), 0.50) AS a50,
                     approx_quantile(CAST(fin AS DOUBLE), 0.75) AS a75
              FROM (SELECT o_orderstatus,
-                          CASE WHEN {finite_sql('o_totalprice')}
-                          THEN o_totalprice END AS fin FROM orders)
+                          {finite_case('o_totalprice')} AS fin
+                   FROM orders)
              GROUP BY o_orderstatus) s""",
     survey="§7.5 scale path for a22 (quantile sketch)",
     note="approx_percentile (Greenwald-Khanna sketch, accuracy 10000) "
@@ -511,8 +510,7 @@ def a24_approx_percentile(spark, sf_dir):
                         CAST(approx_percentile(fin, 0.75, 10000)
                              AS DOUBLE) AS a75
                  FROM (SELECT o_orderstatus,
-                              CASE WHEN {finite_sql('o_totalprice')}
-                              THEN o_totalprice END AS fin
+                              {finite_case('o_totalprice')} AS fin
                        FROM orders_a24)
                  GROUP BY o_orderstatus) s""")
 

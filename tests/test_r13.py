@@ -36,10 +36,10 @@ def test_explode_outer_survives_long_words(spark):
     df = spark.createDataFrame(
         rows, "doc_id bigint, text string, lang string, "
               "source string, n_chars bigint")
-    tmp = tempfile.mkdtemp(prefix="r13_f31_")
-    df.write.mode("overwrite").parquet(os.path.join(tmp,
-                                                    "documents.parquet"))
-    out = REGISTRY["f31_explode_outer"].build(spark, tmp).collect()
+    with tempfile.TemporaryDirectory(prefix="r13_f31_") as tmp:
+        df.write.mode("overwrite").parquet(
+            os.path.join(tmp, "documents.parquet"))
+        out = REGISTRY["f31_explode_outer"].build(spark, tmp).collect()
     got = {(r.doc_id, r.token) for r in out}
     # the 11+-letter words extract as FULL matches (group 0)...
     assert (7, "extraordinarily") in got, got
@@ -77,19 +77,19 @@ def test_quantile_entries_treat_nonfinite_as_null(
     src = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     poisoned = _poison(src, key, col)
     cleaned = _nullify_nonfinite(poisoned, col)
-    t_poison = tempfile.mkdtemp(prefix="r13_qp_")
-    t_clean = tempfile.mkdtemp(prefix="r13_qc_")
-    poisoned.write.mode("overwrite").parquet(
-        os.path.join(t_poison, f"{table}.parquet"))
-    cleaned.write.mode("overwrite").parquet(
-        os.path.join(t_clean, f"{table}.parquet"))
-    for name in entries:
-        a = sorted(map(tuple,
-                       REGISTRY[name].build(spark, t_poison).collect()))
-        b = sorted(map(tuple,
-                       REGISTRY[name].build(spark, t_clean).collect()))
-        assert a == b, (name, a[:3], b[:3])
-        assert a, name  # non-vacuous: groups survived the poisoning
+    with tempfile.TemporaryDirectory(prefix="r13_qp_") as t_poison, \
+            tempfile.TemporaryDirectory(prefix="r13_qc_") as t_clean:
+        poisoned.write.mode("overwrite").parquet(
+            os.path.join(t_poison, f"{table}.parquet"))
+        cleaned.write.mode("overwrite").parquet(
+            os.path.join(t_clean, f"{table}.parquet"))
+        for name in entries:
+            a = sorted(map(
+                tuple, REGISTRY[name].build(spark, t_poison).collect()))
+            b = sorted(map(
+                tuple, REGISTRY[name].build(spark, t_clean).collect()))
+            assert a == b, (name, a[:3], b[:3])
+            assert a, name  # non-vacuous: groups survived poisoning
 
 
 def test_grouped_median_all_nonfinite_group_emits_null(spark):
@@ -102,11 +102,11 @@ def test_grouped_median_all_nonfinite_group_emits_null(spark):
         [(seg, k, v, "n", 0.0) for seg, k, v in rows],
         "c_mktsegment string, c_custkey bigint, c_acctbal double, "
         "c_name string, c_x double").drop("c_x")
-    tmp = tempfile.mkdtemp(prefix="r13_gm_")
-    df.write.mode("overwrite").parquet(os.path.join(tmp,
-                                                    "customer.parquet"))
-    out = {r.c_mktsegment: (r.median_acctbal, r.n)
-           for r in REGISTRY["ext_grouped_median"].build(spark,
-                                                         tmp).collect()}
+    with tempfile.TemporaryDirectory(prefix="r13_gm_") as tmp:
+        df.write.mode("overwrite").parquet(
+            os.path.join(tmp, "customer.parquet"))
+        out = {r.c_mktsegment: (r.median_acctbal, r.n)
+               for r in REGISTRY["ext_grouped_median"]
+               .build(spark, tmp).collect()}
     assert out["allnan"] == (None, 4), out
     assert out["normal"] == (4.0, 9), out

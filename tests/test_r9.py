@@ -281,7 +281,13 @@ def test_fuzzy_blocked_join_passjoin_complete_and_filtering(spark):
     )
     from pyspark.sql import Window
 
-    sf01 = "/root/testdata/sf0.01"  # sf0.001 has no in-radius pair
+    # sf0.001 has no in-radius pair; derive the sf0.01 sibling from
+    # the configured testdata root so SPARK_GRAFT_TEST_SF_DIR moves
+    # this test along with the rest of the suite (same env var
+    # conftest.SF_DIR reads; tests/ is not a package, so no import)
+    base = os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
+                          "/root/testdata/sf0.001")
+    sf01 = os.path.join(os.path.dirname(base.rstrip("/")), "sf0.01")
     df = REGISTRY["ext_fuzzy_blocked_join"].build(spark, sf01)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "pseg" in plan and "slot" in plan, plan[:2000]

@@ -112,15 +112,18 @@ def main() -> None:
                     # substitution cipher: injective char maps
                     # preserve string lengths and every within-shard
                     # edit distance EXACTLY (shard i is isomorphic to
-                    # shard 0), while any cross-shard segment
-                    # containing a letter can never collide — so the
-                    # fuzzy join's true matches and candidate volume
-                    # scale linearly by construction and the
-                    # measurement is the operator's growth, not the
-                    # vocabulary replication's. (A token-suffix like
-                    # documents.text inflates within-shard segment
-                    # collisions ~2.6x — every token shares the
-                    # suffix — so lengths/distances would drift.)
+                    # shard 0), so the fuzzy join's within-shard
+                    # candidates and true matches replicate per shard
+                    # (measured exactly 5x at K=5). Cross-shard
+                    # segments CAN still collide where one substring
+                    # happens to be the rot-(5(i-j)) image of another
+                    # — measured 8.8% of candidates at K=5, every one
+                    # rejected by the radius DP (true output exactly
+                    # 5x) — so the linearity is measured, not
+                    # guaranteed. (A token-suffix like documents.text
+                    # would be worse: every token shares the suffix,
+                    # inflating within-shard segment collisions ~2.6x
+                    # and drifting lengths/distances.)
                     az = "abcdefghijklmnopqrstuvwxyz"
                     rot = az[5 * i % 26:] + az[:5 * i % 26]
                     exprs.append(

@@ -16,9 +16,11 @@ Usage: python tools/scale_exponents.py SMALL_OUT BIG_OUT ratio
 from __future__ import annotations
 
 import math
+import os
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 from tools.bench_compare import timings
 
