@@ -533,21 +533,53 @@ def score_quality_classifier(model, df: DataFrame, key_col: str,
                     .alias("prediction")))
 
 
+def _gram_list(n: int):
+    """The DISTINCT word n-gram array over a bound ``__toks`` column —
+    the shared expression under :func:`doc_ngrams` and
+    :func:`doc_gram_counts`. Deliberately an EXPRESSION, not a
+    projected column: materializing it as its own Project and
+    exploding the resulting attribute lets InferFiltersFromGenerate
+    push an inferred ``size(grams) > 0 AND isnotnull(grams)`` filter
+    below the Project, where alias substitution re-evaluates the whole
+    tokenize+gram build per row a second time (measured 6x slower in
+    r13); explode-over-the-inline-expression leaves no attribute to
+    infer on."""
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size("__toks") - n),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, n))))
+
+
+def _bound_toks(df: DataFrame, key_col: str, text_col: str,
+                n: int) -> DataFrame:
+    """(key, __toks) for docs with at least ``n`` tokens. Token array
+    bound once (the shingles lesson); engine-portable whitespace class
+    via search.tokens."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.operators.search import (
+        tokens,
+    )
+    return (df.select(F.col(key_col), tokens(text_col).alias("__toks"))
+            .filter(F.size("__toks") >= n))
+
+
 def doc_ngrams(df: DataFrame, key_col: str, text_col: str,
                n: int = 3) -> DataFrame:
     """(key, gram): each document's DISTINCT word n-grams, one row per
     gram — the shared input relation of the novelty scorer and its
-    incremental ingest twin. Token array bound once (the shingles
-    lesson); engine-portable whitespace class via search.tokens."""
-    from sql_etl_data_warehouse_inside_airbnb_spark.operators.search import (
-        tokens,
-    )
-    bound = df.select(F.col(key_col), tokens(text_col).alias("__toks"))
-    gram_list = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.size("__toks") - n),
-        lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, n))))
-    return (bound.filter(F.size("__toks") >= n)
-            .select(key_col, F.explode(gram_list).alias("gram")))
+    incremental ingest twin."""
+    return (_bound_toks(df, key_col, text_col, n)
+            .select(key_col, F.explode(_gram_list(n)).alias("gram")))
+
+
+def doc_gram_counts(df: DataFrame, key_col: str, text_col: str,
+                    n: int = 3) -> DataFrame:
+    """(key, n_grams): per-document DISTINCT n-gram count, computed
+    map-side as the SIZE of the gram array — zero shuffles, where
+    ``doc_ngrams(...).groupBy(key).count()`` would explode every gram
+    only to count it back through an exchange (r13: the novelty
+    scorers' n_grams column is exactly this count)."""
+    return (_bound_toks(df, key_col, text_col, n)
+            .select(key_col, F.size(_gram_list(n)).cast("bigint")
+                    .alias("n_grams")))
 
 
 def novelty_index(df: DataFrame, key_col: str = "doc_id",
@@ -602,21 +634,29 @@ def novelty_ingest(batch: DataFrame, index: DataFrame,
                 "attribution is only correct when batches arrive in "
                 "key order (replay == full scorer); re-batch, or pass "
                 "check_order=False to accept the misattribution.")
+    # r13 restructure (guide §2.4 "remove shuffles outright"): the old
+    # plan joined the FULL batch-gram relation back to (batch_first,
+    # index) to count per doc — re-shuffling every gram row twice. But
+    # both outputs are derivable without that join: n_grams is the
+    # map-side SIZE of the doc's distinct-gram array (doc_gram_counts,
+    # zero shuffles), and each gram contributes at most one novel unit,
+    # attributed to its __batch_first doc — so n_novel is a groupBy
+    # over the (already gram-partitioned) batch_first relation after
+    # the index anti-join, ≤ one row per batch doc. Shuffled bytes
+    # drop from 2×|batch grams| to |batch grams| + |batch docs|.
     g = doc_ngrams(batch, key_col, text_col, n)
     batch_first = (g.groupBy("gram")
                    .agg(F.min(key_col).alias("__batch_first")))
-    probed = (g.join(batch_first, "gram")
-              .join(index.select("gram",
-                                 F.lit(True).alias("__indexed")),
-                    "gram", "left"))
-    is_novel = (F.col("__indexed").isNull()
-                & (F.col("__batch_first") == F.col(key_col)))
-    scores = (probed.groupBy(key_col)
-              .agg(F.count("*").alias("n_grams"),
-                   F.sum(is_novel.cast("bigint")).cast("bigint")
-                   .alias("n_novel")))
-    delta = (batch_first.join(index.select("gram"), "gram", "left_anti")
-             .select("gram", F.col("__batch_first").alias("first_key")))
+    fresh = batch_first.join(index.select("gram"), "gram", "left_anti")
+    novel = (fresh.groupBy("__batch_first")
+             .agg(F.count("*").alias("__n_novel")))
+    per_doc = doc_gram_counts(batch, key_col, text_col, n)
+    scores = (per_doc.join(
+        novel, per_doc[key_col] == novel["__batch_first"], "left")
+        .select(key_col, F.col("n_grams"),
+                F.coalesce("__n_novel", F.lit(0)).cast("bigint")
+                .alias("n_novel")))
+    delta = fresh.select("gram", F.col("__batch_first").alias("first_key"))
     return scores, delta
 
 

@@ -813,17 +813,31 @@ def ext_ngram_novelty(spark, sf_dir):
     # doc_ngrams binds the token array ONCE (the shingles lesson in
     # SCALE.md) and stays in the column API — routing the whitespace
     # class through an F.expr SQL literal adds a second escaping
-    # layer that silently mangles \x0b into [x0b]
+    # layer that silently mangles \x0b into [x0b].
+    # r13 (guide §2.4): the old plan joined the full gram relation back
+    # to firsts and re-aggregated every gram row by doc — but n_grams
+    # is the map-side SIZE of the doc's distinct-gram array, and
+    # n_novel is one count over the firsts relation grouped by
+    # first_doc, so the gram relation shuffles ONCE (for firsts)
+    # instead of three times. fan_out spreads the single-row-group
+    # scan's tokenize/explode across the cores (no-op at scale).
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.curation import (
+        doc_gram_counts,
         doc_ngrams,
     )
-    grams = doc_ngrams(t(spark, sf_dir, "documents"), "doc_id", "text")
-    firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    return (grams.join(firsts, "gram")
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("n_grams"),
-                 F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
-                       .otherwise(0)).cast("bigint").alias("n_novel")))
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        fan_out,
+    )
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
+    grams = doc_ngrams(docs, "doc_id", "text")
+    per_doc = doc_gram_counts(docs, "doc_id", "text")
+    novel = (grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+             .groupBy("first_doc").agg(F.count("*").alias("__n_novel")))
+    return (per_doc.join(novel, per_doc["doc_id"] == novel["first_doc"],
+                         "left")
+            .select("doc_id", "n_grams",
+                    F.coalesce("__n_novel", F.lit(0)).cast("bigint")
+                    .alias("n_novel")))
 
 
 _QC_MODELS: dict = {}
@@ -950,7 +964,12 @@ def ext_novelty_ingest(spark, sf_dir):
         novelty_index,
         novelty_ingest,
     )
-    docs = t(spark, sf_dir, "documents")
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        fan_out,
+    )
+    # fan_out before the per-row-heavy tokenize/gram pass: the
+    # single-row-group scan is one task (no-op at scale, see io.py)
+    docs = fan_out(t(spark, sf_dir, "documents"), "doc_id")
     corpus = docs.filter(F.col("doc_id") < 400)
     batch = docs.filter(F.col("doc_id") >= 400)
     idx = novelty_index(corpus)

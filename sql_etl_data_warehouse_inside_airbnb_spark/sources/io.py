@@ -121,6 +121,28 @@ def normalize_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, *keys: str) -> DataFrame:
+    """Spread a low-parallelism scan across the session's cores before
+    per-row-heavy work (tokenize/explode/fingerprint passes).
+
+    A single-row-group parquet file is ONE unsplittable scan task
+    (row groups are the parquet split unit), so everything mapped over
+    it runs on one core no matter how many the session has — the
+    optimization guide's "input skew" case (§2.5). This helper
+    hash-repartitions on ``keys`` (deterministic under task retry —
+    round-robin repartition would also pay a local pre-sort,
+    SPARK-23207) ONLY when the plan's current parallelism is below the
+    session default. Scale-adaptive by construction: a 100 TB table
+    scans as thousands of splits, the condition is false, and the
+    shuffle never happens — this only fires where the input is too
+    small for the shuffle to matter.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *[F.col(k) for k in keys])
+
+
 def split_quarantine(df: DataFrame, key: str,
                      target_type: str = "bigint") -> tuple[DataFrame, DataFrame]:
     """Declarative reject-row capture (S8): returns ``(good, quarantine)``
