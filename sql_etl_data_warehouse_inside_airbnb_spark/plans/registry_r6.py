@@ -234,25 +234,48 @@ def x13_benford_first_digit(spark, sf_dir):
          "across corpus shards. m1 answers 'which sets are frequent'; "
          "PMI answers 'which pairs co-occur MORE than their "
          "popularity predicts' — the co-view/co-purchase/embedding-"
-         "context statistic. Plan: baskets self-join ON the basket "
-         "key (cost bounded by basket-size squared per order, never "
-         "corpus-pairs), marginals broadcast back by item key, and "
-         "the 1-row N joins as the allowlisted broadcast-global "
+         "context statistic. Plan (r13): lineitem groups ONCE by the "
+         "basket key into a sorted distinct item array; pairs explode "
+         "the per-basket combination list (bounded by basket-size "
+         "squared per order, never corpus-pairs, partial-agged to "
+         "<=k^2/2 groups map-side), marginals explode the same arrays "
+         "(partial-agged to <=k groups), and the pairs/marginals "
+         "branches share one planned basket exchange (ReuseExchange — "
+         "their subtrees are kept IDENTICAL, see the explode guard "
+         "note). The old shape self-joined a distinct basket relation "
+         "built independently 4x: 4 lineitem scans and two extra "
+         "orderkey shuffles of it, all removed. 1-row N and the "
+         "100-row marginals join as the allowlisted broadcast-global "
          "pattern (x7/bm25/a35/x12)")
 def ext_cooccurrence_pmi(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
-    b = (li.select("l_orderkey",
-                   (F.col("l_partkey") % 100).alias("item"))
-         .distinct())
-    n = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    a, c = b.alias("a"), b.alias("c")
-    pairs = (a.join(c, (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-                    & (F.col("a.item") < F.col("c.item")))
-             .groupBy(F.col("a.item").alias("item_a"),
-                      F.col("c.item").alias("item_b"))
+    baskets = (li.select("l_orderkey",
+                         (F.col("l_partkey") % 100).alias("item"))
+               .groupBy("l_orderkey")
+               .agg(F.sort_array(F.collect_set("item")).alias("items")))
+    # count("l_orderkey") == COUNT(DISTINCT l_orderkey): one basket
+    # row per key, count() skips the NULL group like DISTINCT does.
+    n = baskets.agg(F.count("l_orderkey").alias("n_orders"))
+    pair_list = F.flatten(F.transform(
+        "items",
+        lambda x, i: F.transform(
+            F.slice(F.col("items"), i + 2,
+                    F.greatest(F.size("items") - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("item_a"), y.alias("item_b")))))
+    # NULL-basket guard INSIDE the explode expression (explode(NULL)
+    # emits no rows, matching the oracle's NULL-never-joins pair
+    # semantics) — a Filter here would be pushed to the scan and break
+    # subtree identity with the marginals branch, losing ReuseExchange.
+    pairs = (baskets
+             .select(F.explode(
+                 F.when(F.col("l_orderkey").isNotNull(), pair_list))
+                 .alias("p"))
+             .groupBy(F.col("p.item_a").alias("item_a"),
+                      F.col("p.item_b").alias("item_b"))
              .agg(F.count("*").alias("n_ab"))
              .filter(F.col("n_ab") >= 20))
-    m = b.groupBy("item").agg(F.count("*").alias("n_i"))
+    m = (baskets.select(F.explode("items").alias("item"))
+         .groupBy("item").agg(F.count("*").alias("n_i")))
     ma = m.select(F.col("item").alias("item_a"),
                   F.col("n_i").alias("n_a"))
     mb = m.select(F.col("item").alias("item_b"),
