@@ -145,7 +145,16 @@ def ext_kfold_assign(spark, sf_dir):
          "data), never block-pairs; no global sort",
     tags=("llm-pipeline",))
 def ext_fuzzy_blocked_join(spark, sf_dir):
-    cand = (_fuzzy_candidate_pairs(spark, sf_dir)
+    # r13 (guide §2.4/§2.5): dedup=False — duplicate candidate rows
+    # (a pair sharing several intact segments) cannot change the rn=1
+    # winner (the duplicate rows are IDENTICAL after the edit_dist
+    # projection), so the candidate .distinct() exchange bought
+    # nothing but fewer Levenshtein DPs (98.5k -> 64k rows at sf0.1,
+    # measured) at the price of shuffling every candidate WITH both
+    # name payloads. Without it the leven + radius filter run
+    # MAP-SIDE right after the broadcast join, and the only exchange
+    # left is the tiny post-radius window shuffle.
+    cand = (_fuzzy_candidate_pairs(spark, sf_dir, dedup=False)
             .select(F.col("a_key").alias("part_a"),
                     F.col("b_key").alias("part_b"),
                     F.levenshtein("a_name", "b_name").cast("long")
@@ -156,14 +165,22 @@ def ext_fuzzy_blocked_join(spark, sf_dir):
             .filter(F.col("__rn") == 1).drop("__rn"))
 
 
-def _fuzzy_candidate_pairs(spark, sf_dir):
+def _fuzzy_candidate_pairs(spark, sf_dir, dedup=True):
     """PassJoin segment-keyed candidate generation for
-    ext_fuzzy_blocked_join: DISTINCT (a_key, a_name, b_key, b_name)
-    pairs sharing a (brand, size, partner-len, slot, segment) key —
+    ext_fuzzy_blocked_join: (a_key, a_name, b_key, b_name) pairs
+    sharing a (brand, size, partner-len, slot, segment) key —
     a complete filter for (|Δlen| <= 1, edit <= 2) by pigeonhole.
-    Factored out so tests/test_r9.py can audit the candidate volume
-    against the band-pair count the old block join scored."""
-    p = (t(spark, sf_dir, "part")
+    ``dedup=True`` (the tests/test_r9.py audit contract) returns
+    DISTINCT pairs; the query path passes ``dedup=False`` because the
+    downstream rn=1 winner is duplicate-invariant (see the entry).
+    The part scan is fanned out before the segment explode: the sf
+    files are single-row-group (one scan task), and the explode +
+    join + Levenshtein otherwise run on one core (guide §2.5 input
+    skew; no-op at scale by construction)."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        fan_out,
+    )
+    p = (fan_out(t(spark, sf_dir, "part"), "p_partkey")
          .select("p_partkey", "p_name", "p_brand", "p_size")
          .withColumn("__len", F.length("p_name")))
     # index side: the 3 contiguous segments of every name (slot 2
@@ -229,9 +246,8 @@ def _fuzzy_candidate_pairs(spark, sf_dir):
                 & (F.col("pslot") == F.col("slot"))
                 & (F.col("pseg") == F.col("seg"))
                 & (F.col("a_key") != F.col("b_key")))
-            .select("a_key", "a_name", "b_key", "b_name")
-            .distinct())
-    return cand
+            .select("a_key", "a_name", "b_key", "b_name"))
+    return cand.distinct() if dedup else cand
 
 
 @register(
