@@ -423,21 +423,33 @@ def ppjoin_prefix_pairs(df: DataFrame, key_col: str, text_col: str,
     fan-out tracks shingle rarity (rare shingles -> tiny posting
     lists), one exact re-check join. At 100 TB the DF table is the
     same artifact the decontamination and dup-ngram ops build.
-    Output: (key_a, key_b, jaccard >= num/den)."""
+    Output: (key_a, key_b, jaccard >= num/den).
+
+    r13: the input fans out before shingling (single-row-group scans
+    otherwise run the whole shingle pass on one core — no-op at
+    scale), and the per-doc size joins no second scan+shingle pass of
+    the corpus: shingles are array_distinct, so |sh| == the doc's
+    flat row count, a count-over-window on the clustering the rank
+    window already established (guide §2.4: same-keyed operations
+    share one exchange)."""
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        fan_out,
+    )
+    df = fan_out(df, key_col)
     sh = (df.select(F.col(key_col), shingles(text_col, n).alias("sh"))
           .filter(F.size("sh") > 0))
     flat = sh.select(key_col, F.explode("sh").alias("g"))
     dfreq = flat.groupBy("g").agg(F.count("*").alias("__df"))
     w = Window.partitionBy(key_col).orderBy("__df", "g")
+    wn = Window.partitionBy(key_col)
     ranked = (flat.join(dfreq, "g")
-              .withColumn("__rk", F.row_number().over(w)))
-    sizes = sh.select(key_col, F.size("sh").alias("__n"))
+              .withColumn("__rk", F.row_number().over(w))
+              .withColumn("__n", F.count("*").over(wn)))
     # prefix length = n - ceil(t*n) + 1, all-integer
     plen = (F.col("__n")
             - F.floor((threshold_num * F.col("__n") + threshold_den - 1)
                       / threshold_den) + 1)
-    prefix = (ranked.join(sizes, key_col)
-              .filter(F.col("__rk") <= plen)
+    prefix = (ranked.filter(F.col("__rk") <= plen)
               .select(key_col, "g", "__rk", "__n"))
     a, b = prefix.alias("a"), prefix.alias("b")
     # AllPairs length filter rides the candidate join: J(X,Y) >= n/d
