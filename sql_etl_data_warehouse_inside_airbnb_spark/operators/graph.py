@@ -179,9 +179,19 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     round); convergence = L1 delta < ``tol``, one scalar aggregate
     per round. Float-iterative, so oracle checking is rows-only; the
     pytest pins a hand-solvable graph and the Σrank=1 invariant.
+
+    r13 restructure (guide §2.4): the per-round state carries the
+    STATIC out-degree, so the ranks⋈outdeg join is paid once, not
+    every round; the L1-delta probe reads the previous rank off the
+    round's own checkpointed frame instead of re-joining old and new
+    rank relations; and ``sym`` is hash-partitioned on the source key
+    once before its checkpoint, so the per-round contributions join
+    shuffles only the (small) rank state. Per-round joins 4 → 2,
+    checkpoint jobs 2 → 1, identical arithmetic.
     """
     sym = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
            .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
+           .repartition("s")  # partition the static join side ONCE
            .localCheckpoint(eager=True))  # re-joined every round
     nodes = (sym.select(F.col("s").alias("node"))
              .unionAll(sym.select(F.col("d").alias("node")))
@@ -189,47 +199,47 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    outdeg = (sym.groupBy("s").agg(F.count(F.lit(1)).alias("outd"))
-              .localCheckpoint(eager=True))  # re-joined every round
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    outdeg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("outd"))
+    state = (nodes.join(outdeg, nodes["node"] == outdeg["s"], "left")
+             .select("node", F.lit(1.0 / n).alias("rank"), "outd")
+             .localCheckpoint(eager=True))
     for _ in range(max_iterations):
-        # checkpointed once per round: both the dangling aggregate and
-        # the contributions join read it, and checkpointing keeps the
-        # ranks-outdeg join from evaluating twice
-        with_deg = (ranks.join(outdeg, ranks["node"] == outdeg["s"],
-                               "left")
-                    .select("node", "rank", "outd")
-                    .localCheckpoint(eager=True))
         # dangling nodes (no out-edges) spread their mass uniformly —
         # folded into the lineage as a 1-row broadcast (the bm25 N/
-        # avgdl pattern), NOT a driver collect per round
-        dang = (with_deg.filter(F.col("outd").isNull())
+        # avgdl pattern), NOT a driver collect per round; it reads the
+        # already-checkpointed state, so nothing recomputes
+        dang = (state.filter(F.col("outd").isNull())
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
                      .alias("__dang")))
-        contrib = (sym.join(with_deg.filter(F.col("outd").isNotNull()),
+        contrib = (sym.join(state.filter(F.col("outd").isNotNull()),
                             sym["s"] == F.col("node"))
                    .select(F.col("d").alias("node"),
                            (F.col("rank") / F.col("outd"))
                            .alias("c")))
-        new_ranks = (nodes.join(
-            contrib.groupBy("node").agg(F.sum("c").alias("cs")),
-            "node", "left")
-            .crossJoin(F.broadcast(dang))
-            .select("node",
-                    (F.lit((1.0 - damping) / n)
-                     + F.lit(damping) * F.col("__dang") / F.lit(float(n))
-                     + F.lit(damping) * F.coalesce("cs", F.lit(0.0)))
-                    .alias("rank"))
-            .localCheckpoint(eager=True))
-        # the one scalar action per round: L1 convergence probe
-        delta = (new_ranks.join(
-            ranks.select("node", F.col("rank").alias("prev")), "node")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))))
-            .collect()[0][0])
-        ranks = new_ranks
+        new_state = (state.select("node", "outd",
+                                  F.col("rank").alias("__prev"))
+                     .join(contrib.groupBy("node")
+                           .agg(F.sum("c").alias("cs")),
+                           "node", "left")
+                     .crossJoin(F.broadcast(dang))
+                     .select("node", "outd",
+                             (F.lit((1.0 - damping) / n)
+                              + F.lit(damping) * F.col("__dang")
+                              / F.lit(float(n))
+                              + F.lit(damping)
+                              * F.coalesce("cs", F.lit(0.0)))
+                             .alias("rank"),
+                             "__prev")
+                     .localCheckpoint(eager=True))
+        # the one scalar action per round: L1 convergence probe, over
+        # the checkpointed frame that already carries prev — no join
+        delta = (new_state
+                 .agg(F.sum(F.abs(F.col("rank") - F.col("__prev"))))
+                 .collect()[0][0])
+        state = new_state.drop("__prev")
         if delta is not None and delta < tol:
             break
-    return ranks
+    return state.select("node", "rank")
 
 
 def k_core(edges: DataFrame, k: int, src: str = "src",
@@ -361,24 +371,28 @@ def pagerank_fixed_point(edges: DataFrame, iterations: int = 5,
     scale (floors only ever drop units); pinned in tests.
 
     Scale shape: per round ONE shuffle on the destination key (the
-    contributions aggregate) + a broadcast-joined out-degree table;
-    the dangling mass is a bounded scalar aggregate (the g6
-    L1-delta precedent — one 1-row collect per round, zero data rows
-    driver-side). Rounds are eager-localCheckpointed (lineage
-    control, the g6 discipline). N and the teleport are plan
-    literals derived from one bounded count.
+    contributions aggregate); the dangling mass is a bounded scalar
+    aggregate (the g6 L1-delta precedent — one 1-row collect per
+    round, zero data rows driver-side). Rounds are
+    eager-localCheckpointed (lineage control, the g6 discipline). N
+    and the teleport are plan literals derived from one bounded count.
+
+    r13 restructure (guide §2.4, mirrors the float twin): the round
+    state carries the STATIC degree (nullable — NULL marks dangling),
+    so the per-round degree broadcast join and the dangling anti-join
+    both disappear; the edge relation is hash-partitioned on its
+    source key once before its checkpoint so only the rank state
+    shuffles per round. Integer arithmetic is order-independent, so
+    the output is bit-identical to the pre-restructure encoding (the
+    oracle contract is untouched).
     """
     e = (edges.select(F.col(src).alias("esrc"), F.col(dst).alias("edst"))
-         .distinct().localCheckpoint(eager=True))
+         .distinct().repartition("esrc").localCheckpoint(eager=True))
     nodes = (e.select(F.col("esrc").alias("node"))
              .unionByName(e.select(F.col("edst").alias("node")))
              .distinct().localCheckpoint(eager=True))
-    # checkpointed like the float twin's: re-joined (and anti-joined
-    # for the dangling mass) every round — without materialization
-    # the degree aggregate re-runs ~10x per call
     outdeg = (e.groupBy(F.col("esrc").alias("node"))
-              .agg(F.count("*").cast("bigint").alias("deg"))
-              .localCheckpoint(eager=True))
+              .agg(F.count("*").cast("bigint").alias("deg")))
     n = nodes.count()
     if n == 0:
         # empty graph: same contract as pagerank() — empty frame out,
@@ -386,26 +400,31 @@ def pagerank_fixed_point(edges: DataFrame, iterations: int = 5,
         return nodes.select("node",
                             F.lit(0).cast("bigint").alias("rank_fp"))
     teleport = (15 * scale) // (100 * n)
-    ranks = nodes.withColumn("r", F.lit(scale // n).cast("bigint"))
+    # state = (node, deg NULLABLE, r): deg IS NULL == dangling — the
+    # old per-round left_anti against outdeg and the broadcast degree
+    # join are both folded into this one join, paid once
+    state = (nodes.join(outdeg, "node", "left")
+             .select("node", "deg",
+                     F.lit(scale // n).cast("bigint").alias("r"))
+             .localCheckpoint(eager=True))
     for _ in range(iterations):
-        dang_row = (ranks.join(outdeg, "node", "left_anti")
+        dang_row = (state.filter(F.col("deg").isNull())
                     .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("d"))
                     .first())
         dang_share = int(dang_row["d"]) // n
-        contrib = (e.join(ranks, F.col("esrc") == F.col("node"))
-                   .join(F.broadcast(
-                       outdeg.withColumnRenamed("node", "onode")),
-                       F.col("esrc") == F.col("onode"))
+        contrib = (e.join(state.filter(F.col("deg").isNotNull()),
+                          F.col("esrc") == F.col("node"))
                    .select(F.col("edst").alias("node"),
                            F.expr("r div deg").alias("c")))
         insum = contrib.groupBy("node").agg(
             F.sum("c").cast("bigint").alias("insum"))
-        ranks = (nodes.join(insum, "node", "left")
-                 .select(F.col("node"),
+        state = (state.select("node", "deg")
+                 .join(insum, "node", "left")
+                 .select(F.col("node"), F.col("deg"),
                          (F.lit(teleport)
                           + F.expr(f"(85 * (coalesce(insum, "
                                    f"CAST(0 AS BIGINT)) "
                                    f"+ {dang_share})) div 100"))
                          .cast("bigint").alias("r"))
                  .localCheckpoint(eager=True))
-    return ranks.select("node", F.col("r").alias("rank_fp"))
+    return state.select("node", F.col("r").alias("rank_fp"))

@@ -88,12 +88,19 @@ def md5_mod_sql(expr: str, mod: int) -> str:
          "is the only growing state and it's the answer itself")
 def g7_bfs_hops(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
+    # r13 (guide §2.4): e and sym were LAZY relations, so every round's
+    # frontier join re-ran the events scan + two distincts. sym is now
+    # checkpointed ONCE, hash-partitioned on the join key u so the
+    # per-round join shuffles only the (shrinking) frontier; and the
+    # per-round `reached` checkpoint is gone — reached is a union of
+    # already-checkpointed nxt frames, re-materializing it bought
+    # nothing but one extra job per round.
     e = (ev.select(F.col("user_id").alias("u"),
                    (F.lit(1000) + F.col("event_id") % 50).alias("v"))
-         .distinct())
+         .distinct().localCheckpoint(eager=True))
     sym = (e.unionByName(e.select(F.col("v").alias("u"),
                                   F.col("u").alias("v")))
-           .distinct())
+           .distinct().repartition("u").localCheckpoint(eager=True))
     frontier = (e.filter(F.col("u") % 10 == 0).select("u").distinct()
                 .select(F.col("u").alias("node")))
     reached = frontier.withColumn("hops", F.lit(0).cast("bigint"))
@@ -107,7 +114,7 @@ def g7_bfs_hops(spark, sf_dir):
         nxt = nxt.localCheckpoint()
         if not nxt.take(1):
             break
-        reached = reached.unionByName(nxt).localCheckpoint()
+        reached = reached.unionByName(nxt)
         frontier = nxt.select("node")
     return reached.select("node", "hops")
 
@@ -498,9 +505,13 @@ def g8_label_propagation(spark, sf_dir):
     e = (ev.select(F.col("user_id").alias("u"),
                    (F.lit(1000) + F.col("event_id") % 50).alias("v"))
          .distinct())
+    # r13 (guide §2.4): hash-partition the static edge side on its
+    # join key ONCE before the checkpoint — each round's labels join
+    # then shuffles only the label state (which arrives already
+    # node-partitioned from the previous round's argmax), not sym.
     sym = (e.unionByName(e.select(F.col("v").alias("u"),
                                   F.col("u").alias("v")))
-           .distinct().localCheckpoint())
+           .distinct().repartition("v").localCheckpoint())
     labels = (sym.select(F.col("u").alias("node")).distinct()
               .withColumn("label", F.col("node")))
     for _ in range(5):
