@@ -531,7 +531,15 @@ def s17_key_erasure_roundtrip(spark, sf_dir):
         "o_orderkey", "o_custkey", "o_totalprice",
         (F.col("o_custkey") - F.pmod("o_custkey", F.lit(100)))
         .alias("cust_bucket"))
-    orders.write.mode("overwrite").partitionBy("cust_bucket").parquet(path)
+    # r13: cluster by the partition column before the partitioned
+    # write (guide §6 — the REBALANCE-before-write pattern): the
+    # single-row-group scan otherwise writes all ~150 bucket dirs
+    # through ONE task's dynamic-partition writer, serially; the
+    # repartition spreads buckets across the session cores and keeps
+    # exactly one file per partition (same layout contract the probe
+    # checks).
+    (orders.repartition("cust_bucket")
+     .write.mode("overwrite").partitionBy("cust_bucket").parquet(path))
 
     def _layout(p):
         out = {}

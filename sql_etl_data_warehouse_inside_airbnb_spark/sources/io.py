@@ -451,7 +451,25 @@ def erase_keys(spark: SparkSession, path: str, key_col: str,
         else:
             os.rename(backup, target)
 
-    kdf = keys.select(F.col(keys.columns[0]).alias("__erase_key"))
+    # distinct so the before/kept counts can share ONE left-join job
+    # (duplicate keys would multiply left-join rows); also shrinks the
+    # broadcast. The anti-join semantics never cared about dups.
+    kdf = (keys.select(F.col(keys.columns[0]).alias("__erase_key"))
+           .distinct())
+
+    def _counts(df_in):
+        """(total, kept) in ONE job: rows with no key match are kept.
+        Two separate .count() actions were ~0.85 s of fixed job
+        latency each at sf0.1 (r13; the same measurement that
+        motivated the one-job partition rewrite below)."""
+        row = (df_in.join(F.broadcast(kdf),
+                          df_in[key_col] == kdf["__erase_key"], "left")
+               .agg(F.count(F.lit(1)).alias("__all"),
+                    F.coalesce(F.sum(F.isnull("__erase_key")
+                                     .cast("bigint")), F.lit(0))
+                    .alias("__kept"))
+               .first())
+        return int(row["__all"]), int(row["__kept"])
 
     def _swap_in(kept, kept_cnt, target, tmp):
         """Replace ``target`` with ``kept`` (staged at ``tmp``, outside
@@ -473,10 +491,9 @@ def erase_keys(spark: SparkSession, path: str, key_col: str,
 
     if not partition_cols:
         df = spark.read.parquet(path)
-        before = df.count()
+        before, kept_cnt = _counts(df)
         kept = df.join(F.broadcast(kdf),
                        df[key_col] == kdf["__erase_key"], "left_anti")
-        kept_cnt = kept.count()
         if kept_cnt == before:          # no key present: true no-op,
             return {"rows_erased": 0,   # zero IO, layout untouched
                     "partitions_rewritten": -1}
@@ -544,10 +561,9 @@ def erase_keys(spark: SparkSession, path: str, key_col: str,
             want = tbl_types.get(c, "string")
             part = part.withColumn(
                 c, F.col(c).cast("string" if want == "void" else want))
-    before = part.count()
+    before, kept_cnt = _counts(part)
     kept = part.join(F.broadcast(kdf),
                      part[key_col] == kdf["__erase_key"], "left_anti")
-    kept_cnt = kept.count()
     (kept.write.mode("overwrite").partitionBy(*partition_cols)
      .parquet(stage))
     # strip Spark's per-job bookkeeping (written once at the stage
