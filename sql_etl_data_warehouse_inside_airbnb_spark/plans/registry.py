@@ -368,8 +368,15 @@ def j9_update_from_join(spark, sf_dir):
        GROUP BY l_returnflag, l_linestatus""",
     survey="A1/A2", note="TPC-H Q1-shaped multi-key hash aggregate")
 def a1_pricing_summary(spark, sf_dir):
-    return (t(spark, sf_dir, "lineitem")
-            .filter(F.to_date("l_shipdate") <= F.lit("1998-12-01"))
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        fan_out,
+    )
+    # r13: single-row-group scan = one task; fan_out parallelizes the
+    # decimal aggregation (see tpch_q1_pricing_summary — same shape,
+    # measured 2x there). Exact sums => bit-identical output.
+    return (fan_out(t(spark, sf_dir, "lineitem")
+                    .filter(F.to_date("l_shipdate") <= F.lit("1998-12-01")),
+                    "l_orderkey")
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.count("*").alias("n_rows"),
                  exact_sum("l_quantity", 2).alias("sum_qty"),
@@ -478,6 +485,12 @@ def a7_weekly_rollup(spark, sf_dir):
     # the per-row date math runs once, not twice. The final select pins
     # the output column order to the oracle's (the driver's value hash
     # is column-position-sensitive) without changing the plan.
+    # r13: measured fan_out here and REJECTED it — with ~291k
+    # (suppkey, week) groups the map-side partial aggregate barely
+    # collapses rows, so pre-spreading the one-task scan just moves
+    # the same bytes through an extra exchange (interleaved A/B:
+    # 1.55 s vs 1.54 s). Contrast tpch_q1/a1 (6 groups), where the
+    # same move is ~1.7x.
     return (t(spark, sf_dir, "lineitem")
             .groupBy("l_suppkey",
                      tsql_week_start("l_shipdate").alias("week_start"))

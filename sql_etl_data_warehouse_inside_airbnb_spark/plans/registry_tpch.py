@@ -710,8 +710,18 @@ def tpch_q22_global_sales_opportunity(spark, sf_dir):
          "no-division rule); one scan, one map-side-combinable "
          "shuffle — the canonical aggregation benchmark shape")
 def tpch_q1_pricing_summary(spark, sf_dir):
-    li = (t(spark, sf_dir, "lineitem")
-          .filter(F.col("l_shipdate") <= _ts("2001-09-02")))
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        fan_out,
+    )
+    # r13 (guide §2.5 input skew): the sf lineitem file is ONE row
+    # group = one scan task, so the six decimal aggregates ran on one
+    # core (measured 4.1 s vs a 0.7 s scan-only floor). fan_out pays
+    # one narrow exchange to spread the aggregation; decimal sums and
+    # count are order-independent, so the result is bit-identical.
+    # No-op at scale where the scan has >= core splits.
+    li = fan_out(t(spark, sf_dir, "lineitem")
+                 .filter(F.col("l_shipdate") <= _ts("2001-09-02")),
+                 "l_orderkey")
     price, disc, tax = (F.col("l_extendedprice"), F.col("l_discount"),
                         F.col("l_tax"))
     return (li.groupBy("l_returnflag", "l_linestatus")
