@@ -153,6 +153,13 @@ def trigram_familiarity(df: DataFrame, key_col: str, text_col: str,
     trade the second explode for zero pinned storage."""
     from pyspark import StorageLevel
 
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        fan_out,
+    )
+
+    # r13: single-row-group scans otherwise run the whole trigram
+    # explode on one core (guide §2.5 input skew; no-op at scale)
+    df = fan_out(df, key_col)
     tri_counts = (df.select(F.col(key_col),
                             F.explode(char_trigrams(text_col)).alias("tg"))
                   .groupBy(key_col, "tg")
@@ -403,6 +410,13 @@ def tfidf_top_terms(df: DataFrame, key_col: str, text_col: str,
         tokens,
     )
 
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        fan_out,
+    )
+
+    # r13: fan the one-task scan out before the tokenize explode
+    # (guide §2.5; no-op at scale)
+    df = fan_out(df, key_col)
     toks = tokens(text_col)   # the one portable whitespace class
     tf = (df.select(F.col(key_col), F.explode(toks).alias("term"))
           .groupBy(key_col, "term")
@@ -456,6 +470,13 @@ def dsir_components(df: DataFrame, key_col: str, text_col: str,
         tokens,
     )
 
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        fan_out,
+    )
+
+    # r13: fan the one-task scan out before tokenize+hash (guide
+    # §2.5; no-op at scale)
+    df = fan_out(df, key_col)
     h = rolling_hash(F.col("__term"), prefix_len=None) % n_buckets
     per = (df.select(F.col(key_col), target.alias("is_target"),
                      F.explode(tokens(text_col)).alias("__term"))

@@ -598,6 +598,17 @@ def simhash_portable_pairs(df: DataFrame, key_col: str, text_col: str,
                        .otherwise(F.lit(0).cast("long"))),
             F.lit(0).cast("long"), lambda acc, x: acc + x)
 
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        fan_out,
+    )
+
+    # r13: fan the one-task scan out before the md5-per-shingle
+    # fingerprint fold (guide §2.5; no-op at scale), and LAZY
+    # localCheckpoint the banded relation — it feeds BOTH sides of
+    # the band self-join, which otherwise computes every fingerprint
+    # twice (the triangle_count precedent: lazy runs no job at build
+    # time and keeps the plan visible to the registry-wide audit).
+    df = fan_out(df, key_col)
     sh = (df.select(F.col(key_col),
                     shingles(text_col, 3).alias("__sh"))
           .filter(F.size("__sh") > 0)
@@ -611,6 +622,7 @@ def simhash_portable_pairs(df: DataFrame, key_col: str, text_col: str,
                      .bitwiseAND(F.lit(bandmask)).alias("band_val"))
             for b in range(n_bands)])).alias("band")
     ).select(key_col, "simhash", "band.band_id", "band.band_val")
+    bands = bands.localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))) \
         .cast("long")
