@@ -42,7 +42,14 @@ def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
     from sql_etl_data_warehouse_inside_airbnb_spark.operators.search import (
         tokens,
     )
-    return (df.select(F.explode(tokens(text_col)).alias("w"))
+    from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
+        fan_out,
+    )
+    # r13: fan the one-task single-row-group scan out before the
+    # tokenize explode (guide §2.5; no-op at scale). Keyless columns
+    # may exist, so spread on the text itself — deterministic.
+    return (fan_out(df, text_col)
+            .select(F.explode(tokens(text_col)).alias("w"))
             .groupBy("w").agg(F.count("*").alias("cnt")))
 
 
