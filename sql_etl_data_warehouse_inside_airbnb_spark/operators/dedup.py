@@ -603,11 +603,16 @@ def simhash_portable_pairs(df: DataFrame, key_col: str, text_col: str,
     )
 
     # r13: fan the one-task scan out before the md5-per-shingle
-    # fingerprint fold (guide §2.5; no-op at scale), and LAZY
-    # localCheckpoint the banded relation — it feeds BOTH sides of
-    # the band self-join, which otherwise computes every fingerprint
-    # twice (the triangle_count precedent: lazy runs no job at build
-    # time and keeps the plan visible to the registry-wide audit).
+    # fingerprint fold (guide §2.5; no-op at scale), and hash-
+    # partition the banded relation on the band join key: both
+    # self-join sides then share ONE canonically identical exchange
+    # subtree (AQE ReusedExchange — the ext_cooccurrence_pmi
+    # pattern), so every fingerprint is computed once and the join
+    # needs no further shuffle. A lazy localCheckpoint would also
+    # deduplicate the compute but was rejected: checkpoint calls
+    # queryExecution.toRdd at BUILD time, silently moving the plan
+    # compile out of bench.py's timed materialize (headline entries'
+    # contract is that build() is free).
     df = fan_out(df, key_col)
     sh = (df.select(F.col(key_col),
                     shingles(text_col, 3).alias("__sh"))
@@ -622,7 +627,7 @@ def simhash_portable_pairs(df: DataFrame, key_col: str, text_col: str,
                      .bitwiseAND(F.lit(bandmask)).alias("band_val"))
             for b in range(n_bands)])).alias("band")
     ).select(key_col, "simhash", "band.band_id", "band.band_val")
-    bands = bands.localCheckpoint(eager=False)
+    bands = bands.repartition("band_id", "band_val")
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))) \
         .cast("long")
