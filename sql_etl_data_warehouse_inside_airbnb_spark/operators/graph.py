@@ -187,7 +187,9 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     rank relations; and ``sym`` is hash-partitioned on the source key
     once before its checkpoint, so the per-round contributions join
     shuffles only the (small) rank state. Per-round joins 4 → 2,
-    checkpoint jobs 2 → 1, identical arithmetic.
+    checkpoint jobs 2 → 1, identical arithmetic; since the round
+    checkpoint went LAZY the L1 probe is also the materializing job,
+    so each round schedules exactly ONE job.
     """
     sym = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
            .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
@@ -230,9 +232,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                               * F.coalesce("cs", F.lit(0.0)))
                              .alias("rank"),
                              "__prev")
-                     .localCheckpoint(eager=True))
+                     .localCheckpoint(eager=False))
         # the one scalar action per round: L1 convergence probe, over
-        # the checkpointed frame that already carries prev — no join
+        # the checkpointed frame that already carries prev — no join.
+        # The checkpoint is LAZY so this probe IS the materializing
+        # job (an L1 sum scans every partition, so materialization is
+        # complete) — 2 jobs/round collapse to 1, identical arithmetic
         delta = (new_state
                  .agg(F.sum(F.abs(F.col("rank") - F.col("__prev"))))
                  .collect()[0][0])
@@ -276,10 +281,13 @@ def k_core(edges: DataFrame, k: int, src: str = "src",
     for _ in range(max_rounds):
         deg = sym.groupBy("u").agg(F.count("*").alias("__deg"))
         keep = deg.filter(F.col("__deg") >= k).select("u")
+        # LAZY checkpoint: the convergence count below scans every
+        # partition, so it is the materializing job — 2 jobs/round
+        # collapse to 1 (the k_core_rounds precedent)
         nxt = (sym.join(keep, "u", "left_semi")
                .join(keep.select(F.col("u").alias("v")), "v",
                      "left_semi")
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
         n_next = nxt.count()
         sym = nxt
         if n_next == n_edges:
@@ -384,11 +392,15 @@ def pagerank_fixed_point(edges: DataFrame, iterations: int = 5,
     scale (floors only ever drop units); pinned in tests.
 
     Scale shape: per round ONE shuffle on the destination key (the
-    contributions aggregate); the dangling mass is a bounded scalar
-    aggregate (the g6 L1-delta precedent — one 1-row collect per
-    round, zero data rows driver-side). Rounds are
-    eager-localCheckpointed (lineage control, the g6 discipline). N
-    and the teleport are plan literals derived from one bounded count.
+    contributions aggregate); the dangling mass is a 1-row aggregate
+    folded into the lineage as a broadcast cross join (the float
+    twin's bm25-N/avgdl pattern) — ZERO driver traffic inside the
+    loop, because unlike the float twin there is no convergence probe
+    either: the round count is fixed. That lets every round's
+    checkpoint be LAZY (the k_core_rounds/triangle_count precedent):
+    the whole peel materializes as one action cascade at first
+    consumption, each round's frame persisting exactly once. N and
+    the teleport are plan literals derived from one bounded count.
 
     r13 restructure (guide §2.4, mirrors the float twin): the round
     state carries the STATIC degree (nullable — NULL marks dangling),
@@ -400,12 +412,14 @@ def pagerank_fixed_point(edges: DataFrame, iterations: int = 5,
     oracle contract is untouched).
     """
     e = (edges.select(F.col(src).alias("esrc"), F.col(dst).alias("edst"))
-         .distinct().repartition("esrc").localCheckpoint(eager=True))
+         .distinct().repartition("esrc").localCheckpoint(eager=False))
     nodes = (e.select(F.col("esrc").alias("node"))
              .unionByName(e.select(F.col("edst").alias("node")))
-             .distinct().localCheckpoint(eager=True))
+             .distinct().localCheckpoint(eager=False))
     outdeg = (e.groupBy(F.col("esrc").alias("node"))
               .agg(F.count("*").cast("bigint").alias("deg")))
+    # the one unavoidable setup action (n and the teleport are plan
+    # literals); it also materializes the lazy e/nodes checkpoints
     n = nodes.count()
     if n == 0:
         # empty graph: same contract as pagerank() — empty frame out,
@@ -419,12 +433,15 @@ def pagerank_fixed_point(edges: DataFrame, iterations: int = 5,
     state = (nodes.join(outdeg, "node", "left")
              .select("node", "deg",
                      F.lit(scale // n).cast("bigint").alias("r"))
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     for _ in range(iterations):
-        dang_row = (state.filter(F.col("deg").isNull())
-                    .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("d"))
-                    .first())
-        dang_share = int(dang_row["d"]) // n
+        # dangling mass as a 1-row broadcast folded into the lineage
+        # (the float twin's pattern) instead of a per-round .first():
+        # __dang and r are non-negative int64, so Spark's `div`
+        # (truncation) equals the old Python `//` (floor) exactly
+        dang = (state.filter(F.col("deg").isNull())
+                .agg(F.coalesce(F.sum("r"), F.lit(0))
+                     .cast("bigint").alias("__dang")))
         contrib = (e.join(state.filter(F.col("deg").isNotNull()),
                           F.col("esrc") == F.col("node"))
                    .select(F.col("edst").alias("node"),
@@ -433,11 +450,12 @@ def pagerank_fixed_point(edges: DataFrame, iterations: int = 5,
             F.sum("c").cast("bigint").alias("insum"))
         state = (state.select("node", "deg")
                  .join(insum, "node", "left")
+                 .crossJoin(F.broadcast(dang))
                  .select(F.col("node"), F.col("deg"),
                          (F.lit(teleport)
                           + F.expr(f"(85 * (coalesce(insum, "
                                    f"CAST(0 AS BIGINT)) "
-                                   f"+ {dang_share})) div 100"))
+                                   f"+ (__dang div {n}))) div 100"))
                          .cast("bigint").alias("r"))
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=False))
     return state.select("node", F.col("r").alias("rank_fp"))

@@ -509,9 +509,14 @@ def g8_label_propagation(spark, sf_dir):
     # join key ONCE before the checkpoint — each round's labels join
     # then shuffles only the label state (which arrives already
     # node-partitioned from the previous round's argmax), not sym.
+    # Checkpoints are LAZY (the k_core_rounds precedent): the round
+    # count is fixed and there is no convergence probe, so the whole
+    # 5-round propagation materializes as ONE action cascade (each
+    # round's frame persists exactly once — its only consumer is the
+    # next round's join) instead of 7 scheduled jobs.
     sym = (e.unionByName(e.select(F.col("v").alias("u"),
                                   F.col("u").alias("v")))
-           .distinct().repartition("v").localCheckpoint())
+           .distinct().repartition("v").localCheckpoint(eager=False))
     labels = (sym.select(F.col("u").alias("node")).distinct()
               .withColumn("label", F.col("node")))
     for _ in range(5):
@@ -524,7 +529,7 @@ def g8_label_propagation(spark, sf_dir):
                                       (-F.col("label")).alias("neg")))
                        .alias("best"))
                   .select("node", (-F.col("best.neg")).alias("label"))
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
     return labels.select("node", "label")
 
 
