@@ -68,7 +68,14 @@ which adjudicates ~the first 50 entries per round:
   window; tests/test_plan_audit.py recomputes the window from the
   CORRECTNESS_r*.json artifacts and asserts _PRIORITY equals it, so
   the committed head is a check on the generator's output, not on
-  hand edits.
+  hand edits;
+- round 14 (this order): optimization round — no re-encodes, so
+  _FRONT is empty (the r13 fuzzy re-encode it carried is now
+  adjudicated hash-green in CORRECTNESS_r13.json and rotates back
+  on vintage); the window is the generator's plain staleness order:
+  the 9 oldest r7-vintage entries (led by a17_cube, displaced from
+  r13's window by the front entry exactly as predicted there) + the
+  41 oldest r8-vintage refreshes.
 
 Entries with a green CORRECTNESS row from r1-r10 move to the back;
 within any remaining never-checked tail, oracle-paired entries sit
@@ -439,68 +446,66 @@ _GREEN = (_R01_GREEN | _R02_GREEN | _R03_GREEN | _R04_GREEN
 # adding registry entries) RE-RUN the generator and paste its output
 # below — test_plan_audit replays compute_priority(REGISTRY,
 # vintages, 50, _FRONT) and asserts _PRIORITY equals it verbatim.
-_FRONT: list[str] = ["ext_fuzzy_blocked_join"]
+_FRONT: list[str] = []
 
 # Explicit front of the queue — the ~50-entry adjudication window.
-# Round 13 (VERDICT r12 items 1+7): emitted VERBATIM by
-# `python tools/gen_priority.py` (vintage = max round per entry
-# across CORRECTNESS_r*.json, numeric file order; window = _FRONT +
-# never-adjudicated + the 50 oldest by (vintage, name)):
-# all 22 r5-vintage entries (incl. ext_target_encoding,
-# ext_tfidf_topterms, ext_url_parse — the three the r12 sketch
-# conversions displaced) + all 26 r6 + a16_rollup/a17_cube (the 2
-# oldest r7 by name).
+# Round 14: emitted VERBATIM by `python tools/gen_priority.py`
+# (vintage = max round per entry across CORRECTNESS_r*.json, numeric
+# file order; window = _FRONT + never-adjudicated + the 50 oldest by
+# (vintage, name)): _FRONT is empty (optimization round, no
+# re-encodes), so the window is the 9 oldest r7-vintage entries +
+# the 41 oldest r8-vintage refreshes.
 _PRIORITY = [
-    "ext_fuzzy_blocked_join",
-    "ext_target_encoding",
-    "ext_tfidf_topterms",
-    "ext_url_parse",
-    "ext_vocab_topk",
-    "ext_winnow_fingerprint",
-    "g4_dedup_survivors_argmax",
-    "g5_triangle_count",
-    "g6_pagerank",
-    "j25_grid_distance_join",
-    "s16_multiline_csv_roundtrip",
-    "s17_key_erasure_roundtrip",
-    "stream_dedup_ingest",
-    "stream_interval_join_outer",
-    "stream_static_enrich",
-    "ts1_interpolate",
-    "ts2_resample_ohlc",
-    "u6_udtf_tokenize",
-    "u7_pandas_udaf_maxgap",
-    "x10_skew_report",
-    "x4_fuzzy_match",
-    "x5_incremental_agg",
-    "x9_integrity_report",
-    "e7_position_attribution",
-    "ext_cooccurrence_pmi",
-    "ext_dedup_ingest_minhash",
-    "ext_dedup_minhash",
-    "ext_dedup_simhash",
-    "ext_dup_span_coverage",
-    "ext_hybrid_rrf",
-    "ext_mmr_diversify",
-    "ext_negative_samples",
-    "ext_ngram_novelty",
-    "ext_novelty_ingest",
-    "ext_phrase_search",
-    "ext_quality_train_eval",
-    "f33_winsorize",
-    "f34_variant_json",
-    "f35_recursive_hierarchy",
-    "g7_bfs_hops",
-    "g9_k_core",
-    "j26_asof_tolerance",
-    "m1_frequent_itemsets",
-    "s18_jsonl_roundtrip",
-    "ts4_gap_islands",
-    "x11_drift_psi",
-    "x12_drift_equidepth",
-    "x13_benford_first_digit",
-    "x14_rowhash_checksum",
-    "a16_rollup",
+    "a17_cube",
+    "a34_corr_components",
+    "e8_dau_wau",
+    "ext_hard_negatives",
+    "f15_trycast_decimal",
+    "f3_truncate_substr",
+    "w3_lag_lead",
+    "w4_running_frames",
+    "w5_rank_ladder",
+    "a10_minmax",
+    "a12_distinct_count",
+    "a13_merge_action_counts",
+    "a14_profile",
+    "a1_pricing_summary",
+    "a36_weighted_median",
+    "a3_count_distinct",
+    "a4_global_count_distinct",
+    "a5_conditional_agg",
+    "a6_money_clean_agg",
+    "a7_weekly_rollup",
+    "a9_having_dups",
+    "ext_ann_ivf_pq_topk",
+    "ext_dedup_simhash_portable",
+    "ext_kfold_assign",
+    "ext_url_canonicalize",
+    "f10_date_dimension",
+    "f13_bool_norm",
+    "f5_parse_location",
+    "f9_date_parts",
+    "j1_fact_dim_join",
+    "j28_cdc_apply",
+    "j2_derived_date_join",
+    "j4_left_anti",
+    "j6_left_semi",
+    "j7_agg_join",
+    "j8_merge_upsert",
+    "j9_update_from_join",
+    "o2_topk",
+    "o3_keyed_sample",
+    "p10_threshold",
+    "p1_column_prune",
+    "p4_trycast_filter",
+    "p6_between",
+    "p7_isin",
+    "p8_interval_overlap",
+    "p9_eq_lookup",
+    "s1_scan_project",
+    "s4_limited_scan",
+    "set_except",
+    "set_intersect",
 ]
 
 
