@@ -251,7 +251,11 @@ def x13_benford_first_digit(spark, sf_dir):
          "their subtrees are kept IDENTICAL, see the explode guard "
          "note). The old shape self-joined a distinct basket relation "
          "built independently 4x: 4 lineitem scans and two extra "
-         "orderkey shuffles of it, all removed. 1-row N and the "
+         "orderkey shuffles of it, all removed. r14: the N branch "
+         "rides the SAME basket exchange (its count references "
+         "`items` so pruning cannot rewrite it into a separate "
+         "1-column scan — see the size() guard note in the builder), "
+         "so lineitem is scanned exactly ONCE. 1-row N and the "
          "100-row marginals join as the allowlisted broadcast-global "
          "pattern (x7/bm25/a35/x12)")
 def ext_cooccurrence_pmi(spark, sf_dir):
@@ -260,9 +264,20 @@ def ext_cooccurrence_pmi(spark, sf_dir):
                          (F.col("l_partkey") % 100).alias("item"))
                .groupBy("l_orderkey")
                .agg(F.sort_array(F.collect_set("item")).alias("items")))
-    # count("l_orderkey") == COUNT(DISTINCT l_orderkey): one basket
-    # row per key, count() skips the NULL group like DISTINCT does.
-    n = baskets.agg(F.count("l_orderkey").alias("n_orders"))
+    # count == COUNT(DISTINCT l_orderkey): one basket row per key, and
+    # the when() argument is NULL exactly on the NULL-key group, which
+    # count() skips like DISTINCT does. The size(items) >= 0 guard is
+    # ALWAYS true (collect_set yields [] for an all-NULL group, never
+    # NULL) but the optimizer cannot prove it, so `items` stays
+    # referenced and column pruning cannot rewrite this branch's child
+    # aggregate from collect_set to a bare groupBy — keeping the
+    # subtree canonically IDENTICAL to the pairs/marginals branches so
+    # all THREE consumers share the one planned basket exchange
+    # (r14, guide §2.4: N previously optimized into its own 1-column
+    # lineitem scan + exchange; ReuseExchange now removes both).
+    n = baskets.agg(F.count(
+        F.when(F.size("items") >= 0, F.col("l_orderkey")))
+        .alias("n_orders"))
     pair_list = F.flatten(F.transform(
         "items",
         lambda x, i: F.transform(

@@ -41,6 +41,17 @@ def main() -> None:
             fh.write(f"# {name} — explain('formatted'), {suffix}, "
                      f"sf_dir={sf_dir}\n")
             fh.write(buf.getvalue())
+            if os.environ.get("DUMP_EXEC"):
+                # AQE exchange/stage reuse is a runtime decision — run
+                # the query and append the FINAL adaptive plan (the
+                # r13 pmi-dump precedent)
+                df.collect()
+                fh.write("\n# Final adaptive plan after execution "
+                         "(AQE exchange reuse is a runtime decision — "
+                         "the initial plan above cannot show it):\n")
+                fh.write(df._jdf.queryExecution().explainString(
+                    spark._jvm.org.apache.spark.sql.execution
+                    .ExplainMode.fromString("formatted")))
         print("wrote", path)
     spark.stop()
 
