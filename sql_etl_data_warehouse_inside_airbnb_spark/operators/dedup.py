@@ -431,14 +431,50 @@ def ppjoin_prefix_pairs(df: DataFrame, key_col: str, text_col: str,
     the corpus: shingles are array_distinct, so |sh| == the doc's
     flat row count, a count-over-window on the clustering the rank
     window already established (guide §2.4: same-keyed operations
-    share one exchange)."""
+    share one exchange).
+
+    r14: the corpus scan+exchange executes ONCE for all consumers
+    (was 3x — the redundant size(sh)>0 filter and the
+    InferFiltersFromGenerate constraint pushed per-branch predicates
+    below the fan_out exchange that both re-evaluated the full
+    shingle build per row AND broke AQE stage reuse; see the inline
+    notes), and the prefix relation is hash-partitioned on the
+    candidate join's equi-key so the rank/window pipeline feeds both
+    self-join sides from one reused exchange instead of running
+    twice."""
     from sql_etl_data_warehouse_inside_airbnb_spark.sources.io import (
         fan_out,
     )
     df = fan_out(df, key_col)
-    sh = (df.select(F.col(key_col), shingles(text_col, n).alias("sh"))
-          .filter(F.size("sh") > 0))
-    flat = sh.select(key_col, F.explode("sh").alias("g"))
+    gram = shingles(text_col, n)
+    # r14: no size(sh) > 0 filter, and the explode runs over the
+    # INLINE shingle expression (the curation._gram_list lesson).
+    # The filter was semantically redundant — explode() emits
+    # nothing for an empty or NULL array, so gram-less docs never
+    # reach flat/ranked/prefix/cand, and the re-check arms only
+    # see keys cand produced — and both the explicit filter and
+    # the one InferFiltersFromGenerate derives from an
+    # attribute-explode get pushed below the fan_out exchange into
+    # EVERY consumer's scan branch, where alias substitution
+    # re-evaluates the full tokenize+shingle build per row per
+    # branch (6 extra evaluations across the 3 consumer stages at
+    # r13's shape), and the slightly-different inferred predicates
+    # per branch defeat AQE stage reuse, so the union+exchange ran
+    # 3x. Inline explode leaves no attribute to infer on, and the
+    # explicit isnotnull(key) pre-empts the constraint the
+    # candidate join's key inequality would otherwise infer into
+    # ONLY its own branch (NULL keys can never reach the output:
+    # NULL < x is never true, and cand keys are non-null — their
+    # only observable effect was contributing to the rarity ranks,
+    # and the prefix lemma is lossless under ANY consistent global
+    # shingle order, so the returned pair set is unchanged; the
+    # DuckDB oracle replicating the pipeline agrees at all SFs).
+    # Result: all consumer subtrees stay canonically identical and
+    # the scan+exchange executes ONCE
+    # (plans/r14/ext_dedup_ppjoin_after.txt).
+    df = df.filter(F.col(key_col).isNotNull())
+    sh = df.select(F.col(key_col), gram.alias("sh"))
+    flat = df.select(F.col(key_col), F.explode(gram).alias("g"))
     dfreq = flat.groupBy("g").agg(F.count("*").alias("__df"))
     w = Window.partitionBy(key_col).orderBy("__df", "g")
     wn = Window.partitionBy(key_col)
@@ -449,8 +485,16 @@ def ppjoin_prefix_pairs(df: DataFrame, key_col: str, text_col: str,
     plen = (F.col("__n")
             - F.floor((threshold_num * F.col("__n") + threshold_den - 1)
                       / threshold_den) + 1)
+    # r14: hash-partition the prefix relation on the candidate
+    # join's equi-key so BOTH self-join sides are one canonical
+    # exchange subtree (the simhash_portable/pmi ReuseExchange
+    # pattern) — the whole dfreq-join + double-window rank
+    # pipeline above it previously ran twice, once per join side
+    # (the r13 plan shows the b side duplicated under a
+    # BroadcastExchange).
     prefix = (ranked.filter(F.col("__rk") <= plen)
-              .select(key_col, "g", "__rk", "__n"))
+              .select(key_col, "g", "__rk", "__n")
+              .repartition(F.col("g")))
     a, b = prefix.alias("a"), prefix.alias("b")
     # AllPairs length filter rides the candidate join: J(X,Y) >= n/d
     # forces d*|X| >= n*|Y| and d*|Y| >= n*|X| (both exact integers),
