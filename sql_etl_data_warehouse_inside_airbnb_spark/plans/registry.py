@@ -491,11 +491,25 @@ def a7_weekly_rollup(spark, sf_dir):
     # the same bytes through an extra exchange (interleaved A/B:
     # 1.55 s vs 1.54 s). Contrast tpch_q1/a1 (6 groups), where the
     # same move is ~1.7x.
+    # r14 (guide §2.3 shuffle fewer bytes / narrower types): the price
+    # sum runs in exact int64 CENTS instead of DECIMAL(18,2) — the
+    # decimal partial sum widens to DECIMAL(28,2), which exceeds the
+    # 8-byte inline long and ships as a 16-byte byte-array per group
+    # through the 291k-group exchange; cents are one long. Bit-exact:
+    # prices carry exactly 2 real decimals (the a36/ts5 finding), so
+    # cents are exact int64 (|sum| < 2^53 at any plausible group
+    # size), sum order-independent, and round(sum_cents/100.0, 2) ==
+    # round(CAST(decimal_sum AS DOUBLE), 2) because both divide paths
+    # produce the nearest double to the same rational n/100 (int64 ->
+    # double is exact below 2^53; double division is correctly
+    # rounded; decimal->double casts to the same nearest double).
+    # Oracle SQL unchanged; hash green at 3 SFs.
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("long")
     return (t(spark, sf_dir, "lineitem")
             .groupBy("l_suppkey",
                      tsql_week_start("l_shipdate").alias("week_start"))
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                                .cast("decimal(18,2)")).cast("double"), 2)
+            .agg(F.round(F.sum(cents) / F.lit(100), 2)
                   .alias("price_sum_per_week"),
                  F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
                   .alias("returned_per_week"),
