@@ -537,8 +537,15 @@ def s17_key_erasure_roundtrip(spark, sf_dir):
     # through ONE task's dynamic-partition writer, serially; the
     # repartition spreads buckets across the session cores and keeps
     # exactly one file per partition (same layout contract the probe
-    # checks).
-    (orders.repartition("cust_bucket")
+    # checks). r14: the partition count is PINNED to the session's
+    # core count — the by-column form is AQE-coalescible and the
+    # few-MB shuffle collapsed back to 2 tasks (measured via
+    # rdd.getNumPartitions), re-serializing ~75 bucket dirs per
+    # writer; REPARTITION_BY_NUM is not coalesced, each bucket value
+    # still lands wholly in one task (one file per partition), and
+    # defaultParallelism keeps it scale-adaptive, not a local tune.
+    ncores = spark.sparkContext.defaultParallelism
+    (orders.repartition(ncores, "cust_bucket")
      .write.mode("overwrite").partitionBy("cust_bucket").parquet(path))
 
     def _layout(p):

@@ -561,11 +561,27 @@ def erase_keys(spark: SparkSession, path: str, key_col: str,
             want = tbl_types.get(c, "string")
             part = part.withColumn(
                 c, F.col(c).cast("string" if want == "void" else want))
-    before, kept_cnt = _counts(part)
-    kept = part.join(F.broadcast(kdf),
-                     part[key_col] == kdf["__erase_key"], "left_anti")
+    # r14: the before/kept counts ride the STAGED WRITE itself via an
+    # Observation on the pre-filter join (one job instead of two — the
+    # separate _counts left-join aggregate was ~0.5-0.9 s of fixed job
+    # latency at sf0.1, and at scale a full extra pass over the
+    # affected partitions). left join + filter(isnull) ≡ left_anti
+    # because kdf is deduplicated (no row multiplication) and a NULL
+    # key matches nothing on either form; the whole-table branch keeps
+    # _counts because its no-op exit must decide BEFORE any write.
+    from pyspark.sql import Observation
+    obs = Observation("erase_counts")
+    joined = (part.join(F.broadcast(kdf),
+                        part[key_col] == kdf["__erase_key"], "left")
+              .observe(obs,
+                       F.count(F.lit(1)).alias("__all"),
+                       F.coalesce(F.sum(F.isnull("__erase_key")
+                                        .cast("bigint")), F.lit(0))
+                       .alias("__kept")))
+    kept = joined.filter(F.isnull("__erase_key")).drop("__erase_key")
     (kept.write.mode("overwrite").partitionBy(*partition_cols)
      .parquet(stage))
+    before, kept_cnt = int(obs.get["__all"]), int(obs.get["__kept"])
     # strip Spark's per-job bookkeeping (written once at the stage
     # ROOT, never inside partition subdirs) before any subdir becomes
     # live table data
