@@ -184,16 +184,27 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     STATIC out-degree, so the ranks⋈outdeg join is paid once, not
     every round; the L1-delta probe reads the previous rank off the
     round's own checkpointed frame instead of re-joining old and new
-    rank relations; and ``sym`` is hash-partitioned on the source key
-    once before its checkpoint, so the per-round contributions join
-    shuffles only the (small) rank state. Per-round joins 4 → 2,
-    checkpoint jobs 2 → 1, identical arithmetic; since the round
-    checkpoint went LAZY the L1 probe is also the materializing job,
-    so each round schedules exactly ONE job.
+    rank relations. Per-round joins 4 → 2, checkpoint jobs 2 → 1,
+    identical arithmetic; since the round checkpoint went LAZY the L1
+    probe is also the materializing job, so each round schedules
+    exactly ONE job.
+
+    r14 (advisor item): the r13 repartition-before-checkpoint is
+    GONE — a localCheckpoint surfaces as Scan ExistingRDD with
+    UnknownPartitioning under AQE (the r13 g9 finding), so the
+    per-round contributions join re-exchanged ``sym`` anyway
+    (verified: round plans show 4 hash exchanges with or without it);
+    the repartition only added a setup exchange. Two alternatives
+    were measured and REJECTED: persist()-based rounds (which would
+    preserve partitioning via InMemoryRelation) blow up the
+    un-truncatable logical tree exponentially — state appears 3x per
+    round, and the driver OOM'd stringifying the round-13 plan — and
+    fusing the dangling-mass aggregate into the L1 probe as a plan
+    literal measured neutral (interleaved min-of-4: 4.46 s ckpt vs
+    4.66 s fused).
     """
     sym = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
            .filter(F.col("s").isNotNull() & F.col("d").isNotNull())
-           .repartition("s")  # partition the static join side ONCE
            .localCheckpoint(eager=True))  # re-joined every round
     nodes = (sym.select(F.col("s").alias("node"))
              .unionAll(sym.select(F.col("d").alias("node")))
@@ -343,11 +354,23 @@ def k_core_rounds(edges: DataFrame, k: int, rounds: int,
     materialize once, in topological order, inside the single final
     action's cascade (the triangle_count precedent; r13 A/B min
     1.70 s vs 1.89 s eager, row-equal). Each round's frame persists
-    exactly once — both its consumers (next round's degree agg and
-    semi join) read the shared cached RDD, so per-round work is
-    identical to the eager form at any scale. At 100 TB each round is
-    two shuffles on the node key; ``rounds`` is a static plan
-    parameter.
+    exactly once in the common case — both its consumers (next
+    round's degree agg and semi join) read the shared cached RDD —
+    but on FIRST materialization two sibling stages can race and
+    compute the same partition twice before the cache fills
+    (duplicate work, never wrong results; r13 observed the race
+    making the same move neutral in g7 and verified its absence here
+    over 16 timed runs — "identical to eager" is the expected case,
+    not a guarantee). Two lineage caveats for LARGE ``rounds``: with
+    no intra-loop action, Spark's doCheckpoint finalizes only the
+    nearest marked RDD at the single final action (default
+    spark.checkpoint.checkpointAllMarkedAncestors=false), so
+    intermediate rounds stay persisted-but-untruncated and lineage
+    depth grows linearly with ``rounds``. The bench entries run
+    rounds <= 6 where this is immaterial; for large round counts set
+    checkpointAllMarkedAncestors=true or checkpoint eagerly every K
+    rounds. At 100 TB each round is two shuffles on the node key;
+    ``rounds`` is a static plan parameter.
 
     Setup fuses the edge-canonicalization distinct into the
     post-union symmetrization distinct (any duplicate in ``e`` is
@@ -405,14 +428,16 @@ def pagerank_fixed_point(edges: DataFrame, iterations: int = 5,
     r13 restructure (guide §2.4, mirrors the float twin): the round
     state carries the STATIC degree (nullable — NULL marks dangling),
     so the per-round degree broadcast join and the dangling anti-join
-    both disappear; the edge relation is hash-partitioned on its
-    source key once before its checkpoint so only the rank state
-    shuffles per round. Integer arithmetic is order-independent, so
-    the output is bit-identical to the pre-restructure encoding (the
-    oracle contract is untouched).
+    both disappear. Integer arithmetic is order-independent, so the
+    output is bit-identical to the pre-restructure encoding (the
+    oracle contract is untouched). r14 (advisor item): the
+    repartition-before-checkpoint is gone — checkpointed frames
+    surface as UnknownPartitioning under AQE, so the per-round join
+    re-exchanged the edge relation regardless (see :func:`pagerank`);
+    it only cost a setup exchange.
     """
     e = (edges.select(F.col(src).alias("esrc"), F.col(dst).alias("edst"))
-         .distinct().repartition("esrc").localCheckpoint(eager=False))
+         .distinct().localCheckpoint(eager=False))
     nodes = (e.select(F.col("esrc").alias("node"))
              .unionByName(e.select(F.col("edst").alias("node")))
              .distinct().localCheckpoint(eager=False))

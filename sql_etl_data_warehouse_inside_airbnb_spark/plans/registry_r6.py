@@ -90,17 +90,19 @@ def g7_bfs_hops(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     # r13 (guide §2.4): e and sym were LAZY relations, so every round's
     # frontier join re-ran the events scan + two distincts. sym is now
-    # checkpointed ONCE, hash-partitioned on the join key u so the
-    # per-round join shuffles only the (shrinking) frontier; and the
-    # per-round `reached` checkpoint is gone — reached is a union of
-    # already-checkpointed nxt frames, re-materializing it bought
-    # nothing but one extra job per round.
+    # checkpointed ONCE; the per-round `reached` checkpoint is gone —
+    # reached is a union of already-checkpointed nxt frames,
+    # re-materializing it bought nothing but one extra job per round.
+    # r14 (advisor item): the repartition("u")-before-checkpoint is
+    # gone — a checkpointed frame surfaces as UnknownPartitioning
+    # under AQE (the r13 g9 finding), so the per-round join
+    # re-exchanged sym anyway; it only added a setup exchange.
     e = (ev.select(F.col("user_id").alias("u"),
                    (F.lit(1000) + F.col("event_id") % 50).alias("v"))
          .distinct().localCheckpoint(eager=True))
     sym = (e.unionByName(e.select(F.col("v").alias("u"),
                                   F.col("u").alias("v")))
-           .distinct().repartition("u").localCheckpoint(eager=True))
+           .distinct().localCheckpoint(eager=True))
     frontier = (e.filter(F.col("u") % 10 == 0).select("u").distinct()
                 .select(F.col("u").alias("node")))
     reached = frontier.withColumn("hops", F.lit(0).cast("bigint"))
@@ -520,18 +522,20 @@ def g8_label_propagation(spark, sf_dir):
     e = (ev.select(F.col("user_id").alias("u"),
                    (F.lit(1000) + F.col("event_id") % 50).alias("v"))
          .distinct())
-    # r13 (guide §2.4): hash-partition the static edge side on its
-    # join key ONCE before the checkpoint — each round's labels join
-    # then shuffles only the label state (which arrives already
-    # node-partitioned from the previous round's argmax), not sym.
     # Checkpoints are LAZY (the k_core_rounds precedent): the round
     # count is fixed and there is no convergence probe, so the whole
     # 5-round propagation materializes as ONE action cascade (each
     # round's frame persists exactly once — its only consumer is the
-    # next round's join) instead of 7 scheduled jobs.
+    # next round's join) instead of 7 scheduled jobs. r14 (advisor
+    # item): the r13 repartition("v")-before-checkpoint is gone — a
+    # checkpointed frame surfaces as UnknownPartitioning under AQE
+    # (the r13 g9 finding), so each round's join re-exchanged sym
+    # anyway and the repartition only added a setup exchange; the
+    # old comment claiming the join "shuffles only the label state"
+    # was inconsistent with that finding.
     sym = (e.unionByName(e.select(F.col("v").alias("u"),
                                   F.col("u").alias("v")))
-           .distinct().repartition("v").localCheckpoint(eager=False))
+           .distinct().localCheckpoint(eager=False))
     labels = (sym.select(F.col("u").alias("node")).distinct()
               .withColumn("label", F.col("node")))
     for _ in range(5):
