@@ -290,16 +290,28 @@ def main() -> None:
 
 def emit_lines(sf: str | None, cold: float, timings: dict[str, float],
                maintenance: dict[str, float]) -> list[str]:
-    """TWO output lines (r10 verdict item 1, third attempt —
-    tail-proof): the driver stores only the TAIL of bench stdout, so
-    any single line that outgrows the capture loses whatever sits at
-    its FRONT (r9 lost the trailing totals; r10's summary-first
-    reorder lost them again, truncated from the other end). The full
-    detail line goes FIRST and a ~170-byte summary-only line LAST, so
-    the tail always retains a complete, json-parseable record no
-    matter how long the per-query maps grow; the detail line remains
-    above it for regex recovery. The format is pinned by
-    tests/test_bench_emit.py."""
+    """Tail-proof output lines (r10 verdict item 1; r13 verdict item 7
+    added the chunked per-query lines). The driver stores only the
+    LAST ~2000 bytes of bench stdout (measured: every BENCH_r*.json
+    `tail` field is exactly 2000 chars), so any single line that
+    outgrows the capture loses whatever sits at its FRONT — r13's one
+    big detail line lost its first ~12 per-query entries, which
+    emptied PERF_r13's whole per-query table because the clipped line
+    no longer json-parses.
+
+    Layout, first to last:
+    - the full detail line (unchanged contract: ONE json line with
+      `queries` + `maintenance` maps — additions-only since r4);
+    - the headline map re-emitted as SMALL standalone json lines
+      (`headline_part i/k`, alphabetical, <= _CHUNK bytes each) —
+      chunks small enough that every chunk except possibly the first
+      sits whole inside the tail window and parses independently;
+    - the maintenance map as one standalone line;
+    - the ~200-byte summary-only line LAST, always intact.
+    Alphabetical chunking keeps each chunk's membership stable across
+    rounds, so round-over-round per-query comparisons see the same
+    names. Timing is untouched; the extra lines re-serialize maps
+    already computed. Format pinned by tests/test_bench_emit.py."""
     total = round(sum(timings.values()), 3)
     summary = {
         "metric": "headline_query_runtime",
@@ -312,11 +324,36 @@ def emit_lines(sf: str | None, cold: float, timings: dict[str, float],
         "maintenance_total_sec": round(sum(maintenance.values()), 3),
         "n_maintenance": len(maintenance),
     }
-    return [json.dumps({**summary,
-                        "queries": timings,
-                        "maintenance": maintenance},
-                       separators=(",", ":")),
-            json.dumps(summary, separators=(",", ":"))]
+    lines = [json.dumps({**summary,
+                         "queries": timings,
+                         "maintenance": maintenance},
+                        separators=(",", ":"))]
+    chunks: list[dict[str, float]] = [{}]
+    size = 2  # "{}"
+    for name in sorted(timings):
+        entry = len(json.dumps({name: timings[name]},
+                               separators=(",", ":"))) - 1
+        if chunks[-1] and size + entry > _CHUNK:
+            chunks.append({})
+            size = 2
+        chunks[-1][name] = timings[name]
+        size += entry
+    chunks = [c for c in chunks if c]
+    for i, c in enumerate(chunks):
+        lines.append(json.dumps(
+            {"headline_part": f"{i + 1}/{len(chunks)}", "queries": c},
+            separators=(",", ":")))
+    lines.append(json.dumps({"maintenance": maintenance},
+                            separators=(",", ":")))
+    lines.append(json.dumps(summary, separators=(",", ":")))
+    return lines
+
+
+# Per-chunk byte budget for the headline_part lines: the tail window
+# is ~2000 bytes and must hold (summary ~200) + (maintenance ~260) +
+# as many whole chunks as possible; 650-byte chunks leave the last two
+# chunks of a 67-query map fully inside the window.
+_CHUNK = 650
 
 
 if __name__ == "__main__":

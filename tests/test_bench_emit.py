@@ -20,7 +20,6 @@ def _fake(n: int) -> dict[str, float]:
 
 def test_last_line_is_compact_standalone_summary():
     lines = emit_lines("0.1", 48.107, _fake(200), _fake(20))
-    assert len(lines) == 2
     summary = json.loads(lines[-1])  # the TAIL-surviving line
     assert summary["metric"] == "headline_query_runtime"
     for key in ("value", "unit", "sf", "headline_total_sec",
@@ -36,6 +35,44 @@ def test_last_line_is_compact_standalone_summary():
     detail = json.loads(lines[0])
     assert detail["queries"] and detail["maintenance"]
     assert detail["headline_total_sec"] == summary["headline_total_sec"]
+
+
+def test_per_query_chunks_survive_a_2000_byte_tail():
+    """r13 verdict item 7: the driver keeps only the last ~2000 bytes
+    of stdout; the headline map is re-emitted as standalone chunk
+    lines small enough that the maintenance map, the summary, and at
+    least the last two headline chunks always sit WHOLE inside that
+    window and parse independently."""
+    headline, maint = _fake(67), _fake(8)
+    lines = emit_lines("0.1", 48.107, headline, maint)
+    # every chunk line parses alone and the union rebuilds the map
+    chunk_lines = [ln for ln in lines if '"headline_part"' in ln]
+    assert chunk_lines, "no headline chunk lines emitted"
+    rebuilt: dict[str, float] = {}
+    for ln in chunk_lines:
+        d = json.loads(ln)
+        assert len(ln) < 800, "chunk outgrew its byte budget"
+        rebuilt.update(d["queries"])
+    assert rebuilt == headline
+    # maintenance is one standalone parseable line before the summary
+    maint_line = json.loads(lines[-2])
+    assert maint_line == {"maintenance": maint}
+    # the 2000-byte tail keeps, whole: summary + maintenance + >=2
+    # headline chunks (so a truncated capture still yields a usable
+    # per-query table)
+    tail = "\n".join(lines)[-2000:]
+    surviving = [ln for ln in tail.splitlines()
+                 if '"headline_part"' in ln]
+    parsed = 0
+    for ln in surviving:
+        try:
+            json.loads(ln)
+            parsed += 1
+        except json.JSONDecodeError:
+            pass
+    assert parsed >= 2, f"only {parsed} whole chunks in the tail"
+    json.loads(tail.splitlines()[-1])   # summary intact
+    assert json.loads(tail.splitlines()[-2]) == {"maintenance": maint}
 
 
 def test_summary_totals_are_consistent():
