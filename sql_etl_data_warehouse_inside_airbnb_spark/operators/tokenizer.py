@@ -111,10 +111,20 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 16,
             break
         left, right, pc = pairs[0]["l"], pairs[0]["r"], int(pairs[0]["pc"])
         merges.append((rank, left, right, left + right, pc))
+        # r14: LAZY checkpoint (the g6/g9 playbook) — the next round's
+        # pair-count collect() scans every vocab partition and is the
+        # materializing job, so each round schedules ONE job instead
+        # of two (rewrite-checkpoint + collect), and the FINAL round's
+        # rewrite never runs at all for callers that only consume
+        # ``merges`` (the ext_bpe_train_merges entry discards vocab —
+        # the same dead-rewrite skip the portable twin documents),
+        # while callers that do read ``vocab`` still materialize it
+        # lazily and correctly. Consumers are sequential (collect,
+        # then the next rewrite), so there is no sibling-stage race.
         vocab = (vocab.select(
             _apply_merge(F.col("syms"), left, right).alias("syms"),
             F.col("cnt"))
-            .localCheckpoint(eager=True))
+            .localCheckpoint(eager=False))
     return merges, vocab
 
 
