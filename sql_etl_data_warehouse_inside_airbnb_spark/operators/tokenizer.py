@@ -163,7 +163,7 @@ def bpe_train_portable_merges(df: DataFrame, text_col: str,
 
     Scale: per round one map-side-combinable pair aggregate over
     |vocab| rows + a 1-row TakeOrdered + a broadcast-1-row rewrite;
-    rounds are eager-localCheckpointed (the g6/g8 lineage discipline,
+    rounds are LAZY-localCheckpointed since r14 (one action cascade,
     and why this belongs in the MAINTENANCE bench suite — the work
     runs in build()). Driver traffic: zero rows.
     """
@@ -188,8 +188,17 @@ def bpe_train_portable_merges(df: DataFrame, text_col: str,
                  .groupBy(F.col("p.l").alias("l"),
                           F.col("p.r").alias("r"))
                  .agg(F.sum("cnt").alias("pc")))
+        # r14: LAZY (was eager — one scheduled job per round): the
+        # whole trainer now materializes as one action cascade. `best`
+        # has TWO consumers (the next vocab rewrite's broadcast and
+        # the output union), so the k_core_rounds first-compute race
+        # applies — two stages may compute the 1-row TakeOrdered twice
+        # before the cache fills (duplicate pair-agg work, never wrong
+        # results); measured a consistent win locally (interleaved
+        # min-of-4 2.111 -> 2.047 s, med 2.342 -> 2.152) and rounds
+        # are bounded at 6.
         best = (pairs.orderBy(F.desc("pc"), "l", "r").limit(1)
-                .localCheckpoint(eager=True))
+                .localCheckpoint(eager=False))
         if rank < n_merges:
             # the final round's winner is returned but its vocab
             # rewrite would never be consumed — skip the wasted
