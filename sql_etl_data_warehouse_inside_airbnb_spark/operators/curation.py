@@ -534,7 +534,25 @@ def train_quality_classifier(df: DataFrame, text_col: str,
     lr = LogisticRegression(featuresCol="__features",
                             labelCol=label_col, maxIter=30,
                             regParam=0.01)
-    return Pipeline(stages=[tf, lr]).fit(base)
+    model = Pipeline(stages=[tf, lr]).fit(base)
+    # Drop the training summary from the fitted LR stage (r14): the
+    # summary pins the TRAINING DataFrame and the SparkSession, and
+    # `LogisticRegressionModel.trainingSummary` is a Scala TRAIT field
+    # whose @transient does not reach the implementing class, so
+    # scoring-side task closures that capture the model can try to
+    # java-serialize session internals — observed as
+    # `NotSerializableException: ObservationManager` whenever the
+    # session's expression-canonicalization state makes the serializer
+    # walk that path (order-dependent: scoring after an erase_keys
+    # call failed, scoring in a fresh session passed). Nothing here
+    # reads the summary; the eval split computes its own metrics. The
+    # scala Option.empty goes through py4j because private[ml]
+    # setSummary is public in bytecode.
+    lr_model = model.stages[-1]
+    if getattr(lr_model, "hasSummary", False):
+        jvm = df.sparkSession._jvm
+        lr_model._java_obj.setSummary(jvm.scala.Option.empty())
+    return model
 
 
 def score_quality_classifier(model, df: DataFrame, key_col: str,
