@@ -136,6 +136,16 @@ def fan_out(df: DataFrame, *keys: str) -> DataFrame:
     scans as thousands of splits, the condition is false, and the
     shuffle never happens — this only fires where the input is too
     small for the shuffle to matter.
+
+    CALLER CONTRACT (r13 verdict item 3): pass ONLY raw scans or
+    trivially-filtered/projected frames. The guard below calls
+    ``df.rdd.getNumPartitions()``, which compiles the physical plan at
+    build time (``queryExecution.toRdd`` — nothing executes, but plan
+    compile leaves the bench's timed region); on a scan that compile
+    is negligible, on a DEEP frame it is exactly the
+    moved-out-of-the-timed-region effect the r13 simhash correction
+    classified as timer-gaming. If a deep frame ever needs spreading,
+    repartition it explicitly at the call site instead.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
