@@ -30,12 +30,27 @@ def timings(path: str) -> dict[str, float]:
     # candidate JSON payloads: the whole file (a driver artifact),
     # else each line (bench stdout: detail line + summary line)
     candidates = [text] + list(reversed(text.strip().splitlines()))
+    # r14: bench.py additionally re-emits the headline map as small
+    # `headline_part i/k` chunk lines plus one standalone maintenance
+    # line (tail-window survival). Prefer the full detail line; when
+    # only chunks survive (a truncated driver tail), merge every whole
+    # chunk + the maintenance line instead of returning the single
+    # last chunk.
+    chunk_queries: dict[str, float] = {}
+    chunk_maint: dict[str, float] = {}
     for cand in candidates:
         try:
             d = json.loads(cand)
         except ValueError:
             continue
         if not isinstance(d, dict):
+            continue
+        if "headline_part" in d:
+            if isinstance(d.get("queries"), dict):
+                chunk_queries.update(d["queries"])
+            continue
+        if set(d) == {"maintenance"} and isinstance(d["maintenance"], dict):
+            chunk_maint.update(d["maintenance"])
             continue
         # merge headline + maintenance so the JSON path compares the
         # SAME query set the regex-recovery path does (which cannot
@@ -52,6 +67,8 @@ def timings(path: str) -> dict[str, float]:
         if isinstance(d.get("tail"), str):
             text = d["tail"]
             break
+    if chunk_queries or chunk_maint:
+        return _merge(chunk_queries, chunk_maint)
     # regex recovery from a (possibly truncated) tail
     got = dict(re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', text))
     drop = {"value", "sf", "headline_total_sec", "n_queries",
