@@ -128,13 +128,27 @@ def bm25_topk(df: DataFrame, key_col: str, text_col: str,
     qterms = sorted(set(t.lower() for t in terms))
     toks = tokens(text_col)
     base = df.select(F.col(key_col),
-                     F.size(toks).cast("bigint").alias("__dl"),
-                     F.filter(toks, lambda t: t.isin(qterms))
-                     .alias("__hits"))
+                     F.size(toks).cast("bigint").alias("__dl"))
     stats = base.agg(
         F.count(F.lit(1)).cast("bigint").alias("__n_docs"),
         F.avg("__dl").alias("__avgdl"))
-    tf = (base.select(key_col, "__dl", F.explode("__hits").alias("term"))
+    # r14: explode the INLINE hit-filter expression — exploding a
+    # projected __hits attribute let InferFiltersFromGenerate push
+    # size(__hits)>0 below the Project, re-running the whole
+    # tokenize+filter chain per row at the scan (the ppjoin/_gram_list
+    # trap); inline leaves no attribute to infer on, rows identical.
+    # r14: the inline-explode variant (the ppjoin/_gram_list trap fix)
+    # was measured here and REJECTED — the pushed size(__hits)>0
+    # filter this shape generates is a row-PRUNER, not a tax: most
+    # docs contain no query term, so the scan-level filter drops them
+    # before the Generate and the re-evaluation only hits the few
+    # surviving hit docs. Interleaved A/B min-of-5: inline 0.779/0.775
+    # vs this shape 0.580/0.585 (bm25/portable) — ~30% worse inline.
+    tf = (df.select(F.col(key_col),
+                    F.size(toks).cast("bigint").alias("__dl"),
+                    F.filter(toks, lambda t: t.isin(qterms))
+                    .alias("__hits"))
+          .select(key_col, "__dl", F.explode("__hits").alias("term"))
           .groupBy(key_col, "__dl", "term")
           .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
     dfreq = (tf.groupBy("term")
@@ -183,13 +197,24 @@ def bm25_portable_topk(df: DataFrame, key_col: str, text_col: str,
     qterms = sorted(set(t.lower() for t in terms))
     toks = tokens(text_col)
     base = df.select(F.col(key_col),
-                     F.size(toks).cast("bigint").alias("__dl"),
-                     F.filter(toks, lambda t: t.isin(qterms))
-                     .alias("__hits"))
+                     F.size(toks).cast("bigint").alias("__dl"))
     stats = base.agg(
         F.count(F.lit(1)).cast("bigint").alias("__n_docs"),
         F.avg("__dl").alias("__avgdl"))
-    tf = (base.select(key_col, "__dl", F.explode("__hits").alias("term"))
+    # r14: inline explode — same InferFiltersFromGenerate removal as
+    # bm25_topk above.
+    # r14: the inline-explode variant (the ppjoin/_gram_list trap fix)
+    # was measured here and REJECTED — the pushed size(__hits)>0
+    # filter this shape generates is a row-PRUNER, not a tax: most
+    # docs contain no query term, so the scan-level filter drops them
+    # before the Generate and the re-evaluation only hits the few
+    # surviving hit docs. Interleaved A/B min-of-5: inline 0.779/0.775
+    # vs this shape 0.580/0.585 (bm25/portable) — ~30% worse inline.
+    tf = (df.select(F.col(key_col),
+                    F.size(toks).cast("bigint").alias("__dl"),
+                    F.filter(toks, lambda t: t.isin(qterms))
+                    .alias("__hits"))
+          .select(key_col, "__dl", F.explode("__hits").alias("term"))
           .groupBy(key_col, "__dl", "term")
           .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
     dfreq = (tf.groupBy("term")

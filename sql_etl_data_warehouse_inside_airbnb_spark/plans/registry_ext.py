@@ -1010,11 +1010,17 @@ def ext_dup_ngram_fraction(spark, sf_dir):
         idx, lambda i: F.concat_ws(
             " ", F.element_at(toks, i), F.element_at(toks, i + 1),
             F.element_at(toks, i + 2)))
-    grams = (d.select("doc_id",
-                      F.when(F.size(toks) < 3,
-                             F.array().cast("array<string>"))
-                      .otherwise(gram).alias("shs"))
-             .select("doc_id", F.explode("shs").alias("sh")))
+    # r14: explode the INLINE gram expression (the curation._gram_list
+    # / r14-ppjoin lesson) — exploding a projected attribute lets
+    # InferFiltersFromGenerate push size(shs)>0 below the Project,
+    # where alias substitution re-ran the whole 3-gram transform per
+    # row in EVERY consumer's scan branch (4 pushed copies in the
+    # executed plan). Inline leaves no attribute to infer on; rows
+    # are identical (explode of [] emits nothing either way).
+    grams = d.select("doc_id",
+                     F.explode(F.when(F.size(toks) < 3,
+                                      F.array().cast("array<string>"))
+                               .otherwise(gram)).alias("sh"))
     df_counts = (grams.groupBy("sh")
                  .agg(F.countDistinct("doc_id").alias("n_docs")))
     joined = grams.join(df_counts, "sh")
